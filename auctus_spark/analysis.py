@@ -1,0 +1,108 @@
+"""Analyzer chain — THE tokenization contract.
+
+One tokenizer, three consumers: the pure-Python oracle scorer, the Spark
+index builder (vectorized pandas ops inside ``mapInPandas``), and any
+SQL oracle (DuckDB ``regexp_split_to_array`` with the same pattern).
+
+Mirrors the reference's index-time analyzer — ES ``standard`` tokenizer +
+``lowercase`` filter (``coordinator/coordinator/elasticsearch.yml:6-15``) —
+restricted to ASCII word characters so it is exactly expressible as one
+regex in Python, pandas, Spark SQL and DuckDB alike.  The optional
+identifier expansion mirrors Auctus's attribute-keyword split
+(``lib_profiler/datamart_profiler/core.py:100-123``: split on punctuation,
+camelCase and letter/digit boundaries), which is the right analyzer for
+source-code identifiers.
+
+Stemming: the reference stems English at index time
+(``elasticsearch.yml:15``).  We keep the analyzer stem-free by default
+(code corpus; rank-identity contract must match the oracle, which shares
+this module), per SURVEY.md §7 hard-part (4).
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterable
+
+import numpy as np
+import pandas as pd
+
+# Token = maximal run of [a-z0-9_] over the lowercased text.
+# Keep in sync with SPLIT_PATTERN (used by Spark SQL / DuckDB oracles).
+TOKEN_PATTERN = r"[a-z0-9_]+"
+SPLIT_PATTERN = r"[^a-z0-9_]+"
+_TOKEN_RE = re.compile(TOKEN_PATTERN)
+
+# camelCase / letter-digit boundary splitter for identifier expansion
+# (reference core.py:100-123 splits "camelCase", "snake_case", "a2b").
+_IDENT_RE = re.compile(
+    r"[a-z]+(?![A-Z0-9])|[a-z]+|[A-Z][a-z]*|[0-9]+",
+)
+
+
+def tokenize(text: str) -> list[str]:
+    """Lowercase + split; the contract shared with the oracle scorer."""
+    return _TOKEN_RE.findall(text.lower())
+
+
+def expand_identifier(name: str) -> list[str]:
+    """Split an identifier into sub-tokens: snake_case, camelCase,
+    letter/digit boundaries.  ``getHTTPResponse2`` -> [get, HTTP,
+    Response, 2] (lowercased).  Reference: core.py:100-123."""
+    parts: list[str] = []
+    for chunk in re.split(r"[^0-9a-zA-Z]+", name):
+        if not chunk:
+            continue
+        # split camelCase incl. acronym runs and digit boundaries
+        for m in re.finditer(r"[A-Z]+(?![a-z])|[A-Z][a-z]*|[a-z]+|[0-9]+", chunk):
+            parts.append(m.group(0).lower())
+    return parts
+
+
+def tokenize_series(texts: pd.Series) -> pd.Series:
+    """Vectorized (pandas C-path) tokenization of a string Series.
+
+    Returns a Series of token lists.  This is the hot-path form used
+    inside ``mapInPandas`` — no per-row Python in the Spark plan.
+    """
+    return texts.str.lower().str.findall(TOKEN_PATTERN)
+
+
+def doc_lengths(token_lists: pd.Series) -> pd.Series:
+    return token_lists.map(len).astype(np.int64)
+
+
+def term_frequencies(doc_ids: pd.Series, token_lists: pd.Series) -> pd.DataFrame:
+    """Explode token lists to (doc_id, term, tf) via pandas groupby —
+    vectorized counting for a whole Arrow batch at once."""
+    ex = pd.DataFrame(
+        {"doc_id": doc_ids.to_numpy().repeat(token_lists.map(len).to_numpy()),
+         "term": np.concatenate(token_lists.to_numpy()) if len(token_lists) else
+         np.array([], dtype=object)}
+    )
+    if ex.empty:
+        return pd.DataFrame({"term": pd.Series([], dtype=object),
+                             "doc_id": pd.Series([], dtype=np.int64),
+                             "tf": pd.Series([], dtype=np.int64)})
+    tf = (
+        ex.groupby(["term", "doc_id"], sort=False)
+        .size()
+        .reset_index(name="tf")
+    )
+    tf["doc_id"] = tf["doc_id"].astype(np.int64)
+    tf["tf"] = tf["tf"].astype(np.int64)
+    return tf
+
+
+def analyze_query(query: str, synonyms: dict[str, Iterable[str]] | None = None) -> list[str]:
+    """Search-time analyzer: same chain, plus optional synonym expansion
+    (reference applies ``synonym_graph`` only at search time,
+    ``elasticsearch.yml:16-24``).  Returns unique terms, first-seen order
+    (conjunctive AND semantics make duplicates irrelevant)."""
+    seen: dict[str, None] = {}
+    for tok in tokenize(query):
+        seen.setdefault(tok, None)
+        if synonyms and tok in synonyms:
+            for syn in synonyms[tok]:
+                seen.setdefault(syn, None)
+    return list(seen)

@@ -1,0 +1,96 @@
+"""Pure-Python reference scorer — the rank-identity contract.
+
+Implements exactly what Elasticsearch 7.10.2 (Lucene 8.7) computes for
+the query shape Auctus issues (``apiserver/apiserver/search/__init__.py:
+57-109``): conjunctive AND over the analyzed terms, BM25 with k1=1.2 and
+b=0.75 (``docker-compose.yml:4`` pins ES 7.10.2 → these defaults), top-k
+= 50 (``apiserver/apiserver/search/base.py:1``), deterministic tie-break
+(score desc, docID asc).
+
+Lucene practical scoring (BM25Similarity since Lucene 8, no (k1+1)
+numerator factor):
+
+    idf(t)      = ln(1 + (N - df + 0.5) / (df + 0.5))
+    tf_norm(t,d) = tf / (tf + k1 * (1 - b + b * dl / avgdl))
+    score(q, d)  = sum_t idf(t) * tf_norm(t, d)
+
+All math in float64.  N / df / avgdl are GLOBAL corpus statistics
+computed before any pruning — the discipline the Spark engine must
+mirror for rank identity (SURVEY.md §7 hard part 1).
+
+This module deliberately has no Spark dependency: it is the pytest
+oracle the distributed engine is graded against.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+from dataclasses import dataclass, field
+
+from . import B, K1, TOP_K_SIZE
+from .analysis import analyze_query, tokenize
+
+
+def bm25_idf(n_docs: int, df: int) -> float:
+    return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+
+
+def bm25_tf_norm(tf: float, doc_len: float, avgdl: float,
+                 k1: float = K1, b: float = B) -> float:
+    return tf / (tf + k1 * (1.0 - b + b * doc_len / avgdl))
+
+
+@dataclass
+class OracleIndex:
+    """In-memory inverted index over (doc_id, text) pairs."""
+
+    n_docs: int = 0
+    avgdl: float = 0.0
+    doc_len: dict[int, int] = field(default_factory=dict)
+    postings: dict[str, dict[int, int]] = field(default_factory=dict)
+
+    @classmethod
+    def build(cls, docs: list[tuple[int, str]]) -> "OracleIndex":
+        idx = cls()
+        total = 0
+        for doc_id, text in docs:
+            toks = tokenize(text)
+            idx.doc_len[doc_id] = len(toks)
+            total += len(toks)
+            for term, tf in Counter(toks).items():
+                idx.postings.setdefault(term, {})[doc_id] = tf
+        idx.n_docs = len(idx.doc_len)
+        idx.avgdl = (total / idx.n_docs) if idx.n_docs else 0.0
+        return idx
+
+    def df(self, term: str) -> int:
+        return len(self.postings.get(term, {}))
+
+    def search(self, query: str, k: int = TOP_K_SIZE,
+               k1: float = K1, b: float = B) -> list[tuple[int, float]]:
+        """Conjunctive-AND BM25 top-k: [(doc_id, score)] sorted by
+        (score desc, doc_id asc)."""
+        terms = analyze_query(query)
+        if not terms:
+            return []
+        plists = []
+        for t in terms:
+            p = self.postings.get(t)
+            if not p:
+                return []  # AND semantics: any missing term → no hits
+            plists.append(p)
+        # intersect docID sets
+        candidates = set(plists[0])
+        for p in plists[1:]:
+            candidates &= set(p)
+        scored: list[tuple[int, float]] = []
+        for d in candidates:
+            dl = self.doc_len[d]
+            s = 0.0
+            for t, p in zip(terms, plists):
+                s += bm25_idf(self.n_docs, len(p)) * bm25_tf_norm(
+                    p[d], dl, self.avgdl, k1, b)
+            scored.append((d, s))
+        scored.sort(key=lambda x: (-x[1], x[0]))
+        return scored[:k]

@@ -1,0 +1,79 @@
+"""THE correctness gate (SURVEY.md §5 / BASELINE.md): the distributed
+engine's top-k (docIDs AND scores) must be rank-identical to the
+pure-Python oracle on a reference query set — hot single terms, rare
+terms, multi-term conjunctive, zero-hit, and tie-heavy queries."""
+
+import math
+
+import pytest
+
+from auctus_spark.corpus import generate_corpus
+from auctus_spark.index.build import IndexBuilder
+from auctus_spark.oracle import OracleIndex
+from auctus_spark.query.bm25 import SearchEngine
+
+N_DOCS = 600
+
+QUERY_SET = [
+    "import",                     # hot term (>30% df)
+    "def return",                 # two hot terms, AND
+    "import def return the",      # many hot terms
+    "uniq_token_11",              # df=1 tail term
+    "import uniq_token_22",       # hot AND rare
+    "no_such_token_anywhere",     # zero hits
+    "import zz_missing",          # partial match → zero hits (AND)
+    "getBatch",                   # camelCase identifier (one token)
+    "parse_build_12",             # snake_case identifier token
+    "the",                        # stopword-ish hot term, tie-heavy
+]
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("index"))
+    pdf = generate_corpus(N_DOCS, min_tokens=20, max_tokens=200,
+                          vocab_size=2000)
+    corpus = spark.createDataFrame(pdf)
+    # small buckets/chunks so the test exercises multi-bucket,
+    # multi-chunk paths (256-doc scoring buckets, 200-doc build chunks)
+    b = IndexBuilder(spark, out, doc_bucket=256, chunk_docs=200,
+                     term_buckets=8)
+    stats = b.build(corpus)
+    oracle = OracleIndex.build(
+        [(int(r.doc_id), r.content) for r in pdf.itertuples(index=False)])
+    return out, oracle, stats, corpus, b
+
+
+def _assert_rank_identical(got, want):
+    """Bit-exact: the engine mirrors the oracle's float64 evaluation
+    order (idf * (tf/denom), summed in query-term order), so scores are
+    IDENTICAL, not merely close."""
+    assert len(got) == len(want), (got[:5], want[:5])
+    for (gd, gs), (wd, ws) in zip(got, want):
+        assert gd == wd, (got[:10], want[:10])
+        assert gs == ws, (gd, gs, ws)
+
+
+@pytest.mark.parametrize("q", QUERY_SET)
+def test_exhaustive_matches_oracle(spark, built, q):
+    out, oracle, stats, _, _ = built
+    eng = SearchEngine(spark, out, term_buckets=8)
+    assert eng.n_docs == oracle.n_docs
+    assert math.isclose(eng.avgdl, oracle.avgdl, rel_tol=1e-12)
+    got = [(int(r.doc_id), float(r.score))
+           for r in eng.search(q, k=50).collect()]
+    _assert_rank_identical(got, oracle.search(q, k=50))
+
+
+@pytest.mark.parametrize("q", QUERY_SET)
+def test_wand_matches_oracle(spark, built, q):
+    out, oracle, _, _, _ = built
+    eng = SearchEngine(spark, out, term_buckets=8)
+    got = [(int(r.doc_id), float(r.score))
+           for r in eng.search_wand(q, k=50).collect()]
+    _assert_rank_identical(got, oracle.search(q, k=50))
+
+
+def test_lineage_sha_invariant(spark, built):
+    _, _, _, corpus, b = built
+    assert b.verify_lineage(corpus)
