@@ -1,0 +1,217 @@
+"""Join operators: augmentation-join execution and index-side
+candidate-scoring joins.
+
+Reference: ``lib_augmentation/datamart_augmentation/augmentation.py``
+(equi-join with key normalization :93-131, temporal-resolution
+alignment :134-231, post-join fan-in aggregation :250-336, 562-567) and
+``apiserver/apiserver/search/join.py`` (range-overlap candidate scoring
+:150-252, :361-459; spatial box overlap :255-358).
+
+The reference streams pandas chunks of 10k rows; here each operator is
+one declarative join Spark executes broadcast/sort-merge as it sees fit
+(AQE handles skew), and the chunk loop disappears.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# reference temporal.py:15-33 — aggregation keys year..second; priority
+# coarse→fine per augmentation.py:58-61
+TEMPORAL_PRIORITY = ["year", "quarter", "month", "week", "day",
+                     "hour", "minute", "second"]
+
+
+def normalize_join_key(df: DataFrame, col: str, kind: str) -> DataFrame:
+    """Key normalization before joining (reference set_data_index,
+    augmentation.py:93-131): datetime→timestamp, numbers→double,
+    text→lowercase."""
+    if kind == "temporal":
+        return df.withColumn(col, F.to_timestamp(F.col(col)))
+    if kind == "numerical":
+        return df.withColumn(col, F.col(col).cast("double"))
+    return df.withColumn(col, F.lower(F.col(col).cast("string")))
+
+
+def truncate_to_resolution(col, resolution: str):
+    """date_trunc with the reference's week-start mapping
+    (temporal.py:24-28 snaps to the previous Sunday... dateutil weeks
+    start Monday in pandas; the reference uses ISO weeks via
+    ``dt.to_period('W')`` → Monday).  Spark date_trunc('week') is also
+    Monday-based — aligned."""
+    return F.date_trunc(resolution, col)
+
+
+def temporal_aligned_join(left: DataFrame, right: DataFrame,
+                          left_on: str, right_on: str,
+                          left_res: str, right_res: str,
+                          how: str = "left") -> DataFrame:
+    """Cross-resolution temporal join (reference augmentation.py:
+    134-231): truncate the finer side to the coarser side's resolution,
+    then equi-join on the truncated key."""
+    coarse = min(left_res, right_res, key=TEMPORAL_PRIORITY.index)
+    lk = truncate_to_resolution(F.to_timestamp(F.col(left_on)), coarse)
+    rk = truncate_to_resolution(F.to_timestamp(F.col(right_on)), coarse)
+    lt = left.withColumn("_jk", lk)
+    rt = right.withColumn("_jk", rk)
+    return lt.join(rt.drop(right_on) if right_on in lt.columns else rt,
+                   "_jk", how).drop("_jk")
+
+
+AGG_FUNCTIONS = {
+    "first": F.first,
+    "mean": F.avg,
+    "sum": F.sum,
+    "max": F.max,
+    "min": F.min,
+    "count": F.count,
+}
+
+
+def _null_preserving_sum(col: str):
+    """Reference ``augmentation.py:239-247``: sum of an all-null group
+    is null, not 0."""
+    return F.when(F.count(F.col(col)) > 0, F.sum(F.col(col)))
+
+
+def augment_join(left: DataFrame, right: DataFrame, on: list[str],
+                 how: str = "left",
+                 agg_columns: dict[str, list[str]] | None = None,
+                 keep_columns: list[str] | None = None) -> DataFrame:
+    """Augmentation join (reference augmentation.py:376-547):
+
+    1. tag every left row with a unique key (reference UNIQUE_INDEX_KEY,
+       :463) so fan-out from 1:N matches can be folded back;
+    2. equi-join on the normalized keys (how='left' default, :380);
+    3. aggregate right-side columns per original left row — numeric
+       columns get mean/sum/max/min (or the caller's list from
+       first/mean/sum/max/min/count), non-numeric get first (:250-336);
+    4. conflict columns renamed with ``_r`` suffix (:536-559).
+    """
+    uid = "_unique_index_key"
+    rord = "_right_order"
+    lt = left.withColumn(uid, F.monotonically_increasing_id())
+    # rename right-side conflicts (other than join keys)
+    for c in right.columns:
+        if c in left.columns and c not in on:
+            right = right.withColumnRenamed(c, c + "_r")
+    # right-side order id makes 'first' deterministic (the reference's
+    # pandas join preserves right order; Spark's F.first does not)
+    right = right.withColumn(rord, F.monotonically_increasing_id())
+    joined = lt.join(right, on, how)
+
+    right_cols = [c for c in joined.columns
+                  if c not in lt.columns and c not in on and c != rord]
+    if keep_columns is not None:
+        right_cols = [c for c in right_cols if c in keep_columns]
+    numeric_types = ("int", "bigint", "double", "float", "decimal",
+                     "smallint", "tinyint", "long")
+    aggs = []
+    for c in right_cols:
+        dtype = dict(joined.dtypes)[c]
+        is_num = any(dtype.startswith(t) for t in numeric_types)
+        wanted = (agg_columns or {}).get(
+            c, ["mean", "sum", "max", "min"] if is_num else ["first"])
+        for a in wanted:
+            name = f"{a}_{c}" if len(wanted) > 1 else c
+            if a == "sum" and is_num:
+                aggs.append(_null_preserving_sum(c).alias(name))
+            elif a == "first":
+                aggs.append(F.min_by(c, rord).alias(name))
+            else:
+                aggs.append(AGG_FUNCTIONS[a](c).alias(name))
+    left_keep = [c for c in lt.columns if c != uid]
+    out = (joined.groupBy(uid)
+           .agg(*[F.first(c).alias(c) for c in left_keep], *aggs)
+           .drop(uid))
+    return out
+
+
+# ---------------------------------------------------------------------
+# index-side candidate scoring joins (search/join.py)
+# ---------------------------------------------------------------------
+
+def range_overlap_score(candidates: DataFrame, query_ranges: DataFrame,
+                        cand_id: str = "cand_id") -> DataFrame:
+    """Numerical/temporal coverage scoring (reference join.py:150-252):
+    nested range query with ``relation: intersects``; painless score
+    ``(min(lte) - max(gte) + 1) / total_query_coverage`` summed over
+    query ranges, ``boost_mode: replace``.
+
+    candidates: (cand_id, gte, lte);  query_ranges: (q_gte, q_lte).
+    """
+    total = query_ranges.agg(
+        F.sum(F.col("q_lte") - F.col("q_gte") + 1).alias("t")).collect()[0]
+    total_q = float(total["t"])
+    j = candidates.join(
+        F.broadcast(query_ranges),
+        (F.col("q_gte") <= F.col("lte")) & (F.col("q_lte") >= F.col("gte")))
+    overlap = (F.least(F.col("lte"), F.col("q_lte"))
+               - F.greatest(F.col("gte"), F.col("q_gte")) + 1)
+    return (j.groupBy(cand_id)
+            .agg((F.sum(overlap) / F.lit(total_q)).alias("score"))
+            .orderBy(F.desc("score"), F.asc(cand_id)))
+
+
+def spatial_overlap_score(candidates: DataFrame, query_boxes: DataFrame,
+                          cand_id: str = "cand_id") -> DataFrame:
+    """Spatial intersection scoring (reference join.py:255-358):
+    geo_shape envelope intersects + intersection-area / query-area.
+
+    candidates: (cand_id, min_lon, min_lat, max_lon, max_lat);
+    query_boxes: (q_min_lon, q_min_lat, q_max_lon, q_max_lat).
+    """
+    inter_w = (F.least("max_lon", "q_max_lon")
+               - F.greatest("min_lon", "q_min_lon"))
+    inter_h = (F.least("max_lat", "q_max_lat")
+               - F.greatest("min_lat", "q_min_lat"))
+    q_area = ((F.col("q_max_lon") - F.col("q_min_lon"))
+              * (F.col("q_max_lat") - F.col("q_min_lat")))
+    j = candidates.join(
+        F.broadcast(query_boxes),
+        (F.col("min_lon") < F.col("q_max_lon"))
+        & (F.col("max_lon") > F.col("q_min_lon"))
+        & (F.col("min_lat") < F.col("q_max_lat"))
+        & (F.col("max_lat") > F.col("q_min_lat")))
+    return (j.groupBy(cand_id)
+            .agg(F.sum((inter_w * inter_h) / q_area).alias("score"))
+            .orderBy(F.desc("score"), F.asc(cand_id)))
+
+
+def spatial_nearest_join(left: DataFrame, right: DataFrame,
+                         l_lat: str, l_lon: str, r_lat: str, r_lon: str,
+                         max_dist: float, grid: float | None = None
+                         ) -> DataFrame:
+    """Spatial nearest-neighbor join (reference augmentation.py:342-370,
+    413-447: KD-tree snap to nearest left point within
+    2*median_smallest_distance).  Spark-first: grid-bucket both sides
+    (cell = max_dist so a point's NN within max_dist lies in the 3x3
+    neighborhood), join on neighboring cells, window-min distance per
+    right row."""
+    grid = grid or max_dist
+    lt = left.select(
+        F.col(l_lat).alias("_llat"), F.col(l_lon).alias("_llon"),
+        *[c for c in left.columns if c not in (l_lat, l_lon)])
+    lt = lt.withColumn("_cx", F.floor(F.col("_llon") / grid)) \
+           .withColumn("_cy", F.floor(F.col("_llat") / grid))
+    # replicate left points into their 3x3 neighborhood
+    lt = (lt.withColumn("_dx", F.explode(F.array(*[F.lit(i) for i in
+                                                   (-1, 0, 1)])))
+            .withColumn("_dy", F.explode(F.array(*[F.lit(i) for i in
+                                                   (-1, 0, 1)])))
+            .withColumn("_cx", F.col("_cx") + F.col("_dx"))
+            .withColumn("_cy", F.col("_cy") + F.col("_dy"))
+            .drop("_dx", "_dy"))
+    rt = right.withColumn("_cx", F.floor(F.col(r_lon) / grid)) \
+              .withColumn("_cy", F.floor(F.col(r_lat) / grid)) \
+              .withColumn("_rid", F.monotonically_increasing_id())
+    j = rt.join(lt, ["_cx", "_cy"])
+    dist = F.sqrt((F.col("_llat") - F.col(r_lat)) ** 2
+                  + (F.col("_llon") - F.col(r_lon)) ** 2)
+    j = j.withColumn("_dist", dist).filter(F.col("_dist") <= max_dist)
+    w = Window.partitionBy("_rid").orderBy(F.asc("_dist"), F.asc("_llat"),
+                                           F.asc("_llon"))
+    return (j.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_cx", "_cy", "_rn", "_rid"))

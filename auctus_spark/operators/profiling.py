@@ -1,0 +1,242 @@
+"""Column profiling = the reference's sketch/aggregate layer, as
+DataFrame aggregations.
+
+Reference: ``lib_profiler/datamart_profiler`` — mean/stddev
+(``numerical.py:17-35``), histograms (``core.py:348-444``), distinct
+counts (``profile_types.py:214``), temporal resolution detection
+(``temporal.py:36-71``), dataset-type counts (``core.py:729-746``),
+type-detect regex voting (``profile_types.py:16-126``), numerical range
+sketches (``numerical.py:38-86``).
+
+Everything is a built-in aggregation; the only custom math is the
+range-sketch clustering, which replaces the reference's seeded sklearn
+K-Means (unavailable here) with deterministic 1-D gap-split clustering
+— same contract (≤3 clusters, ≥10%% mass, [5th,95th] percentile
+bounds per cluster).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MAX_UNCLEAN = 0.02          # profile_types.py:82
+CATEGORICAL_RATIO = 0.10    # profile_types.py:92
+FREE_TEXT_MIN_WORDS = 4     # profile_types.py:87-88
+N_RANGES = 3                # numerical.py:13
+MIN_RANGE_SIZE = 0.10       # numerical.py:14
+FLOAT32_MAX = 3.4028235e38  # ES float clamp, core.py:327-336
+
+# temporal aggregation keys, coarse→fine probe order exactly as the
+# reference dict iteration (temporal.py:15-33); Spark date_trunc('week')
+# is Monday-start, same as the reference's dt.weekday() mapping
+RESOLUTIONS = ["year", "quarter", "month", "week", "day",
+               "hour", "minute", "second"]
+
+
+def numeric_profile(df: DataFrame, col: str) -> DataFrame:
+    """mean + population stddev + distinct count + min/max, one pass."""
+    return df.agg(
+        F.avg(col).alias("mean"),
+        F.stddev_pop(col).alias("stddev"),
+        F.count_distinct(col).alias("num_distinct_values"),
+        F.min(col).alias("min"),
+        F.max(col).alias("max"))
+
+
+def clamp_float32(col):
+    """ES float32 overflow clamp (reference core.py:327-336)."""
+    return F.least(F.greatest(F.col(col), F.lit(-FLOAT32_MAX)),
+                   F.lit(FLOAT32_MAX))
+
+
+def numeric_histogram(df: DataFrame, col: str, bins: int = 10) -> DataFrame:
+    """10-bin equal-width histogram (reference numpy.histogram parity,
+    core.py:348-367): width_bucket over [min, max], last edge closed."""
+    mm = df.agg(F.min(col).alias("lo"), F.max(col).alias("hi")).collect()[0]
+    lo, hi = float(mm["lo"]), float(mm["hi"])
+    if lo == hi:
+        hi = lo + 1.0
+    b = F.least(F.floor((F.col(col) - F.lit(lo)) /
+                        F.lit((hi - lo) / bins)).cast("long"),
+                F.lit(bins - 1))
+    return (df.filter(F.col(col).isNotNull())
+            .groupBy(b.alias("bin"))
+            .agg(F.count("*").alias("count"))
+            .withColumn("bin_start",
+                        F.lit(lo) + F.col("bin") * F.lit((hi - lo) / bins))
+            .orderBy("bin"))
+
+
+def categorical_histogram(df: DataFrame, col: str, k: int = 5) -> DataFrame:
+    """top-5 most common values (reference core.py:401-420)."""
+    return (df.groupBy(col).agg(F.count("*").alias("count"))
+            .orderBy(F.desc("count"), F.asc(col)).limit(k))
+
+
+def text_word_histogram(df: DataFrame, col: str, k: int = 5) -> DataFrame:
+    """top-5 lowercase words (reference core.py:422-444, \\W+ split)."""
+    words = (df.select(F.explode(F.split(F.lower(F.col(col)), r"\W+"))
+                       .alias("word"))
+             .filter(F.col("word") != ""))
+    return (words.groupBy("word").agg(F.count("*").alias("count"))
+            .orderBy(F.desc("count"), F.asc("word")).limit(k))
+
+
+def temporal_histogram(df: DataFrame, col: str, bins: int = 10) -> DataFrame:
+    """10-bin histogram over unix timestamps (core.py:380-399)."""
+    ts = df.select(F.unix_timestamp(F.col(col)).alias("t"))
+    return numeric_histogram(ts, "t", bins)
+
+
+def temporal_resolution(df: DataFrame, col: str,
+                        threshold: float = 1.05) -> str:
+    """Detect resolution — EXACT reference rule (temporal.py:36-71):
+    probe coarse→fine; the first resolution where avg DISTINCT values
+    per bin < 1.05 wins; 'second' if none; single-value special case by
+    finest nonzero component."""
+    counts = df.agg(
+        F.count_distinct(col).alias("n"),
+        F.min(col).alias("only"),
+        *[F.count_distinct(F.date_trunc(r, F.col(col))).alias(r)
+          for r in RESOLUTIONS]).collect()[0]
+    n = counts["n"]
+    if n == 0:
+        return "second"
+    if n == 1:
+        v = counts["only"]
+        if v.second:
+            return "second"
+        if v.minute:
+            return "minute"
+        if v.hour:
+            return "hour"
+        return "day"
+    for r in RESOLUTIONS:
+        bins = counts[r]
+        if bins and n / bins < threshold:
+            return r
+    return "second"
+
+
+def dataset_type_counts(profile: pd.DataFrame) -> dict[str, int]:
+    """nb_*_columns vote (core.py:729-746) over a per-column profile
+    frame with a ``kind`` column in {numerical,categorical,spatial,
+    temporal}."""
+    out = {f"nb_{k}_columns": 0 for k in
+           ("numerical", "categorical", "spatial", "temporal")}
+    for k, c in profile["kind"].value_counts().items():
+        out[f"nb_{k}_columns"] = int(c)
+    return out
+
+
+# ---------------------------------------------------------------------
+# structural type inference — regex voting with 2% unclean tolerance
+# (profile_types.py:16-126, 186-214)
+# ---------------------------------------------------------------------
+
+_INT_RE = r"^[+-]?[0-9]+$"
+_FLOAT_RE = r"^[+-]?([0-9]+\.?[0-9]*|\.[0-9]+)([eE][+-]?[0-9]+)?$"
+_BOOL_RE = r"^(?i)(true|false|yes|no|0|1)$"
+_URL_RE = r"^https?://"
+_GEO_POINT_RE = r"^\s*POINT\s*\(-?[0-9.]+ -?[0-9.]+\)\s*$"
+
+
+def infer_structural_types(df: DataFrame, col: str) -> DataFrame:
+    """Single-pass regex voting (one scan computes all counters, like
+    profile_types.py:95-126).  Returns one row of match ratios; the
+    caller applies MAX_UNCLEAN (2%) tolerance."""
+    c = F.col(col)
+    nonempty = F.count(F.when(c.isNotNull() & (c != ""), 1))
+    return df.agg(
+        nonempty.alias("n"),
+        (F.count(F.when(c.rlike(_INT_RE), 1)) / nonempty).alias("int_ratio"),
+        (F.count(F.when(c.rlike(_FLOAT_RE), 1)) / nonempty)
+        .alias("float_ratio"),
+        (F.count(F.when(c.rlike(_BOOL_RE), 1)) / nonempty)
+        .alias("bool_ratio"),
+        (F.count(F.when(c.rlike(_URL_RE), 1)) / nonempty).alias("url_ratio"),
+        (F.count(F.when(c.rlike(_GEO_POINT_RE), 1)) / nonempty)
+        .alias("point_ratio"),
+        (F.count_distinct(c) / nonempty).alias("distinct_ratio"),
+        (F.count(F.when(F.size(F.split(c, r"\s+")) >=
+                        FREE_TEXT_MIN_WORDS, 1)) / nonempty)
+        .alias("free_text_ratio"))
+
+
+def classify_column(ratios: dict) -> str:
+    """Apply the reference's thresholds to the voting ratios."""
+    tol = 1.0 - MAX_UNCLEAN
+    if ratios["n"] == 0:
+        return "MISSING_DATA"
+    if ratios["int_ratio"] >= tol:
+        return "INTEGER"
+    if ratios["float_ratio"] >= tol:
+        return "FLOAT"
+    if ratios["point_ratio"] >= tol:
+        return "GEO_POINT"
+    return "TEXT"
+
+
+def semantic_flags(ratios: dict) -> list[str]:
+    out = []
+    if ratios["bool_ratio"] >= 1.0 - MAX_UNCLEAN:
+        out.append("BOOLEAN")
+    if ratios["url_ratio"] >= 1.0 - MAX_UNCLEAN:
+        out.append("URL")
+    if ratios["distinct_ratio"] <= CATEGORICAL_RATIO:
+        out.append("CATEGORICAL")
+    if ratios["free_text_ratio"] >= 0.5:
+        out.append("TEXT")
+    return out
+
+
+# ---------------------------------------------------------------------
+# numerical range sketch (coverage) — deterministic stand-in for the
+# reference's KMeans(n_clusters<=3, random_state=0) (numerical.py:38-86)
+# ---------------------------------------------------------------------
+
+def range_sketch_pdf(values: np.ndarray, n_ranges: int = N_RANGES,
+                     min_size: float = MIN_RANGE_SIZE) -> list[dict]:
+    """Split sorted values at the (n_ranges-1) largest gaps, drop
+    clusters under 10%% mass, keep each cluster's [5th, 95th] percentile
+    bounds — the same output contract as the reference's K-Means sketch
+    with a deterministic, shuffle-free rule."""
+    v = np.sort(values[~np.isnan(values)])
+    if v.size == 0:
+        return []
+    if v.size == 1 or v[0] == v[-1]:
+        return [{"gte": float(v[0]), "lte": float(v[-1])}]
+    gaps = np.diff(v)
+    # cut only at significant gaps (> 4x mean spacing), at most
+    # n_ranges-1 cuts — deterministic analogue of KMeans k<=3 splits
+    cand = np.argsort(gaps)[::-1][:n_ranges - 1]
+    cand = cand[gaps[cand] > 4.0 * gaps.mean()]
+    cuts = np.sort(cand)
+    bounds = np.concatenate([[0], cuts + 1, [v.size]])
+    out = []
+    for i in range(len(bounds) - 1):
+        seg = v[bounds[i]:bounds[i + 1]]
+        if seg.size < min_size * v.size:
+            continue
+        out.append({"gte": float(np.percentile(seg, 5)),
+                    "lte": float(np.percentile(seg, 95))})
+    return out or [{"gte": float(np.percentile(v, 5)),
+                    "lte": float(np.percentile(v, 95))}]
+
+
+def range_sketch(df: DataFrame, col: str, sample_cap: int = 100_000,
+                 seed: int = 89) -> list[dict]:
+    """Distributed wrapper: sample-bounded collect (the reference also
+    profiles a 5 MB random sample, core.py:33-36) then the
+    deterministic 1-D sketch."""
+    n = df.count()
+    frac = min(1.0, sample_cap / max(n, 1))
+    vals = (df.select(F.col(col).cast("double").alias("v"))
+            .filter(F.col("v").isNotNull()))
+    if frac < 1.0:
+        vals = vals.sample(fraction=frac, seed=seed)
+    arr = np.array([r["v"] for r in vals.collect()], dtype=np.float64)
+    return range_sketch_pdf(arr)

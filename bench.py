@@ -1,0 +1,146 @@
+"""Benchmark harness — prints ONE JSON line.
+
+Measures, at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS]:
+
+- ``build``      — inverted-index build over a deterministic synthetic
+  code corpus (BENCH_CORPUS_DOCS, default 50k files): the north-rule
+  throughput unit (files/sec, reported as seconds + files_per_sec).
+- ``q_*_idx``    — BM25 top-k latency on the segment index (p95 over
+  repeated runs of the query set).
+- ``q_*``        — headline DataFrame queries on the sf tables
+  (BM25-over-documents, TPC-H Q1, window top-k, interval join, cosine
+  top-k).
+
+``python bench.py --scaling`` additionally runs the index build at
+local[N] and local[4N] (subprocesses; default N=8) on the SAME corpus
+and reports throughput at both plus scaling efficiency
+throughput(4N) / (4 * throughput(N)) — the in-sandbox proxy for the
+north rule's two-cluster-size criterion.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_DOCS = int(os.environ.get("BENCH_CORPUS_DOCS", "50000"))
+
+QUERY_SET = ["import", "def return", "import def return the",
+             "uniq_token_110", "import uniq_token_220", "the for if"]
+
+
+def _build_once(cores: int, out_dir: str, n_docs: int) -> dict:
+    """Build the index over the synthetic corpus; returns timings."""
+    from auctus_spark.corpus import corpus_dataframe
+    from auctus_spark.index.build import IndexBuilder, wipe
+    from auctus_spark.session import get_spark
+
+    spark = get_spark(f"bench_build_{cores}", cores=cores,
+                      shuffle_partitions=max(cores, 16))
+    spark.sparkContext.setLogLevel("ERROR")
+    corpus_path = os.path.join(out_dir, f"corpus_{n_docs}")
+    if not os.path.exists(corpus_path):
+        corpus_dataframe(spark, n_docs, partitions=max(cores * 2, 32)) \
+            .write.mode("overwrite").parquet(corpus_path)
+    corpus = spark.read.parquet(corpus_path)
+    idx_dir = os.path.join(out_dir, f"index_{cores}")
+    wipe(idx_dir)
+    t0 = time.time()
+    b = IndexBuilder(spark, idx_dir, doc_bucket=1 << 13,
+                     chunk_docs=1 << 20, term_buckets=64)
+    b.build(corpus, resume=False)
+    build_sec = time.time() - t0
+    return {"build_sec": build_sec, "files_per_sec": n_docs / build_sec,
+            "spark": spark, "idx_dir": idx_dir}
+
+
+def main():
+    results: dict[str, float] = {}
+    extra: dict = {}
+    work = os.environ.get("BENCH_WORK_DIR", "/tmp/auctus_bench")
+    os.makedirs(work, exist_ok=True)
+
+    r = _build_once(CPUS, work, N_DOCS)
+    spark, idx_dir = r["spark"], r["idx_dir"]
+    results["build"] = round(r["build_sec"], 3)
+    extra["files_per_sec"] = round(r["files_per_sec"], 1)
+
+    # --- index-path BM25 query latency (p95 over query set x reps) ---
+    from auctus_spark.query.bm25 import SearchEngine
+    eng = SearchEngine(spark, idx_dir, term_buckets=64)
+    lat: list[float] = []
+    for rep in range(3):
+        for q in QUERY_SET:
+            t0 = time.time()
+            eng.search_wand(q, k=50).collect()
+            lat.append(time.time() - t0)
+    lat.sort()
+    results["q_bm25_idx_p95"] = round(lat[int(len(lat) * 0.95) - 1], 3)
+    results["q_bm25_idx_mean"] = round(sum(lat) / len(lat), 3)
+
+    # --- headline DataFrame queries on the sf tables ------------------
+    import __spark_entry__ as entry
+    heads = ["bm25_topk_hot", "bm25_topk_conjunctive", "tpch_q1",
+             "topk_orders_per_cust", "interval_overlap_join",
+             "embedding_cosine_topk", "dedup_exact", "text_quality"]
+    qs = entry.queries()
+    for name in heads:
+        t0 = time.time()
+        qs[name](spark, SF_DIR).collect()
+        results[f"q_{name}"] = round(time.time() - t0, 3)
+
+    total = sum(v for v in results.values())
+    out = {"metric": "auctus_spark_headline_suite_sec",
+           "value": round(total, 3), "unit": "sec",
+           "queries": results,
+           "sf": SF_DIR.rstrip("/").split("sf")[-1],
+           **extra,
+           "cores": CPUS, "corpus_docs": N_DOCS}
+    print(json.dumps(out))
+
+
+def scaling():
+    """Run the build at local[N] and local[4N] in fresh subprocesses."""
+    n = int(os.environ.get("BENCH_SCALE_N", "8"))
+    work = os.environ.get("BENCH_WORK_DIR", "/tmp/auctus_bench")
+    os.makedirs(work, exist_ok=True)
+    out = {}
+    for cores in (n, 4 * n):
+        code = (
+            "import sys, json; sys.path.insert(0, %r);"
+            "import bench; r = bench._build_once(%d, %r, %d);"
+            "print('RESULT ' + json.dumps({k: r[k] for k in"
+            " ('build_sec','files_per_sec')}))"
+            % (REPO, cores, work, N_DOCS))
+        p = subprocess.run([sys.executable, "-c", code],
+                           capture_output=True, text=True, timeout=3600)
+        line = [ln for ln in p.stdout.splitlines()
+                if ln.startswith("RESULT ")]
+        if not line:
+            print(p.stdout[-2000:], p.stderr[-4000:], file=sys.stderr)
+            sys.exit(1)
+        out[f"local[{cores}]"] = json.loads(line[0][7:])
+    eff = (out[f"local[{4*n}]"]["files_per_sec"]
+           / (4 * out[f"local[{n}]"]["files_per_sec"]))
+    print(json.dumps({"metric": "index_build_scaling_efficiency",
+                      "value": round(eff, 3), "unit": "ratio",
+                      "n": n, "corpus_docs": N_DOCS,
+                      "runs": {k: {kk: round(vv, 2) for kk, vv in v.items()}
+                               for k, v in out.items()}}))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()

@@ -1,0 +1,96 @@
+"""Profiling sketch layer vs reference semantics (lib_profiler)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from auctus_spark.operators.profiling import (
+    categorical_histogram,
+    classify_column,
+    infer_structural_types,
+    numeric_histogram,
+    numeric_profile,
+    range_sketch_pdf,
+    temporal_resolution,
+    text_word_histogram,
+)
+
+
+def test_numeric_profile(spark):
+    df = spark.createDataFrame([(1.0,), (2.0,), (3.0,), (3.0,)], "v double")
+    r = numeric_profile(df, "v").collect()[0]
+    assert r["mean"] == pytest.approx(2.25)
+    # population stddev (two-pass in reference numerical.py:17-35)
+    assert r["stddev"] == pytest.approx(np.std([1, 2, 3, 3]))
+    assert r["num_distinct_values"] == 3
+
+
+def test_numeric_histogram_matches_numpy(spark):
+    vals = [float(x) for x in range(100)]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    got = {r.bin: r["count"] for r in numeric_histogram(df, "v").collect()}
+    want, _ = np.histogram(vals, bins=10)
+    assert [got.get(i, 0) for i in range(10)] == want.tolist()
+
+
+def test_categorical_histogram(spark):
+    df = spark.createDataFrame(
+        [("a",)] * 5 + [("b",)] * 3 + [("c",)] * 1, "v string")
+    rows = categorical_histogram(df, "v").collect()
+    assert [(r.v, r["count"]) for r in rows] == [("a", 5), ("b", 3), ("c", 1)]
+
+
+def test_text_word_histogram(spark):
+    df = spark.createDataFrame([("The cat and the dog",)], "t string")
+    rows = text_word_histogram(df, "t", k=2).collect()
+    assert (rows[0].word, rows[0]["count"]) == ("the", 2)
+
+
+def test_temporal_resolution(spark):
+    import datetime as dt
+    daily = spark.createDataFrame(
+        [(dt.datetime(2019, 4, 23) + dt.timedelta(days=i),)
+         for i in range(30)], "t timestamp")
+    assert temporal_resolution(daily, "t") == "day"
+    hourly = spark.createDataFrame(
+        [(dt.datetime(2019, 6, 12) + dt.timedelta(hours=i),)
+         for i in range(52)], "t timestamp")
+    assert temporal_resolution(hourly, "t") == "hour"
+
+
+def test_structural_type_voting(spark):
+    ints = spark.createDataFrame([(str(i),) for i in range(100)], "c string")
+    r = infer_structural_types(ints, "c").collect()[0].asDict()
+    assert classify_column(r) == "INTEGER"
+
+    # 2% unclean tolerance (profile_types.py:82)
+    dirty = spark.createDataFrame(
+        [(str(i),) for i in range(99)] + [("oops",)], "c string")
+    r = infer_structural_types(dirty, "c").collect()[0].asDict()
+    assert classify_column(r) == "INTEGER"
+
+    floats = spark.createDataFrame(
+        [(f"{i}.5",) for i in range(50)], "c string")
+    r = infer_structural_types(floats, "c").collect()[0].asDict()
+    assert classify_column(r) == "FLOAT"
+
+    text = spark.createDataFrame(
+        [("some long free text here",)] * 10, "c string")
+    r = infer_structural_types(text, "c").collect()[0].asDict()
+    assert classify_column(r) == "TEXT"
+    assert r["free_text_ratio"] >= 0.5
+
+
+def test_range_sketch():
+    # two well-separated clusters → two ranges
+    v = np.concatenate([np.linspace(0, 10, 50), np.linspace(100, 110, 50)])
+    ranges = range_sketch_pdf(v)
+    assert len(ranges) == 2
+    assert ranges[0]["lte"] <= 10.0 and ranges[1]["gte"] >= 100.0
+    # tiny cluster (<10%) dropped
+    v2 = np.concatenate([np.linspace(0, 10, 98), np.array([1000.0, 1001.0])])
+    r2 = range_sketch_pdf(v2)
+    assert all(r["lte"] <= 10.0 for r in r2)
+    # degenerate
+    assert range_sketch_pdf(np.array([5.0])) == [{"gte": 5.0, "lte": 5.0}]
+    assert range_sketch_pdf(np.array([])) == []
