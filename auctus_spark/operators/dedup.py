@@ -1,0 +1,311 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Exact (hash groupBy), n-gram Jaccard set-similarity join, MinHash+LSH,
+SimHash, and embedding-cosine near-dup.  All hot paths are built-in
+expressions or numpy inside Arrow batches — no per-row Python UDFs.
+
+The MinHash/LSH design follows the standard shingle → minhash → band →
+bucket-join construction (Broder; Leskovec et al., MMDS ch.3).  The
+reference system keeps an analogous MinHash sketch store (Lazo) for
+textual-join candidates (``lib_profiler/.../core.py:499-521``,
+``apiserver/apiserver/search/join.py:462-554``); here it is a
+first-class Spark job usable for corpus dedup.
+
+Portability note: token/shingle hashing uses md5-derived 64-bit ints
+(`F.conv(substring(md5(x)..)..)`), so results are reproducible across
+engines (DuckDB oracle) and sessions — never Python's salted hash().
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..analysis import SPLIT_PATTERN
+
+MERSENNE_P = (1 << 61) - 1
+
+
+def exact_dedup(df: DataFrame, cols: list[str] | None = None,
+                id_col: str = "doc_id") -> DataFrame:
+    """Keep one row (lowest id) per distinct value of ``cols``.
+    Hash-groupBy: one shuffle on the content hash, scales linearly."""
+    cols = cols or [c for c in df.columns if c != id_col]
+    key = F.sha2(F.concat_ws("\x1f", *[F.col(c).cast("string")
+                                       for c in cols]), 256)
+    keep = (df.groupBy(key.alias("_k"))
+            .agg(F.min(id_col).alias(id_col))
+            .drop("_k"))
+    return df.join(keep, id_col, "left_semi")
+
+
+def duplicate_groups(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """(content_hash, n_dups, doc_ids) for groups with >1 member."""
+    return (df.groupBy(F.sha2(F.col(text_col), 256).alias("content_hash"))
+            .agg(F.count("*").alias("n_dups"),
+                 F.sort_array(F.collect_list(id_col)).alias("doc_ids"))
+            .filter(F.col("n_dups") > 1))
+
+
+# ---------------------------------------------------------------------
+# shingles + n-gram Jaccard set-similarity join
+# ---------------------------------------------------------------------
+
+def token_shingles(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per doc: (doc_id, shingle)."""
+    toks = F.filter(F.split(F.lower(F.col(text_col)), SPLIT_PATTERN),
+                    lambda x: x != "")
+    sh = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    return (df.select(F.col(id_col).alias("doc_id"),
+                      F.explode(F.array_distinct(sh)).alias("shingle"))
+            .filter(F.col("shingle") != ""))
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", n: int = 3,
+                        threshold: float = 0.8) -> DataFrame:
+    """Candidate pairs with shingle-set Jaccard >= threshold.
+
+    Scalable set-similarity join: explode distinct shingles, self-join
+    on shingle (co-partitioned shuffle), count intersections, compute
+    |A∩B| / (|A|+|B|-|A∩B|).  Hot shingles (df of a shingle ~ corpus
+    size) should be capped upstream for 100TB runs — see
+    ``frequent_shingle_cap``.
+    """
+    sh = token_shingles(df, text_col, id_col, n).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    inter = (a.join(b, "shingle")
+             .filter(F.col("id_a") < F.col("id_b"))
+             .groupBy("id_a", "id_b")
+             .agg(F.count("*").alias("inter")))
+    out = (inter
+           .join(sizes.withColumnRenamed("doc_id", "id_a")
+                 .withColumnRenamed("sz", "sz_a"), "id_a")
+           .join(sizes.withColumnRenamed("doc_id", "id_b")
+                 .withColumnRenamed("sz", "sz_b"), "id_b")
+           .withColumn("jaccard",
+                       F.col("inter") /
+                       (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+           .filter(F.col("jaccard") >= threshold)
+           .select("id_a", "id_b", "jaccard"))
+    return out
+
+
+def frequent_shingle_cap(sh: DataFrame, max_df: int) -> DataFrame:
+    """Drop shingles appearing in more than ``max_df`` docs before the
+    self-join — the skew guard for web-scale dedup (a stop-shingle
+    joins N² pairs otherwise)."""
+    hot = (sh.groupBy("shingle").agg(F.count("*").alias("df"))
+           .filter(F.col("df") > max_df).select("shingle"))
+    return sh.join(hot, "shingle", "left_anti")
+
+
+# ---------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------
+
+def _shingle_hash64():
+    """Portable 61-bit integer hash of the shingle string (md5 prefix)."""
+    return F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10) \
+        .cast("long") % F.lit(MERSENNE_P)
+
+
+def _perm_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.Generator(np.random.PCG64(seed))
+    a = rng.integers(1, MERSENNE_P, num_perm, dtype=np.int64)
+    b = rng.integers(0, MERSENNE_P, num_perm, dtype=np.int64)
+    return a, b
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", n: int = 3,
+                       num_perm: int = 64, seed: int = 89) -> DataFrame:
+    """(doc_id, sig: array<long>) MinHash signatures.
+
+    One exploded (doc, shingle-hash) frame, then num_perm JVM-side
+    ``min((a*x + b) %% p)`` aggregates — a single shuffle on doc_id,
+    map-side partial mins, no Python in the path.  (a*x stays within
+    int128 via two-step mod on the 61-bit Mersenne prime.)
+    """
+    a, b = _perm_params(num_perm, seed)
+    sh = token_shingles(df, text_col, id_col, n)
+    x = _shingle_hash64()
+    sh = sh.select("doc_id", x.alias("x"))
+    # (a*x + b) mod p in decimal(38) to avoid 64-bit overflow
+    aggs = []
+    for i in range(num_perm):
+        expr = ((F.col("x").cast("decimal(38,0)") * F.lit(int(a[i]))
+                 + F.lit(int(b[i]))) % F.lit(MERSENNE_P)).cast("long")
+        aggs.append(F.min(expr).alias(f"h{i}"))
+    sig = sh.groupBy("doc_id").agg(*aggs)
+    return sig.select(
+        "doc_id", F.array(*[f"h{i}" for i in range(num_perm)]).alias("sig"))
+
+
+def lsh_candidate_pairs(signatures: DataFrame, bands: int = 16,
+                        rows_per_band: int = 4) -> DataFrame:
+    """Band the signatures, bucket-join: pairs sharing >=1 band bucket.
+    (doc_id, sig) → distinct (id_a, id_b)."""
+    banded = signatures.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("band"),
+                     F.sha2(F.concat_ws(",", *[
+                         F.element_at("sig", i * rows_per_band + j + 1)
+                         .cast("string")
+                         for j in range(rows_per_band)]), 256)
+                     .alias("bucket"))
+            for i in range(bands)])).alias("bb")
+    ).select("doc_id", "bb.band", "bb.bucket")
+    a = banded.select(F.col("doc_id").alias("id_a"), "band", "bucket")
+    b = banded.select(F.col("doc_id").alias("id_b"), "band", "bucket")
+    return (a.join(b, ["band", "bucket"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").distinct())
+
+
+def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", threshold: float = 0.8,
+                        num_perm: int = 64, bands: int = 16,
+                        seed: int = 89) -> DataFrame:
+    """Full near-dup pipeline: minhash → LSH candidates → verify with
+    exact shingle Jaccard (no false positives; LSH recall governed by
+    the band curve 1-(1-t^r)^b)."""
+    rows_per_band = num_perm // bands
+    sigs = minhash_signatures(df, text_col, id_col,
+                              num_perm=num_perm, seed=seed)
+    cand = lsh_candidate_pairs(sigs, bands, rows_per_band)
+    sh = token_shingles(df, text_col, id_col)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.select(F.col("doc_id").alias("id_a"),
+                  F.col("shingle").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"),
+                  F.col("shingle").alias("sh_b"))
+    inter = (cand.join(a, "id_a").join(b, "id_b")
+             .filter(F.col("sh_a") == F.col("sh_b"))
+             .groupBy("id_a", "id_b").agg(F.count("*").alias("inter")))
+    return (inter
+            .join(sizes.withColumnRenamed("doc_id", "id_a")
+                  .withColumnRenamed("sz", "sz_a"), "id_a")
+            .join(sizes.withColumnRenamed("doc_id", "id_b")
+                  .withColumnRenamed("sz", "sz_b"), "id_b")
+            .withColumn("jaccard",
+                        F.col("inter") /
+                        (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))
+
+
+# ---------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------
+
+def simhash(df: DataFrame, text_col: str = "text",
+            id_col: str = "doc_id", bits: int = 48) -> DataFrame:
+    """(doc_id, simhash: long) — Charikar fingerprint: per bit j, the
+    sign of sum over tokens of tf * (bit_j(hash(token)) ? +1 : -1).
+
+    Token hash = md5-derived 60-bit int (portable, fits a long); the
+    per-bit sums are JVM-side conditional aggregates — one shuffle on
+    doc_id.  ``bits`` <= 60.
+    """
+    assert bits <= 60
+    toks = (df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.filter(F.split(F.lower(F.col(text_col)), SPLIT_PATTERN),
+                           lambda x: x != "")).alias("term")))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    h = F.conv(F.substring(F.md5(F.col("term")), 1, 15), 16, 10) \
+        .cast("long")
+    tf = tf.withColumn("h", h)
+    sums = tf.groupBy("doc_id").agg(*[
+        F.sum(F.when(F.shiftright("h", j) % 2 == 1,
+                     F.col("tf")).otherwise(-F.col("tf"))).alias(f"b{j}")
+        for j in range(bits)])
+    sig = sums.select("doc_id", sum(
+        [F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+         for j in range(bits)],
+        F.lit(0)).cast("long").alias("simhash"))
+    return sig
+
+
+def hamming_distance(col_a, col_b):
+    return F.bit_count(col_a.bitwiseXOR(col_b))
+
+
+def simhash_near_pairs(sig: DataFrame, max_hamming: int = 3,
+                       block_bits: int = 12, bits: int = 48) -> DataFrame:
+    """Near-dup pairs by simhash: block on disjoint bit chunks
+    (pigeonhole: hamming <= n_blocks-1 → at least one identical chunk),
+    then verify exact hamming distance."""
+    n_blocks = bits // block_bits
+    assert max_hamming < n_blocks
+    blocked = sig.select(
+        "doc_id", "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("blk"),
+                     (F.shiftright("simhash", i * block_bits)
+                      % F.lit(1 << block_bits)).alias("key"))
+            for i in range(n_blocks)])).alias("b")
+    ).select("doc_id", "simhash", "b.blk", "b.key")
+    a = blocked.select(F.col("doc_id").alias("id_a"),
+                       F.col("simhash").alias("sh_a"), "blk", "key")
+    b = blocked.select(F.col("doc_id").alias("id_b"),
+                       F.col("simhash").alias("sh_b"), "blk", "key")
+    return (a.join(b, ["blk", "key"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b",
+                    hamming_distance(F.col("sh_a"), F.col("sh_b"))
+                    .alias("hamming"))
+            .distinct()
+            .filter(F.col("hamming") <= max_hamming))
+
+
+# ---------------------------------------------------------------------
+# embedding-cosine near-dup
+# ---------------------------------------------------------------------
+
+def embedding_near_pairs(emb: DataFrame, vec_col: str = "embedding",
+                         id_col: str = "vec_id", threshold: float = 0.95,
+                         n_planes: int = 16, seed: int = 89,
+                         dim: int | None = None) -> DataFrame:
+    """Near-duplicate vectors by cosine >= threshold: random-hyperplane
+    LSH bucket join + exact cosine verify.  Buckets via sign bits of
+    R·v computed with a vectorized pandas UDF (numpy matmul per Arrow
+    batch)."""
+    from pyspark.sql.types import LongType
+
+    if dim is None:
+        dim = len(emb.select(vec_col).first()[0])
+    rng = np.random.Generator(np.random.PCG64(seed))
+    planes = rng.normal(size=(dim, n_planes))
+
+    @F.pandas_udf(LongType())
+    def bucket(v: pd.Series) -> pd.Series:
+        m = np.stack(v.to_numpy())  # (batch, dim)
+        bits = (m @ planes) > 0
+        return pd.Series(bits.dot(1 << np.arange(n_planes)).astype(np.int64))
+
+    e = emb.select(F.col(id_col).alias("vid"),
+                   F.col(vec_col).cast("array<double>").alias("v")) \
+        .withColumn("bkt", bucket("v"))
+    a = e.select(F.col("vid").alias("id_a"), F.col("v").alias("va"), "bkt")
+    b = e.select(F.col("vid").alias("id_b"), F.col("v").alias("vb"), "bkt")
+    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    nrm = (lambda c: F.sqrt(F.aggregate(F.transform(c, lambda x: x * x),
+                                        F.lit(0.0), lambda acc, x: acc + x)))
+    return (a.join(b, "bkt")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .withColumn("cos", dot / (nrm(F.col("va")) * nrm(F.col("vb"))))
+            .filter(F.col("cos") >= threshold)
+            .select("id_a", "id_b", F.col("cos").alias("cosine"))
+            .distinct())

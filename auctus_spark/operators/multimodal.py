@@ -1,0 +1,132 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata.
+
+The container has no image/audio codecs, so the DECODE step is stubbed
+(deterministic fake or NotImplementedError) — but everything Spark-side
+is real and tested: the schema, Arrow batch shapes, mapInPandas UDF
+signatures, partition sizing for large blobs, and the
+feature-extraction / frame-sampling dataflow.
+
+At 100 TB the rules encoded here matter: blobs ride in their own
+column so column pruning skips them unless asked; batch sizes are
+capped by bytes not rows (``maxRecordsPerBatch`` alone is wrong for
+multi-MB blobs); features are fixed-width ``array<float>`` ready for
+the similarity operators.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("kind", T.StringType(), False),       # image|audio|video
+    T.StructField("mime", T.StringType(), True),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("duration_ms", T.LongType(), True),
+    T.StructField("payload", T.BinaryType(), True),     # opaque blob
+])
+
+FEATURE_DIM = 64
+
+
+def synthesize_media(spark, n: int, kind: str = "image",
+                     payload_bytes: int = 4096, partitions: int = 8
+                     ) -> DataFrame:
+    """Deterministic fake media table (sha-derived payloads)."""
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            rows = {
+                "media_id": ids,
+                "kind": [kind] * len(ids),
+                "mime": [f"{kind}/fake"] * len(ids),
+                "width": np.full(len(ids), 64, dtype=np.int32),
+                "height": np.full(len(ids), 64, dtype=np.int32),
+                "duration_ms": ids * 10,
+                "payload": [
+                    hashlib.sha256(f"media{i}".encode()).digest()
+                    * (payload_bytes // 32) for i in ids],
+            }
+            yield pd.DataFrame(rows)
+    return spark.range(0, n, 1, partitions).mapInPandas(
+        gen, schema=MEDIA_SCHEMA)
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """REAL decode would use PIL/libjpeg — not in this container.
+    Raises by contract; pipelines must opt into the deterministic fake
+    via ``fake_decode``."""
+    raise NotImplementedError(
+        "image codecs unavailable in this environment; use fake_decode")
+
+
+def fake_decode(payload: bytes, width: int, height: int) -> np.ndarray:
+    """Deterministic stand-in decoder: bytes → pseudo-pixel grid."""
+    seed = np.frombuffer(hashlib.sha256(payload).digest(), dtype=np.uint8)
+    reps = int(np.ceil(width * height / seed.size))
+    return np.tile(seed, reps)[: width * height].reshape(height, width)
+
+
+def extract_features(media: DataFrame, batch_bytes: int = 64 << 20
+                     ) -> DataFrame:
+    """media → (media_id, kind, feature: array<float>).
+
+    mapInPandas with BYTE-budgeted sub-batching: an Arrow batch of rows
+    is re-chunked so no numpy working set exceeds ``batch_bytes`` —
+    the pattern real decoders need (decode of a 10k-row batch of 5 MB
+    images would OOM an executor otherwise).
+    """
+    def run(batches):
+        for pdf in batches:
+            sizes = pdf["payload"].map(len).to_numpy()
+            cuts, acc = [0], 0
+            for i, s in enumerate(sizes):
+                acc += int(s)
+                if acc >= batch_bytes:
+                    cuts.append(i + 1)
+                    acc = 0
+            if cuts[-1] != len(pdf):
+                cuts.append(len(pdf))
+            for lo, hi in zip(cuts[:-1], cuts[1:]):
+                chunk = pdf.iloc[lo:hi]
+                feats = []
+                for r in chunk.itertuples(index=False):
+                    px = fake_decode(r.payload, r.width or 8, r.height or 8)
+                    # 64-bin intensity histogram as the fake feature
+                    hist, _ = np.histogram(px, bins=FEATURE_DIM,
+                                           range=(0, 256))
+                    f = hist.astype(np.float64)
+                    feats.append((f / max(f.sum(), 1)).astype(np.float32))
+                yield pd.DataFrame({
+                    "media_id": chunk["media_id"].to_numpy(),
+                    "kind": chunk["kind"].to_numpy(),
+                    "feature": feats})
+    return media.mapInPandas(
+        run, schema="media_id long, kind string, feature array<float>")
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame sampling dataflow: one output row per sampled frame
+    timestamp (decode stubbed; the explode/shape is the real part)."""
+    n_frames = F.greatest(
+        (F.col("duration_ms") / F.lit(every_ms)).cast("long"), F.lit(1))
+    return (media.filter(F.col("kind") == "video")
+            .select("media_id",
+                    F.explode(F.sequence(F.lit(0), n_frames - 1))
+                    .alias("frame_idx"))
+            .withColumn("ts_ms", F.col("frame_idx") * F.lit(every_ms)))
+
+
+def resize_plumbing(media: DataFrame, w: int, h: int) -> DataFrame:
+    """Resize = decode → scale → re-encode; here metadata-only (the
+    Spark dataflow part), payload passed through untouched."""
+    return media.withColumn("width", F.lit(w).cast("int")) \
+                .withColumn("height", F.lit(h).cast("int"))

@@ -1,0 +1,107 @@
+"""Dedup operators: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding near-dup — with planted duplicates and Python-side Jaccard
+verification."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from auctus_spark.operators.dedup import (
+    duplicate_groups,
+    embedding_near_pairs,
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_dedup_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_pairs,
+    token_shingles,
+)
+
+BASE = ("the quick brown fox jumps over the lazy dog while the "
+        "cat sleeps near the warm fire in the old house")
+NEAR = BASE.replace("lazy", "sleepy")  # 1-token change → high jaccard
+FAR = "completely different text about spark query engines and indexes"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(0, BASE), (1, BASE), (2, NEAR), (3, FAR),
+            (4, "tiny"), (5, FAR)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _py_jaccard(a: str, b: str, n: int = 3) -> float:
+    def sh(t):
+        toks = t.lower().split()
+        return {" ".join(toks[i:i + n]) for i in range(max(len(toks) - n + 1, 1))}
+    sa, sb = sh(a), sh(b)
+    return len(sa & sb) / len(sa | sb)
+
+
+def test_exact_dedup(spark, docs):
+    kept = exact_dedup(docs, ["text"])
+    ids = sorted(r.doc_id for r in kept.collect())
+    assert ids == [0, 2, 3, 4]  # 1 dups 0, 5 dups 3
+    groups = duplicate_groups(docs).collect()
+    got = {tuple(r.doc_ids) for r in groups}
+    assert got == {(0, 1), (3, 5)}
+
+
+def test_shingles(spark, docs):
+    sh = token_shingles(docs.filter("doc_id = 4"), n=3).collect()
+    # shorter than n → single truncated shingle
+    assert [r.shingle for r in sh] == ["tiny"]
+
+
+def test_ngram_jaccard_pairs(spark, docs):
+    pairs = {(r.id_a, r.id_b): r.jaccard
+             for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    assert pairs[(0, 1)] == pytest.approx(1.0)
+    assert pairs[(3, 5)] == pytest.approx(1.0)
+    assert pairs[(0, 2)] == pytest.approx(_py_jaccard(BASE, NEAR))
+    assert (0, 3) not in pairs
+
+
+def test_minhash_lsh_pipeline(spark, docs):
+    sigs = minhash_signatures(docs, num_perm=64)
+    rows = {r.doc_id: tuple(r.sig) for r in sigs.collect()}
+    assert rows[0] == rows[1]  # identical text → identical signature
+    # near-dup signatures mostly agree
+    agree = sum(a == b for a, b in zip(rows[0], rows[2])) / 64
+    assert agree > 0.5
+    cand = {(r.id_a, r.id_b)
+            for r in lsh_candidate_pairs(sigs, 16, 4).collect()}
+    assert (0, 1) in cand and (3, 5) in cand and (0, 2) in cand
+
+    verified = {(r.id_a, r.id_b): r.jaccard
+                for r in minhash_dedup_pairs(docs, threshold=0.5).collect()}
+    assert verified[(0, 1)] == pytest.approx(1.0)
+    assert verified[(0, 2)] == pytest.approx(_py_jaccard(BASE, NEAR))
+    assert all(j >= 0.5 for j in verified.values())
+
+
+def test_simhash(spark, docs):
+    sig = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+    assert sig[0] == sig[1]
+    ham_near = bin(sig[0] ^ sig[2]).count("1")
+    ham_far = bin(sig[0] ^ sig[3]).count("1")
+    assert ham_near < ham_far
+    pairs = {(r.id_a, r.id_b): r.hamming
+             for r in simhash_near_pairs(
+                 simhash(docs), max_hamming=3).collect()}
+    assert pairs[(0, 1)] == 0 and pairs[(3, 5)] == 0
+
+
+def test_embedding_near_pairs(spark):
+    rng = np.random.Generator(np.random.PCG64(3))
+    base = rng.normal(size=16)
+    rows = [(0, base.tolist()), (1, (base + 0.01).tolist()),
+            (2, rng.normal(size=16).tolist()),
+            (3, (-base).tolist())]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {(r.id_a, r.id_b) for r in
+           embedding_near_pairs(emb, threshold=0.98, n_planes=8).collect()}
+    assert (0, 1) in got
+    assert (0, 3) not in got

@@ -1,0 +1,70 @@
+"""Similarity search: exact brute-force vs numpy ground truth; LSH/IVF
+path recall; batched query matmul path."""
+
+import numpy as np
+import pytest
+
+from auctus_spark.operators.similarity import (
+    HyperplaneLSH,
+    ann_recall,
+    cosine_topk,
+    cosine_topk_batch,
+)
+
+
+@pytest.fixture(scope="module")
+def vectors():
+    rng = np.random.Generator(np.random.PCG64(11))
+    centers = rng.normal(size=(4, 32)) * 3
+    rows, mat = [], []
+    for i in range(400):
+        v = centers[i % 4] + rng.normal(size=32) * 0.5
+        rows.append((i, v.tolist()))
+        mat.append(v)
+    return rows, np.array(mat)
+
+
+def _exact_np(mat, q, k):
+    sims = (mat @ q) / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+    order = np.lexsort((np.arange(len(mat)), -sims))
+    return [int(i) for i in order[:k]]
+
+
+def test_cosine_topk_exact(spark, vectors):
+    rows, mat = vectors
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = mat[7]
+    got = [r.vec_id for r in cosine_topk(emb, q.tolist(), k=10).collect()]
+    assert got == _exact_np(mat, q, 10)
+
+
+def test_cosine_topk_batch(spark, vectors):
+    rows, mat = vectors
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = spark.createDataFrame(
+        [(100, mat[7].tolist()), (200, mat[13].tolist())],
+        "q_id long, embedding array<double>")
+    out = cosine_topk_batch(emb, queries, k=5)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.q_id, []).append((r.cos_sim, r.vec_id))
+    for qid, qv in [(100, mat[7]), (200, mat[13])]:
+        ids = [v for _, v in sorted(got[qid], key=lambda t: (-t[0], t[1]))]
+        assert ids == _exact_np(mat, qv, 5)
+
+
+def test_lsh_search_recall(spark, vectors):
+    rows, mat = vectors
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    lsh = HyperplaneLSH(dim=32, n_planes=10)
+    bucketed = lsh.bucketize(emb).cache()
+    q = mat[7]
+    exact = _exact_np(mat, q, 10)
+    approx = [r.vec_id for r in
+              lsh.search(bucketed, q.tolist(), k=10).collect()]
+    rec = ann_recall(exact, approx)
+    assert rec >= 0.6, rec
+    # candidate set actually pruned vs full scan
+    probes = lsh.probe_buckets(q, 2)
+    n_cand = bucketed.filter(bucketed.bucket.isin(probes)).count()
+    assert n_cand < 400

@@ -1,0 +1,81 @@
+"""Text analysis: language ID, quality scoring, token counts,
+fingerprints (incl. winnowing invariances)."""
+
+import pytest
+
+from auctus_spark.operators.textstats import (
+    bpe_ish_token_count,
+    content_fingerprint,
+    language_id,
+    quality_score,
+    token_count,
+    winnowing_fingerprints,
+)
+
+
+def test_token_count(spark):
+    df = spark.createDataFrame([(1, "Hello, world! foo_bar")],
+                               "doc_id long, text string")
+    assert token_count(df).collect()[0]["n_tokens"] == 3
+
+
+def test_bpeish_count(spark):
+    df = spark.createDataFrame([(1, "foo.bar(x)+1")],
+                               "doc_id long, text string")
+    # foo . bar ( x )+ 1 → alternating alnum/punct runs
+    assert bpe_ish_token_count(df).collect()[0]["n_bpeish"] == 7
+
+
+def test_language_id(spark):
+    rows = [(1, "the cat and the dog is in the house"),
+            (2, "el perro y la casa de los gatos en un pueblo"),
+            (3, "der hund und die katze ist von den bergen"),
+            (4, "xyzzy qwerty 12345")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.lang_pred for r in language_id(df).collect()}
+    assert got[1] == "en" and got[2] == "es" and got[3] == "de"
+    assert got[4] == "unknown"
+
+
+def test_quality_score(spark):
+    rows = [(1, "a good clean document with many normal english words "
+                "that should easily pass every quality filter we have"),
+            (2, "!!! ??? *** $$$ %%%"),
+            (3, "x")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in quality_score(df).collect()}
+    assert got[1]["quality_keep"] is True
+    assert got[2]["quality_keep"] is False  # no alpha, no tokens
+    assert got[3]["quality_keep"] is False  # too short
+    assert got[1]["stopword_ratio"] > 0
+
+
+def test_content_fingerprint_normalizes(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello,   World!"), (2, "hello world"), (3, "other text")],
+        "doc_id long, text string")
+    fps = {r.doc_id: r.fingerprint
+           for r in content_fingerprint(df).collect()}
+    assert fps[1] == fps[2]
+    assert fps[1] != fps[3]
+
+
+def test_winnowing(spark):
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    shifted = "prefix words here " + base  # shared suffix → shared prints
+    other = "totally unrelated words " * 5
+    df = spark.createDataFrame(
+        [(1, base), (2, shifted), (3, other)], "doc_id long, text string")
+    fp = winnowing_fingerprints(df)
+    by_doc = {}
+    for r in fp.collect():
+        by_doc.setdefault(r.doc_id, set()).add(r.fingerprint)
+    overlap_near = len(by_doc[1] & by_doc[2]) / len(by_doc[1])
+    overlap_far = len(by_doc[1] & by_doc.get(3, set())) / len(by_doc[1])
+    assert overlap_near > 0.5
+    assert overlap_far == 0.0
+    # position-robust: identical doc → identical fingerprint set
+    df2 = spark.createDataFrame([(9, base)], "doc_id long, text string")
+    fp2 = {r.fingerprint for r in winnowing_fingerprints(df2).collect()}
+    assert fp2 == by_doc[1]
