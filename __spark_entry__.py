@@ -215,6 +215,105 @@ def _q_embedding_cosine_topk(spark, sf_dir):
             .orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(20))
 
 
+def _q_ngram_jaccard_dups(spark, sf_dir):
+    from auctus_spark.operators.dedup import ngram_jaccard_pairs
+    d = _docs(spark, sf_dir)
+    out = ngram_jaccard_pairs(d, threshold=0.5)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _q_minhash_dedup(spark, sf_dir):
+    from auctus_spark.operators.dedup import minhash_dedup_pairs
+    d = _docs(spark, sf_dir)
+    out = minhash_dedup_pairs(d, threshold=0.8)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _q_simhash(spark, sf_dir):
+    from auctus_spark.operators.dedup import simhash
+    return simhash(_docs(spark, sf_dir), bits=32)
+
+
+def _q_lang_id(spark, sf_dir):
+    from auctus_spark.operators.textstats import language_id
+    return (language_id(_docs(spark, sf_dir))
+            .groupBy("lang_pred").agg(F.count("*").alias("n"))
+            .orderBy("lang_pred"))
+
+
+def _q_content_fingerprint(spark, sf_dir):
+    from auctus_spark.operators.textstats import content_fingerprint
+    return content_fingerprint(_docs(spark, sf_dir)) \
+        .select("doc_id", "fingerprint")
+
+
+def _q_tpch_q3(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (c.filter(F.col("c_mktsegment") == "BUILDING")
+            .join(o, F.col("c_custkey") == F.col("o_custkey"))
+            .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+            .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 4)
+                 .alias("revenue"))
+            .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+            .limit(10))
+
+
+def _q_asof_join(spark, sf_dir):
+    """As-of join: each error event matched to the user's most recent
+    purchase at or before it."""
+    from auctus_spark.operators.joins import asof_join
+    e = _t(spark, sf_dir, "events") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    err = e.filter(F.col("event_type") == "error") \
+        .select("event_id", "user_id", "ts")
+    pur = e.filter(F.col("event_type") == "purchase") \
+        .select("user_id", "ts", "value")
+    out = asof_join(err, pur, on="user_id",
+                    left_ts="ts", right_ts="ts", value_cols=["value"])
+    return out.select("event_id", "user_id",
+                      F.round("value_r", 6).alias("purchase_value"),
+                      F.col("ts_r").alias("purchase_ts"))
+
+
+def _q_sessionize(spark, sf_dir):
+    from auctus_spark.operators.joins import sessionize
+    e = _t(spark, sf_dir, "events") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    s = sessionize(e, gap_minutes=30)
+    return (s.groupBy("user_id")
+            .agg(F.max("session_id").cast("long").alias("n_sessions"),
+                 F.count("*").alias("n_events"))
+            .orderBy("user_id"))
+
+
+def _q_fuzzy_name_match(spark, sf_dir):
+    """Fuzzy keyword match (reference join.py:166-169 — ES fuzzy,
+    max edit distance 2)."""
+    n = _t(spark, sf_dir, "nation")
+    return (n.select("n_nationkey", "n_name",
+                     F.levenshtein(F.lower("n_name"), F.lit("nation_5"))
+                     .cast("long").alias("dist"))
+            .filter(F.col("dist") <= 2).orderBy("n_nationkey"))
+
+
+def _q_name_similarity(spark, sf_dir):
+    """Auctus 3-gram column-name similarity (union.py:13-30) over all
+    nation-name x region-name pairs."""
+    from auctus_spark.operators.union_ops import name_similarity_df
+    n = _t(spark, sf_dir, "nation").select(
+        F.lower("n_name").alias("left_name"))
+    r = _t(spark, sf_dir, "region").select(
+        F.lower("r_name").alias("right_name"))
+    pairs = n.crossJoin(r)
+    return name_similarity_df(pairs).select(
+        "left_name", "right_name",
+        F.round("similarity", 6).alias("similarity"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk_hot": _q_bm25_hot,
@@ -231,11 +330,129 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_by_name": _q_union_by_name,
         "interval_overlap_join": _q_interval_overlap_join,
         "embedding_cosine_topk": _q_embedding_cosine_topk,
+        "ngram_jaccard_dups": _q_ngram_jaccard_dups,
+        "minhash_dedup": _q_minhash_dedup,
+        "simhash": _q_simhash,
+        "lang_id": _q_lang_id,
+        "content_fingerprint": _q_content_fingerprint,
+        "tpch_q3": _q_tpch_q3,
+        "asof_join": _q_asof_join,
+        "sessionize": _q_sessionize,
+        "fuzzy_name_match": _q_fuzzy_name_match,
+        "name_similarity": _q_name_similarity,
     }
 
 
 _TOK2 = (f"SELECT doc_id, unnest(regexp_split_to_array(lower(text), "
          f"'{SPLIT_PATTERN}')) AS term FROM documents")
+
+# ordered tokens (for shingles): generate_subscripts zips with unnest
+_TOKPOS = (f"SELECT doc_id, "
+           f"unnest(regexp_split_to_array(lower(text), '{SPLIT_PATTERN}'))"
+           f" AS term, "
+           f"generate_subscripts(regexp_split_to_array(lower(text), "
+           f"'{SPLIT_PATTERN}'), 1) AS pos FROM documents")
+
+# distinct 3-token shingles per doc (docs here all have >= 3 tokens)
+_SHINGLES = f"""
+  SELECT DISTINCT doc_id,
+         term || ' ' || lead(term, 1) OVER w || ' ' ||
+         lead(term, 2) OVER w AS shingle
+  FROM (SELECT * FROM ({_TOKPOS}) WHERE term <> '')
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+"""
+
+
+def _jaccard_pairs_sql(threshold: float) -> str:
+    return f"""
+WITH sh AS ({_SHINGLES}),
+sh2 AS (SELECT * FROM sh WHERE shingle IS NOT NULL),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh2 GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM sh2 a JOIN sh2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT id_a, id_b,
+       round(i * 1.0 / (sa.sz + sb.sz - i), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE i * 1.0 / (sa.sz + sb.sz - i) >= {threshold}
+"""
+
+
+def _simhash_sql(bits: int = 32) -> str:
+    h = "(('0x' || substring(md5(term), 1, 15))::BIGINT)"
+    sums = ",\n    ".join(
+        f"sum(CASE WHEN ({h} >> {j}) & 1 = 1 THEN tf ELSE -tf END) AS b{j}"
+        for j in range(bits))
+    assemble = " + ".join(
+        f"(CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(bits))
+    return f"""
+WITH tok2 AS (SELECT * FROM ({_TOK2}) WHERE term <> ''),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok2 GROUP BY doc_id, term),
+sums AS (SELECT doc_id,
+    {sums}
+  FROM tf GROUP BY doc_id)
+SELECT doc_id, CAST({assemble} AS BIGINT) AS simhash FROM sums
+"""
+
+
+def _lang_id_sql() -> str:
+    from auctus_spark.operators.textstats import LANG_MARKERS
+    langs = sorted(LANG_MARKERS)
+    scores = ",\n    ".join(
+        "sum(CASE WHEN term IN ({}) THEN 1 ELSE 0 END) * 1.0 / "
+        "greatest(count(*), 1) AS score_{}".format(
+            ", ".join(f"'{w}'" for w in LANG_MARKERS[lg]), lg)
+        for lg in langs)
+    best = "greatest({})".format(", ".join(f"score_{lg}" for lg in langs))
+    pick = " ".join(
+        f"WHEN score_{lg} = best THEN '{lg}'" for lg in langs)
+    return f"""
+WITH tok2 AS (SELECT * FROM ({_TOK2}) WHERE term <> ''),
+scored AS (SELECT doc_id,
+    {scores}
+  FROM tok2 GROUP BY doc_id),
+best AS (SELECT doc_id, {best} AS best, * FROM scored),
+pred AS (SELECT doc_id,
+    CASE WHEN best <= 0 THEN 'unknown' {pick} END AS lang_pred
+  FROM best)
+SELECT lang_pred, count(*) AS n FROM pred GROUP BY lang_pred
+ORDER BY lang_pred
+"""
+
+
+_GRAMS = ("CASE WHEN length({c}) < 3 THEN [{c}] ELSE "
+          "list_transform(range(1, length({c}) - 1), "
+          "i -> substring({c}, i, 3)) END")
+
+
+def _name_similarity_sql() -> str:
+    gl = _GRAMS.format(c="left_name")
+    gr = _GRAMS.format(c="right_name")
+    return f"""
+WITH pairs AS (
+  SELECT lower(n_name) AS left_name, lower(r_name) AS right_name
+  FROM nation CROSS JOIN region),
+gl AS (SELECT left_name, right_name, unnest({gl}) AS gram FROM pairs),
+gr AS (SELECT left_name, right_name, unnest({gr}) AS gram FROM pairs),
+cl AS (SELECT left_name, right_name, gram, count(*) AS c FROM gl
+       GROUP BY ALL),
+cr AS (SELECT left_name, right_name, gram, count(*) AS c FROM gr
+       GROUP BY ALL),
+m AS (SELECT coalesce(cl.left_name, cr.left_name) AS left_name,
+             coalesce(cl.right_name, cr.right_name) AS right_name,
+             coalesce(cl.c, 0) AS c_l, coalesce(cr.c, 0) AS c_r
+      FROM cl FULL OUTER JOIN cr
+        ON cl.left_name = cr.left_name
+       AND cl.right_name = cr.right_name AND cl.gram = cr.gram)
+SELECT left_name, right_name,
+       round(sum(least(c_l, c_r)) * 1.0 /
+             sum(greatest(c_l, c_r)), 6) AS similarity
+FROM m GROUP BY left_name, right_name
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -331,4 +548,54 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY list_cosine_similarity(embedding::DOUBLE[], qe) DESC,
                      vec_id
             LIMIT 20""",
+        "ngram_jaccard_dups": _jaccard_pairs_sql(0.5),
+        # LSH recall ~1 at j>=0.8 with 16 bands x 4 rows (verified in
+        # tests); oracle = exact pairs above threshold
+        "minhash_dedup": _jaccard_pairs_sql(0.8),
+        "simhash": _simhash_sql(32),
+        "lang_id": _lang_id_sql(),
+        "content_fingerprint": f"""
+            SELECT doc_id,
+                   md5(array_to_string(list_filter(
+                       regexp_split_to_array(lower(text), '{SPLIT_PATTERN}'),
+                       x -> x <> ''), ' ')) AS fingerprint
+            FROM documents""",
+        "tpch_q3": """
+            SELECT l_orderkey, o_orderdate, o_orderpriority,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4)
+                     AS revenue
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON o_orderkey = l_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""",
+        "asof_join": """
+            WITH err AS (SELECT event_id, user_id, ts FROM events
+                         WHERE event_type = 'error'),
+            pur AS (SELECT user_id, ts, value FROM events
+                    WHERE event_type = 'purchase')
+            SELECT e.event_id, e.user_id,
+                   round(p.value, 6) AS purchase_value,
+                   p.ts AS purchase_ts
+            FROM err e ASOF LEFT JOIN pur p
+              ON e.user_id = p.user_id AND p.ts <= e.ts""",
+        "sessionize": """
+            WITH g AS (
+              SELECT user_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts))
+            SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions,
+                   count(*) AS n_events
+            FROM g GROUP BY user_id ORDER BY user_id""",
+        "fuzzy_name_match": """
+            SELECT n_nationkey, n_name,
+                   CAST(levenshtein(lower(n_name), 'nation_5') AS BIGINT)
+                     AS dist
+            FROM nation
+            WHERE levenshtein(lower(n_name), 'nation_5') <= 2
+            ORDER BY n_nationkey""",
+        "name_similarity": _name_similarity_sql(),
     }

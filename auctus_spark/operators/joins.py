@@ -132,6 +132,62 @@ def augment_join(left: DataFrame, right: DataFrame, on: list[str],
 # index-side candidate scoring joins (search/join.py)
 # ---------------------------------------------------------------------
 
+def asof_join(left: DataFrame, right: DataFrame, on: str,
+              left_ts: str = "ts", right_ts: str = "ts",
+              value_cols: list[str] | None = None,
+              suffix: str = "_r") -> DataFrame:
+    """As-of join (Spark has no native one): for each left row, the
+    latest right row with ``right_ts <= left_ts`` per key.
+
+    Scalable union+window formulation — NOT a range join: tag sides,
+    union, one window sort per key with ``last(value, ignorenulls)``
+    running fill, keep left rows.  One shuffle on the key, no
+    candidate blowup, works at any key cardinality.
+    """
+    value_cols = value_cols or [
+        c for c in right.columns if c not in (on, right_ts)]
+    lt = left.withColumn("_side", F.lit(1)) \
+             .withColumn("_ts", F.col(left_ts).cast("timestamp"))
+    rt = right.select(
+        F.col(on), F.col(right_ts).cast("timestamp").alias("_ts"),
+        *[F.col(c) for c in value_cols]).withColumn("_side", F.lit(0))
+    for c in value_cols:
+        rt = rt.withColumnRenamed(c, c + suffix)
+        lt = lt.withColumn(c + suffix, F.lit(None).cast(
+            dict(rt.dtypes)[c + suffix]))
+    rt = rt.withColumn(right_ts + suffix, F.col("_ts"))
+    lt = lt.withColumn(right_ts + suffix,
+                       F.lit(None).cast("timestamp"))
+    u = lt.unionByName(rt, allowMissingColumns=True)
+    w = (Window.partitionBy(on).orderBy(F.asc("_ts"), F.asc("_side"))
+         .rowsBetween(Window.unboundedPreceding, 0))
+    filled = [F.last(c + suffix, ignorenulls=True).over(w)
+              .alias(c + suffix) for c in value_cols + [right_ts]]
+    keep = [c for c in lt.columns
+            if c not in ("_side", "_ts")
+            and not c.endswith(suffix)]
+    return (u.select(*keep, F.col("_side"), *filled)
+            .filter(F.col("_side") == 1).drop("_side"))
+
+
+def sessionize(events: DataFrame, user_col: str = "user_id",
+               ts_col: str = "ts", gap_minutes: int = 30) -> DataFrame:
+    """Sessionization: a new session starts when the gap from the
+    previous event of the same user exceeds ``gap_minutes``.  lag +
+    conditional cumsum — one shuffle on user."""
+    w = Window.partitionBy(user_col).orderBy(F.asc(ts_col))
+    gap = (F.unix_timestamp(F.col(ts_col))
+           - F.unix_timestamp(F.lag(ts_col).over(w)))
+    new_sess = F.when(gap.isNull() | (gap > gap_minutes * 60), 1) \
+        .otherwise(0)
+    return (events
+            .withColumn("_new", new_sess)
+            .withColumn("session_id",
+                        F.sum("_new").over(
+                            w.rowsBetween(Window.unboundedPreceding, 0)))
+            .drop("_new"))
+
+
 def range_overlap_score(candidates: DataFrame, query_ranges: DataFrame,
                         cand_id: str = "cand_id") -> DataFrame:
     """Numerical/temporal coverage scoring (reference join.py:150-252):
