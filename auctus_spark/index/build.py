@@ -1,36 +1,45 @@
-"""Inverted-index build: tokenize → flat postings → global stats →
-compressed, bucketed, term-partitioned segments.  Resumable.
+"""Inverted-index build: tokenize → compressed partial segments →
+JVM merge into a term-partitioned index.  Resumable per docID-range
+chunk.
 
-What Elasticsearch did for the reference (index one document at a time
-into Lucene shards, ``lib_core/datamart_core/common.py:451-467`` →
-ES bulk API) becomes three Spark stages:
+What Elasticsearch did for the reference (index documents into Lucene
+shards, ``lib_core/datamart_core/common.py:451-467``) becomes two Spark
+stages, shaped by one rule: ship COMPRESSED postings across every
+boundary (the MapReduce local-indexing + merge construction):
 
-1. **tokenize** — one ``mapInPandas`` pass over the corpus emits, per
-   Arrow batch, both flat postings ``(term, doc_id, tf, dl)`` and
-   doc-stat rows (multiplexed on ``term IS NULL`` so the corpus'
-   ``content`` column is read and tokenized exactly once).  Written per
-   *chunk* (a fixed docID range) so builds are resumable: a chunk whose
-   lineage row exists is skipped on re-run.
-2. **stats** — global N, avgdl, and per-term df/cf.  These are the BM25
-   statistics snapshot; they must be global (pre-merge) for rank
-   identity with the oracle (SURVEY.md §7 hard part 1).
-3. **encode** — repartition flat postings by ``(term_bucket,
-   doc_bucket)`` — the salted repartition: a hot term (df ≈ 30% of the
-   corpus) is split across all doc buckets, so no single task owns it —
-   then encode each (term, doc_bucket) run into a delta+varbyte segment
-   with block-max metadata (codec.py), written partitioned by
-   ``term_bucket`` and sorted by term within files so query-time scans
-   prune partitions by hash(term) and row-groups by term min/max.
+1. **tokenize+encode** — one ``mapInPandas`` pass over the corpus.
+   Per Arrow batch it tokenizes, counts term frequencies, and emits
+   already-compressed PARTIAL SEGMENTS: one row per (term, doc-range
+   bucket) with delta+varbyte blobs, per-block byte offsets and
+   block-max metadata.  The Python→JVM return is ~100× smaller than
+   raw (term, doc, tf) rows — this is what makes the stage scale with
+   cores instead of drowning in Arrow serialization.  A marker row per
+   batch (term IS NULL) carries doc-count / token-count / sha256
+   rollup aggregates for stats + lineage.  Written per *chunk* (fixed
+   docID range) → resumable: chunks with lineage rows are skipped.
+2. **merge** — pure JVM: repartition partials by ``term_bucket``
+   (murmur3(term) % T) and sort by (term, bucket, doc_id_min) within
+   partitions, written ``partitionBy(term_bucket)``.  No Python, no
+   blob surgery: partials of one (term, bucket) are disjoint sorted
+   docID runs, so the query scorers concatenate them after decode.
+   Hot terms (df ~ 30% of corpus) are spread across doc buckets AND
+   across stage-1 tasks — no single task ever owns a hot term
+   (the salted-repartition requirement).
 
-Doc-bucketing by fixed docID range (``doc_id // doc_bucket_size``) is
-also what makes conjunctive queries co-partitioned: all terms' postings
-for the same docID range carry the same bucket id, so AND-intersection
-and WAND run per bucket with no further shuffle.
+Block-max metadata is stored avgdl-free as (block_max_tf,
+block_min_dl): tf_norm is increasing in tf and decreasing in dl, so
+``tf_norm(max_tf, min_dl, avgdl)`` is a correct upper bound for any
+avgdl chosen later — encoding never needs a second pass over the
+corpus.
 
-Iceberg note: the sandbox image has no Iceberg jars, so tables are
-parquet directories with the same layout/partitioning; the writer picks
-Iceberg automatically when ``spark.sql.catalog`` has it (see
-``_fmt``).  Lineage/metrics live in an ordinary table either way.
+Global stats discipline: N and avgdl come from the marker rows of ALL
+chunks (finalize_stats), df/cf per term from segment metadata
+(finalize_term_stats) — global snapshots, required for rank identity.
+
+Iceberg note: the sandbox has no Iceberg jars; tables are parquet
+directories with the same layout.  Lineage rows live in an ordinary
+table either way and are committed after chunk data (write data →
+commit lineage last).
 """
 
 from __future__ import annotations
@@ -45,19 +54,20 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..analysis import doc_lengths, term_frequencies, tokenize_series
-from .codec import BLOCK_SIZE, varbyte_encode
+from ..analysis import tokenize_series
+from .codec import BLOCK_SIZE
 
 DEFAULT_DOC_BUCKET = 1 << 16      # docs per scoring bucket
 DEFAULT_CHUNK_DOCS = 1 << 20      # docs per resumable build chunk
 DEFAULT_TERM_BUCKETS = 64
 
-FLAT_SCHEMA = "term string, doc_id long, tf long, dl long, sha256 string"
-
-SEGMENT_SCHEMA = (
-    "term string, bucket long, n_docs long, doc_id_min long, "
+PARTIAL_SCHEMA = (
+    "term string, bucket long, n_docs long, tf_sum long, doc_id_min long, "
     "doc_id_max long, docs_blob binary, tfs_blob binary, dls_blob binary, "
-    "block_max array<double>, block_last_doc array<long>, max_norm double"
+    "docs_off array<long>, tfs_off array<long>, dls_off array<long>, "
+    "block_max_tf array<long>, block_min_dl array<long>, "
+    "block_last_doc array<long>, max_tf long, min_dl long, "
+    "sha_rollup decimal(38,0)"
 )
 
 
@@ -66,12 +76,8 @@ class IndexPaths:
     base: str
 
     @property
-    def flat(self):
-        return os.path.join(self.base, "flat")
-
-    @property
-    def doc_stats(self):
-        return os.path.join(self.base, "doc_stats")
+    def partials(self):
+        return os.path.join(self.base, "partials")
 
     @property
     def lineage(self):
@@ -90,133 +96,147 @@ class IndexPaths:
         return os.path.join(self.base, "segments")
 
 
-def _sha256_series(texts: pd.Series) -> pd.Series:
-    return texts.map(lambda s: hashlib.sha256(s.encode()).hexdigest())
+def _encode_batch(pdf: pd.DataFrame, doc_bucket: int) -> pd.DataFrame:
+    """Vectorized: one corpus Arrow batch → partial segment rows +
+    one marker row.  No per-posting Python: groupby(sort=True) yields
+    (term, doc_id)-sorted postings, and bucket = doc_id // doc_bucket
+    is monotone within a term, so the frame is already grouped by
+    (term, bucket) with docIDs ascending."""
+    doc_ids_all = pdf["doc_id"].to_numpy()
+    toks = tokenize_series(pdf["content"])
+    dl_per_doc = toks.map(len).to_numpy().astype(np.int64)
+
+    ex = pd.DataFrame({
+        "doc_id": doc_ids_all.repeat(dl_per_doc),
+        "term": (np.concatenate(toks.to_numpy()) if dl_per_doc.sum()
+                 else np.array([], dtype=object)),
+    })
+    import decimal
+    sha_sum = decimal.Decimal(sum(
+        int(hashlib.sha256(c.encode()).hexdigest()[:15], 16)
+        for c in pdf["content"]))
+    marker = pd.DataFrame({
+        "term": [None], "bucket": [0],
+        "n_docs": [np.int64(len(pdf))],
+        "tf_sum": [np.int64(dl_per_doc.sum())],
+        "doc_id_min": [np.int64(doc_ids_all.min())],
+        "doc_id_max": [np.int64(doc_ids_all.max())],
+        "docs_blob": [None], "tfs_blob": [None], "dls_blob": [None],
+        "docs_off": [None], "tfs_off": [None], "dls_off": [None],
+        "block_max_tf": [None], "block_min_dl": [None],
+        "block_last_doc": [None],
+        "max_tf": [np.int64(0)], "min_dl": [np.int64(0)],
+        # decimal.Decimal, NOT int: Arrow wraps big python ints to
+        # int64 before the decimal(38,0) cast
+        "sha_rollup": [sha_sum],
+    })
+    if ex.empty:
+        return marker
+
+    # tf counting via factorize + np.unique on a packed int key —
+    # ~10x faster than pandas groupby on object strings.  Group order
+    # is factorize order (first occurrence), which is fine: groups
+    # only need to be CONTIGUOUS with ascending docIDs (the JVM merge
+    # re-sorts globally by term); batch rows arrive docID-ascending.
+    term_codes, uniq_terms = pd.factorize(ex["term"], sort=False)
+    n_batch = len(pdf)
+    doc_local = np.repeat(np.arange(n_batch, dtype=np.int64), dl_per_doc)
+    key = term_codes.astype(np.int64) * n_batch + doc_local
+    skey, tfs = np.unique(key, return_counts=True)
+    tcode = skey // n_batch
+    dloc = skey % n_batch
+    terms = uniq_terms.to_numpy()[tcode] if hasattr(uniq_terms, "to_numpy") \
+        else np.asarray(uniq_terms)[tcode]
+    doc_ids = doc_ids_all[dloc].astype(np.int64)
+    tfs = tfs.astype(np.int64)
+    dls = dl_per_doc[dloc]
+    buckets = doc_ids // doc_bucket
+    n = len(skey)
+
+    new_group = np.ones(n, dtype=bool)
+    new_group[1:] = (terms[1:] != terms[:-1]) | (buckets[1:] != buckets[:-1])
+    group_starts = np.nonzero(new_group)[0]
+    group_ends = np.append(group_starts[1:], n)
+    group_id = np.cumsum(new_group) - 1
+    pos_in_group = np.arange(n) - group_starts[group_id]
+
+    block_start = (pos_in_group % BLOCK_SIZE) == 0
+    deltas = doc_ids.copy()
+    not_bs = ~block_start
+    deltas[not_bs] = doc_ids[not_bs] - doc_ids[np.nonzero(not_bs)[0] - 1]
+
+    def _stream(vals):
+        v = vals.astype(np.uint64)
+        nbytes = np.ones(n, dtype=np.int64)
+        for k in range(1, 10):
+            nbytes += (v >= np.uint64(1) << np.uint64(7 * k)).astype(np.int64)
+        ends = np.cumsum(nbytes)
+        starts = ends - nbytes
+        out = np.zeros(int(ends[-1]), dtype=np.uint8)
+        for j in range(10):
+            mask = nbytes > j
+            if not mask.any():
+                break
+            byte = ((v[mask] >> np.uint64(7 * j)) & np.uint64(0x7F)
+                    ).astype(np.uint8)
+            cont = (nbytes[mask] - 1 > j).astype(np.uint8) << 7
+            out[starts[mask] + j] = byte | cont
+        g_off = starts[group_starts]
+        g_end = np.append(g_off[1:], int(ends[-1]))
+        return out.tobytes(), g_off, g_end, starts
+
+    docs_s, docs_o, docs_e, docs_pv = _stream(deltas)
+    tfs_s, tfs_o, tfs_e, tfs_pv = _stream(tfs)
+    dls_s, dls_o, dls_e, dls_pv = _stream(dls)
+
+    bstart_idx = np.nonzero(block_start)[0]
+    blk_max_tf = np.maximum.reduceat(tfs, bstart_idx)
+    blk_min_dl = np.minimum.reduceat(dls, bstart_idx)
+    blk_last = doc_ids[np.append(bstart_idx[1:], n) - 1]
+    blk_group = group_id[bstart_idx]
+    blk_bounds = np.searchsorted(blk_group, np.arange(len(group_starts) + 1))
+    seg_max_tf = np.maximum.reduceat(tfs, group_starts)
+    seg_min_dl = np.minimum.reduceat(dls, group_starts)
+
+    ng = len(group_starts)
+
+    def _offs(pv, g_off, g_end):
+        return [np.append(pv[bstart_idx[blk_bounds[g]:blk_bounds[g + 1]]]
+                          - g_off[g], g_end[g] - g_off[g])
+                for g in range(ng)]
+
+    seg_rows = pd.DataFrame({
+        "term": terms[group_starts],
+        "bucket": buckets[group_starts].astype(np.int64),
+        "n_docs": (group_ends - group_starts).astype(np.int64),
+        "tf_sum": np.add.reduceat(tfs, group_starts).astype(np.int64),
+        "doc_id_min": doc_ids[group_starts],
+        "doc_id_max": doc_ids[group_ends - 1],
+        "docs_blob": [docs_s[docs_o[g]:docs_e[g]] for g in range(ng)],
+        "tfs_blob": [tfs_s[tfs_o[g]:tfs_e[g]] for g in range(ng)],
+        "dls_blob": [dls_s[dls_o[g]:dls_e[g]] for g in range(ng)],
+        "docs_off": _offs(docs_pv, docs_o, docs_e),
+        "tfs_off": _offs(tfs_pv, tfs_o, tfs_e),
+        "dls_off": _offs(dls_pv, dls_o, dls_e),
+        "block_max_tf": [blk_max_tf[blk_bounds[g]:blk_bounds[g + 1]]
+                         for g in range(ng)],
+        "block_min_dl": [blk_min_dl[blk_bounds[g]:blk_bounds[g + 1]]
+                         for g in range(ng)],
+        "block_last_doc": [blk_last[blk_bounds[g]:blk_bounds[g + 1]]
+                           for g in range(ng)],
+        "max_tf": seg_max_tf.astype(np.int64),
+        "min_dl": seg_min_dl.astype(np.int64),
+        "sha_rollup": None,
+    })
+    return pd.concat([seg_rows, marker], ignore_index=True)
 
 
-def tokenize_to_flat(corpus_batches):
-    """mapInPandas body: corpus (doc_id, content, ...) → multiplexed flat
-    postings + doc-stat marker rows (term IS NULL, tf=0, sha256 set)."""
-    for pdf in corpus_batches:
-        toks = tokenize_series(pdf["content"])
-        dls = doc_lengths(toks)
-        tf = term_frequencies(pdf["doc_id"], toks)
-        dl_map = pd.Series(dls.to_numpy(), index=pdf["doc_id"].to_numpy())
-        tf["dl"] = dl_map.loc[tf["doc_id"]].to_numpy()
-        tf["sha256"] = None
-        doc_rows = pd.DataFrame({
-            "term": None,
-            "doc_id": pdf["doc_id"].astype(np.int64),
-            "tf": np.int64(0),
-            "dl": dls.to_numpy(),
-            "sha256": _sha256_series(pdf["content"]),
-        })
-        yield pd.concat(
-            [tf[["term", "doc_id", "tf", "dl", "sha256"]], doc_rows],
-            ignore_index=True)
-
-
-def _encode_partition_factory(avgdl: float, doc_bucket: int):
-    """Vectorized whole-partition segment encoder.
-
-    The partition arrives hash-partitioned by (term_bucket, bucket); we
-    sort it by (term, bucket, doc_id) and encode EVERY (term, bucket)
-    run in one pass of numpy — per-group Python is limited to slicing
-    the shared output buffers (tail terms with df=1 dominate group
-    count, so per-group work must be O(1) slices, not O(n) loops).
-    """
-    from .. import B, K1
-
-    def encode(batches):
-        parts = [p for p in batches if len(p)]
-        if not parts:
-            return
-        pdf = pd.concat(parts, ignore_index=True)
-        pdf["bucket"] = (pdf["doc_id"].to_numpy() // doc_bucket)
-        pdf = pdf.sort_values(["term", "bucket", "doc_id"],
-                              kind="stable", ignore_index=True)
-        terms = pdf["term"].to_numpy()
-        buckets = pdf["bucket"].to_numpy()
-        doc_ids = pdf["doc_id"].to_numpy()
-        tfs = pdf["tf"].to_numpy()
-        dls = pdf["dl"].to_numpy()
-        n = len(pdf)
-
-        new_group = np.ones(n, dtype=bool)
-        new_group[1:] = (terms[1:] != terms[:-1]) | (buckets[1:] != buckets[:-1])
-        group_starts = np.nonzero(new_group)[0]
-        group_ends = np.append(group_starts[1:], n)
-        group_id = np.cumsum(new_group) - 1
-        pos_in_group = np.arange(n) - group_starts[group_id]
-
-        # block starts: every BLOCK_SIZE-th posting within a group;
-        # delta stream resets at block starts (absolute doc_id) so any
-        # block is independently decodable.
-        block_start = (pos_in_group % BLOCK_SIZE) == 0
-        deltas = doc_ids.copy()
-        deltas[~block_start] = doc_ids[~block_start] - doc_ids[
-            np.nonzero(~block_start)[0] - 1]
-
-        # vectorized varbyte over the whole partition, sliced per group
-        def _stream_and_offsets(vals):
-            v = vals.astype(np.uint64)
-            nbytes = np.ones(n, dtype=np.int64)
-            for k in range(1, 10):
-                nbytes += (v >= np.uint64(1) << np.uint64(7 * k)).astype(np.int64)
-            ends = np.cumsum(nbytes)
-            starts = ends - nbytes
-            out = np.zeros(int(ends[-1]), dtype=np.uint8)
-            for j in range(10):
-                mask = nbytes > j
-                if not mask.any():
-                    break
-                byte = ((v[mask] >> np.uint64(7 * j)) & np.uint64(0x7F)
-                        ).astype(np.uint8)
-                cont = (nbytes[mask] - 1 > j).astype(np.uint8) << 7
-                out[starts[mask] + j] = byte | cont
-            # byte offset of each group start / end
-            g_off = starts[group_starts]
-            g_end = np.append(g_off[1:], int(ends[-1]))
-            return out.tobytes(), g_off, g_end
-
-        docs_stream, docs_off, docs_end = _stream_and_offsets(deltas)
-        tfs_stream, tfs_off, tfs_end = _stream_and_offsets(tfs)
-        dls_stream, dls_off, dls_end = _stream_and_offsets(dls)
-
-        norm = tfs.astype(np.float64) / (
-            tfs + K1 * (1.0 - B + B * dls.astype(np.float64) / avgdl))
-        bstart_idx = np.nonzero(block_start)[0]
-        blk_max_all = np.maximum.reduceat(norm, bstart_idx)
-        blk_end_idx = np.append(bstart_idx[1:], n) - 1
-        blk_last_all = doc_ids[blk_end_idx]
-        # block → group mapping for slicing
-        blk_group = group_id[bstart_idx]
-        blk_bounds = np.searchsorted(blk_group,
-                                     np.arange(len(group_starts) + 1))
-        seg_max = np.maximum.reduceat(norm, group_starts)
-
-        n_groups = len(group_starts)
-        rows = {
-            "term": terms[group_starts],
-            "bucket": buckets[group_starts].astype(np.int64),
-            "n_docs": (group_ends - group_starts).astype(np.int64),
-            "doc_id_min": doc_ids[group_starts].astype(np.int64),
-            "doc_id_max": doc_ids[group_ends - 1].astype(np.int64),
-            "docs_blob": [docs_stream[docs_off[g]:docs_end[g]]
-                          for g in range(n_groups)],
-            "tfs_blob": [tfs_stream[tfs_off[g]:tfs_end[g]]
-                         for g in range(n_groups)],
-            "dls_blob": [dls_stream[dls_off[g]:dls_end[g]]
-                         for g in range(n_groups)],
-            "block_max": [blk_max_all[blk_bounds[g]:blk_bounds[g + 1]]
-                          for g in range(n_groups)],
-            "block_last_doc": [blk_last_all[blk_bounds[g]:blk_bounds[g + 1]]
-                               for g in range(n_groups)],
-            "max_norm": seg_max.astype(np.float64),
-        }
-        yield pd.DataFrame(rows)
-
-    return encode
+def _tokenize_encode_factory(doc_bucket: int):
+    def run(batches):
+        for pdf in batches:
+            if len(pdf):
+                yield _encode_batch(pdf, doc_bucket)
+    return run
 
 
 def read_corpus_chunk(corpus: DataFrame, lo: int, hi: int) -> DataFrame:
@@ -236,7 +256,7 @@ class IndexBuilder:
         self.chunk_docs = chunk_docs
         self.term_buckets = term_buckets
 
-    # ---------------- stage 1: tokenize, chunked + resumable ----------
+    # ---------------- stage 1: tokenize+encode, chunked + resumable ---
 
     def _done_chunks(self) -> set[int]:
         try:
@@ -246,9 +266,10 @@ class IndexBuilder:
         except Exception:
             return set()
 
-    def tokenize_chunks(self, corpus: DataFrame, resume: bool = True) -> list[int]:
-        """Run stage 1 for every chunk not in lineage; returns chunk ids
-        actually built this call."""
+    def tokenize_chunks(self, corpus: DataFrame, resume: bool = True
+                        ) -> list[int]:
+        """Run stage 1 for every chunk not in lineage; returns chunk
+        ids built this call.  Lineage row committed LAST per chunk."""
         bounds = corpus.agg(F.min("doc_id").alias("lo"),
                             F.max("doc_id").alias("hi")).collect()[0]
         if bounds["lo"] is None:
@@ -261,89 +282,77 @@ class IndexBuilder:
             if chunk in done:
                 continue
             lo = chunk * self.chunk_docs
-            hi = lo + self.chunk_docs
-            cslice = read_corpus_chunk(corpus, lo, hi)
-            flat = cslice.select("doc_id", "content").mapInPandas(
-                tokenize_to_flat, schema=FLAT_SCHEMA)
-            flat.write.mode("overwrite").parquet(
-                os.path.join(self.paths.flat, f"chunk={chunk}"))
-            # doc stats for the chunk, read back from what we just wrote
-            # (single tokenize pass; marker rows carry dl + sha256)
-            chunk_flat = self.spark.read.parquet(
-                os.path.join(self.paths.flat, f"chunk={chunk}"))
-            doc_stats = (chunk_flat.filter(F.col("term").isNull())
-                         .select("doc_id", "dl", "sha256"))
-            doc_stats.write.mode("overwrite").parquet(
-                os.path.join(self.paths.doc_stats, f"chunk={chunk}"))
-            # lineage LAST (atomic commit point for the chunk): metrics +
-            # order-independent sha rollup for the per-row invariant;
-            # decimal(38,0) sum so the rollup never overflows at scale.
-            lineage = (doc_stats
-                       .select(F.conv(F.substring("sha256", 1, 15), 16, 10)
-                               .cast("decimal(38,0)").alias("h"),
-                               "doc_id", "dl")
-                       .agg(F.count("*").alias("n_docs"),
-                            F.sum("dl").alias("total_tokens"),
-                            F.min("doc_id").alias("doc_id_min"),
-                            F.max("doc_id").alias("doc_id_max"),
-                            F.sum("h").cast("decimal(38,0)")
-                            .alias("sha_rollup"))
-                       .withColumn("chunk", F.lit(chunk)))
+            cslice = read_corpus_chunk(corpus, lo, lo + self.chunk_docs)
+            partials = cslice.select("doc_id", "content").mapInPandas(
+                _tokenize_encode_factory(self.doc_bucket),
+                schema=PARTIAL_SCHEMA)
+            pdir = os.path.join(self.paths.partials, f"chunk={chunk}")
+            partials.write.mode("overwrite").parquet(pdir)
+            markers = (self.spark.read.parquet(pdir)
+                       .filter(F.col("term").isNull()))
+            lineage = (markers.agg(
+                F.sum("n_docs").alias("n_docs"),
+                F.sum("tf_sum").alias("total_tokens"),
+                F.min("doc_id_min").alias("doc_id_min"),
+                F.max("doc_id_max").alias("doc_id_max"),
+                F.sum("sha_rollup").cast("decimal(38,0)")
+                .alias("sha_rollup"))
+                .withColumn("chunk", F.lit(chunk)))
             lineage.coalesce(1).write.mode("overwrite").parquet(
                 os.path.join(self.paths.lineage, f"chunk={chunk}"))
             built.append(chunk)
         return built
 
+    def _read_partials(self) -> DataFrame:
+        return self.spark.read.option("basePath", self.paths.partials)\
+            .parquet(self.paths.partials + "/chunk=*")
+
     # ---------------- stage 2: global statistics ----------------------
 
     def finalize_stats(self) -> dict:
-        ds = self.spark.read.option("basePath", self.paths.doc_stats)\
-            .parquet(self.paths.doc_stats + "/chunk=*")
-        stats = ds.agg(F.count("*").alias("n_docs"),
-                       F.sum("dl").alias("total_tokens")).collect()[0]
+        """Global (N, avgdl) from the marker rows — a metadata-only
+        scan (column-pruned, term IS NULL pushdown)."""
+        m = self._read_partials().filter(F.col("term").isNull())
+        stats = m.agg(F.sum("n_docs").alias("n_docs"),
+                      F.sum("tf_sum").alias("total_tokens")).collect()[0]
         n_docs = int(stats["n_docs"])
         avgdl = float(stats["total_tokens"]) / n_docs if n_docs else 0.0
-        pd_stats = pd.DataFrame([{"n_docs": n_docs, "avgdl": avgdl,
-                                  "total_tokens": int(stats["total_tokens"])}])
+        pd_stats = pd.DataFrame([{
+            "n_docs": n_docs, "avgdl": avgdl,
+            "total_tokens": int(stats["total_tokens"])}])
         self.spark.createDataFrame(pd_stats).coalesce(1).write.mode(
             "overwrite").parquet(self.paths.stats)
-
-        flat = self._read_flat().filter(F.col("term").isNotNull())
-        term_stats = (flat.groupBy("term")
-                      .agg(F.count("*").alias("df"),
-                           F.sum("tf").alias("cf"))
-                      .withColumn("term_bucket",
-                                  F.pmod(F.hash("term"),
-                                         F.lit(self.term_buckets))))
-        term_stats.write.mode("overwrite").partitionBy("term_bucket")\
-            .parquet(self.paths.term_stats)
         return {"n_docs": n_docs, "avgdl": avgdl}
 
-    def _read_flat(self) -> DataFrame:
-        return self.spark.read.option("basePath", self.paths.flat)\
-            .parquet(self.paths.flat + "/chunk=*")
+    # ---------------- stage 3: merge (pure JVM) -----------------------
 
-    # ---------------- stage 3: encode + merge -------------------------
+    def encode_segments(self, avgdl: float | None = None) -> None:
+        """Merge partial segments into the global term-partitioned
+        index: exchange on term_bucket + Tungsten sort by (term,
+        bucket, doc_id_min), written partitionBy(term_bucket) with
+        term-sorted files for row-group pruning.  No Python.
 
-    def encode_segments(self, avgdl: float) -> None:
-        flat = self._read_flat().filter(F.col("term").isNotNull())
-        flat = flat.withColumn(
+        ``avgdl`` is accepted for API compatibility; block-max metadata
+        is avgdl-free (bounds from (max_tf, min_dl))."""
+        parts = self._read_partials().filter(F.col("term").isNotNull()) \
+            .drop("sha_rollup", "chunk")
+        parts = parts.withColumn(
             "term_bucket", F.pmod(F.hash("term"), F.lit(self.term_buckets)))
         n_part = max(self.spark.sparkContext.defaultParallelism,
-                     self.term_buckets)
-        # salted repartition: (term_bucket, doc range bucket) — hot terms
-        # spread across doc buckets, no single-task skew.
-        repart = flat.repartition(
-            n_part, "term_bucket",
-            (F.col("doc_id") / F.lit(self.doc_bucket)).cast("long"))
-        enc = repart.select("term", "doc_id", "tf", "dl")\
-            .mapInPandas(_encode_partition_factory(avgdl, self.doc_bucket),
-                         schema=SEGMENT_SCHEMA)
-        enc = enc.withColumn(
-            "term_bucket", F.pmod(F.hash("term"), F.lit(self.term_buckets)))
-        (enc.sortWithinPartitions("term", "bucket")
+                     min(self.term_buckets, 64))
+        (parts.repartition(n_part, "term_bucket")
+            .sortWithinPartitions("term", "bucket", "doc_id_min")
             .write.mode("overwrite").partitionBy("term_bucket")
             .parquet(self.paths.segments))
+
+    def finalize_term_stats(self) -> None:
+        """(term, df, cf) from segment metadata — partials of one term
+        cover disjoint docID ranges, so df = sum(n_docs)."""
+        segs = self.spark.read.parquet(self.paths.segments)
+        (segs.groupBy("term", "term_bucket")
+            .agg(F.sum("n_docs").alias("df"), F.sum("tf_sum").alias("cf"))
+            .write.mode("overwrite").partitionBy("term_bucket")
+            .parquet(self.paths.term_stats))
 
     # ---------------- public API --------------------------------------
 
@@ -352,7 +361,8 @@ class IndexBuilder:
         stats + segments are (re)finalized over all chunks present."""
         self.tokenize_chunks(corpus, resume=resume)
         stats = self.finalize_stats()
-        self.encode_segments(stats["avgdl"])
+        self.encode_segments()
+        self.finalize_term_stats()
         return stats
 
     def verify_lineage(self, corpus: DataFrame) -> bool:

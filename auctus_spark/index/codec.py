@@ -108,26 +108,53 @@ def tf_norm_bound(tfs: np.ndarray, dls: np.ndarray, avgdl: float,
     return tfs / (tfs + k1 * (1.0 - b + b * dls / avgdl))
 
 
+def _leb_lengths(values: np.ndarray) -> np.ndarray:
+    v = values.astype(np.uint64, copy=False)
+    nbytes = np.ones(v.shape[0], dtype=np.int64)
+    for k in range(1, 10):
+        nbytes += (v >= np.uint64(1) << np.uint64(7 * k)).astype(np.int64)
+    return nbytes
+
+
+def block_offsets(values: np.ndarray, block_size: int = BLOCK_SIZE
+                  ) -> np.ndarray:
+    """Byte offset of each block's start within the LEB128 stream of
+    ``values`` (plus the end sentinel) — makes blocks independently
+    decodable together with the per-block delta reset."""
+    nbytes = _leb_lengths(values)
+    ends = np.cumsum(nbytes)
+    starts = np.arange(0, values.shape[0], block_size)
+    offs = np.empty(starts.shape[0] + 1, dtype=np.int64)
+    offs[0] = 0
+    offs[1:-1] = ends[starts[1:] - 1]
+    offs[-1] = ends[-1]
+    return offs
+
+
 def encode_segment(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
                    avgdl: float) -> dict:
     """Encode one (term, bucket) posting segment.
 
-    Returns dict with binary streams + block-max metadata arrays, ready
-    to become one row of the index table.  ``doc_ids`` must be sorted
-    ascending and unique.
+    Returns dict with binary streams + block-max metadata + per-block
+    byte offsets, ready to become one row of the index table.
+    ``doc_ids`` must be sorted ascending and unique.
     """
     n = doc_ids.shape[0]
     blocks = np.arange(0, n, BLOCK_SIZE)
     norm = tf_norm_bound(tfs.astype(np.float64), dls.astype(np.float64), avgdl)
     block_max = np.maximum.reduceat(norm, blocks)
     block_last_doc = doc_ids[np.minimum(blocks + BLOCK_SIZE - 1, n - 1)]
+    deltas = delta_encode(doc_ids)
     return {
         "n_docs": int(n),
         "doc_id_min": int(doc_ids[0]),
         "doc_id_max": int(doc_ids[-1]),
-        "docs_blob": varbyte_encode(delta_encode(doc_ids)),
+        "docs_blob": varbyte_encode(deltas),
         "tfs_blob": varbyte_encode(tfs),
         "dls_blob": varbyte_encode(dls),
+        "docs_off": block_offsets(deltas),
+        "tfs_off": block_offsets(tfs),
+        "dls_off": block_offsets(dls),
         "block_max": block_max.astype(np.float64),
         "block_last_doc": block_last_doc.astype(np.int64),
         "max_norm": float(norm.max()) if n else 0.0,
@@ -140,3 +167,27 @@ def decode_segment(docs_blob: bytes, tfs_blob: bytes, dls_blob: bytes
     tfs = varbyte_decode(tfs_blob)
     dls = varbyte_decode(dls_blob)
     return doc_ids, tfs, dls
+
+
+def decode_blocks(blob: bytes, offs: np.ndarray, block_idx: np.ndarray,
+                  deltas: bool = False) -> tuple[np.ndarray, np.ndarray]:
+    """Decode only the selected blocks from a stream with per-block
+    offsets.  Returns (values, posting_positions) where positions are
+    the global posting indices the values correspond to.
+
+    With ``deltas=True`` the stream is the per-block-reset delta stream
+    and absolute docIDs are reconstructed per selected block.
+    """
+    if len(block_idx) == 0:
+        return np.array([], dtype=np.int64), np.array([], dtype=np.int64)
+    parts = []
+    positions = []
+    mv = memoryview(blob)
+    for b in block_idx:
+        raw = varbyte_decode(bytes(mv[offs[b]:offs[b + 1]]))
+        if deltas:
+            raw = np.cumsum(raw)
+        parts.append(raw)
+        start = b * BLOCK_SIZE
+        positions.append(np.arange(start, start + raw.shape[0]))
+    return np.concatenate(parts), np.concatenate(positions)

@@ -94,3 +94,25 @@ class OracleIndex:
             scored.append((d, s))
         scored.sort(key=lambda x: (-x[1], x[0]))
         return scored[:k]
+
+    def search_or(self, query: str, k: int = TOP_K_SIZE,
+                  k1: float = K1, b: float = B) -> list[tuple[int, float]]:
+        """Disjunctive (should) BM25 top-k: docs matching ANY query
+        term; per-doc score sums contributions of present terms in
+        query-term order."""
+        terms = analyze_query(query)
+        plists = [(t, self.postings.get(t, {})) for t in terms]
+        candidates: set[int] = set()
+        for _, p in plists:
+            candidates |= set(p)
+        scored: list[tuple[int, float]] = []
+        for d in candidates:
+            dl = self.doc_len[d]
+            s = 0.0
+            for t, p in plists:
+                if d in p:
+                    s += bm25_idf(self.n_docs, len(p)) * bm25_tf_norm(
+                        p[d], dl, self.avgdl, k1, b)
+            scored.append((d, s))
+        scored.sort(key=lambda x: (-x[1], x[0]))
+        return scored[:k]

@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 from .. import B, K1, TOP_K_SIZE
 from ..analysis import analyze_query
 from ..index.build import IndexPaths
-from ..index.codec import delta_decode, varbyte_decode
+from ..index.codec import decode_blocks, delta_decode, varbyte_decode
 from ..oracle import bm25_idf
 
 
@@ -144,8 +144,27 @@ class SearchEngine:
                 .orderBy(F.desc("score"), F.asc("doc_id"))
                 .limit(k))
 
-    # ---------------- bucket-parallel block-max scorer ----------------
+    # ---------------- bucket-parallel block-max scorers ----------------
+    #
+    # Segments are co-partitioned by docID-range bucket, so scoring is
+    # an applyInPandas per bucket with NO shuffle of posting rows; only
+    # per-bucket top-k survives into the global TakeOrdered merge.
+    # A term may have several PARTIAL segments per bucket (disjoint
+    # sorted docID runs from different build tasks); scorers merge them
+    # after decode.  Per-block byte offsets + per-block delta resets
+    # mean only blocks that can contain candidates are decoded
+    # (Lucene-style skipping); (block_max_tf, block_min_dl) give
+    # avgdl-independent score upper bounds for MaxScore pruning.
+
+    _SEG_COLS = ["bucket", "term", "n_docs", "doc_id_min", "doc_id_max",
+                 "docs_blob", "tfs_blob", "dls_blob", "docs_off",
+                 "tfs_off", "dls_off", "block_max_tf", "block_min_dl",
+                 "max_tf", "min_dl", "block_last_doc"]
+
     def search_wand(self, query: str, k: int = TOP_K_SIZE) -> DataFrame:
+        """Conjunctive AND top-k with posting skipping: intersect
+        rarest-first — only the smallest term's partials are fully
+        decoded; larger lists decode candidate-containing blocks only."""
         terms = analyze_query(query)
         if not terms:
             return self._empty()
@@ -153,52 +172,218 @@ class SearchEngine:
         if idf is None:
             return self._empty()
         segs = self._segments_for(terms)
-        n_terms = len(terms)
+        n_terms, idf_b = len(terms), dict(idf)
         avgdl = self.avgdl
-        idf_b = dict(idf)
 
         def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
-            # conjunctive AND inside one docID-range bucket
             if pdf["term"].nunique() != n_terms:
-                return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
-                                     "score": pd.Series([], dtype=np.float64)})
-            per_term = {}
-            # rarest-first: order terms by segment length, intersect from
-            # the shortest list (classic leapfrog order)
-            pdf = pdf.sort_values("n_docs")
-            inter = None
-            for r in pdf.itertuples(index=False):
-                doc_ids = delta_decode(varbyte_decode(r.docs_blob))
-                tfs = varbyte_decode(r.tfs_blob)
-                dls = varbyte_decode(r.dls_blob)
-                per_term[r.term] = (doc_ids, tfs, dls)
-                inter = doc_ids if inter is None else np.intersect1d(
-                    inter, doc_ids, assume_unique=True)
-                if inter.size == 0:
-                    return pd.DataFrame(
-                        {"doc_id": pd.Series([], dtype=np.int64),
-                         "score": pd.Series([], dtype=np.float64)})
-            # sum in query-term order — bit-exact match with the oracle
-            # (float addition is order-sensitive in the last ulp)
-            score = np.zeros(inter.size, dtype=np.float64)
-            for t in terms:
-                doc_ids, tfs, dls = per_term[t]
-                pos = np.searchsorted(doc_ids, inter)
-                tf = tfs[pos].astype(np.float64)
-                dl = dls[pos].astype(np.float64)
-                score += idf_b[t] * (tf / (
-                    tf + K1 * (1.0 - B + B * dl / avgdl)))
-            if inter.size > k:
-                # local top-k: keep only candidates that can reach the
-                # global heap (scores desc, doc_id asc tie-break)
-                order = np.lexsort((inter, -score))[:k]
-                inter, score = inter[order], score[order]
-            return pd.DataFrame({"doc_id": inter.astype(np.int64),
+                return _empty_pdf()  # AND: a term missing in this range
+            per_term = _group_partials(pdf)
+            order = sorted(per_term,
+                           key=lambda t: sum(p["n_docs"]
+                                             for p in per_term[t]))
+            cand = None
+            for t in order:
+                if cand is None:
+                    cand = _decode_full_term(per_term[t])
+                else:
+                    hit = np.zeros(cand.size, dtype=bool)
+                    for seg in per_term[t]:
+                        ids = _decode_partial_for(seg, cand)
+                        if ids.size == 0:
+                            continue
+                        pos = np.searchsorted(ids, cand)
+                        pos_c = np.minimum(pos, ids.size - 1)
+                        hit |= ids[pos_c] == cand
+                    cand = cand[hit]
+                if cand.size == 0:
+                    return _empty_pdf()
+            score, _ = _score_candidates(terms, idf_b, per_term, cand,
+                                         avgdl)
+            cand, score = _topk_local(cand, score, k)
+            return pd.DataFrame({"doc_id": cand.astype(np.int64),
                                  "score": score})
 
-        local = (segs.select("bucket", "term", "n_docs",
-                             "docs_blob", "tfs_blob", "dls_blob")
+        local = (segs.select(*self._SEG_COLS)
                  .groupBy("bucket")
                  .applyInPandas(score_bucket,
                                 schema="doc_id long, score double"))
         return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def search_or(self, query: str, k: int = TOP_K_SIZE) -> DataFrame:
+        """Disjunctive (should) top-k via block-max MaxScore: terms
+        ordered by score upper bound idf * tf_norm(max_tf, min_dl);
+        the non-essential tail — whose combined bound cannot reach the
+        bootstrap threshold — is never fully decoded, only probed at
+        candidate positions (block-selective)."""
+        terms = analyze_query(query)
+        if not terms:
+            return self._empty()
+        stats = self.term_stats(terms)
+        terms_present = [t for t in terms if t in stats]
+        if not terms_present:
+            return self._empty()
+        idf_b = {t: bm25_idf(self.n_docs, stats[t]) for t in terms_present}
+        segs = self._segments_for(terms_present)
+        all_terms = list(terms)  # query order for bit-exact summation
+        avgdl = self.avgdl
+
+        def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+            per_term = _group_partials(pdf)
+            if not per_term:
+                return _empty_pdf()
+            ubs = sorted(
+                ((idf_b[t] * max(_tf_norm(p["max_tf"], p["min_dl"], avgdl)
+                                 for p in parts), t)
+                 for t, parts in per_term.items()),
+                reverse=True)
+            # bootstrap threshold: exact scores of the top-bound term
+            # alone (a valid lower bound on the final k-th best score)
+            t0 = ubs[0][1]
+            ids0 = _decode_full_term(per_term[t0])
+            tfs0 = np.concatenate([p["full"][1] for p in per_term[t0]])
+            dls0 = np.concatenate([p["full"][2] for p in per_term[t0]])
+            s0 = idf_b[t0] * (tfs0 / (tfs0 + K1 * (
+                1.0 - B + B * dls0.astype(np.float64) / avgdl)))
+            theta = (float(np.partition(s0, s0.size - k)[s0.size - k])
+                     if s0.size >= k else 0.0)
+            # essential prefix: a doc found ONLY in the remaining tail
+            # is bounded by the tail's summed UBs; extend the prefix
+            # until the tail bound drops below theta
+            essential = [t0]
+            tail = sum(ub for ub, _ in ubs[1:])
+            for ub, t in ubs[1:]:
+                if tail >= theta:
+                    essential.append(t)
+                    tail -= ub
+                else:
+                    break
+            cand = np.unique(np.concatenate(
+                [ids0] + [_decode_full_term(per_term[t])
+                          for t in essential[1:]]))
+            score, _ = _score_candidates(all_terms, idf_b, per_term,
+                                         cand, avgdl)
+            cand, score = _topk_local(cand, score, k)
+            return pd.DataFrame({"doc_id": cand.astype(np.int64),
+                                 "score": score})
+
+        local = (segs.select(*self._SEG_COLS)
+                 .groupBy("bucket")
+                 .applyInPandas(score_bucket,
+                                schema="doc_id long, score double"))
+        return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+# ---------------------------------------------------------------------
+# module-level scoring helpers: closures over these pickle WITHOUT
+# dragging the SearchEngine (and its SparkContext) into the task
+# ---------------------------------------------------------------------
+
+_PARTIAL_FIELDS = ("docs_blob", "tfs_blob", "dls_blob", "docs_off",
+                   "tfs_off", "dls_off", "block_last_doc", "n_docs",
+                   "doc_id_min", "doc_id_max", "max_tf", "min_dl")
+
+
+def _tf_norm(tf: float, dl: float, avgdl: float) -> float:
+    return tf / (tf + K1 * (1.0 - B + B * dl / avgdl))
+
+
+def _group_partials(pdf: pd.DataFrame) -> dict:
+    """term → list of partial-segment dicts sorted by doc_id_min
+    (disjoint docID runs)."""
+    out: dict = {}
+    for r in pdf.sort_values("doc_id_min").itertuples(index=False):
+        seg = {c: getattr(r, c) for c in _PARTIAL_FIELDS}
+        seg["full"] = None
+        out.setdefault(r.term, []).append(seg)
+    return out
+
+
+def _decode_partial_full(seg: dict):
+    if seg["full"] is None:
+        seg["full"] = (delta_decode(varbyte_decode(seg["docs_blob"])),
+                       varbyte_decode(seg["tfs_blob"]),
+                       varbyte_decode(seg["dls_blob"]))
+    return seg["full"]
+
+
+def _decode_full_term(parts: list) -> np.ndarray:
+    """All docIDs of a term in this bucket (partials are disjoint and
+    pre-sorted by doc_id_min → concat stays sorted)."""
+    return np.concatenate([_decode_partial_full(p)[0] for p in parts])
+
+
+def _decode_partial_for(seg: dict, cand: np.ndarray) -> np.ndarray:
+    """docIDs of the partial restricted to blocks that can contain any
+    candidate (per-block byte offsets + delta resets)."""
+    if seg["full"] is not None:
+        return seg["full"][0]
+    sub = cand[(cand >= seg["doc_id_min"]) & (cand <= seg["doc_id_max"])]
+    if sub.size == 0:
+        return np.array([], dtype=np.int64)
+    last = np.asarray(seg["block_last_doc"])
+    blocks = np.unique(np.searchsorted(last, sub))
+    blocks = blocks[blocks < len(last)]
+    ids, _ = decode_blocks(seg["docs_blob"], np.asarray(seg["docs_off"]),
+                           blocks, deltas=True)
+    return ids
+
+
+def _score_candidates(terms, idf_b, per_term, cand, avgdl):
+    """Exact scores for candidate docIDs, decoding only the blocks that
+    contain candidates; contributions summed in query-term order
+    (bit-exact contract).  Absent terms/partials contribute +0.0 —
+    float-identical to skipping them (each candidate lives in at most
+    one partial of a term)."""
+    score = np.zeros(cand.size, dtype=np.float64)
+    present = np.zeros(cand.size, dtype=np.int64)
+    for t in terms:
+        parts = per_term.get(t)
+        if not parts:
+            continue
+        contrib = np.zeros(cand.size, dtype=np.float64)
+        hit_any = np.zeros(cand.size, dtype=bool)
+        for seg in parts:
+            if seg["full"] is not None:
+                doc_ids, tfs, dls = seg["full"]
+            else:
+                sub = cand[(cand >= seg["doc_id_min"])
+                           & (cand <= seg["doc_id_max"])]
+                if sub.size == 0:
+                    continue
+                last = np.asarray(seg["block_last_doc"])
+                blocks = np.unique(np.searchsorted(last, sub))
+                blocks = blocks[blocks < len(last)]
+                doc_ids, _ = decode_blocks(
+                    seg["docs_blob"], np.asarray(seg["docs_off"]),
+                    blocks, deltas=True)
+                tfs, _ = decode_blocks(
+                    seg["tfs_blob"], np.asarray(seg["tfs_off"]), blocks)
+                dls, _ = decode_blocks(
+                    seg["dls_blob"], np.asarray(seg["dls_off"]), blocks)
+            if doc_ids.size == 0:
+                continue
+            pos = np.searchsorted(doc_ids, cand)
+            pos_c = np.minimum(pos, doc_ids.size - 1)
+            hit = doc_ids[pos_c] == cand
+            tf = np.where(hit, tfs[pos_c], 0).astype(np.float64)
+            dl = np.where(hit, dls[pos_c], 1).astype(np.float64)
+            contrib += np.where(
+                hit, idf_b[t] * (tf / (tf + K1 *
+                                       (1.0 - B + B * dl / avgdl))), 0.0)
+            hit_any |= hit
+        score += contrib
+        present += hit_any.astype(np.int64)
+    return score, present
+
+
+def _topk_local(cand, score, k):
+    if cand.size > k:
+        order = np.lexsort((cand, -score))[:k]
+        return cand[order], score[order]
+    return cand, score
+
+
+def _empty_pdf():
+    return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                         "score": pd.Series([], dtype=np.float64)})

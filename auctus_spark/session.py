@@ -40,7 +40,10 @@ def get_spark(app: str = "auctus_spark", cores: int | None = None,
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # thin posting rows: big Arrow batches, or per-batch socket
+        # round-trips dominate mapInPandas (measured 6s for 7.5M rows
+        # at the 10k default); byte-heavy ops re-chunk internally
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "200000")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )

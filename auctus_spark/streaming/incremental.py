@@ -35,6 +35,7 @@ def incremental_update(builder: IndexBuilder, new_docs: DataFrame) -> dict:
     builder.tokenize_chunks(new_docs, resume=True)
     stats = builder.finalize_stats()
     builder.encode_segments(stats["avgdl"])
+    builder.finalize_term_stats()
     return stats
 
 
@@ -63,6 +64,7 @@ class StreamingIndexer:
     def finalize(self) -> dict:
         stats = self.builder.finalize_stats()
         self.builder.encode_segments(stats["avgdl"])
+        self.builder.finalize_term_stats()
         return stats
 
 

@@ -78,6 +78,9 @@ def main():
     # --- index-path BM25 query latency (p95 over query set x reps) ---
     from auctus_spark.query.bm25 import SearchEngine
     eng = SearchEngine(spark, idx_dir, term_buckets=64)
+    # warm index (BASELINE.md: p95 on warm index) — one untimed pass
+    for q in QUERY_SET:
+        eng.search_wand(q, k=50).collect()
     lat: list[float] = []
     for rep in range(3):
         for q in QUERY_SET:

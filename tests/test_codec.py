@@ -52,6 +52,31 @@ def test_delta_resets_at_blocks():
     assert np.array_equal(delta_decode(d), ids)
 
 
+def test_decode_blocks_selective():
+    from auctus_spark.index.codec import decode_blocks
+    rng = np.random.Generator(np.random.PCG64(9))
+    n = BLOCK_SIZE * 5 + 17
+    doc_ids = np.sort(rng.choice(10**7, size=n, replace=False)).astype(np.int64)
+    tfs = rng.integers(1, 9, n).astype(np.int64)
+    dls = rng.integers(50, 500, n).astype(np.int64)
+    seg = encode_segment(doc_ids, tfs, dls, avgdl=100.0)
+    for blocks in ([0], [2, 4], [5], [0, 1, 2, 3, 4, 5]):
+        bidx = np.array(blocks)
+        ids, pos = decode_blocks(seg["docs_blob"], seg["docs_off"], bidx,
+                                 deltas=True)
+        t, _ = decode_blocks(seg["tfs_blob"], seg["tfs_off"], bidx)
+        want_idx = np.concatenate(
+            [np.arange(b * BLOCK_SIZE, min((b + 1) * BLOCK_SIZE, n))
+             for b in blocks])
+        assert np.array_equal(ids, doc_ids[want_idx])
+        assert np.array_equal(t, tfs[want_idx])
+        assert np.array_equal(pos, want_idx)
+    # empty selection
+    ids, pos = decode_blocks(seg["docs_blob"], seg["docs_off"],
+                             np.array([], dtype=np.int64), deltas=True)
+    assert ids.size == 0 and pos.size == 0
+
+
 def test_segment_roundtrip_and_blockmax():
     rng = np.random.Generator(np.random.PCG64(5))
     n = 1000

@@ -74,6 +74,25 @@ def test_wand_matches_oracle(spark, built, q):
     _assert_rank_identical(got, oracle.search(q, k=50))
 
 
+OR_QUERIES = [
+    "import",                      # single term
+    "def return",                  # two hot terms
+    "import zz_missing",           # one absent term still matches
+    "uniq_token_11 uniq_token_22", # two singleton lists
+    "the import def return for",   # wide OR, tie-heavy
+    "zz_missing qq_missing",       # all absent → empty
+]
+
+
+@pytest.mark.parametrize("q", OR_QUERIES)
+def test_or_maxscore_matches_oracle(spark, built, q):
+    out, oracle, _, _, _ = built
+    eng = SearchEngine(spark, out, term_buckets=8)
+    got = [(int(r.doc_id), float(r.score))
+           for r in eng.search_or(q, k=50).collect()]
+    _assert_rank_identical(got, oracle.search_or(q, k=50))
+
+
 def test_lineage_sha_invariant(spark, built):
     _, _, _, corpus, b = built
     assert b.verify_lineage(corpus)

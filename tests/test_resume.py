@@ -38,6 +38,7 @@ def test_resume_equivalence(spark, tmp_path):
     assert built2 == [2, 3]
     stats = b.finalize_stats()
     b.encode_segments(stats["avgdl"])
+    b.finalize_term_stats()
 
     for q in ["import", "def return", "uniq_token_11"]:
         assert _results(spark, part_dir, q) == _results(spark, full_dir, q)
