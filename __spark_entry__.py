@@ -314,6 +314,70 @@ def _q_name_similarity(spark, sf_dir):
         F.round("similarity", 6).alias("similarity"))
 
 
+def _q_bm25_page2(spark, sf_dir):
+    """Pagination semantics (reference search/__init__.py:556-577):
+    page 2 of size 10 for a keyword query."""
+    full = pipeline.bm25_topk(_docs(spark, sf_dir), "join merge",
+                              k=20, round_to=6)
+    from pyspark.sql import Window as W
+    w = W.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (full.withColumn("_r", F.row_number().over(w))
+            .filter((F.col("_r") > 10) & (F.col("_r") <= 20)).drop("_r"))
+
+
+def _q_unpivot_part(spark, sf_dir):
+    """Pivoted-table unpivot (reference pivot.py via stack)."""
+    from auctus_spark.sources import unpivot
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey", F.col("p_size").cast("double").alias("p_size"),
+        "p_retailprice")
+    return unpivot(p, ["p_partkey"], ["p_size", "p_retailprice"],
+                   var_name="metric", value_name="value")
+
+
+def _q_tpch_q5ish(spark, sf_dir):
+    """Multi-join aggregate across 6 tables."""
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    return (r.join(n, F.col("r_regionkey") == F.col("n_regionkey"))
+            .join(c, F.col("n_nationkey") == F.col("c_nationkey"))
+            .join(o, F.col("c_custkey") == F.col("o_custkey"))
+            .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+            .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+            .groupBy("r_name")
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 4)
+                 .alias("revenue"),
+                 F.count("*").alias("n_items"))
+            .orderBy("r_name"))
+
+
+def _q_window_agg_events(spark, sf_dir):
+    """Tumbling-window aggregation (streaming rollup shape, batch
+    semantics): 6-hour windows per event_type."""
+    e = _t(spark, sf_dir, "events") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    return (e.groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("value"), 4).alias("value_sum"))
+            .select(F.col("w.start").alias("w_start"), "event_type",
+                    "n", "value_sum")
+            .orderBy("w_start", "event_type"))
+
+
+def _q_numeric_histogram(spark, sf_dir):
+    """10-bin numeric histogram (reference core.py:348-367)."""
+    from auctus_spark.operators.profiling import numeric_histogram
+    li = _t(spark, sf_dir, "lineitem")
+    return (numeric_histogram(li, "l_extendedprice")
+            .select("bin", "count", F.round("bin_start", 6)
+                    .alias("bin_start")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk_hot": _q_bm25_hot,
@@ -340,6 +404,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": _q_sessionize,
         "fuzzy_name_match": _q_fuzzy_name_match,
         "name_similarity": _q_name_similarity,
+        "bm25_page2": _q_bm25_page2,
+        "unpivot_part": _q_unpivot_part,
+        "tpch_q5ish": _q_tpch_q5ish,
+        "window_agg_events": _q_window_agg_events,
+        "numeric_histogram": _q_numeric_histogram,
     }
 
 
@@ -598,4 +667,42 @@ def oracle_sql() -> dict[str, str]:
             WHERE levenshtein(lower(n_name), 'nation_5') <= 2
             ORDER BY n_nationkey""",
         "name_similarity": _name_similarity_sql(),
+        # page 2 of size 10 → LIMIT 10 OFFSET 10
+        "bm25_page2": _bm25_sql(["join", "merge"], k=10) + " OFFSET 10",
+        "unpivot_part": """
+            SELECT p_partkey, 'p_size' AS metric,
+                   CAST(p_size AS DOUBLE) AS value FROM part
+            UNION ALL
+            SELECT p_partkey, 'p_retailprice' AS metric,
+                   p_retailprice AS value FROM part""",
+        "tpch_q5ish": """
+            SELECT r_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4)
+                     AS revenue,
+                   count(*) AS n_items
+            FROM region
+            JOIN nation ON r_regionkey = n_regionkey
+            JOIN customer ON n_nationkey = c_nationkey
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON o_orderkey = l_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            GROUP BY r_name ORDER BY r_name""",
+        "window_agg_events": """
+            SELECT time_bucket(INTERVAL 6 HOURS, ts) AS w_start,
+                   event_type, count(*) AS n,
+                   round(sum(value), 4) AS value_sum
+            FROM events GROUP BY ALL ORDER BY w_start, event_type""",
+        "numeric_histogram": """
+            WITH mm AS (SELECT min(l_extendedprice) AS lo,
+                               max(l_extendedprice) AS hi FROM lineitem),
+            b AS (SELECT least(CAST(floor((l_extendedprice - lo)
+                                    / ((hi - lo) / 10)) AS BIGINT), 9)
+                         AS bin
+                  FROM lineitem, mm)
+            SELECT bin, count(*) AS count,
+                   round((SELECT lo FROM mm)
+                         + bin * (((SELECT hi FROM mm)
+                                   - (SELECT lo FROM mm)) / 10), 6)
+                     AS bin_start
+            FROM b GROUP BY bin ORDER BY bin""",
     }

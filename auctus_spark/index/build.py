@@ -231,11 +231,30 @@ def _encode_batch(pdf: pd.DataFrame, doc_bucket: int) -> pd.DataFrame:
     return pd.concat([seg_rows, marker], ignore_index=True)
 
 
-def _tokenize_encode_factory(doc_bucket: int):
+def _tokenize_encode_factory(doc_bucket: int,
+                             max_batch_bytes: int = 24 << 20):
+    """Byte-budgeted sub-batching: an Arrow batch of N corpus rows
+    explodes to ~15x its bytes in Python token objects, so each task
+    re-chunks its input to ~24 MB of content before tokenizing — peak
+    memory stays flat regardless of Arrow batch size x concurrency
+    (32 concurrent 200k-doc batches OOM-thrash a 128 GB box)."""
     def run(batches):
         for pdf in batches:
-            if len(pdf):
-                yield _encode_batch(pdf, doc_bucket)
+            n = len(pdf)
+            if not n:
+                continue
+            sizes = pdf["content"].str.len().to_numpy()
+            cuts = [0]
+            acc = 0
+            for i, s in enumerate(sizes):
+                acc += int(s)
+                if acc >= max_batch_bytes:
+                    cuts.append(i + 1)
+                    acc = 0
+            if cuts[-1] != n:
+                cuts.append(n)
+            for lo, hi in zip(cuts[:-1], cuts[1:]):
+                yield _encode_batch(pdf.iloc[lo:hi], doc_bucket)
     return run
 
 

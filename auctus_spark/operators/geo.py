@@ -1,0 +1,218 @@
+"""Geospatial operators: geohash/quadtree encoding, lat-long pairing,
+WKT parsing, bounding boxes, nearest-distance statistics.
+
+Reference: ``lib_profiler/datamart_profiler/spatial.py`` — geohash
+encode/decode with configurable base (:406-508; base=32 → standard
+geohash, base=4 → quadtree), lat/long column pairing by normalized
+names (:109-170), WKT point parse (:173-208), median smallest distance
+(:634-653), quadtree histogram sketch capped at 100 nodes per level
+(``MAX_GEOHASHES``, core.py:48).
+
+Encoding here is numpy-vectorized quantization with the reference's
+exact boundary rule (value > mid → upper cell, so cells are half-open
+upward): q = clip(ceil((v - lo)/cell) - 1, 0, 2^n - 1).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
+
+GEOHASH_CHARS = "0123456789bcdefghjkmnpqrstuvwxyz"
+MAX_GEOHASHES = 100  # reference core.py:48
+
+
+def _quantize(v: np.ndarray, lo: float, hi: float, nbits: int) -> np.ndarray:
+    cells = 1 << nbits
+    q = np.ceil((v - lo) / ((hi - lo) / cells)).astype(np.int64) - 1
+    return np.clip(q, 0, cells - 1)
+
+
+def geohash_encode(lats: np.ndarray, lons: np.ndarray, base: int = 32,
+                   precision: int = 16) -> np.ndarray:
+    """Vectorized geohash (base=32) / quadtree (base=4) encoding —
+    same bit order as the reference (longitude bit first)."""
+    base_bits = base.bit_length() - 1
+    if 1 << base_bits != base:
+        raise ValueError("Base is not a power of 2")
+    total_bits = base_bits * precision
+    lon_bits = (total_bits + 1) // 2
+    lat_bits = total_bits // 2
+    qlon = _quantize(np.asarray(lons, dtype=np.float64), -180.0, 180.0,
+                     lon_bits)
+    qlat = _quantize(np.asarray(lats, dtype=np.float64), -90.0, 90.0,
+                     lat_bits)
+    # interleave: bit 0 (MSB position) is longitude's MSB
+    bits = np.zeros((len(qlon), total_bits), dtype=np.int64)
+    for i in range(lon_bits):
+        bits[:, 2 * i] = (qlon >> (lon_bits - 1 - i)) & 1
+    for i in range(lat_bits):
+        bits[:, 2 * i + 1] = (qlat >> (lat_bits - 1 - i)) & 1
+    chars = np.empty((len(qlon), precision), dtype="U1")
+    lut = np.array(list(GEOHASH_CHARS))
+    for c in range(precision):
+        val = np.zeros(len(qlon), dtype=np.int64)
+        for j in range(base_bits):
+            val = (val << 1) | bits[:, c * base_bits + j]
+        chars[:, c] = lut[val]
+    return np.array(["".join(row) for row in chars], dtype=object)
+
+
+def geohash_decode(h: str, base: int = 32
+                   ) -> tuple[float, float, float, float]:
+    """hash → (min_lat, max_lat, min_long, max_long), reference
+    ``decode_hash`` semantics."""
+    base_bits = base.bit_length() - 1
+    if 1 << base_bits != base:
+        raise ValueError("Base is not a power of 2")
+    values = {c: i for i, c in enumerate(GEOHASH_CHARS)}
+    lat_range = [-90.0, 90.0]
+    long_range = [-180.0, 180.0]
+    next_long = True
+    for ch in h:
+        v = values[ch]
+        for i in reversed(range(base_bits)):
+            bit = (v >> i) & 1
+            rng = long_range if next_long else lat_range
+            mid = (rng[0] + rng[1]) / 2.0
+            if bit:
+                rng[0] = mid
+            else:
+                rng[1] = mid
+            next_long = not next_long
+    return lat_range[0], lat_range[1], long_range[0], long_range[1]
+
+
+def geohash_udf(base: int = 32, precision: int = 16):
+    @F.pandas_udf(StringType())
+    def gh(lat: pd.Series, lon: pd.Series) -> pd.Series:
+        return pd.Series(geohash_encode(lat.to_numpy(), lon.to_numpy(),
+                                        base, precision))
+    return gh
+
+
+def geohash_sketch(df: DataFrame, lat_col: str, lon_col: str,
+                   base: int = 4, max_precision: int = 8,
+                   max_hashes: int = MAX_GEOHASHES) -> DataFrame:
+    """Quadtree histogram sketch (reference spatial.py:511-631):
+    counts per geohash prefix at the deepest precision that keeps the
+    number of distinct cells under ``max_hashes``."""
+    valid = df.filter(valid_latlong(F.col(lat_col), F.col(lon_col)))
+    hashed = valid.withColumn(
+        "gh", geohash_udf(base, max_precision)(
+            F.col(lat_col).cast("double"), F.col(lon_col).cast("double")))
+    counts = hashed.agg(*[
+        F.count_distinct(F.substring("gh", 1, p)).alias(f"p{p}")
+        for p in range(1, max_precision + 1)]).collect()[0]
+    best = 1
+    for p in range(1, max_precision + 1):
+        if counts[f"p{p}"] <= max_hashes:
+            best = p
+        else:
+            break
+    return (hashed.groupBy(F.substring("gh", 1, best).alias("hash"))
+            .agg(F.count("*").alias("number"))
+            .orderBy("hash"))
+
+
+# ---------------------------------------------------------------------
+
+def valid_latlong(lat, lon):
+    """lat ∈ [-90, 90], long ∈ [-180, 180], both non-null (reference
+    core.py:759-763, profile_types.py:326-344)."""
+    return (lat.isNotNull() & lon.isNotNull()
+            & (lat >= -90.0) & (lat <= 90.0)
+            & (lon >= -180.0) & (lon <= 180.0))
+
+
+# longest-first so "latitude" strips before "lat" (context matching)
+_LAT_NAMES = ("latitude", "ylat", "lat")
+_LON_NAMES = ("longitude", "xlong", "xlon", "long", "lng", "lon")
+
+
+def _norm_name(name: str) -> str:
+    return re.sub(r"[^a-z]", "", name.lower())
+
+
+def pair_latlong_columns(columns: list[str]) -> list[tuple[str, str]]:
+    """Pair latitude/longitude columns by normalized name (reference
+    spatial.py:109-170): strip non-letters, match lat-ish to long-ish
+    with the same prefix/suffix context."""
+    lats, lons = {}, {}
+    for c in columns:
+        n = _norm_name(c)
+        for key in _LAT_NAMES:
+            if key in n:
+                lats[n.replace(key, "", 1)] = c
+                break
+        else:
+            for key in _LON_NAMES:
+                if key in n:
+                    lons[n.replace(key, "", 1)] = c
+                    break
+    pairs = []
+    for ctx, lat_c in lats.items():
+        if ctx in lons:
+            pairs.append((lat_c, lons[ctx]))
+    return pairs
+
+
+WKT_POINT_RE = r"^\s*POINT\s*\(\s*(-?[0-9.]+)\s+(-?[0-9.]+)\s*\)\s*$"
+
+
+def parse_wkt_point(df: DataFrame, col: str, lon_first: bool = True
+                    ) -> DataFrame:
+    """WKT ``POINT (long lat)`` → (latitude, longitude) columns
+    (reference spatial.py:173-208)."""
+    # non-matches extract '' → guard before the cast (NULL out)
+    def _num(group: int):
+        x = F.regexp_extract(F.col(col), WKT_POINT_RE, group)
+        return F.when(x != "", x.cast("double"))
+    a, b = _num(1), _num(2)
+    lon, lat = (a, b) if lon_first else (b, a)
+    return df.withColumn("latitude", lat).withColumn("longitude", lon)
+
+
+def bounding_box_merge(df: DataFrame, lat_col: str, lon_col: str) -> dict:
+    """Merged bounding box of valid points (reference core.py:873-905);
+    degenerate boxes inflated by 1e-4 like spatial.py:94-106."""
+    r = (df.filter(valid_latlong(F.col(lat_col), F.col(lon_col)))
+         .agg(F.min(lon_col).alias("min_lon"),
+              F.max(lon_col).alias("max_lon"),
+              F.min(lat_col).alias("min_lat"),
+              F.max(lat_col).alias("max_lat")).collect()[0])
+    box = {k: float(r[k]) for k in
+           ("min_lon", "min_lat", "max_lon", "max_lat")}
+    if box["min_lon"] == box["max_lon"]:
+        box["min_lon"] -= 1e-4
+        box["max_lon"] += 1e-4
+    if box["min_lat"] == box["max_lat"]:
+        box["min_lat"] -= 1e-4
+        box["max_lat"] += 1e-4
+    return box
+
+
+def median_smallest_distance(df: DataFrame, lat_col: str, lon_col: str,
+                             sample_cap: int = 1000, seed: int = 89
+                             ) -> float:
+    """Median nearest-neighbor distance over a seeded sample
+    (reference spatial.py:634-653 samples then KDTree; here: sampled
+    collect + vectorized numpy pairwise NN — the sample is bounded so
+    driver-side is fine, exactly like the reference's approach)."""
+    pts = df.select(F.col(lat_col).cast("double").alias("lat"),
+                    F.col(lon_col).cast("double").alias("lon")) \
+        .filter(valid_latlong(F.col("lat"), F.col("lon"))).dropDuplicates()
+    n = pts.count()
+    if n > sample_cap:
+        pts = pts.sample(fraction=sample_cap / n, seed=seed)
+    arr = np.array([[r["lat"], r["lon"]] for r in pts.collect()])
+    if arr.shape[0] < 2:
+        return 0.0
+    d2 = ((arr[:, None, :] - arr[None, :, :]) ** 2).sum(-1)
+    np.fill_diagonal(d2, np.inf)
+    return float(np.median(np.sqrt(d2.min(axis=1))))

@@ -1,0 +1,167 @@
+"""Auctus-style search surface over a document/metadata table.
+
+Mirrors the reference apiserver semantics end to end:
+
+- keyword search: conjunctive AND BM25 (``search/__init__.py:57-109``)
+  via :mod:`auctus_spark.pipeline` (table path) or the segment index;
+- keyword filters (source/lang/types → ``terms`` filters,
+  ``:81-107``), must_not exclusions (``join.py:170-174``);
+- facet aggregations returned with every search (``:587-603``);
+- pagination with TOP_K_SIZE=50 pages and the 10,000 scroll cap
+  (``:556-577``);
+- fuzzy name match with max edit distance 2 (``join.py:166-169``);
+- augmentation-search assembly: join candidates (range/spatial
+  coverage scoring) + union candidates (column-name similarity) zip-
+  interleaved and cut to top-k (``search/__init__.py:369-420``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .. import TOP_K_SIZE
+from .. import pipeline
+from ..operators.union_ops import (
+    greedy_best_pairs,
+    interleave_results,
+    name_similarity_df,
+    union_score,
+)
+
+MAX_SCROLL = 10_000  # reference search/__init__.py:576-577
+
+
+@dataclass
+class SearchQuery:
+    keywords: str = ""
+    filters: dict[str, list] = field(default_factory=dict)   # col -> values
+    exclude_ids: list = field(default_factory=list)          # must_not
+    page: int = 1
+    size: int = TOP_K_SIZE
+
+
+class SearchService:
+    """Search over a documents table (id/text + keyword metadata)."""
+
+    def __init__(self, docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text"):
+        self.docs = docs
+        self.id_col = id_col
+        self.text_col = text_col
+
+    def _filtered(self, q: SearchQuery) -> DataFrame:
+        d = self.docs
+        for col, values in q.filters.items():
+            d = d.filter(F.col(col).isin(values))       # terms filter
+        if q.exclude_ids:
+            d = d.filter(~F.col(self.id_col).isin(q.exclude_ids))
+        return d
+
+    def search(self, q: SearchQuery,
+               facets: list[str] | None = None) -> dict:
+        """→ {hits: DataFrame(id, score), total_shown, facets:
+        {col: DataFrame(value, n)}} with the reference's pagination
+        rules applied."""
+        if q.page * q.size > MAX_SCROLL:
+            raise ValueError(
+                f"page*size exceeds the {MAX_SCROLL} scroll cap")
+        base = self._filtered(q)
+        if q.keywords.strip():
+            scored = pipeline.bm25_topk(
+                base, q.keywords, k=q.page * q.size,
+                id_col=self.id_col, text_col=self.text_col)
+        else:
+            scored = base.select(
+                F.col(self.id_col), F.lit(0.0).alias("score")) \
+                .orderBy(self.id_col).limit(q.page * q.size)
+        # page slice (ES from_/size): rank rows, keep the page window
+        from pyspark.sql.window import Window
+        w = Window.orderBy(F.desc("score"), F.asc(self.id_col))
+        hits = (scored.withColumn("_rank", F.row_number().over(w))
+                .filter((F.col("_rank") > (q.page - 1) * q.size)
+                        & (F.col("_rank") <= q.page * q.size))
+                .drop("_rank"))
+        out = {"hits": hits}
+        if facets:
+            hit_ids = hits.select(self.id_col)
+            matched = base.join(hit_ids, self.id_col, "left_semi")
+            out["facets"] = {
+                c: matched.groupBy(c).agg(F.count("*").alias("n"))
+                for c in facets}
+        return out
+
+    def fuzzy_match(self, name_col: str, query: str,
+                    max_edits: int = 2) -> DataFrame:
+        """ES ``fuzzy`` on .raw fields → levenshtein <= 2 (reference
+        join.py:166-169, union.py:93-99)."""
+        return (self.docs
+                .withColumn("_dist",
+                            F.levenshtein(F.lower(F.col(name_col)),
+                                          F.lit(query.lower())))
+                .filter(F.col("_dist") <= max_edits)
+                .orderBy("_dist", self.id_col)
+                .drop("_dist"))
+
+
+# ---------------------------------------------------------------------
+# augmentation search assembly (reference search/__init__.py:369-420,
+# join.py:557-721, union.py:58-241)
+# ---------------------------------------------------------------------
+
+def join_candidates(query_ranges: DataFrame, coverage: DataFrame,
+                    cand_id: str = "cand_id", k: int = TOP_K_SIZE
+                    ) -> DataFrame:
+    """Join-candidate search on numerical/temporal coverage: interval
+    overlap scoring, sorted (score desc, id asc), cut to k."""
+    from ..operators.joins import range_overlap_score
+    return range_overlap_score(coverage, query_ranges, cand_id).limit(k)
+
+
+def union_candidates(left_columns: list[str],
+                     right_tables: dict[str, list[str]],
+                     es_scores: dict[str, float] | None = None,
+                     spark=None, min_pairs: int = 2) -> list[dict]:
+    """Union-candidate search (reference union.py:58-241): per
+    candidate table, 3-gram name similarity over all column pairs,
+    greedy best-pair matching (require >= min_pairs), union score =
+    (sum sims / n_left_columns) * keyword score."""
+    rows = []
+    for cand, cols in right_tables.items():
+        for lc in left_columns:
+            for rc in cols:
+                rows.append((cand, lc.lower(), rc.lower()))
+    if not rows:
+        return []
+    pairs = spark.createDataFrame(
+        rows, "cand string, left_name string, right_name string")
+    sims = name_similarity_df(pairs).toPandas()
+    # in the reference, candidate pairs come from an ES fuzzy search
+    # (already similar); standalone we drop zero-similarity pairs
+    sims = sims[sims["similarity"] > 0.0]
+    out = []
+    for cand, grp in sims.groupby("cand"):
+        best = greedy_best_pairs(
+            grp[["left_name", "right_name", "similarity"]])
+        if len(best) < min_pairs:
+            continue
+        score = union_score([s for _, _, s in best], len(left_columns),
+                            (es_scores or {}).get(cand, 1.0))
+        out.append({"id": cand, "score": score,
+                    "pairs": [(a, b) for a, b, _ in best]})
+    out.sort(key=lambda d: (-d["score"], d["id"]))
+    return out
+
+
+def augmentation_search(join_results: DataFrame, union_results: DataFrame,
+                        k: int = TOP_K_SIZE) -> DataFrame:
+    """Zip-interleave join and union candidate lists, cut to top-k
+    (reference search/__init__.py:369-420)."""
+    j = join_results.select(F.col("id"), F.col("score"),
+                            F.lit("join").alias("kind"))
+    u = union_results.select(F.col("id"), F.col("score"),
+                             F.lit("union").alias("kind"))
+    return interleave_results(j.unionByName(u), kind_col="kind", k=k)

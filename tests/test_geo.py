@@ -1,0 +1,102 @@
+"""Geo operators: geohash round-trips (mirroring reference
+test_profile.py:1242-1441), known geohash values, pairing, WKT,
+boxes, median-NN distance."""
+
+import numpy as np
+import pytest
+
+from auctus_spark.operators.geo import (
+    bounding_box_merge,
+    geohash_decode,
+    geohash_encode,
+    geohash_sketch,
+    median_smallest_distance,
+    pair_latlong_columns,
+    parse_wkt_point,
+    valid_latlong,
+)
+
+
+def test_known_geohash():
+    # standard geohash test vector: (42.605, -5.603) → 'ezs42'
+    got = geohash_encode(np.array([42.605]), np.array([-5.603]),
+                         base=32, precision=5)
+    assert got[0] == "ezs42"
+    # equator/prime meridian boundary: value == mid goes to LOWER cell
+    # (reference: only strict `>` takes the upper branch)
+    h = geohash_encode(np.array([0.0]), np.array([0.0]), 32, 5)[0]
+    min_lat, max_lat, min_lon, max_lon = geohash_decode(h)
+    assert min_lat <= 0.0 <= max_lat and min_lon <= 0.0 <= max_lon
+    assert max_lat <= 1e-9 and max_lon <= 1e-9  # lower cells
+
+
+@pytest.mark.parametrize("base,precision", [(32, 6), (4, 10)])
+def test_geohash_roundtrip(base, precision):
+    rng = np.random.Generator(np.random.PCG64(7))
+    lats = rng.uniform(-90, 90, 200)
+    lons = rng.uniform(-180, 180, 200)
+    hashes = geohash_encode(lats, lons, base, precision)
+    for la, lo, h in zip(lats, lons, hashes):
+        min_lat, max_lat, min_lon, max_lon = geohash_decode(h, base)
+        assert min_lat <= la <= max_lat
+        assert min_lon <= lo <= max_lon
+    # prefix property: decoding a prefix gives an enclosing box
+    full = geohash_decode(hashes[0], base)
+    pre = geohash_decode(hashes[0][:precision // 2], base)
+    assert pre[0] <= full[0] and pre[1] >= full[1]
+
+
+def test_pair_latlong_columns():
+    assert pair_latlong_columns(["lat", "long", "height"]) == [
+        ("lat", "long")]
+    assert pair_latlong_columns(
+        ["pickup_latitude", "pickup_longitude",
+         "dropoff_latitude", "dropoff_longitude"]) == [
+        ("pickup_latitude", "pickup_longitude"),
+        ("dropoff_latitude", "dropoff_longitude")]
+    assert pair_latlong_columns(["name", "value"]) == []
+
+
+def test_parse_wkt(spark):
+    df = spark.createDataFrame(
+        [("POINT (-73.9 40.7)",), ("junk",)], "place string")
+    rows = parse_wkt_point(df, "place").collect()
+    assert rows[0].latitude == pytest.approx(40.7)
+    assert rows[0].longitude == pytest.approx(-73.9)
+    assert rows[1].latitude is None or np.isnan(rows[1].latitude)
+
+
+def test_valid_latlong_and_box(spark):
+    df = spark.createDataFrame(
+        [(40.7, -73.9), (41.0, -74.2), (95.0, 10.0), (None, 5.0)],
+        "lat double, lon double")
+    n = df.filter(valid_latlong(df.lat, df.lon)).count()
+    assert n == 2
+    box = bounding_box_merge(df, "lat", "lon")
+    assert box == {"min_lon": -74.2, "min_lat": 40.7,
+                   "max_lon": -73.9, "max_lat": 41.0}
+    # degenerate box inflated
+    one = spark.createDataFrame([(40.0, -73.0)], "lat double, lon double")
+    b1 = bounding_box_merge(one, "lat", "lon")
+    assert b1["max_lat"] - b1["min_lat"] == pytest.approx(2e-4)
+
+
+def test_geohash_sketch(spark):
+    rng = np.random.Generator(np.random.PCG64(4))
+    pts = [(float(40 + rng.normal(0, 0.1)), float(-74 + rng.normal(0, 0.1)))
+           for _ in range(200)]
+    df = spark.createDataFrame(pts, "lat double, lon double")
+    sk = geohash_sketch(df, "lat", "lon", base=4).collect()
+    assert sum(r.number for r in sk) == 200
+    assert len(sk) <= 100
+    # all prefixes decode to boxes covering roughly the cluster
+    for r in sk:
+        min_lat, max_lat, min_lon, max_lon = geohash_decode(r.hash, 4)
+        assert max_lat > 39 and min_lat < 41.5
+
+
+def test_median_smallest_distance(spark):
+    # regular 1-degree grid → median NN distance 1.0
+    pts = [(float(i), float(j)) for i in range(10) for j in range(10)]
+    df = spark.createDataFrame(pts, "lat double, lon double")
+    assert median_smallest_distance(df, "lat", "lon") == pytest.approx(1.0)

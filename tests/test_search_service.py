@@ -1,0 +1,99 @@
+"""Auctus-parity search surface: filters, facets, pagination + caps,
+fuzzy, augmentation-search assembly."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from auctus_spark.query.search import (
+    MAX_SCROLL,
+    SearchQuery,
+    SearchService,
+    augmentation_search,
+    join_candidates,
+    union_candidates,
+)
+
+
+@pytest.fixture(scope="module")
+def svc(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return SearchService(docs)
+
+
+def test_keyword_search_with_filters(spark, svc):
+    r = svc.search(SearchQuery(keywords="join", size=10,
+                               filters={"lang": ["en"]}),
+                   facets=["source"])
+    hits = r["hits"].collect()
+    assert 0 < len(hits) <= 10
+    # filter respected
+    langs = (svc.docs.join(r["hits"].select("doc_id"), "doc_id")
+             .select("lang").distinct().collect())
+    assert [x.lang for x in langs] == ["en"]
+    # facets cover exactly the hit set
+    total = sum(x.n for x in r["facets"]["source"].collect())
+    assert total == len(hits)
+
+
+def test_pagination(svc):
+    p1 = [r.doc_id for r in
+          svc.search(SearchQuery(keywords="join", page=1, size=5))
+          ["hits"].collect()]
+    p2 = [r.doc_id for r in
+          svc.search(SearchQuery(keywords="join", page=2, size=5))
+          ["hits"].collect()]
+    both = [r.doc_id for r in
+            svc.search(SearchQuery(keywords="join", page=1, size=10))
+            ["hits"].collect()]
+    assert p1 + p2 == both
+    with pytest.raises(ValueError):
+        svc.search(SearchQuery(keywords="x", page=MAX_SCROLL, size=50))
+
+
+def test_exclude_ids(svc):
+    r1 = [r.doc_id for r in
+          svc.search(SearchQuery(keywords="join", size=5))["hits"].collect()]
+    r2 = svc.search(SearchQuery(keywords="join", size=5,
+                                exclude_ids=[r1[0]]))["hits"].collect()
+    assert r1[0] not in [r.doc_id for r in r2]
+
+
+def test_fuzzy(spark):
+    df = spark.createDataFrame(
+        [(1, "temperature"), (2, "temperatura"), (3, "pressure")],
+        "doc_id long, name string")
+    svc = SearchService(df, text_col="name")
+    got = [r.doc_id for r in svc.fuzzy_match("name", "Temperature").collect()]
+    assert got == [1, 2]
+
+
+def test_join_candidates(spark):
+    cov = spark.createDataFrame(
+        [("d1", 0.0, 100.0), ("d2", 50.0, 60.0), ("d3", 1000.0, 2000.0)],
+        "cand_id string, gte double, lte double")
+    q = spark.createDataFrame([(0.0, 100.0)], "q_gte double, q_lte double")
+    got = [r.cand_id for r in join_candidates(q, cov).collect()]
+    assert got == ["d1", "d2"]
+
+
+def test_union_candidates(spark):
+    out = union_candidates(
+        ["temperature", "city_name"],
+        {"candA": ["temperatur", "city_names"], "candB": ["zzz", "qqq"],
+         "candC": ["temperature"]},
+        spark=spark)
+    ids = [d["id"] for d in out]
+    assert "candA" in ids          # both columns pair well
+    assert "candB" not in ids      # no similar pair
+    assert "candC" not in ids      # only 1 similar pair < min_pairs=2
+    assert out[0]["id"] == "candA"
+    assert sorted(out[0]["pairs"]) == [
+        ("city_name", "city_names"), ("temperature", "temperatur")]
+
+
+def test_augmentation_interleave(spark):
+    j = spark.createDataFrame([("j1", 0.9), ("j2", 0.5)],
+                              "id string, score double")
+    u = spark.createDataFrame([("u1", 0.8)], "id string, score double")
+    got = [r.id for r in augmentation_search(j, u, k=3).collect()]
+    assert got == ["j1", "u1", "j2"]
