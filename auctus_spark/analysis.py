@@ -27,11 +27,18 @@ from collections.abc import Iterable
 import numpy as np
 import pandas as pd
 
-# Token = maximal run of [a-z0-9_] over the lowercased text.
-# Keep in sync with SPLIT_PATTERN (used by Spark SQL / DuckDB oracles).
-TOKEN_PATTERN = r"[a-z0-9_]+"
+# Token = maximal run of [A-Za-z0-9_], ASCII-lowercased.  ASCII-lower
+# (not unicode .lower()) is the contract: the engine tokenizes with
+# Arrow's ascii_lower, and exotic case mappings (e.g. Kelvin sign →
+# 'k') must not diverge between oracle and engine.  Non-ASCII is
+# always a delimiter under either lowering, so the two agree given
+# this rule.  Keep in sync with SPLIT_PATTERN (Spark SQL / DuckDB
+# oracles, applied to already-lowercased text).
+TOKEN_PATTERN = r"[A-Za-z0-9_]+"
 SPLIT_PATTERN = r"[^a-z0-9_]+"
 _TOKEN_RE = re.compile(TOKEN_PATTERN)
+_ASCII_LOWER = str.maketrans("ABCDEFGHIJKLMNOPQRSTUVWXYZ",
+                             "abcdefghijklmnopqrstuvwxyz")
 
 # camelCase / letter-digit boundary splitter for identifier expansion
 # (reference core.py:100-123 splits "camelCase", "snake_case", "a2b").
@@ -41,8 +48,9 @@ _IDENT_RE = re.compile(
 
 
 def tokenize(text: str) -> list[str]:
-    """Lowercase + split; the contract shared with the oracle scorer."""
-    return _TOKEN_RE.findall(text.lower())
+    """ASCII-lowercase + split; the contract shared with the oracle
+    scorer and the Arrow-native index builder."""
+    return _TOKEN_RE.findall(text.translate(_ASCII_LOWER))
 
 
 def expand_identifier(name: str) -> list[str]:
@@ -65,7 +73,7 @@ def tokenize_series(texts: pd.Series) -> pd.Series:
     Returns a Series of token lists.  This is the hot-path form used
     inside ``mapInPandas`` — no per-row Python in the Spark plan.
     """
-    return texts.str.lower().str.findall(TOKEN_PATTERN)
+    return texts.str.translate(_ASCII_LOWER).str.findall(TOKEN_PATTERN)
 
 
 def doc_lengths(token_lists: pd.Series) -> pd.Series:

@@ -54,7 +54,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..analysis import tokenize_series
+
 from .codec import BLOCK_SIZE
 
 DEFAULT_DOC_BUCKET = 1 << 16      # docs per scoring bucket
@@ -97,27 +97,48 @@ class IndexPaths:
 
 
 def _encode_batch(pdf: pd.DataFrame, doc_bucket: int) -> pd.DataFrame:
-    """Vectorized: one corpus Arrow batch → partial segment rows +
-    one marker row.  No per-posting Python: groupby(sort=True) yields
-    (term, doc_id)-sorted postings, and bucket = doc_id // doc_bucket
-    is monotone within a term, so the frame is already grouped by
-    (term, bucket) with docIDs ascending."""
-    doc_ids_all = pdf["doc_id"].to_numpy()
-    toks = tokenize_series(pdf["content"])
-    dl_per_doc = toks.map(len).to_numpy().astype(np.int64)
-
-    ex = pd.DataFrame({
-        "doc_id": doc_ids_all.repeat(dl_per_doc),
-        "term": (np.concatenate(toks.to_numpy()) if dl_per_doc.sum()
-                 else np.array([], dtype=object)),
-    })
+    """Vectorized: one corpus batch → partial segment rows + one marker
+    row.  Tokenization runs entirely in Arrow C++ (ascii_lower → RE2
+    split → dictionary_encode): no per-token Python objects — the
+    python-object churn of string tokenization is memory-bandwidth
+    bound and kills multi-core scaling otherwise.  tf counting is one
+    np.unique over packed (term_code, doc) int keys."""
     import decimal
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    doc_ids_all = pdf["doc_id"].to_numpy()
+    n_batch = len(pdf)
+    content = pa.Array.from_pandas(pdf["content"], type=pa.large_string())
+
+    # sha256 over raw utf8 straight from the Arrow buffer (no copies)
+    offs = np.frombuffer(content.buffers()[1], dtype=np.int64,
+                         count=n_batch + 1)
+    data_mv = memoryview(content.buffers()[2])
     sha_sum = decimal.Decimal(sum(
-        int(hashlib.sha256(c.encode()).hexdigest()[:15], 16)
-        for c in pdf["content"]))
+        int(hashlib.sha256(data_mv[offs[i]:offs[i + 1]])
+            .hexdigest()[:15], 16) for i in range(n_batch)))
+
+    toks = pc.split_pattern_regex(pc.ascii_lower(content),
+                                  "[^a-z0-9_]+")
+    flat = pc.list_flatten(toks)
+    lens = np.diff(toks.offsets.to_numpy())
+    enc = pc.dictionary_encode(flat)
+    codes = enc.indices.to_numpy().astype(np.int64)
+    vocab = enc.dictionary.to_pandas().to_numpy()  # unique terms only
+
+    doc_local = np.repeat(np.arange(n_batch, dtype=np.int64), lens)
+    # drop empty tokens (split artifacts at string edges)
+    empty_code = np.nonzero(vocab == "")[0]
+    if empty_code.size:
+        keep = codes != empty_code[0]
+        codes, doc_local = codes[keep], doc_local[keep]
+    dl_per_doc = np.bincount(doc_local, minlength=n_batch).astype(np.int64)
+
     marker = pd.DataFrame({
         "term": [None], "bucket": [0],
-        "n_docs": [np.int64(len(pdf))],
+        "n_docs": [np.int64(n_batch)],
         "tf_sum": [np.int64(dl_per_doc.sum())],
         "doc_id_min": [np.int64(doc_ids_all.min())],
         "doc_id_max": [np.int64(doc_ids_all.max())],
@@ -130,23 +151,16 @@ def _encode_batch(pdf: pd.DataFrame, doc_bucket: int) -> pd.DataFrame:
         # int64 before the decimal(38,0) cast
         "sha_rollup": [sha_sum],
     })
-    if ex.empty:
+    if codes.size == 0:
         return marker
 
-    # tf counting via factorize + np.unique on a packed int key —
-    # ~10x faster than pandas groupby on object strings.  Group order
-    # is factorize order (first occurrence), which is fine: groups
-    # only need to be CONTIGUOUS with ascending docIDs (the JVM merge
-    # re-sorts globally by term); batch rows arrive docID-ascending.
-    term_codes, uniq_terms = pd.factorize(ex["term"], sort=False)
-    n_batch = len(pdf)
-    doc_local = np.repeat(np.arange(n_batch, dtype=np.int64), dl_per_doc)
-    key = term_codes.astype(np.int64) * n_batch + doc_local
+    # group order is dictionary (first-occurrence) order — groups only
+    # need to be CONTIGUOUS with ascending docIDs (the JVM merge
+    # re-sorts globally by term); batch rows arrive docID-ascending
+    key = codes * n_batch + doc_local
     skey, tfs = np.unique(key, return_counts=True)
     tcode = skey // n_batch
     dloc = skey % n_batch
-    terms = uniq_terms.to_numpy()[tcode] if hasattr(uniq_terms, "to_numpy") \
-        else np.asarray(uniq_terms)[tcode]
     doc_ids = doc_ids_all[dloc].astype(np.int64)
     tfs = tfs.astype(np.int64)
     dls = dl_per_doc[dloc]
@@ -154,7 +168,7 @@ def _encode_batch(pdf: pd.DataFrame, doc_bucket: int) -> pd.DataFrame:
     n = len(skey)
 
     new_group = np.ones(n, dtype=bool)
-    new_group[1:] = (terms[1:] != terms[:-1]) | (buckets[1:] != buckets[:-1])
+    new_group[1:] = (tcode[1:] != tcode[:-1]) | (buckets[1:] != buckets[:-1])
     group_starts = np.nonzero(new_group)[0]
     group_ends = np.append(group_starts[1:], n)
     group_id = np.cumsum(new_group) - 1
@@ -206,7 +220,7 @@ def _encode_batch(pdf: pd.DataFrame, doc_bucket: int) -> pd.DataFrame:
                 for g in range(ng)]
 
     seg_rows = pd.DataFrame({
-        "term": terms[group_starts],
+        "term": vocab[tcode[group_starts]],
         "bucket": buckets[group_starts].astype(np.int64),
         "n_docs": (group_ends - group_starts).astype(np.int64),
         "tf_sum": np.add.reduceat(tfs, group_starts).astype(np.int64),

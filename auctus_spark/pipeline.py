@@ -22,13 +22,24 @@ from . import B, K1, TOP_K_SIZE
 from .analysis import SPLIT_PATTERN, analyze_query
 
 
+_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_LOWER = "abcdefghijklmnopqrstuvwxyz"
+
+
+def _ascii_lower(col):
+    """ASCII-only lowering (the analyzer contract, analysis.py):
+    F.translate instead of F.lower so exotic unicode case mappings
+    can't diverge from the oracle."""
+    return F.translate(col, _UPPER, _LOWER)
+
+
 def tokens(docs: DataFrame, id_col: str = "doc_id",
            text_col: str = "text") -> DataFrame:
     """(id, term) pairs — one row per token occurrence.  Pure built-ins:
-    lower → split → explode stays inside whole-stage codegen."""
+    ascii-lower → split → explode stays inside whole-stage codegen."""
     return (docs.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(F.split(F.lower(F.col(text_col)), SPLIT_PATTERN))
+        F.explode(F.split(_ascii_lower(F.col(text_col)), SPLIT_PATTERN))
         .alias("term"))
         .filter(F.col("term") != ""))
 
@@ -45,7 +56,7 @@ def corpus_stats(docs: DataFrame, id_col: str = "doc_id",
     avgdl = total tokens / N, matching the index build's discipline."""
     row = (docs.select(
         F.size(F.filter(
-            F.split(F.lower(F.col(text_col)), SPLIT_PATTERN),
+            F.split(_ascii_lower(F.col(text_col)), SPLIT_PATTERN),
             lambda x: x != "")).alias("dl"))
         .agg(F.count("*").alias("n"), F.sum("dl").alias("t")).collect()[0])
     n = int(row["n"])

@@ -44,6 +44,11 @@ def get_spark(app: str = "auctus_spark", cores: int | None = None,
         # round-trips dominate mapInPandas (measured 6s for 7.5M rows
         # at the 10k default); byte-heavy ops re-chunk internally
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "200000")
+        # smaller input splits: a 1 GB corpus must yield >= cores
+        # tasks, or the tokenize stage caps below full parallelism
+        # (on a big cluster the 128 MB default is fine — this knob
+        # matters for local[32] with small benchmark corpora)
+        .config("spark.sql.files.maxPartitionBytes", str(32 << 20))
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )

@@ -56,7 +56,7 @@ def _build_once(cores: int, out_dir: str, n_docs: int) -> dict:
     idx_dir = os.path.join(out_dir, f"index_{cores}")
     wipe(idx_dir)
     t0 = time.time()
-    b = IndexBuilder(spark, idx_dir, doc_bucket=1 << 13,
+    b = IndexBuilder(spark, idx_dir, doc_bucket=1 << 14,
                      chunk_docs=1 << 20, term_buckets=64)
     b.build(corpus, resume=False)
     build_sec = time.time() - t0
