@@ -50,33 +50,43 @@ class SearchEngine:
         row = spark.read.parquet(self.paths.stats).collect()[0]
         self.n_docs = int(row["n_docs"])
         self.avgdl = float(row["avgdl"])
+        # open the index tables ONCE: spark.read.parquet lists files and
+        # reads footers eagerly, so per-query re-opens dominate latency;
+        # partition/row-group pruning still applies per query.
+        self._seg_df = spark.read.parquet(self.paths.segments)
+        self._ts_df = spark.read.parquet(self.paths.term_stats)
 
     # ------------------------------------------------------------------
     def _term_buckets_for(self, terms: list[str]) -> dict[str, int]:
-        """term → term_bucket via the same murmur3 hash Spark used when
-        writing (one tiny local job; keeps the hash definition in one
-        place: Spark's)."""
-        pdf = self.spark.createDataFrame(
-            pd.DataFrame({"term": terms}))
-        rows = pdf.select(
-            "term", F.pmod(F.hash("term"), F.lit(self.term_buckets))
-            .alias("tb")).collect()
-        return {r["term"]: int(r["tb"]) for r in rows}
+        """term → term_bucket via the pure-Python clone of Spark's
+        murmur3 string hash (spark_hash.py, verified against F.hash) —
+        partition pruning with zero driver-side Spark jobs."""
+        from ..index.spark_hash import term_bucket
+        return {t: term_bucket(t, self.term_buckets) for t in terms}
 
     def term_stats(self, terms: list[str]) -> dict[str, int]:
         """df per term from the global stats table (partition-pruned)."""
         if not terms:
             return {}
         tb = self._term_buckets_for(terms)
-        df = (self.spark.read.parquet(self.paths.term_stats)
+        df = (self._ts_df
               .filter(F.col("term_bucket").isin(list(set(tb.values()))))
               .filter(F.col("term").isin(terms))
               .select("term", "df").collect())
         return {r["term"]: int(r["df"]) for r in df}
 
+    def _ts_for(self, terms: list[str]) -> DataFrame:
+        """(term, df) rows for the query terms — broadcast side of the
+        single-job query plan (partition-pruned scan, no collect)."""
+        tb = self._term_buckets_for(terms)
+        return (self._ts_df
+                .filter(F.col("term_bucket").isin(list(set(tb.values()))))
+                .filter(F.col("term").isin(terms))
+                .select("term", "df"))
+
     def _segments_for(self, terms: list[str]) -> DataFrame:
         tb = self._term_buckets_for(terms)
-        return (self.spark.read.parquet(self.paths.segments)
+        return (self._seg_df
                 .filter(F.col("term_bucket").isin(list(set(tb.values()))))
                 .filter(F.col("term").isin(terms)))
 
@@ -168,16 +178,21 @@ class SearchEngine:
         terms = analyze_query(query)
         if not terms:
             return self._empty()
-        idf = self._idf_map(terms)
-        if idf is None:
-            return self._empty()
-        segs = self._segments_for(terms)
-        n_terms, idf_b = len(terms), dict(idf)
-        avgdl = self.avgdl
+        # single-job plan: global df rides in via a broadcast join with
+        # term_stats; idf is computed inside the scorer (same python
+        # math.log on the same doubles -> bit-identical to the oracle).
+        # AND semantics make a globally-missing term produce zero hits
+        # through the per-bucket term-count check.
+        segs = self._segments_for(terms).join(
+            F.broadcast(self._ts_for(terms)), "term")
+        n_terms = len(terms)
+        n_docs, avgdl = self.n_docs, self.avgdl
 
         def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
             if pdf["term"].nunique() != n_terms:
                 return _empty_pdf()  # AND: a term missing in this range
+            idf_b = {t: bm25_idf(n_docs, int(df_))
+                     for t, df_ in zip(pdf["term"], pdf["df"])}
             per_term = _group_partials(pdf)
             order = sorted(per_term,
                            key=lambda t: sum(p["n_docs"]
@@ -204,7 +219,7 @@ class SearchEngine:
             return pd.DataFrame({"doc_id": cand.astype(np.int64),
                                  "score": score})
 
-        local = (segs.select(*self._SEG_COLS)
+        local = (segs.select(*self._SEG_COLS, "df")
                  .groupBy("bucket")
                  .applyInPandas(score_bucket,
                                 schema="doc_id long, score double"))
@@ -219,16 +234,15 @@ class SearchEngine:
         terms = analyze_query(query)
         if not terms:
             return self._empty()
-        stats = self.term_stats(terms)
-        terms_present = [t for t in terms if t in stats]
-        if not terms_present:
-            return self._empty()
-        idf_b = {t: bm25_idf(self.n_docs, stats[t]) for t in terms_present}
-        segs = self._segments_for(terms_present)
+        # single-job plan (see search_wand): df rides in via broadcast
+        segs = self._segments_for(terms).join(
+            F.broadcast(self._ts_for(terms)), "term")
         all_terms = list(terms)  # query order for bit-exact summation
-        avgdl = self.avgdl
+        n_docs, avgdl = self.n_docs, self.avgdl
 
         def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+            idf_b = {t: bm25_idf(n_docs, int(df_))
+                     for t, df_ in zip(pdf["term"], pdf["df"])}
             per_term = _group_partials(pdf)
             if not per_term:
                 return _empty_pdf()
@@ -267,7 +281,7 @@ class SearchEngine:
             return pd.DataFrame({"doc_id": cand.astype(np.int64),
                                  "score": score})
 
-        local = (segs.select(*self._SEG_COLS)
+        local = (segs.select(*self._SEG_COLS, "df")
                  .groupBy("bucket")
                  .applyInPandas(score_bucket,
                                 schema="doc_id long, score double"))
