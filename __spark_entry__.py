@@ -80,6 +80,13 @@ ORDER BY raw_score DESC, doc_id ASC LIMIT {k}
 # queries
 # ---------------------------------------------------------------------
 
+def _bm25_or_sql(terms: list[str], k: int = 50) -> str:
+    """Disjunctive variant: drop the conjunctive nt filter; a doc's
+    score sums its present-term contributions."""
+    sql = _bm25_sql(terms, k)
+    return sql.replace(f"WHERE nt = {len(terms)}", "")
+
+
 def _q_bm25_hot(spark, sf_dir):
     return pipeline.bm25_topk(_docs(spark, sf_dir), "join", k=50, round_to=6)
 
@@ -378,6 +385,37 @@ def _q_numeric_histogram(spark, sf_dir):
                     .alias("bin_start")))
 
 
+def _q_bm25_or(spark, sf_dir):
+    """Disjunctive (should) BM25 — DataFrame path."""
+    return pipeline.bm25_or_topk(_docs(spark, sf_dir),
+                                 "join zzz_not_a_token merge",
+                                 k=50, round_to=6)
+
+
+def _q_bm25_index_path(spark, sf_dir):
+    """THE index path end-to-end at the gate: build the segment index
+    over the documents table (chunked, compressed, term-partitioned),
+    then answer with the block-selective WAND scorer — checked against
+    the same DuckDB BM25 SQL as the DataFrame path."""
+    import hashlib as _h
+    import os as _os
+
+    from auctus_spark.index.build import IndexBuilder
+    from auctus_spark.query.bm25 import SearchEngine
+
+    tag = _h.md5(sf_dir.encode()).hexdigest()[:10]
+    idx_dir = f"/tmp/auctus_entry_index_{tag}"
+    corpus = _docs(spark, sf_dir).select(
+        "doc_id", F.col("text").alias("content"))
+    b = IndexBuilder(spark, idx_dir, doc_bucket=1 << 10,
+                     chunk_docs=1 << 12, term_buckets=16)
+    if not _os.path.exists(_os.path.join(idx_dir, "stats")):
+        b.build(corpus)
+    eng = SearchEngine(spark, idx_dir, term_buckets=16)
+    out = eng.search_wand("data join", k=50)
+    return out.select("doc_id", F.round("score", 6).alias("score"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk_hot": _q_bm25_hot,
@@ -409,6 +447,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5ish": _q_tpch_q5ish,
         "window_agg_events": _q_window_agg_events,
         "numeric_histogram": _q_numeric_histogram,
+        "bm25_or": _q_bm25_or,
+        "bm25_index_path": _q_bm25_index_path,
     }
 
 
@@ -692,6 +732,8 @@ def oracle_sql() -> dict[str, str]:
                    event_type, count(*) AS n,
                    round(sum(value), 4) AS value_sum
             FROM events GROUP BY ALL ORDER BY w_start, event_type""",
+        "bm25_or": _bm25_or_sql(["join", "zzz_not_a_token", "merge"]),
+        "bm25_index_path": _bm25_sql(["data", "join"]),
         "numeric_histogram": """
             WITH mm AS (SELECT min(l_extendedprice) AS lo,
                                max(l_extendedprice) AS hi FROM lineitem),

@@ -112,6 +112,46 @@ def bm25_topk(docs: DataFrame, query: str, k: int = TOP_K_SIZE,
             .limit(k))
 
 
+def bm25_or_topk(docs: DataFrame, query: str, k: int = TOP_K_SIZE,
+                 id_col: str = "doc_id", text_col: str = "text",
+                 round_to: int | None = None) -> DataFrame:
+    """Disjunctive (should) BM25 top-k: docs matching ANY query term,
+    score = sum of present-term contributions in query-term order."""
+    spark = docs.sparkSession
+    terms = analyze_query(query)
+    empty = spark.createDataFrame([], f"{id_col} long, score double")
+    if not terms:
+        return empty
+    n_docs, avgdl = corpus_stats(docs, id_col, text_col)
+    if n_docs == 0:
+        return empty
+    tok = tokens(docs, id_col, text_col)
+    tf = (tok.filter(F.col("term").isin(terms))
+          .groupBy("doc_id", "term").agg(F.count("*").alias("tf")))
+    dl = doc_lengths_df(docs, id_col, text_col)
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df")
+                              + F.lit(0.5)) / (F.col("df") + F.lit(0.5)))
+    stats = F.broadcast(df_.withColumn("idf", idf))
+    contrib = F.col("idf") * (F.col("tf") / (
+        F.col("tf") + F.lit(K1) * (F.lit(1.0 - B) +
+                                   F.lit(B) * F.col("dl") / F.lit(avgdl))))
+    scored = (tf.join(stats, "term").join(dl, "doc_id")
+              .withColumn("contrib", contrib))
+    per_term = [F.max(F.when(F.col("term") == t, F.col("contrib")))
+                .alias(f"_c{i}") for i, t in enumerate(terms)]
+    agg = scored.groupBy("doc_id").agg(*per_term)
+    # query-term-order fold; absent terms contribute +0.0 (coalesce)
+    score = F.coalesce(F.col("_c0"), F.lit(0.0))
+    for i in range(1, len(terms)):
+        score = score + F.coalesce(F.col(f"_c{i}"), F.lit(0.0))
+    if round_to is not None:
+        score = F.round(score, round_to)
+    return (agg.select(F.col("doc_id").alias(id_col), score.alias("score"))
+            .orderBy(F.desc("score"), F.asc(id_col))
+            .limit(k))
+
+
 def term_stats_df(docs: DataFrame, terms: list[str],
                   id_col: str = "doc_id", text_col: str = "text"
                   ) -> DataFrame:
