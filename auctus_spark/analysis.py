@@ -102,6 +102,34 @@ def term_frequencies(doc_ids: pd.Series, token_lists: pd.Series) -> pd.DataFrame
     return tf
 
 
+def load_synonyms(path: str) -> dict[str, list[str]]:
+    """Parse an Elasticsearch-style synonym file (the reference ships
+    ``docker/synonyms.txt`` — comma-separated equivalence groups, ``#``
+    comments; applied at SEARCH time only, elasticsearch.yml:16-24).
+
+    Returns a symmetric expansion map: every token in a group expands
+    to the whole group."""
+    groups: dict[str, list[str]] = {}
+    with open(path, errors="replace") as fp:
+        for line in fp:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            if "=>" in line:  # explicit mapping form: lhs => rhs
+                lhs, rhs = line.split("=>", 1)
+                sources = [tokenize(x)[0] for x in lhs.split(",")
+                           if tokenize(x)]
+                targets = [t for x in rhs.split(",") for t in tokenize(x)]
+                for s in sources:
+                    groups.setdefault(s, []).extend(targets)
+                continue
+            words = [tokenize(w)[0] for w in line.split(",") if tokenize(w)]
+            for w in words:
+                groups.setdefault(w, []).extend(
+                    x for x in words if x != w)
+    return groups
+
+
 def analyze_query(query: str, synonyms: dict[str, Iterable[str]] | None = None) -> list[str]:
     """Search-time analyzer: same chain, plus optional synonym expansion
     (reference applies ``synonym_graph`` only at search time,

@@ -96,63 +96,106 @@ class IndexPaths:
         return os.path.join(self.base, "segments")
 
 
-def _encode_batch(pdf: pd.DataFrame, doc_bucket: int) -> pd.DataFrame:
-    """Vectorized: one corpus batch → partial segment rows + one marker
-    row.  Tokenization runs entirely in Arrow C++ (ascii_lower → RE2
-    split → dictionary_encode): no per-token Python objects — the
-    python-object churn of string tokenization is memory-bandwidth
-    bound and kills multi-core scaling otherwise.  tf counting is one
-    np.unique over packed (term_code, doc) int keys."""
+ARROW_PARTIAL_SCHEMA = None  # built lazily (pyarrow import)
+
+
+def _arrow_schema():
+    import pyarrow as pa
+    global ARROW_PARTIAL_SCHEMA
+    if ARROW_PARTIAL_SCHEMA is None:
+        ARROW_PARTIAL_SCHEMA = pa.schema([
+            ("term", pa.string()),
+            ("bucket", pa.int64()),
+            ("n_docs", pa.int64()),
+            ("tf_sum", pa.int64()),
+            ("doc_id_min", pa.int64()),
+            ("doc_id_max", pa.int64()),
+            ("docs_blob", pa.binary()),
+            ("tfs_blob", pa.binary()),
+            ("dls_blob", pa.binary()),
+            ("docs_off", pa.list_(pa.int64())),
+            ("tfs_off", pa.list_(pa.int64())),
+            ("dls_off", pa.list_(pa.int64())),
+            ("block_max_tf", pa.list_(pa.int64())),
+            ("block_min_dl", pa.list_(pa.int64())),
+            ("block_last_doc", pa.list_(pa.int64())),
+            ("max_tf", pa.int64()),
+            ("min_dl", pa.int64()),
+            ("sha_rollup", pa.decimal128(38, 0)),
+        ])
+    return ARROW_PARTIAL_SCHEMA
+
+
+def _marker_batch(n_batch, dl_sum, dmin, dmax, sha_sum):
+    """One-row marker RecordBatch (term IS NULL) carrying the batch's
+    doc/token counts + sha rollup for stats and lineage."""
     import decimal
 
     import pyarrow as pa
+    sch = _arrow_schema()
+    vals = {
+        "term": [None], "bucket": [0], "n_docs": [int(n_batch)],
+        "tf_sum": [int(dl_sum)], "doc_id_min": [int(dmin)],
+        "doc_id_max": [int(dmax)],
+        "docs_blob": [None], "tfs_blob": [None], "dls_blob": [None],
+        "docs_off": [None], "tfs_off": [None], "dls_off": [None],
+        "block_max_tf": [None], "block_min_dl": [None],
+        "block_last_doc": [None], "max_tf": [0], "min_dl": [0],
+        # decimal.Decimal: Arrow wraps plain big ints through int64
+        "sha_rollup": [decimal.Decimal(int(sha_sum))],
+    }
+    return pa.RecordBatch.from_arrays(
+        [pa.array(vals[f.name], type=f.type) for f in sch], schema=sch)
+
+
+def _encode_batch(doc_ids_all: np.ndarray, content, doc_bucket: int):
+    """One corpus slice → partial-segment RecordBatch + marker batch.
+
+    Everything stays in Arrow/numpy: tokenization is Arrow C++
+    (ascii_lower → RE2 split → dictionary_encode — no per-token Python
+    objects), tf counting is one np.unique over packed int keys, and
+    the OUTPUT arrays are assembled with pa.ListArray.from_arrays /
+    binary-from-buffers — no per-group Python element conversion
+    (pandas→Arrow of millions of object rows was the build's largest
+    non-scaling cost).
+    ``content`` is a pa.StringArray aligned with ``doc_ids_all``.
+    """
+    import pyarrow as pa
     import pyarrow.compute as pc
 
-    doc_ids_all = pdf["doc_id"].to_numpy()
-    n_batch = len(pdf)
-    content = pa.Array.from_pandas(pdf["content"], type=pa.large_string())
+    n_batch = len(doc_ids_all)
 
-    # sha256 over raw utf8 straight from the Arrow buffer (no copies)
-    offs = np.frombuffer(content.buffers()[1], dtype=np.int64,
-                         count=n_batch + 1)
+    # sha256 over raw utf8 straight from the Arrow buffers (no copies)
+    off_buf = content.buffers()[1]
+    width = np.int64 if pa.types.is_large_string(content.type) else np.int32
+    offs_all = np.frombuffer(off_buf, dtype=width,
+                             count=n_batch + 1 + content.offset)
+    offs_c = offs_all[content.offset:]
     data_mv = memoryview(content.buffers()[2])
-    sha_sum = decimal.Decimal(sum(
-        int(hashlib.sha256(data_mv[offs[i]:offs[i + 1]])
-            .hexdigest()[:15], 16) for i in range(n_batch)))
+    sha_sum = sum(
+        int(hashlib.sha256(data_mv[offs_c[i]:offs_c[i + 1]])
+            .hexdigest()[:15], 16) for i in range(n_batch))
 
-    toks = pc.split_pattern_regex(pc.ascii_lower(content),
-                                  "[^a-z0-9_]+")
+    toks = pc.split_pattern_regex(pc.ascii_lower(content), "[^a-z0-9_]+")
     flat = pc.list_flatten(toks)
-    lens = np.diff(toks.offsets.to_numpy())
+    lens = np.diff(toks.offsets.to_numpy().astype(np.int64))
     enc = pc.dictionary_encode(flat)
     codes = enc.indices.to_numpy().astype(np.int64)
-    vocab = enc.dictionary.to_pandas().to_numpy()  # unique terms only
+    vocab_arr = enc.dictionary
 
     doc_local = np.repeat(np.arange(n_batch, dtype=np.int64), lens)
     # drop empty tokens (split artifacts at string edges)
-    empty_code = np.nonzero(vocab == "")[0]
+    vocab_np = vocab_arr.to_numpy(zero_copy_only=False)
+    empty_code = np.nonzero(vocab_np == "")[0]
     if empty_code.size:
         keep = codes != empty_code[0]
         codes, doc_local = codes[keep], doc_local[keep]
     dl_per_doc = np.bincount(doc_local, minlength=n_batch).astype(np.int64)
 
-    marker = pd.DataFrame({
-        "term": [None], "bucket": [0],
-        "n_docs": [np.int64(n_batch)],
-        "tf_sum": [np.int64(dl_per_doc.sum())],
-        "doc_id_min": [np.int64(doc_ids_all.min())],
-        "doc_id_max": [np.int64(doc_ids_all.max())],
-        "docs_blob": [None], "tfs_blob": [None], "dls_blob": [None],
-        "docs_off": [None], "tfs_off": [None], "dls_off": [None],
-        "block_max_tf": [None], "block_min_dl": [None],
-        "block_last_doc": [None],
-        "max_tf": [np.int64(0)], "min_dl": [np.int64(0)],
-        # decimal.Decimal, NOT int: Arrow wraps big python ints to
-        # int64 before the decimal(38,0) cast
-        "sha_rollup": [sha_sum],
-    })
+    marker = _marker_batch(n_batch, dl_per_doc.sum(), doc_ids_all.min(),
+                           doc_ids_all.max(), sha_sum)
     if codes.size == 0:
-        return marker
+        return None, marker
 
     # group order is dictionary (first-occurrence) order — groups only
     # need to be CONTIGUOUS with ascending docIDs (the JVM merge
@@ -197,7 +240,7 @@ def _encode_batch(pdf: pd.DataFrame, doc_bucket: int) -> pd.DataFrame:
             out[starts[mask] + j] = byte | cont
         g_off = starts[group_starts]
         g_end = np.append(g_off[1:], int(ends[-1]))
-        return out.tobytes(), g_off, g_end, starts
+        return out, g_off, g_end, starts
 
     docs_s, docs_o, docs_e, docs_pv = _stream(deltas)
     tfs_s, tfs_o, tfs_e, tfs_pv = _stream(tfs)
@@ -213,62 +256,99 @@ def _encode_batch(pdf: pd.DataFrame, doc_bucket: int) -> pd.DataFrame:
     seg_min_dl = np.minimum.reduceat(dls, group_starts)
 
     ng = len(group_starts)
+    nb = len(bstart_idx)
+    import pyarrow as pa  # noqa: F811
 
-    def _offs(pv, g_off, g_end):
-        return [np.append(pv[bstart_idx[blk_bounds[g]:blk_bounds[g + 1]]]
-                          - g_off[g], g_end[g] - g_off[g])
-                for g in range(ng)]
+    def _binary(stream, g_off, g_end):
+        # zero-copy binary column: offsets into the shared byte stream
+        offsets = np.empty(ng + 1, dtype=np.int32)
+        offsets[:-1] = g_off
+        offsets[-1] = g_end[-1]
+        return pa.Array.from_buffers(
+            pa.binary(), ng,
+            [None, pa.py_buffer(offsets.tobytes()),
+             pa.py_buffer(stream.tobytes())])
 
-    seg_rows = pd.DataFrame({
-        "term": vocab[tcode[group_starts]],
-        "bucket": buckets[group_starts].astype(np.int64),
-        "n_docs": (group_ends - group_starts).astype(np.int64),
-        "tf_sum": np.add.reduceat(tfs, group_starts).astype(np.int64),
-        "doc_id_min": doc_ids[group_starts],
-        "doc_id_max": doc_ids[group_ends - 1],
-        "docs_blob": [docs_s[docs_o[g]:docs_e[g]] for g in range(ng)],
-        "tfs_blob": [tfs_s[tfs_o[g]:tfs_e[g]] for g in range(ng)],
-        "dls_blob": [dls_s[dls_o[g]:dls_e[g]] for g in range(ng)],
-        "docs_off": _offs(docs_pv, docs_o, docs_e),
-        "tfs_off": _offs(tfs_pv, tfs_o, tfs_e),
-        "dls_off": _offs(dls_pv, dls_o, dls_e),
-        "block_max_tf": [blk_max_tf[blk_bounds[g]:blk_bounds[g + 1]]
-                         for g in range(ng)],
-        "block_min_dl": [blk_min_dl[blk_bounds[g]:blk_bounds[g + 1]]
-                         for g in range(ng)],
-        "block_last_doc": [blk_last[blk_bounds[g]:blk_bounds[g + 1]]
-                           for g in range(ng)],
-        "max_tf": seg_max_tf.astype(np.int64),
-        "min_dl": seg_min_dl.astype(np.int64),
-        "sha_rollup": None,
-    })
-    return pd.concat([seg_rows, marker], ignore_index=True)
+    def _offsets_list(pv, g_off, g_end):
+        # per-group list of block byte offsets (group-relative, with an
+        # end sentinel) — built as one flat values array + list offsets
+        nblk_per_g = np.diff(blk_bounds)
+        vals = np.empty(nb + ng, dtype=np.int64)
+        # positions of block entries and sentinels in the flat array
+        blk_pos = np.arange(nb) + np.repeat(np.arange(ng), nblk_per_g)
+        sent_pos = blk_bounds[1:] + np.arange(1, ng + 1) - 1 + 1
+        base = np.repeat(g_off, nblk_per_g)
+        vals[blk_pos] = pv[bstart_idx] - base
+        # sentinel (total byte length) closes each group's offset list
+        vals[blk_bounds[1:] + np.arange(ng)] = g_end - g_off
+        list_off = (blk_bounds + np.arange(ng + 1)).astype(np.int32)
+        return pa.ListArray.from_arrays(pa.array(list_off),
+                                        pa.array(vals, type=pa.int64()))
+
+    def _block_list(values):
+        list_off = blk_bounds.astype(np.int32)
+        return pa.ListArray.from_arrays(pa.array(list_off),
+                                        pa.array(values, type=pa.int64()))
+
+    sch = _arrow_schema()
+    tf_csum = np.concatenate([[0], np.cumsum(tfs)])
+    arrays = [
+        pc.take(vocab_arr, pa.array(tcode[group_starts])).cast(pa.string()),
+        pa.array(buckets[group_starts].astype(np.int64), type=pa.int64()),
+        pa.array((group_ends - group_starts).astype(np.int64)),
+        pa.array((tf_csum[group_ends] - tf_csum[group_starts])
+                 .astype(np.int64)),
+        pa.array(doc_ids[group_starts]),
+        pa.array(doc_ids[group_ends - 1]),
+        _binary(docs_s, docs_o, docs_e),
+        _binary(tfs_s, tfs_o, tfs_e),
+        _binary(dls_s, dls_o, dls_e),
+        _offsets_list(docs_pv, docs_o, docs_e),
+        _offsets_list(tfs_pv, tfs_o, tfs_e),
+        _offsets_list(dls_pv, dls_o, dls_e),
+        _block_list(blk_max_tf),
+        _block_list(blk_min_dl),
+        _block_list(blk_last),
+        pa.array(seg_max_tf.astype(np.int64)),
+        pa.array(seg_min_dl.astype(np.int64)),
+        pa.nulls(ng, type=pa.decimal128(38, 0)),
+    ]
+    return pa.RecordBatch.from_arrays(arrays, schema=sch), marker
 
 
 def _tokenize_encode_factory(doc_bucket: int,
-                             max_batch_bytes: int = 24 << 20):
-    """Byte-budgeted sub-batching: an Arrow batch of N corpus rows
-    explodes to ~15x its bytes in Python token objects, so each task
-    re-chunks its input to ~24 MB of content before tokenizing — peak
-    memory stays flat regardless of Arrow batch size x concurrency
-    (32 concurrent 200k-doc batches OOM-thrash a 128 GB box)."""
+                             max_batch_bytes: int = 48 << 20):
+    """mapInArrow body with byte-budgeted sub-batching: each incoming
+    RecordBatch is sliced to ~48 MB of content before tokenizing so
+    peak memory stays flat regardless of Arrow batch size x
+    concurrency."""
     def run(batches):
-        for pdf in batches:
-            n = len(pdf)
+        import pyarrow as pa
+        for rb in batches:
+            n = rb.num_rows
             if not n:
                 continue
-            sizes = pdf["content"].str.len().to_numpy()
-            cuts = [0]
-            acc = 0
-            for i, s in enumerate(sizes):
-                acc += int(s)
+            content = rb.column(rb.schema.get_field_index("content"))
+            if isinstance(content, pa.ChunkedArray):
+                content = content.combine_chunks()
+            import pyarrow.compute as pc
+            sizes = pc.binary_length(content).to_numpy()
+            cuts, acc = [0], 0
+            for i, sz in enumerate(sizes):
+                acc += int(sz)
                 if acc >= max_batch_bytes:
                     cuts.append(i + 1)
                     acc = 0
             if cuts[-1] != n:
                 cuts.append(n)
+            doc_ids = rb.column(
+                rb.schema.get_field_index("doc_id")).to_numpy()
             for lo, hi in zip(cuts[:-1], cuts[1:]):
-                yield _encode_batch(pdf.iloc[lo:hi], doc_bucket)
+                segs, marker = _encode_batch(
+                    doc_ids[lo:hi], content.slice(lo, hi - lo), doc_bucket)
+                if segs is not None:
+                    yield segs
+                yield marker
     return run
 
 
@@ -316,7 +396,7 @@ class IndexBuilder:
                 continue
             lo = chunk * self.chunk_docs
             cslice = read_corpus_chunk(corpus, lo, lo + self.chunk_docs)
-            partials = cslice.select("doc_id", "content").mapInPandas(
+            partials = cslice.select("doc_id", "content").mapInArrow(
                 _tokenize_encode_factory(self.doc_bucket),
                 schema=PARTIAL_SCHEMA)
             pdir = os.path.join(self.paths.partials, f"chunk={chunk}")
