@@ -1,0 +1,82 @@
+"""Physical-plan assertions: the optimizations we design for must
+actually appear in the executed plans (pushdown, partition pruning,
+broadcast joins, TakeOrdered top-k, whole-stage codegen)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from auctus_spark.corpus import generate_corpus
+from auctus_spark.index.build import IndexBuilder
+from auctus_spark.query.bm25 import SearchEngine
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def engine(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("pidx"))
+    pdf = generate_corpus(400, min_tokens=20, max_tokens=100,
+                          vocab_size=800)
+    IndexBuilder(spark, out, doc_bucket=128, chunk_docs=1 << 20,
+                 term_buckets=8).build(spark.createDataFrame(pdf))
+    return SearchEngine(spark, out, term_buckets=8)
+
+
+def test_segment_scan_prunes(engine):
+    """Query-term scan must push the term filter to parquet and prune
+    term_bucket partitions."""
+    plan = _plan(engine._segments_for(["import", "def"]))
+    assert "PartitionFilters" in plan
+    assert "term_bucket" in plan.split("PartitionFilters", 1)[1][:200]
+    assert "PushedFilters" in plan
+    pushed = plan.split("PushedFilters", 1)[1][:200]
+    assert "In(term" in pushed or "term" in pushed
+
+
+def test_exhaustive_plan_shape(engine):
+    """Exhaustive BM25: broadcast join for idf, partial+final hash
+    aggregate (map-side combine), TakeOrdered for global top-k (no
+    full sort)."""
+    plan = _plan(engine.search("import def"))
+    assert "BroadcastHashJoin" in plan
+    assert "partial_" in plan            # map-side combine
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan.replace("TakeOrdered", "")  # no global sort
+
+
+def test_wand_plan_shape(engine):
+    """WAND: one broadcast (term df), one shuffle (bucket groups),
+    TakeOrdered merge."""
+    plan = _plan(engine.search_wand("import def"))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Exchange hashpartitioning") == 1  # bucket shuffle only
+
+
+def test_parquet_pushdown_tpch(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    q = (li.filter(F.col("l_shipdate") <= "1998-09-02")
+         .select("l_returnflag").groupBy("l_returnflag").count())
+    plan = _plan(q)
+    assert "PushedFilters" in plan
+    assert "l_shipdate" in plan.split("PushedFilters", 1)[1][:300]
+    # column pruning: content-bearing columns not read
+    assert "ReadSchema" in plan
+    rs = plan.split("ReadSchema", 1)[1][:200]
+    assert "l_extendedprice" not in rs
+
+
+def test_codegen_present(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    q = li.groupBy("l_returnflag").agg(F.sum("l_quantity"))
+    q.collect()  # AQE: codegen spans only visible in the FINAL plan
+    assert "WholeStageCodegen" in _plan(q)
+
+
+def test_broadcast_small_dim(spark, sf_dir):
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    j = c.join(n, c.c_nationkey == n.n_nationkey)
+    assert "BroadcastHashJoin" in _plan(j)
