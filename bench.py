@@ -33,7 +33,7 @@ sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-N_DOCS = int(os.environ.get("BENCH_CORPUS_DOCS", "50000"))
+N_DOCS = int(os.environ.get("BENCH_CORPUS_DOCS", "200000"))
 
 QUERY_SET = ["import", "def return", "import def return the",
              "uniq_token_110", "import uniq_token_220", "the for if"]
