@@ -401,3 +401,83 @@ def _topk_local(cand, score, k):
 def _empty_pdf():
     return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
                          "score": pd.Series([], dtype=np.float64)})
+
+
+def search_many(engine: SearchEngine, queries: dict[str, str],
+                k: int = TOP_K_SIZE) -> "DataFrame":
+    """Batched conjunctive search: ALL queries answered in ONE Spark
+    job — the offline-eval / reranking shape at scale.  The segment
+    scan covers the union of query terms; inside each bucket, decoded
+    partials are shared across queries; output is (query_id, doc_id,
+    score) with per-query top-k.
+
+    Scores are bit-exact with per-query ``search_wand``.
+    """
+    from pyspark.sql.window import Window
+
+    qterms = {qid: analyze_query(q) for qid, q in queries.items()}
+    qterms = {qid: ts for qid, ts in qterms.items() if ts}
+    all_terms = sorted({t for ts in qterms.values() for t in ts})
+    if not all_terms:
+        return engine._empty().withColumn("query_id", F.lit(""))
+    segs = engine._segments_for(all_terms).join(
+        F.broadcast(engine._ts_for(all_terms)), "term")
+    n_docs, avgdl = engine.n_docs, engine.avgdl
+    qt_b = dict(qterms)
+
+    def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        idf_b = {t: bm25_idf(n_docs, int(df_))
+                 for t, df_ in zip(pdf["term"], pdf["df"])}
+        per_term = _group_partials(pdf)
+        out_q, out_d, out_s = [], [], []
+        for qid, terms in qt_b.items():
+            if any(t not in per_term for t in terms):
+                continue  # AND: term missing in this bucket
+            order = sorted(terms,
+                           key=lambda t: sum(p["n_docs"]
+                                             for p in per_term[t]))
+            cand = None
+            dead = False
+            for t in order:
+                if cand is None:
+                    cand = _decode_full_term(per_term[t])
+                else:
+                    hit = np.zeros(cand.size, dtype=bool)
+                    for seg in per_term[t]:
+                        ids = _decode_partial_for(seg, cand)
+                        if ids.size == 0:
+                            continue
+                        pos = np.searchsorted(ids, cand)
+                        pos_c = np.minimum(pos, ids.size - 1)
+                        hit |= ids[pos_c] == cand
+                    cand = cand[hit]
+                if cand.size == 0:
+                    dead = True
+                    break
+            if dead:
+                continue
+            score, _ = _score_candidates(terms, idf_b, per_term, cand,
+                                         avgdl)
+            cand, score = _topk_local(cand, score, k)
+            out_q.extend([qid] * cand.size)
+            out_d.append(cand)
+            out_s.append(score)
+        if not out_q:
+            return pd.DataFrame({
+                "query_id": pd.Series([], dtype=object),
+                "doc_id": pd.Series([], dtype=np.int64),
+                "score": pd.Series([], dtype=np.float64)})
+        return pd.DataFrame({
+            "query_id": out_q,
+            "doc_id": np.concatenate(out_d).astype(np.int64),
+            "score": np.concatenate(out_s)})
+
+    local = (segs.select(*SearchEngine._SEG_COLS, "df")
+             .groupBy("bucket")
+             .applyInPandas(score_bucket,
+                            schema="query_id string, doc_id long, "
+                                   "score double"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id"))
+    return (local.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k).drop("_rn"))

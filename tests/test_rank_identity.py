@@ -93,6 +93,22 @@ def test_or_maxscore_matches_oracle(spark, built, q):
     _assert_rank_identical(got, oracle.search_or(q, k=50))
 
 
+def test_search_many_batched(spark, built):
+    """Batched multi-query job == per-query results, bit-exact."""
+    from auctus_spark.query.bm25 import search_many
+    out, oracle, _, _, _ = built
+    eng = SearchEngine(spark, out, term_buckets=8)
+    queries = {f"q{i}": q for i, q in enumerate(QUERY_SET)}
+    got = {}
+    for r in search_many(eng, queries, k=50).collect():
+        got.setdefault(r.query_id, []).append(
+            (float(r.score), int(r.doc_id)))
+    for qid, q in queries.items():
+        want = oracle.search(q, k=50)
+        rows = sorted(got.get(qid, []), key=lambda t: (-t[0], t[1]))
+        assert [(d, s) for s, d in rows] == want, q
+
+
 def test_lineage_sha_invariant(spark, built):
     _, _, _, corpus, b = built
     assert b.verify_lineage(corpus)
