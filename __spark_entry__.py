@@ -416,6 +416,29 @@ def _q_bm25_index_path(spark, sf_dir):
     return out.select("doc_id", F.round("score", 6).alias("score"))
 
 
+def _q_bm25_batched(spark, sf_dir):
+    """Batched multi-query index search (one job, shared decodes) —
+    each query checked against its own BM25 SQL."""
+    import hashlib as _h
+    import os as _os
+
+    from auctus_spark.index.build import IndexBuilder
+    from auctus_spark.query.bm25 import SearchEngine, search_many
+
+    tag = _h.md5(sf_dir.encode()).hexdigest()[:10]
+    idx_dir = f"/tmp/auctus_entry_index_{tag}"
+    corpus = _docs(spark, sf_dir).select(
+        "doc_id", F.col("text").alias("content"))
+    b = IndexBuilder(spark, idx_dir, doc_bucket=1 << 10,
+                     chunk_docs=1 << 12, term_buckets=16)
+    if not _os.path.exists(_os.path.join(idx_dir, "stats")):
+        b.build(corpus)
+    eng = SearchEngine(spark, idx_dir, term_buckets=16)
+    out = search_many(eng, {"qa": "data join", "qb": "merge batch"}, k=20)
+    return out.select("query_id", "doc_id",
+                      F.round("score", 6).alias("score"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk_hot": _q_bm25_hot,
@@ -449,6 +472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "numeric_histogram": _q_numeric_histogram,
         "bm25_or": _q_bm25_or,
         "bm25_index_path": _q_bm25_index_path,
+        "bm25_batched": _q_bm25_batched,
     }
 
 
@@ -734,6 +758,11 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY ALL ORDER BY w_start, event_type""",
         "bm25_or": _bm25_or_sql(["join", "zzz_not_a_token", "merge"]),
         "bm25_index_path": _bm25_sql(["data", "join"]),
+        "bm25_batched": (
+            "SELECT 'qa' AS query_id, * FROM ("
+            + _bm25_sql(["data", "join"], k=20)
+            + ") UNION ALL SELECT 'qb' AS query_id, * FROM ("
+            + _bm25_sql(["merge", "batch"], k=20) + ")"),
         "numeric_histogram": """
             WITH mm AS (SELECT min(l_extendedprice) AS lo,
                                max(l_extendedprice) AS hi FROM lineitem),

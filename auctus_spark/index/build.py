@@ -495,3 +495,34 @@ class IndexBuilder:
 
 def wipe(out_dir: str) -> None:
     shutil.rmtree(out_dir, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------
+# deletes / updates (Lucene-style tombstones)
+# ---------------------------------------------------------------------
+
+def delete_docs(spark: SparkSession, index_dir: str,
+                doc_ids: list[int]) -> None:
+    """Mark documents deleted.  Like Lucene, postings stay in place and
+    global stats (N, df, avgdl) keep counting deleted docs until a
+    rebuild; scorers mask tombstoned candidates.  An UPDATE is
+    delete(old_id) + incremental append of the new version under a new
+    docID (the reference re-profiles a dataset the same way: delete +
+    reindex, common.py:delete_dataset_from_index)."""
+    import pandas as pd
+    paths = IndexPaths(index_dir)
+    tomb = os.path.join(paths.base, "tombstones")
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": pd.Series(doc_ids, dtype="int64")}))
+    df.write.mode("append").parquet(tomb)
+
+
+def load_tombstones(spark: SparkSession, index_dir: str):
+    """Sorted numpy array of deleted docIDs ([] if none)."""
+    import numpy as np
+    tomb = os.path.join(IndexPaths(index_dir).base, "tombstones")
+    if not os.path.exists(tomb):
+        return np.array([], dtype=np.int64)
+    rows = spark.read.parquet(tomb).select("doc_id").collect()
+    return np.unique(np.array([r["doc_id"] for r in rows],
+                              dtype=np.int64))

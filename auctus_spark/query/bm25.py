@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 
 from .. import B, K1, TOP_K_SIZE
 from ..analysis import analyze_query
-from ..index.build import IndexPaths
+from ..index.build import IndexPaths, load_tombstones
 from ..index.codec import decode_blocks, delta_decode, varbyte_decode
 from ..oracle import bm25_idf
 
@@ -55,6 +55,9 @@ class SearchEngine:
         # partition/row-group pruning still applies per query.
         self._seg_df = spark.read.parquet(self.paths.segments)
         self._ts_df = spark.read.parquet(self.paths.term_stats)
+        # Lucene-style deletes: tombstoned docIDs are masked at query
+        # time; global stats keep counting them until a rebuild
+        self.tombstones = load_tombstones(spark, index_dir)
 
     # ------------------------------------------------------------------
     def _term_buckets_for(self, terms: list[str]) -> dict[str, int]:
@@ -127,6 +130,9 @@ class SearchEngine:
         flat = segs.select("term", "docs_blob", "tfs_blob", "dls_blob")\
             .mapInPandas(decode,
                          schema="term string, doc_id long, tf long, dl long")
+        if self.tombstones.size:
+            flat = flat.filter(
+                ~F.col("doc_id").isin([int(x) for x in self.tombstones]))
         idf_df = F.broadcast(self.spark.createDataFrame(
             pd.DataFrame({"term": list(idf), "idf": list(idf.values())})))
         scored = (flat.join(idf_df, "term")
@@ -187,6 +193,7 @@ class SearchEngine:
             F.broadcast(self._ts_for(terms)), "term")
         n_terms = len(terms)
         n_docs, avgdl = self.n_docs, self.avgdl
+        tomb = self.tombstones
 
         def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
             if pdf["term"].nunique() != n_terms:
@@ -200,7 +207,8 @@ class SearchEngine:
             cand = None
             for t in order:
                 if cand is None:
-                    cand = _decode_full_term(per_term[t])
+                    cand = _mask_tombstones(
+                        _decode_full_term(per_term[t]), tomb)
                 else:
                     hit = np.zeros(cand.size, dtype=bool)
                     for seg in per_term[t]:
@@ -239,6 +247,7 @@ class SearchEngine:
             F.broadcast(self._ts_for(terms)), "term")
         all_terms = list(terms)  # query order for bit-exact summation
         n_docs, avgdl = self.n_docs, self.avgdl
+        tomb = self.tombstones
 
         def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
             idf_b = {t: bm25_idf(n_docs, int(df_))
@@ -257,6 +266,11 @@ class SearchEngine:
             ids0 = _decode_full_term(per_term[t0])
             tfs0 = np.concatenate([p["full"][1] for p in per_term[t0]])
             dls0 = np.concatenate([p["full"][2] for p in per_term[t0]])
+            if tomb.size:
+                # theta must be a lower bound over LIVE docs only, or
+                # the essential-set pruning over-tightens
+                live = np.isin(ids0, tomb, invert=True)
+                ids0, tfs0, dls0 = ids0[live], tfs0[live], dls0[live]
             s0 = idf_b[t0] * (tfs0 / (tfs0 + K1 * (
                 1.0 - B + B * dls0.astype(np.float64) / avgdl)))
             theta = (float(np.partition(s0, s0.size - k)[s0.size - k])
@@ -272,9 +286,9 @@ class SearchEngine:
                     tail -= ub
                 else:
                     break
-            cand = np.unique(np.concatenate(
+            cand = _mask_tombstones(np.unique(np.concatenate(
                 [ids0] + [_decode_full_term(per_term[t])
-                          for t in essential[1:]]))
+                          for t in essential[1:]])), tomb)
             score, _ = _score_candidates(all_terms, idf_b, per_term,
                                          cand, avgdl)
             cand, score = _topk_local(cand, score, k)
@@ -391,6 +405,14 @@ def _score_candidates(terms, idf_b, per_term, cand, avgdl):
     return score, present
 
 
+def _mask_tombstones(cand: np.ndarray, tomb: np.ndarray) -> np.ndarray:
+    if tomb.size == 0 or cand.size == 0:
+        return cand
+    pos = np.searchsorted(tomb, cand)
+    pos_c = np.minimum(pos, tomb.size - 1)
+    return cand[tomb[pos_c] != cand]
+
+
 def _topk_local(cand, score, k):
     if cand.size > k:
         order = np.lexsort((cand, -score))[:k]
@@ -424,6 +446,7 @@ def search_many(engine: SearchEngine, queries: dict[str, str],
         F.broadcast(engine._ts_for(all_terms)), "term")
     n_docs, avgdl = engine.n_docs, engine.avgdl
     qt_b = dict(qterms)
+    tomb = engine.tombstones
 
     def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
         idf_b = {t: bm25_idf(n_docs, int(df_))
@@ -440,7 +463,8 @@ def search_many(engine: SearchEngine, queries: dict[str, str],
             dead = False
             for t in order:
                 if cand is None:
-                    cand = _decode_full_term(per_term[t])
+                    cand = _mask_tombstones(
+                        _decode_full_term(per_term[t]), tomb)
                 else:
                     hit = np.zeros(cand.size, dtype=bool)
                     for seg in per_term[t]:

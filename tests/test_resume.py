@@ -58,3 +58,51 @@ def test_stats_are_global(spark, tmp_path):
     assert stats["n_docs"] == 150
     want_avgdl = sum(len(c.split()) for c in pdf["content"]) / 150
     assert math.isclose(stats["avgdl"], want_avgdl, rel_tol=1e-12)
+
+
+def test_delete_and_update(spark, tmp_path):
+    """Tombstone deletes mask results on every scorer path; an update
+    is delete + incremental append under a new docID."""
+    from auctus_spark.corpus import generate_corpus
+    from auctus_spark.index.build import IndexBuilder, delete_docs
+    from auctus_spark.query.bm25 import SearchEngine, search_many
+    from auctus_spark.streaming.incremental import incremental_update
+
+    pdf = generate_corpus(300, min_tokens=20, max_tokens=100,
+                          vocab_size=500)
+    out = str(tmp_path / "idx")
+    b = IndexBuilder(spark, out, doc_bucket=128, chunk_docs=1 << 20,
+                     term_buckets=4)
+    b.build(spark.createDataFrame(pdf))
+    eng = SearchEngine(spark, out, term_buckets=4)
+    before = [(int(r.doc_id), float(r.score))
+              for r in eng.search_wand("import", k=50).collect()]
+    victims = [before[0][0], before[3][0]]
+    delete_docs(spark, out, victims)
+
+    eng2 = SearchEngine(spark, out, term_buckets=4)
+    want = [(d, s) for d, s in
+            [(int(r.doc_id), float(r.score))
+             for r in eng.search_wand("import", k=52).collect()]
+            if d not in victims][:50]
+    got = [(int(r.doc_id), float(r.score))
+           for r in eng2.search_wand("import", k=50).collect()]
+    assert got == want
+    assert all(d not in victims for d, _ in got)
+    # OR path and exhaustive path also mask
+    got_or = [int(r.doc_id)
+              for r in eng2.search_or("import", k=50).collect()]
+    assert all(d not in victims for d in got_or)
+    got_ex = [int(r.doc_id) for r in eng2.search("import", k=50).collect()]
+    assert all(d not in victims for d in got_ex)
+    # batched path
+    sm = search_many(eng2, {"q": "import"}, k=50).collect()
+    assert all(int(r.doc_id) not in victims for r in sm)
+
+    # update = delete + append new version under a fresh docID in a
+    # NEW chunk range (increment granularity = chunk)
+    new = generate_corpus(1, min_tokens=20, max_tokens=40, vocab_size=500,
+                          start_doc_id=1 << 20)
+    incremental_update(b, spark.createDataFrame(new))
+    eng3 = SearchEngine(spark, out, term_buckets=4)
+    assert eng3.n_docs == 301  # stats refreshed at rebuild
