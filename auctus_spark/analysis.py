@@ -142,3 +142,22 @@ def analyze_query(query: str, synonyms: dict[str, Iterable[str]] | None = None) 
             for syn in synonyms[tok]:
                 seen.setdefault(syn, None)
     return list(seen)
+
+
+_HTML_TAG_RE = re.compile(r"<[^>]+>")
+_HTML_LINK_RE = re.compile(r"<a\s[^>]*href=[\"']?([^\"' >]+)[\"']?[^>]*>",
+                           re.IGNORECASE)
+_HTML_ENTITIES = {"&amp;": "&", "&lt;": "<", "&gt;": ">", "&quot;": '"',
+                  "&#39;": "'", "&nbsp;": " "}
+
+
+def strip_html(text: str) -> str:
+    """HTML removal for description fields (reference
+    ``lib_core/datamart_core/common.py:296-336``: link/tag/entity
+    removal before indexing).  Links are replaced by their href so the
+    URL tokens remain searchable."""
+    out = _HTML_LINK_RE.sub(r" \1 ", text)
+    out = _HTML_TAG_RE.sub(" ", out)
+    for ent, ch in _HTML_ENTITIES.items():
+        out = out.replace(ent, ch)
+    return re.sub(r"\s+", " ", out).strip()

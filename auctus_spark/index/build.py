@@ -317,11 +317,15 @@ def _encode_batch(doc_ids_all: np.ndarray, content, doc_bucket: int):
 
 
 def _tokenize_encode_factory(doc_bucket: int,
-                             max_batch_bytes: int = 48 << 20):
+                             max_batch_bytes: int | None = None):
     """mapInArrow body with byte-budgeted sub-batching: each incoming
     RecordBatch is sliced to ~48 MB of content before tokenizing so
     peak memory stays flat regardless of Arrow batch size x
     concurrency."""
+    if max_batch_bytes is None:
+        max_batch_bytes = int(os.environ.get(
+            "AUCTUS_TOKENIZE_BATCH_BYTES", str(16 << 20)))
+
     def run(batches):
         import pyarrow as pa
         for rb in batches:

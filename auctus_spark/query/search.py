@@ -165,3 +165,24 @@ def augmentation_search(join_results: DataFrame, union_results: DataFrame,
     u = union_results.select(F.col("id"), F.col("score"),
                              F.lit("union").alias("kind"))
     return interleave_results(j.unionByName(u), kind_col="kind", k=k)
+
+
+def keyword_filter_boost(docs: DataFrame, query: str, weight: float = 10.0,
+                         id_col: str = "doc_id", text_col: str = "text"
+                         ) -> DataFrame:
+    """function_score-with-filter semantics (reference
+    ``search/__init__.py:112-161``: sup-index keyword match wrapped as
+    ``{filter: multi_match..., weight: 10}``): score = ``weight`` when
+    the conjunctive keyword filter matches, else the doc is dropped."""
+    from ..analysis import analyze_query
+    from ..pipeline import tokens
+    terms = analyze_query(query)
+    if not terms:
+        return docs.sparkSession.createDataFrame(
+            [], f"{id_col} long, score double")
+    tok = tokens(docs, id_col, text_col).filter(F.col("term").isin(terms))
+    hits = (tok.groupBy("doc_id")
+            .agg(F.count_distinct("term").alias("nt"))
+            .filter(F.col("nt") == len(terms)))
+    return hits.select(F.col("doc_id").alias(id_col),
+                       F.lit(float(weight)).alias("score"))

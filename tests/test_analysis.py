@@ -47,3 +47,13 @@ def test_term_frequencies():
 def test_analyze_query_dedup_order():
     assert analyze_query("Foo foo BAR foo") == ["foo", "bar"]
     assert analyze_query("color", {"color": ["colour"]}) == ["color", "colour"]
+
+
+def test_strip_html():
+    from auctus_spark.analysis import strip_html
+    html = ('<p>Hello <b>world</b> &amp; friends, see '
+            '<a href="http://x.org/data">here</a>!</p>')
+    out = strip_html(html)
+    assert "<" not in out and "&amp;" not in out
+    assert "Hello world & friends" in out
+    assert "http://x.org/data" in out  # href kept searchable

@@ -97,3 +97,13 @@ def test_augmentation_interleave(spark):
     u = spark.createDataFrame([("u1", 0.8)], "id string, score double")
     got = [r.id for r in augmentation_search(j, u, k=3).collect()]
     assert got == ["j1", "u1", "j2"]
+
+
+def test_keyword_filter_boost(spark):
+    from auctus_spark.query.search import keyword_filter_boost
+    df = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "alpha"), (3, "gamma")],
+        "doc_id long, text string")
+    got = {r.doc_id: r.score
+           for r in keyword_filter_boost(df, "alpha beta").collect()}
+    assert got == {1: 10.0}  # conjunctive filter, constant weight
