@@ -404,21 +404,45 @@ class IndexBuilder:
                 _tokenize_encode_factory(self.doc_bucket),
                 schema=PARTIAL_SCHEMA)
             pdir = os.path.join(self.paths.partials, f"chunk={chunk}")
-            partials.write.mode("overwrite").parquet(pdir)
-            markers = (self.spark.read.parquet(pdir)
-                       .filter(F.col("term").isNull()))
-            lineage = (markers.agg(
-                F.sum("n_docs").alias("n_docs"),
-                F.sum("tf_sum").alias("total_tokens"),
-                F.min("doc_id_min").alias("doc_id_min"),
-                F.max("doc_id_max").alias("doc_id_max"),
-                F.sum("sha_rollup").cast("decimal(38,0)")
-                .alias("sha_rollup"))
-                .withColumn("chunk", F.lit(chunk)))
-            lineage.coalesce(1).write.mode("overwrite").parquet(
-                os.path.join(self.paths.lineage, f"chunk={chunk}"))
+            # lineage metrics ride along the write job itself
+            # (Observation API) — no separate scan; the lineage row is
+            # then committed LAST with a driver-side pyarrow write
+            from pyspark.sql import Observation
+            obs = Observation(f"lineage_chunk_{chunk}")
+            mk = F.col("term").isNull()
+            observed = partials.observe(
+                obs,
+                F.sum(F.when(mk, F.col("n_docs"))).alias("n_docs"),
+                F.sum(F.when(mk, F.col("tf_sum"))).alias("total_tokens"),
+                F.min(F.when(mk, F.col("doc_id_min"))).alias("doc_id_min"),
+                F.max(F.when(mk, F.col("doc_id_max"))).alias("doc_id_max"),
+                F.sum(F.when(mk, F.col("sha_rollup")))
+                .cast("decimal(38,0)").alias("sha_rollup"))
+            observed.write.mode("overwrite").parquet(pdir)
+            m = obs.get
+            self._write_lineage_row(chunk, m)
             built.append(chunk)
         return built
+
+    def _write_lineage_row(self, chunk: int, m: dict) -> None:
+        import decimal
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        ldir = os.path.join(self.paths.lineage, f"chunk={chunk}")
+        os.makedirs(ldir, exist_ok=True)
+        tbl = pa.table({
+            "n_docs": pa.array([int(m["n_docs"])], pa.int64()),
+            "total_tokens": pa.array([int(m["total_tokens"])], pa.int64()),
+            "doc_id_min": pa.array([int(m["doc_id_min"])], pa.int64()),
+            "doc_id_max": pa.array([int(m["doc_id_max"])], pa.int64()),
+            # NB: no 'chunk' column in the file — the hive-style
+            # directory name carries it (duplicate would break reads)
+            "sha_rollup": pa.array(
+                [decimal.Decimal(int(m["sha_rollup"]))],
+                pa.decimal128(38, 0)),
+        })
+        pq.write_table(tbl, os.path.join(ldir, "lineage.parquet"))
 
     def _read_partials(self) -> DataFrame:
         return self.spark.read.option("basePath", self.paths.partials)\
@@ -427,18 +451,24 @@ class IndexBuilder:
     # ---------------- stage 2: global statistics ----------------------
 
     def finalize_stats(self) -> dict:
-        """Global (N, avgdl) from the marker rows — a metadata-only
-        scan (column-pruned, term IS NULL pushdown)."""
-        m = self._read_partials().filter(F.col("term").isNull())
-        stats = m.agg(F.sum("n_docs").alias("n_docs"),
-                      F.sum("tf_sum").alias("total_tokens")).collect()[0]
-        n_docs = int(stats["n_docs"])
-        avgdl = float(stats["total_tokens"]) / n_docs if n_docs else 0.0
-        pd_stats = pd.DataFrame([{
-            "n_docs": n_docs, "avgdl": avgdl,
-            "total_tokens": int(stats["total_tokens"])}])
-        self.spark.createDataFrame(pd_stats).coalesce(1).write.mode(
-            "overwrite").parquet(self.paths.stats)
+        """Global (N, avgdl) aggregated from the per-chunk lineage
+        table — pure driver-side pyarrow, zero Spark jobs (the lineage
+        rows were observed during the chunk writes)."""
+        import pyarrow.dataset as pads
+        import pyarrow.parquet as pq
+        ds = pads.dataset(self.paths.lineage, format="parquet",
+                          partitioning="hive")
+        t = ds.to_table(columns=["n_docs", "total_tokens"])
+        n_docs = int(sum(t["n_docs"].to_pylist()))
+        total = int(sum(t["total_tokens"].to_pylist()))
+        avgdl = total / n_docs if n_docs else 0.0
+        import pyarrow as pa
+        os.makedirs(self.paths.stats, exist_ok=True)
+        pq.write_table(pa.table({
+            "n_docs": pa.array([n_docs], pa.int64()),
+            "avgdl": pa.array([avgdl], pa.float64()),
+            "total_tokens": pa.array([total], pa.int64())}),
+            os.path.join(self.paths.stats, "stats.parquet"))
         return {"n_docs": n_docs, "avgdl": avgdl}
 
     # ---------------- stage 3: merge (pure JVM) -----------------------
