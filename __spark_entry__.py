@@ -156,7 +156,7 @@ def _q_tpch_q1(spark, sf_dir):
             .groupBy("l_returnflag", "l_linestatus")
             .agg(F.sum("l_quantity").alias("sum_qty"),
                  F.round(F.sum(F.col("l_extendedprice")
-                               * (1 - F.col("l_discount"))), 4)
+                               * (1 - F.col("l_discount"))), 2)
                  .alias("sum_disc_price"),
                  F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
                  F.count("*").alias("count_order"))
@@ -357,8 +357,8 @@ def _q_tpch_q5ish(spark, sf_dir):
             .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
             .groupBy("r_name")
             .agg(F.round(F.sum(F.col("l_extendedprice")
-                               * (1 - F.col("l_discount"))), 4)
-                 .alias("revenue"),
+                               * (1 - F.col("l_discount"))) / 1e6, 2)
+                 .alias("revenue_m"),
                  F.count("*").alias("n_items"))
             .orderBy("r_name"))
 
@@ -638,7 +638,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus,
                    sum(l_quantity) AS sum_qty,
-                   round(sum(l_extendedprice * (1 - l_discount)), 4)
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
                      AS sum_disc_price,
                    round(avg(l_quantity), 6) AS avg_qty,
                    count(*) AS count_order
@@ -741,8 +741,8 @@ def oracle_sql() -> dict[str, str]:
                    p_retailprice AS value FROM part""",
         "tpch_q5ish": """
             SELECT r_name,
-                   round(sum(l_extendedprice * (1 - l_discount)), 4)
-                     AS revenue,
+                   round(sum(l_extendedprice * (1 - l_discount)) / 1e6, 2)
+                     AS revenue_m,
                    count(*) AS n_items
             FROM region
             JOIN nation ON r_regionkey = n_regionkey

@@ -75,6 +75,18 @@ def main():
     results["build"] = round(r["build_sec"], 3)
     extra["files_per_sec"] = round(r["files_per_sec"], 1)
 
+    def _du(path):
+        total = 0
+        for root, _, files in os.walk(path):
+            total += sum(os.path.getsize(os.path.join(root, f))
+                         for f in files)
+        return total
+    corpus_b = _du(os.path.join(work, f"corpus_{N_DOCS}"))
+    seg_b = _du(os.path.join(idx_dir, "segments"))
+    extra["corpus_mb"] = round(corpus_b / 2**20, 1)
+    extra["segments_mb"] = round(seg_b / 2**20, 1)
+    extra["index_to_corpus_ratio"] = round(seg_b / max(corpus_b, 1), 3)
+
     # --- index-path BM25 query latency (p95 over query set x reps) ---
     from auctus_spark.query.bm25 import SearchEngine
     eng = SearchEngine(spark, idx_dir, term_buckets=64)
