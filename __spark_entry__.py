@@ -439,6 +439,56 @@ def _q_bm25_batched(spark, sf_dir):
                       F.round("score", 6).alias("score"))
 
 
+def _q_bm25_multifield(spark, sf_dir):
+    """Field-boosted multi_match (reference search/__init__.py:57-109:
+    id^10, name^3 shape) over documents(text^1, source^5)."""
+    return pipeline.bm25_multifield_topk(
+        _docs(spark, sf_dir), "join src3",
+        boosts={"text": 1.0, "source": 5.0}, k=50, round_to=6)
+
+
+def _multifield_sql(terms: list[str], fields: list[tuple[str, float]],
+                    k: int = 50) -> str:
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    ctes, contribs = [], []
+    for fcol, boost in fields:
+        ctes.append(f"""
+tok_{fcol} AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower({fcol}),
+         '{SPLIT_PATTERN}')) AS term
+  FROM documents WHERE {fcol} IS NOT NULL),
+tok2_{fcol} AS (SELECT * FROM tok_{fcol} WHERE term <> ''),
+dl_{fcol} AS (SELECT doc_id, count(*) AS dl FROM tok2_{fcol}
+              GROUP BY doc_id),
+st_{fcol} AS (
+  SELECT (SELECT count(*) FROM documents
+          WHERE {fcol} IS NOT NULL) AS n_docs,
+         (SELECT count(*) FROM tok2_{fcol}) * 1.0
+           / (SELECT count(*) FROM documents
+              WHERE {fcol} IS NOT NULL) AS avgdl),
+tf_{fcol} AS (SELECT doc_id, term, count(*) AS tf FROM tok2_{fcol}
+              WHERE term IN ({tlist}) GROUP BY doc_id, term),
+df_{fcol} AS (SELECT term, count(*) AS df FROM tf_{fcol} GROUP BY term)""")
+        contribs.append(f"""
+  SELECT tf.doc_id, tf.term,
+         {boost} * ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+           * (tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)))
+           AS contrib
+  FROM tf_{fcol} tf JOIN df_{fcol} df USING (term)
+  JOIN dl_{fcol} dl USING (doc_id) CROSS JOIN st_{fcol} s""")
+    return f"""
+WITH {','.join(ctes)},
+allc AS ({' UNION ALL '.join(contribs)}),
+agg AS (
+  SELECT doc_id, sum(contrib) AS raw_score,
+         count(DISTINCT term) AS nt
+  FROM allc GROUP BY doc_id)
+SELECT doc_id, round(raw_score, 6) AS score
+FROM agg WHERE nt = {len(terms)}
+ORDER BY raw_score DESC, doc_id ASC LIMIT {k}
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk_hot": _q_bm25_hot,
@@ -473,6 +523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_or": _q_bm25_or,
         "bm25_index_path": _q_bm25_index_path,
         "bm25_batched": _q_bm25_batched,
+        "bm25_multifield": _q_bm25_multifield,
     }
 
 
@@ -763,6 +814,8 @@ def oracle_sql() -> dict[str, str]:
             + _bm25_sql(["data", "join"], k=20)
             + ") UNION ALL SELECT 'qb' AS query_id, * FROM ("
             + _bm25_sql(["merge", "batch"], k=20) + ")"),
+        "bm25_multifield": _multifield_sql(
+            ["join", "src3"], [("text", 1.0), ("source", 5.0)]),
         "numeric_histogram": """
             WITH mm AS (SELECT min(l_extendedprice) AS lo,
                                max(l_extendedprice) AS hi FROM lineitem),

@@ -95,8 +95,66 @@ class OracleIndex:
         scored.sort(key=lambda x: (-x[1], x[0]))
         return scored[:k]
 
-    def search_or(self, query: str, k: int = TOP_K_SIZE,
-                  k1: float = K1, b: float = B) -> list[tuple[int, float]]:
+    @classmethod
+    def build_fields(cls, docs: list[tuple[int, dict[str, str]]]
+                     ) -> dict[str, "OracleIndex"]:
+        """Per-field indices (each field has its own N, df, avgdl —
+        ES's per-field statistics model)."""
+        fields: dict[str, list[tuple[int, str]]] = {}
+        for doc_id, fvals in docs:
+            for f, text in fvals.items():
+                fields.setdefault(f, []).append((doc_id, text))
+        return {f: cls.build(rows) for f, rows in fields.items()}
+
+
+def search_multifield(field_indices: dict[str, "OracleIndex"],
+                      query: str, boosts: dict[str, float],
+                      k: int = TOP_K_SIZE) -> list[tuple[int, float]]:
+    """Multi-field keyword search with field boosts — the reference's
+    flagship query shape (``search/__init__.py:57-109``: multi_match
+    over ``id^10, description, name^3, attribute_keywords`` with
+    ``operator: and``).  Internalized as boosted sum of per-field BM25
+    with term-centric AND: every query term must appear in at least
+    one field of the doc; per-term contribution sums over the fields
+    containing it (most_fields scoring, cross_fields AND semantics).
+
+    Summation order (the bit-exact contract): for each term in query
+    order, for each field in ``boosts`` order.
+    """
+    from .analysis import analyze_query
+    terms = analyze_query(query)
+    if not terms:
+        return []
+    # candidates: docs where every term appears in >= 1 field
+    candidates: set[int] | None = None
+    for t in terms:
+        docs_t: set[int] = set()
+        for f in boosts:
+            idx = field_indices.get(f)
+            if idx:
+                docs_t |= set(idx.postings.get(t, {}))
+        candidates = docs_t if candidates is None else candidates & docs_t
+        if not candidates:
+            return []
+    scored = []
+    for d in sorted(candidates):
+        s = 0.0
+        for t in terms:
+            for f, boost in boosts.items():
+                idx = field_indices.get(f)
+                if not idx:
+                    continue
+                p = idx.postings.get(t, {})
+                if d in p:
+                    s += boost * bm25_idf(idx.n_docs, len(p)) * \
+                        bm25_tf_norm(p[d], idx.doc_len[d], idx.avgdl)
+        scored.append((d, s))
+    scored.sort(key=lambda x: (-x[1], x[0]))
+    return scored[:k]
+
+
+def _search_or(self, query: str, k: int = TOP_K_SIZE,
+               k1: float = K1, b: float = B) -> list[tuple[int, float]]:
         """Disjunctive (should) BM25 top-k: docs matching ANY query
         term; per-doc score sums contributions of present terms in
         query-term order."""
@@ -116,3 +174,6 @@ class OracleIndex:
             scored.append((d, s))
         scored.sort(key=lambda x: (-x[1], x[0]))
         return scored[:k]
+
+
+OracleIndex.search_or = _search_or

@@ -176,3 +176,77 @@ def facet_counts(docs: DataFrame, query: str, facet_col: str,
             .select("doc_id"))
     return (docs.join(hits, docs[id_col] == hits["doc_id"], "left_semi")
             .groupBy(facet_col).agg(F.count("*").alias("n")))
+
+
+def bm25_multifield_topk(docs: DataFrame, query: str,
+                         boosts: dict[str, float], k: int = TOP_K_SIZE,
+                         id_col: str = "doc_id",
+                         round_to: int | None = None) -> DataFrame:
+    """Multi-field BM25 with field boosts — the reference's flagship
+    query shape (multi_match over ``id^10, description, name^3,
+    attribute_keywords``, operator AND; search/__init__.py:57-109).
+
+    Per-field statistics (N_f over docs with the field, df_f, avgdl_f),
+    score = sum over query terms of sum over fields of
+    boost_f * idf_f(t) * tf_norm_f(t, d); AND = every term present in
+    at least one field.  Bit-exact with oracle.search_multifield
+    (same (term, field) summation order via the pivot fold).
+    """
+    spark = docs.sparkSession
+    terms = analyze_query(query)
+    empty = spark.createDataFrame([], f"{id_col} long, score double")
+    if not terms:
+        return empty
+    fields = list(boosts)
+
+    per_field = []
+    for fcol in fields:
+        fd = docs.filter(F.col(fcol).isNotNull())
+        n_f, avgdl_f = corpus_stats(fd, id_col, fcol)
+        if n_f == 0:
+            continue
+        tok = tokens(fd, id_col, fcol)
+        tf = (tok.filter(F.col("term").isin(terms))
+              .groupBy("doc_id", "term").agg(F.count("*").alias("tf")))
+        dl = doc_lengths_df(fd, id_col, fcol)
+        df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+        idf = F.log(F.lit(1.0) + (F.lit(float(n_f)) - F.col("df")
+                                  + F.lit(0.5)) / (F.col("df") + F.lit(0.5)))
+        stats = F.broadcast(df_.withColumn("idf", idf))
+        # (boost * idf) * tf_norm — grouping matches the oracle's
+        # left-associative boost * idf * tf_norm bit-for-bit
+        contrib = ((F.lit(float(boosts[fcol])) * F.col("idf")) *
+                   (F.col("tf") / (
+                       F.col("tf") + F.lit(K1) * (F.lit(1.0 - B) +
+                       F.lit(B) * F.col("dl") / F.lit(avgdl_f)))))
+        per_field.append(
+            tf.join(stats, "term").join(dl, "doc_id")
+            .select("doc_id", "term", F.lit(fcol).alias("field"),
+                    contrib.alias("contrib")))
+    if not per_field:
+        return empty
+    allc = per_field[0]
+    for x in per_field[1:]:
+        allc = allc.unionByName(x)
+    # pivot one column per (term, field) → fold in (term, field) order
+    cols = []
+    names = []
+    for i, t in enumerate(terms):
+        for j, fcol in enumerate(fields):
+            nm = f"_c{i}_{j}"
+            names.append(nm)
+            cols.append(F.max(F.when(
+                (F.col("term") == t) & (F.col("field") == fcol),
+                F.col("contrib"))).alias(nm))
+    agg = (allc.groupBy("doc_id")
+           .agg(*cols, F.count_distinct("term").alias("nt"))
+           .filter(F.col("nt") == len(terms)))
+    score = None
+    for nm in names:
+        c = F.coalesce(F.col(nm), F.lit(0.0))
+        score = c if score is None else score + c
+    if round_to is not None:
+        score = F.round(score, round_to)
+    return (agg.select(F.col("doc_id").alias(id_col), score.alias("score"))
+            .orderBy(F.desc("score"), F.asc(id_col))
+            .limit(k))

@@ -112,3 +112,23 @@ def test_search_many_batched(spark, built):
 def test_lineage_sha_invariant(spark, built):
     _, _, _, corpus, b = built
     assert b.verify_lineage(corpus)
+
+
+def test_multifield_matches_oracle(spark, built):
+    """Field-boosted multi-field BM25 (the reference's multi_match
+    shape: content + path^3) — bit-exact vs oracle."""
+    from auctus_spark.oracle import OracleIndex, search_multifield
+    from auctus_spark.pipeline import bm25_multifield_topk
+    _, _, _, corpus, _ = built
+    pdf = corpus.toPandas()
+    fi = OracleIndex.build_fields(
+        [(int(r.doc_id), {"content": r.content, "path": r.path})
+         for r in pdf.itertuples(index=False)])
+    boosts = {"content": 1.0, "path": 3.0}
+    for q in ["import", "src file_11 import", "file_7 py",
+              "zz_missing import"]:
+        want = search_multifield(fi, q, boosts, k=50)
+        got = [(int(r.doc_id), float(r.score))
+               for r in bm25_multifield_topk(
+                   corpus, q, boosts, k=50).collect()]
+        assert got == want, q
