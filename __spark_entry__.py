@@ -23,6 +23,35 @@ from auctus_spark import pipeline  # noqa: E402
 from auctus_spark.analysis import SPLIT_PATTERN  # noqa: E402
 
 
+def _ensure_workers_can_import(spark: SparkSession) -> None:
+    """The driver may create its own SparkSession without PYTHONPATH
+    pointing at this repo; index-path queries ship module-level
+    functions to Python workers, which then need to import
+    ``auctus_spark``.  Ship the package as a zip via addPyFile
+    (idempotent per session)."""
+    import zipfile
+    root = os.path.dirname(os.path.abspath(__file__))
+    zpath = "/tmp/auctus_spark_pkg.zip"
+    # regenerate once per process (a stale zip from an older run must
+    # never shadow current code)
+    if not getattr(_ensure_workers_can_import, "_zipped", False):
+        with zipfile.ZipFile(zpath, "w") as z:
+            pkg = os.path.join(root, "auctus_spark")
+            for dirpath, _, files in os.walk(pkg):
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(dirpath, f)
+                        z.write(full, os.path.relpath(full, root))
+        _ensure_workers_can_import._zipped = True
+    key = "_auctus_pyfile_added"
+    if not getattr(spark, key, False):
+        try:
+            spark.sparkContext.addPyFile(zpath)
+        except Exception:
+            pass  # already added in this context
+        setattr(spark, key, True)
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
@@ -403,6 +432,7 @@ def _q_bm25_index_path(spark, sf_dir):
     from auctus_spark.index.build import IndexBuilder
     from auctus_spark.query.bm25 import SearchEngine
 
+    _ensure_workers_can_import(spark)
     tag = _h.md5(sf_dir.encode()).hexdigest()[:10]
     idx_dir = f"/tmp/auctus_entry_index_{tag}"
     corpus = _docs(spark, sf_dir).select(
@@ -425,6 +455,7 @@ def _q_bm25_batched(spark, sf_dir):
     from auctus_spark.index.build import IndexBuilder
     from auctus_spark.query.bm25 import SearchEngine, search_many
 
+    _ensure_workers_can_import(spark)
     tag = _h.md5(sf_dir.encode()).hexdigest()[:10]
     idx_dir = f"/tmp/auctus_entry_index_{tag}"
     corpus = _docs(spark, sf_dir).select(
