@@ -439,7 +439,10 @@ def _q_bm25_index_path(spark, sf_dir):
         "doc_id", F.col("text").alias("content"))
     b = IndexBuilder(spark, idx_dir, doc_bucket=1 << 10,
                      chunk_docs=1 << 12, term_buckets=16)
-    if not _os.path.exists(_os.path.join(idx_dir, "stats")):
+    from auctus_spark.index.build import FORMAT_VERSION, read_format, wipe
+    if (not _os.path.exists(_os.path.join(idx_dir, "stats"))
+            or read_format(idx_dir) != FORMAT_VERSION):
+        wipe(idx_dir)  # stale or old-layout cache
         b.build(corpus)
     eng = SearchEngine(spark, idx_dir, term_buckets=16)
     out = eng.search_wand("data join", k=50)
@@ -462,7 +465,10 @@ def _q_bm25_batched(spark, sf_dir):
         "doc_id", F.col("text").alias("content"))
     b = IndexBuilder(spark, idx_dir, doc_bucket=1 << 10,
                      chunk_docs=1 << 12, term_buckets=16)
-    if not _os.path.exists(_os.path.join(idx_dir, "stats")):
+    from auctus_spark.index.build import FORMAT_VERSION, read_format, wipe
+    if (not _os.path.exists(_os.path.join(idx_dir, "stats"))
+            or read_format(idx_dir) != FORMAT_VERSION):
+        wipe(idx_dir)  # stale or old-layout cache
         b.build(corpus)
     eng = SearchEngine(spark, idx_dir, term_buckets=16)
     out = search_many(eng, {"qa": "data join", "qb": "merge batch"}, k=20)

@@ -7,16 +7,18 @@ shards, ``lib_core/datamart_core/common.py:451-467``) becomes two Spark
 stages, shaped by one rule: ship COMPRESSED postings across every
 boundary (the MapReduce local-indexing + merge construction):
 
-1. **tokenize+encode** — one ``mapInPandas`` pass over the corpus.
+1. **tokenize+encode** — one ``mapInArrow`` pass over the corpus.
    Per Arrow batch it tokenizes, counts term frequencies, and emits
    already-compressed PARTIAL SEGMENTS: one row per (term, doc-range
    bucket) with delta+varbyte blobs, per-block byte offsets and
    block-max metadata.  The Python→JVM return is ~100× smaller than
    raw (term, doc, tf) rows — this is what makes the stage scale with
-   cores instead of drowning in Arrow serialization.  A marker row per
-   batch (term IS NULL) carries doc-count / token-count / sha256
-   rollup aggregates for stats + lineage.  Written per *chunk* (fixed
-   docID range) → resumable: chunks with lineage rows are skipped.
+   cores instead of drowning in Arrow serialization.  Lineage metrics
+   (doc count, sha256 rollup) ride the SAME job via two Observations:
+   one on the input scan (count/min/max/sha — pure JVM expressions, no
+   per-row Python anywhere), one on the partials output (token totals
+   from segment metadata).  Written per *chunk* (fixed docID range) →
+   resumable: chunks with lineage rows are skipped.
 2. **merge** — pure JVM: repartition partials by ``term_bucket``
    (murmur3(term) % T) and sort by (term, bucket, doc_id_min) within
    partitions, written ``partitionBy(term_bucket)``.  No Python, no
@@ -32,8 +34,18 @@ block_min_dl): tf_norm is increasing in tf and decreasing in dl, so
 avgdl chosen later — encoding never needs a second pass over the
 corpus.
 
-Global stats discipline: N and avgdl come from the marker rows of ALL
-chunks (finalize_stats), df/cf per term from segment metadata
+docID-ordering contract: scorers concatenate partials of one
+(term, bucket) sorted by ``doc_id_min`` and rely on the runs being
+DISJOINT.  That holds when corpus batches arrive docID-ascending and
+task splits cover disjoint docID ranges (true for a corpus parquet
+written in docID order).  The encoder VALIDATES per-batch ascending
+order and fails loudly; for arbitrarily-ordered input pass
+``presort=True`` to range-partition + sort by doc_id first (one
+shuffle).  The query side additionally asserts run disjointness at
+decode time (``query/bm25.py:_group_partials``).
+
+Global stats discipline: N and avgdl come from the per-chunk lineage
+rows (finalize_stats), df/cf per term from segment metadata
 (finalize_term_stats) — global snapshots, required for rank identity.
 
 Iceberg note: the sandbox has no Iceberg jars; tables are parquet
@@ -44,16 +56,13 @@ commit lineage last).
 
 from __future__ import annotations
 
-import hashlib
 import os
 import shutil
 from dataclasses import dataclass
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-
 
 from .codec import BLOCK_SIZE
 
@@ -61,14 +70,43 @@ DEFAULT_DOC_BUCKET = 1 << 16      # docs per scoring bucket
 DEFAULT_CHUNK_DOCS = 1 << 20      # docs per resumable build chunk
 DEFAULT_TERM_BUCKETS = 64
 
+# on-disk layout version: bumped when PARTIAL_SCHEMA / segment layout
+# changes; readers and resumed builds fail loudly on stale indexes
+# instead of misreading them.  v2: binary-packed block metadata,
+# marker-row-free lineage.
+FORMAT_VERSION = 2
+
+
+def read_format(index_dir: str) -> int | None:
+    """Layout version of an existing index dir (None if no marker —
+    either empty dir or a pre-versioning build)."""
+    p = os.path.join(index_dir, "_FORMAT")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return int(f.read().strip())
+
+# block metadata is packed little-endian binary, not list<long>:
+# parquet + Tungsten handle flat binary far cheaper than nested lists
+# (the merge shuffle moves every one of these rows).  Byte offsets
+# within one partial's blob always fit int32 (a partial covers at most
+# one doc bucket); block_last_doc keeps int64 for 10^12-scale docIDs.
 PARTIAL_SCHEMA = (
     "term string, bucket long, n_docs long, tf_sum long, doc_id_min long, "
     "doc_id_max long, docs_blob binary, tfs_blob binary, dls_blob binary, "
-    "docs_off array<long>, tfs_off array<long>, dls_off array<long>, "
-    "block_max_tf array<long>, block_min_dl array<long>, "
-    "block_last_doc array<long>, max_tf long, min_dl long, "
-    "sha_rollup decimal(38,0)"
+    "docs_off binary, tfs_off binary, dls_off binary, "
+    "block_max_tf binary, block_min_dl binary, "
+    "block_last_doc binary, max_tf long, min_dl long"
 )
+
+def _sha_rollup_expr():
+    """JVM-side sha256 lineage rollup: first 15 hex chars (60 bits) as
+    decimal — summing 10^12 of them stays far inside decimal(38,0).
+    The SAME expression is used at build time (input Observation) and
+    in verify_lineage, and is hashlib-parity-tested in
+    tests/test_resume.py."""
+    return (F.conv(F.substring(F.sha2(F.col("content"), 256), 1, 15),
+                   16, 10).cast("decimal(38,0)"))
 
 
 @dataclass
@@ -113,95 +151,108 @@ def _arrow_schema():
             ("docs_blob", pa.binary()),
             ("tfs_blob", pa.binary()),
             ("dls_blob", pa.binary()),
-            ("docs_off", pa.list_(pa.int64())),
-            ("tfs_off", pa.list_(pa.int64())),
-            ("dls_off", pa.list_(pa.int64())),
-            ("block_max_tf", pa.list_(pa.int64())),
-            ("block_min_dl", pa.list_(pa.int64())),
-            ("block_last_doc", pa.list_(pa.int64())),
+            ("docs_off", pa.binary()),
+            ("tfs_off", pa.binary()),
+            ("dls_off", pa.binary()),
+            ("block_max_tf", pa.binary()),
+            ("block_min_dl", pa.binary()),
+            ("block_last_doc", pa.binary()),
             ("max_tf", pa.int64()),
             ("min_dl", pa.int64()),
-            ("sha_rollup", pa.decimal128(38, 0)),
         ])
     return ARROW_PARTIAL_SCHEMA
 
 
-def _marker_batch(n_batch, dl_sum, dmin, dmax, sha_sum):
-    """One-row marker RecordBatch (term IS NULL) carrying the batch's
-    doc/token counts + sha rollup for stats and lineage."""
-    import decimal
+def _tokenize_arrow(content):
+    """Tokenize a pa.StringArray: ascii_lower → RE2 split on
+    ``[^a-z0-9_]+`` → dictionary_encode, all in Arrow C++ (no per-token
+    Python objects).  Returns (codes: int32 ndarray, doc_local: int32
+    ndarray, vocab: pa.StringArray) with empty split artifacts dropped.
+    Matches ``analysis.tokenize`` — the shared index/query analyzer
+    contract."""
+    import pyarrow.compute as pc
 
-    import pyarrow as pa
-    sch = _arrow_schema()
-    vals = {
-        "term": [None], "bucket": [0], "n_docs": [int(n_batch)],
-        "tf_sum": [int(dl_sum)], "doc_id_min": [int(dmin)],
-        "doc_id_max": [int(dmax)],
-        "docs_blob": [None], "tfs_blob": [None], "dls_blob": [None],
-        "docs_off": [None], "tfs_off": [None], "dls_off": [None],
-        "block_max_tf": [None], "block_min_dl": [None],
-        "block_last_doc": [None], "max_tf": [0], "min_dl": [0],
-        # decimal.Decimal: Arrow wraps plain big ints through int64
-        "sha_rollup": [decimal.Decimal(int(sha_sum))],
-    }
-    return pa.RecordBatch.from_arrays(
-        [pa.array(vals[f.name], type=f.type) for f in sch], schema=sch)
+    n = len(content)
+    toks = pc.split_pattern_regex(pc.ascii_lower(content), "[^a-z0-9_]+")
+    flat = pc.list_flatten(toks)
+    lens = np.diff(toks.offsets.to_numpy().astype(np.int64))
+    enc = pc.dictionary_encode(flat)
+    codes = enc.indices.to_numpy()          # int32 dictionary codes
+    doc_local = np.repeat(np.arange(n, dtype=np.int32),
+                          lens.astype(np.int32))
+    vocab = enc.dictionary
+    vocab_np = vocab.to_numpy(zero_copy_only=False)
+    empty_code = np.nonzero(vocab_np == "")[0]
+    if empty_code.size:
+        keep = codes != empty_code[0]
+        codes, doc_local = codes[keep], doc_local[keep]
+    return codes, doc_local, vocab
+
+
+def _varbyte_stream(vals: np.ndarray, group_starts: np.ndarray):
+    """LEB128-encode ``vals`` as one byte stream; returns (stream,
+    per-group start offsets, per-group end offsets, per-value starts).
+    Width-adaptive (uint32 fast path) with early exit at the value
+    magnitude actually present — the encoder's hottest loop."""
+    n = len(vals)
+    vmax = int(vals.max()) if n else 0
+    dt = np.uint32 if vmax < (1 << 32) else np.uint64
+    v = vals.astype(dt)
+    maxk = 1
+    while vmax >= (1 << (7 * maxk)):
+        maxk += 1
+    nbytes = np.ones(n, dtype=np.int32)
+    for k in range(1, maxk):
+        nbytes += (v >= dt(1) << dt(7 * k)).astype(np.int32)
+    ends = np.cumsum(nbytes, dtype=np.int64)
+    starts = ends - nbytes
+    out = np.zeros(int(ends[-1]) if n else 0, dtype=np.uint8)
+    for j in range(maxk):
+        mask = nbytes > j
+        sel = v[mask] if j else v
+        st = starts[mask] if j else starts
+        nb = nbytes[mask] if j else nbytes
+        byte = ((sel >> dt(7 * j)) & dt(0x7F)).astype(np.uint8)
+        cont = ((nb - 1 > j).astype(np.uint8)) << 7
+        out[st + j] = byte | cont
+    g_off = starts[group_starts]
+    g_end = np.append(g_off[1:], int(ends[-1]) if n else 0)
+    return out, g_off, g_end, starts
 
 
 def _encode_batch(doc_ids_all: np.ndarray, content, doc_bucket: int):
-    """One corpus slice → partial-segment RecordBatch + marker batch.
+    """One corpus slice → partial-segment RecordBatch.
 
     Everything stays in Arrow/numpy: tokenization is Arrow C++
-    (ascii_lower → RE2 split → dictionary_encode — no per-token Python
-    objects), tf counting is one np.unique over packed int keys, and
-    the OUTPUT arrays are assembled with pa.ListArray.from_arrays /
-    binary-from-buffers — no per-group Python element conversion
+    (ascii_lower → RE2 split → dictionary_encode), tf counting is one
+    np.unique over packed uint32 keys, and the OUTPUT arrays are
+    assembled with binary from_buffers — no per-row Python anywhere
     (pandas→Arrow of millions of object rows was the build's largest
-    non-scaling cost).
-    ``content`` is a pa.StringArray aligned with ``doc_ids_all``.
+    non-scaling cost).  ``content`` is a pa.StringArray aligned with
+    ``doc_ids_all``, which MUST be strictly ascending (validated by
+    the caller).
     """
     import pyarrow as pa
     import pyarrow.compute as pc
 
     n_batch = len(doc_ids_all)
-
-    # sha256 over raw utf8 straight from the Arrow buffers (no copies)
-    off_buf = content.buffers()[1]
-    width = np.int64 if pa.types.is_large_string(content.type) else np.int32
-    offs_all = np.frombuffer(off_buf, dtype=width,
-                             count=n_batch + 1 + content.offset)
-    offs_c = offs_all[content.offset:]
-    data_mv = memoryview(content.buffers()[2])
-    sha_sum = sum(
-        int(hashlib.sha256(data_mv[offs_c[i]:offs_c[i + 1]])
-            .hexdigest()[:15], 16) for i in range(n_batch))
-
-    toks = pc.split_pattern_regex(pc.ascii_lower(content), "[^a-z0-9_]+")
-    flat = pc.list_flatten(toks)
-    lens = np.diff(toks.offsets.to_numpy().astype(np.int64))
-    enc = pc.dictionary_encode(flat)
-    codes = enc.indices.to_numpy().astype(np.int64)
-    vocab_arr = enc.dictionary
-
-    doc_local = np.repeat(np.arange(n_batch, dtype=np.int64), lens)
-    # drop empty tokens (split artifacts at string edges)
-    vocab_np = vocab_arr.to_numpy(zero_copy_only=False)
-    empty_code = np.nonzero(vocab_np == "")[0]
-    if empty_code.size:
-        keep = codes != empty_code[0]
-        codes, doc_local = codes[keep], doc_local[keep]
+    codes, doc_local, vocab_arr = _tokenize_arrow(content)
     dl_per_doc = np.bincount(doc_local, minlength=n_batch).astype(np.int64)
-
-    marker = _marker_batch(n_batch, dl_per_doc.sum(), doc_ids_all.min(),
-                           doc_ids_all.max(), sha_sum)
-    if codes.size == 0:
-        return None, marker
+    if len(codes) == 0:
+        return None
 
     # group order is dictionary (first-occurrence) order — groups only
     # need to be CONTIGUOUS with ascending docIDs (the JVM merge
     # re-sorts globally by term); batch rows arrive docID-ascending
-    key = codes * n_batch + doc_local
-    skey, tfs = np.unique(key, return_counts=True)
+    n_vocab = len(vocab_arr)
+    if n_vocab * n_batch + n_batch < (1 << 32):
+        key = (codes.astype(np.uint32) * np.uint32(n_batch)
+               + doc_local.astype(np.uint32))
+        skey, tfs = np.unique(key, return_counts=True)
+        skey = skey.astype(np.int64)
+    else:
+        key = codes.astype(np.int64) * n_batch + doc_local
+        skey, tfs = np.unique(key, return_counts=True)
     tcode = skey // n_batch
     dloc = skey % n_batch
     doc_ids = doc_ids_all[dloc].astype(np.int64)
@@ -222,29 +273,9 @@ def _encode_batch(doc_ids_all: np.ndarray, content, doc_bucket: int):
     not_bs = ~block_start
     deltas[not_bs] = doc_ids[not_bs] - doc_ids[np.nonzero(not_bs)[0] - 1]
 
-    def _stream(vals):
-        v = vals.astype(np.uint64)
-        nbytes = np.ones(n, dtype=np.int64)
-        for k in range(1, 10):
-            nbytes += (v >= np.uint64(1) << np.uint64(7 * k)).astype(np.int64)
-        ends = np.cumsum(nbytes)
-        starts = ends - nbytes
-        out = np.zeros(int(ends[-1]), dtype=np.uint8)
-        for j in range(10):
-            mask = nbytes > j
-            if not mask.any():
-                break
-            byte = ((v[mask] >> np.uint64(7 * j)) & np.uint64(0x7F)
-                    ).astype(np.uint8)
-            cont = (nbytes[mask] - 1 > j).astype(np.uint8) << 7
-            out[starts[mask] + j] = byte | cont
-        g_off = starts[group_starts]
-        g_end = np.append(g_off[1:], int(ends[-1]))
-        return out, g_off, g_end, starts
-
-    docs_s, docs_o, docs_e, docs_pv = _stream(deltas)
-    tfs_s, tfs_o, tfs_e, tfs_pv = _stream(tfs)
-    dls_s, dls_o, dls_e, dls_pv = _stream(dls)
+    docs_s, docs_o, docs_e, docs_pv = _varbyte_stream(deltas, group_starts)
+    tfs_s, tfs_o, tfs_e, tfs_pv = _varbyte_stream(tfs, group_starts)
+    dls_s, dls_o, dls_e, dls_pv = _varbyte_stream(dls, group_starts)
 
     bstart_idx = np.nonzero(block_start)[0]
     blk_max_tf = np.maximum.reduceat(tfs, bstart_idx)
@@ -257,38 +288,33 @@ def _encode_batch(doc_ids_all: np.ndarray, content, doc_bucket: int):
 
     ng = len(group_starts)
     nb = len(bstart_idx)
-    import pyarrow as pa  # noqa: F811
 
-    def _binary(stream, g_off, g_end):
-        # zero-copy binary column: offsets into the shared byte stream
+    def _binary(stream, g_off, g_end, itemsize=1):
+        # zero-copy binary column: byte offsets into a shared stream
         offsets = np.empty(ng + 1, dtype=np.int32)
-        offsets[:-1] = g_off
-        offsets[-1] = g_end[-1]
+        offsets[:-1] = g_off * itemsize
+        offsets[-1] = g_end[-1] * itemsize
         return pa.Array.from_buffers(
             pa.binary(), ng,
             [None, pa.py_buffer(offsets.tobytes()),
              pa.py_buffer(stream.tobytes())])
 
-    def _offsets_list(pv, g_off, g_end):
-        # per-group list of block byte offsets (group-relative, with an
-        # end sentinel) — built as one flat values array + list offsets
-        nblk_per_g = np.diff(blk_bounds)
-        vals = np.empty(nb + ng, dtype=np.int64)
-        # positions of block entries and sentinels in the flat array
+    nblk_per_g = np.diff(blk_bounds)
+
+    def _offsets_binary(pv, g_off, g_end):
+        # per-group int32 block byte offsets (group-relative, with an
+        # end sentinel), packed little-endian into one binary column
+        vals = np.empty(nb + ng, dtype=np.int32)
         blk_pos = np.arange(nb) + np.repeat(np.arange(ng), nblk_per_g)
-        sent_pos = blk_bounds[1:] + np.arange(1, ng + 1) - 1 + 1
         base = np.repeat(g_off, nblk_per_g)
         vals[blk_pos] = pv[bstart_idx] - base
-        # sentinel (total byte length) closes each group's offset list
         vals[blk_bounds[1:] + np.arange(ng)] = g_end - g_off
-        list_off = (blk_bounds + np.arange(ng + 1)).astype(np.int32)
-        return pa.ListArray.from_arrays(pa.array(list_off),
-                                        pa.array(vals, type=pa.int64()))
+        ent_off = blk_bounds + np.arange(ng + 1)  # entries per group
+        return _binary(vals, ent_off[:-1], ent_off[1:], itemsize=4)
 
-    def _block_list(values):
-        list_off = blk_bounds.astype(np.int32)
-        return pa.ListArray.from_arrays(pa.array(list_off),
-                                        pa.array(values, type=pa.int64()))
+    def _block_binary(values, dtype):
+        return _binary(values.astype(dtype), blk_bounds[:-1],
+                       blk_bounds[1:], itemsize=dtype().itemsize)
 
     sch = _arrow_schema()
     tf_csum = np.concatenate([[0], np.cumsum(tfs)])
@@ -303,39 +329,46 @@ def _encode_batch(doc_ids_all: np.ndarray, content, doc_bucket: int):
         _binary(docs_s, docs_o, docs_e),
         _binary(tfs_s, tfs_o, tfs_e),
         _binary(dls_s, dls_o, dls_e),
-        _offsets_list(docs_pv, docs_o, docs_e),
-        _offsets_list(tfs_pv, tfs_o, tfs_e),
-        _offsets_list(dls_pv, dls_o, dls_e),
-        _block_list(blk_max_tf),
-        _block_list(blk_min_dl),
-        _block_list(blk_last),
+        _offsets_binary(docs_pv, docs_o, docs_e),
+        _offsets_binary(tfs_pv, tfs_o, tfs_e),
+        _offsets_binary(dls_pv, dls_o, dls_e),
+        _block_binary(blk_max_tf, np.int32),
+        _block_binary(blk_min_dl, np.int32),
+        _block_binary(blk_last, np.int64),
         pa.array(seg_max_tf.astype(np.int64)),
         pa.array(seg_min_dl.astype(np.int64)),
-        pa.nulls(ng, type=pa.decimal128(38, 0)),
     ]
-    return pa.RecordBatch.from_arrays(arrays, schema=sch), marker
+    return pa.RecordBatch.from_arrays(arrays, schema=sch)
 
 
 def _tokenize_encode_factory(doc_bucket: int,
                              max_batch_bytes: int | None = None):
     """mapInArrow body with byte-budgeted sub-batching: each incoming
-    RecordBatch is sliced to ~48 MB of content before tokenizing so
+    RecordBatch is sliced to ~16 MB of content before tokenizing so
     peak memory stays flat regardless of Arrow batch size x
-    concurrency."""
+    concurrency.  Validates the docID-ordering contract per batch."""
     if max_batch_bytes is None:
         max_batch_bytes = int(os.environ.get(
             "AUCTUS_TOKENIZE_BATCH_BYTES", str(16 << 20)))
 
     def run(batches):
         import pyarrow as pa
+        import pyarrow.compute as pc
         for rb in batches:
             n = rb.num_rows
             if not n:
                 continue
+            doc_ids = rb.column(
+                rb.schema.get_field_index("doc_id")).to_numpy()
+            if n > 1 and not np.all(np.diff(doc_ids) > 0):
+                raise ValueError(
+                    "corpus batch is not strictly docID-ascending; the "
+                    "index layout requires docID-ordered input — pass "
+                    "IndexBuilder(..., presort=True) to range-partition "
+                    "and sort by doc_id first")
             content = rb.column(rb.schema.get_field_index("content"))
             if isinstance(content, pa.ChunkedArray):
                 content = content.combine_chunks()
-            import pyarrow.compute as pc
             sizes = pc.binary_length(content).to_numpy()
             cuts, acc = [0], 0
             for i, sz in enumerate(sizes):
@@ -345,14 +378,11 @@ def _tokenize_encode_factory(doc_bucket: int,
                     acc = 0
             if cuts[-1] != n:
                 cuts.append(n)
-            doc_ids = rb.column(
-                rb.schema.get_field_index("doc_id")).to_numpy()
             for lo, hi in zip(cuts[:-1], cuts[1:]):
-                segs, marker = _encode_batch(
+                segs = _encode_batch(
                     doc_ids[lo:hi], content.slice(lo, hi - lo), doc_bucket)
                 if segs is not None:
                     yield segs
-                yield marker
     return run
 
 
@@ -361,65 +391,132 @@ def read_corpus_chunk(corpus: DataFrame, lo: int, hi: int) -> DataFrame:
 
 
 class IndexBuilder:
-    """Chunked, resumable index build over a code_files corpus."""
+    """Chunked, resumable index build over a code_files corpus.
+
+    ``presort=True`` adds one repartitionByRange+sort on doc_id before
+    stage 1 — required when the input is not already docID-ordered
+    (the encoder fails loudly on unsorted batches either way).
+    """
 
     def __init__(self, spark: SparkSession, out_dir: str,
                  doc_bucket: int = DEFAULT_DOC_BUCKET,
                  chunk_docs: int = DEFAULT_CHUNK_DOCS,
-                 term_buckets: int = DEFAULT_TERM_BUCKETS):
+                 term_buckets: int = DEFAULT_TERM_BUCKETS,
+                 presort: bool = False):
         self.spark = spark
         self.paths = IndexPaths(out_dir)
         self.doc_bucket = doc_bucket
         self.chunk_docs = chunk_docs
         self.term_buckets = term_buckets
+        self.presort = presort
 
     # ---------------- stage 1: tokenize+encode, chunked + resumable ---
 
-    def _done_chunks(self) -> set[int]:
+    def _check_or_stamp_format(self) -> None:
+        v = read_format(self.paths.base)
+        if v is None:
+            if os.path.exists(self.paths.lineage):
+                raise ValueError(
+                    f"index at {self.paths.base} predates layout "
+                    f"versioning — wipe() and rebuild (current format "
+                    f"v{FORMAT_VERSION})")
+            os.makedirs(self.paths.base, exist_ok=True)
+            with open(os.path.join(self.paths.base, "_FORMAT"), "w") as f:
+                f.write(str(FORMAT_VERSION))
+        elif v != FORMAT_VERSION:
+            raise ValueError(
+                f"index at {self.paths.base} has layout v{v}, this build "
+                f"is v{FORMAT_VERSION} — wipe() and rebuild")
+
+    def _lineage_rows(self) -> dict[int, dict]:
+        """chunk → lineage metrics, read driver-side (tiny table)."""
         try:
-            rows = self.spark.read.parquet(self.paths.lineage).select(
-                "chunk").distinct().collect()
-            return {r["chunk"] for r in rows}
+            import pyarrow.dataset as pads
+            ds = pads.dataset(self.paths.lineage, format="parquet",
+                              partitioning="hive")
+            t = ds.to_table()
         except Exception:
-            return set()
+            return {}
+        out = {}
+        for i in range(t.num_rows):
+            row = {c: t[c][i].as_py() for c in t.column_names}
+            out[int(row["chunk"])] = row
+        return out
+
+    def _chunk_counts(self, corpus: DataFrame) -> dict[int, dict]:
+        """One doc_id-column aggregate: per-chunk (count, min, max).
+        Drives the chunk loop (empty ranges are never scanned) and the
+        resume overlap check."""
+        rows = (corpus
+                .groupBy(F.expr(f"doc_id div {self.chunk_docs}")
+                         .alias("chunk"))
+                .agg(F.count("*").alias("n_docs"),
+                     F.min("doc_id").alias("lo"),
+                     F.max("doc_id").alias("hi"))
+                .collect())
+        return {int(r["chunk"]): {"n_docs": int(r["n_docs"]),
+                                  "lo": int(r["lo"]), "hi": int(r["hi"])}
+                for r in rows}
 
     def tokenize_chunks(self, corpus: DataFrame, resume: bool = True
                         ) -> list[int]:
-        """Run stage 1 for every chunk not in lineage; returns chunk
-        ids built this call.  Lineage row committed LAST per chunk."""
-        bounds = corpus.agg(F.min("doc_id").alias("lo"),
-                            F.max("doc_id").alias("hi")).collect()[0]
-        if bounds["lo"] is None:
+        """Run stage 1 for every non-empty chunk not in lineage;
+        returns chunk ids built this call.  Lineage row committed LAST
+        per chunk.  Raises if ``resume`` finds new rows inside an
+        already-committed chunk (appends must land in new docID
+        ranges — chunk-granular exactly-once)."""
+        self._check_or_stamp_format()
+        counts = self._chunk_counts(corpus)
+        if not counts:
             return []
-        done = self._done_chunks() if resume else set()
+        done = self._lineage_rows() if resume else {}
         built = []
-        first = int(bounds["lo"]) // self.chunk_docs
-        last = int(bounds["hi"]) // self.chunk_docs
-        for chunk in range(first, last + 1):
+        if self.presort:
+            n_part = max(self.spark.sparkContext.defaultParallelism, 2)
+            corpus = (corpus.repartitionByRange(n_part, "doc_id")
+                      .sortWithinPartitions("doc_id"))
+        for chunk in sorted(counts):
+            c = counts[chunk]
             if chunk in done:
+                lin = done[chunk]
+                if (c["n_docs"] != lin["n_docs"]
+                        or c["lo"] != lin["doc_id_min"]
+                        or c["hi"] != lin["doc_id_max"]):
+                    raise ValueError(
+                        f"chunk {chunk} is already committed with "
+                        f"n_docs={lin['n_docs']} range=[{lin['doc_id_min']},"
+                        f"{lin['doc_id_max']}] but the input now has "
+                        f"n_docs={c['n_docs']} range=[{c['lo']},{c['hi']}] "
+                        "— appends inside a committed chunk are not "
+                        "applied; new documents must use docIDs beyond "
+                        "the last committed chunk")
                 continue
             lo = chunk * self.chunk_docs
             cslice = read_corpus_chunk(corpus, lo, lo + self.chunk_docs)
-            partials = cslice.select("doc_id", "content").mapInArrow(
-                _tokenize_encode_factory(self.doc_bucket),
-                schema=PARTIAL_SCHEMA)
-            pdir = os.path.join(self.paths.partials, f"chunk={chunk}")
+            inp = cslice.select("doc_id", "content")
             # lineage metrics ride along the write job itself
-            # (Observation API) — no separate scan; the lineage row is
+            # (Observation API) — no separate scan, no per-row Python:
+            # count/min/max/sha256-rollup observed on the INPUT scan,
+            # token totals on the partials output; the lineage row is
             # then committed LAST with a driver-side pyarrow write
             from pyspark.sql import Observation
-            obs = Observation(f"lineage_chunk_{chunk}")
-            mk = F.col("term").isNull()
+            obs_in = Observation(f"lineage_in_{chunk}")
+            inp = inp.observe(
+                obs_in,
+                F.count(F.lit(1)).alias("n_docs"),
+                F.min("doc_id").alias("doc_id_min"),
+                F.max("doc_id").alias("doc_id_max"),
+                F.sum(_sha_rollup_expr()).cast("decimal(38,0)")
+                .alias("sha_rollup"))
+            partials = inp.mapInArrow(
+                _tokenize_encode_factory(self.doc_bucket),
+                schema=PARTIAL_SCHEMA)
+            obs_out = Observation(f"lineage_out_{chunk}")
             observed = partials.observe(
-                obs,
-                F.sum(F.when(mk, F.col("n_docs"))).alias("n_docs"),
-                F.sum(F.when(mk, F.col("tf_sum"))).alias("total_tokens"),
-                F.min(F.when(mk, F.col("doc_id_min"))).alias("doc_id_min"),
-                F.max(F.when(mk, F.col("doc_id_max"))).alias("doc_id_max"),
-                F.sum(F.when(mk, F.col("sha_rollup")))
-                .cast("decimal(38,0)").alias("sha_rollup"))
+                obs_out, F.sum("tf_sum").alias("total_tokens"))
+            pdir = os.path.join(self.paths.partials, f"chunk={chunk}")
             observed.write.mode("overwrite").parquet(pdir)
-            m = obs.get
+            m = {**obs_in.get, **obs_out.get}
             self._write_lineage_row(chunk, m)
             built.append(chunk)
         return built
@@ -433,7 +530,8 @@ class IndexBuilder:
         os.makedirs(ldir, exist_ok=True)
         tbl = pa.table({
             "n_docs": pa.array([int(m["n_docs"])], pa.int64()),
-            "total_tokens": pa.array([int(m["total_tokens"])], pa.int64()),
+            "total_tokens": pa.array([int(m["total_tokens"] or 0)],
+                                     pa.int64()),
             "doc_id_min": pa.array([int(m["doc_id_min"])], pa.int64()),
             "doc_id_max": pa.array([int(m["doc_id_max"])], pa.int64()),
             # NB: no 'chunk' column in the file — the hive-style
@@ -481,8 +579,7 @@ class IndexBuilder:
 
         ``avgdl`` is accepted for API compatibility; block-max metadata
         is avgdl-free (bounds from (max_tf, min_dl))."""
-        parts = self._read_partials().filter(F.col("term").isNotNull()) \
-            .drop("sha_rollup", "chunk")
+        parts = self._read_partials().drop("chunk")
         parts = parts.withColumn(
             "term_bucket", F.pmod(F.hash("term"), F.lit(self.term_buckets)))
         n_part = max(self.spark.sparkContext.defaultParallelism,
@@ -515,9 +612,7 @@ class IndexBuilder:
     def verify_lineage(self, corpus: DataFrame) -> bool:
         """Per-row invariant (BASELINE.json): sha256(content) rollup of
         the corpus equals the rollup recorded in the index lineage."""
-        corp = corpus.select(
-            F.conv(F.substring(F.sha2("content", 256), 1, 15), 16, 10)
-            .cast("decimal(38,0)").alias("h"))
+        corp = corpus.select(_sha_rollup_expr().alias("h"))
         expect = corp.agg(F.sum("h").alias("s"),
                           F.count("*").alias("n")).collect()[0]
         lin = self.spark.read.parquet(self.paths.lineage).agg(
@@ -535,6 +630,13 @@ def wipe(out_dir: str) -> None:
 # deletes / updates (Lucene-style tombstones)
 # ---------------------------------------------------------------------
 
+# Driver-side tombstone mask cap: the numpy mask used inside the
+# bucket scorers is loaded with a documented size limit; past it the
+# exhaustive anti-join path (SearchEngine.search) remains correct and
+# deletes should be compacted into a rebuild (like Lucene forceMerge).
+MAX_TOMBSTONE_MASK = 1 << 22
+
+
 def delete_docs(spark: SparkSession, index_dir: str,
                 doc_ids: list[int]) -> None:
     """Mark documents deleted.  Like Lucene, postings stay in place and
@@ -551,12 +653,32 @@ def delete_docs(spark: SparkSession, index_dir: str,
     df.write.mode("append").parquet(tomb)
 
 
-def load_tombstones(spark: SparkSession, index_dir: str):
-    """Sorted numpy array of deleted docIDs ([] if none)."""
-    import numpy as np
+def tombstones_df(spark: SparkSession, index_dir: str) -> DataFrame | None:
+    """Tombstones as a DataFrame (None if there are none) — the
+    scale-safe form: consumers anti-join against it instead of
+    inlining doc_ids into the plan."""
+    tomb = os.path.join(IndexPaths(index_dir).base, "tombstones")
+    if not os.path.exists(tomb):
+        return None
+    return spark.read.parquet(tomb).select("doc_id").distinct()
+
+
+def load_tombstones(spark: SparkSession, index_dir: str,
+                    max_mask: int = MAX_TOMBSTONE_MASK):
+    """Sorted numpy array of deleted docIDs ([] if none) — the scorer
+    mask.  Capped at ``max_mask`` entries: beyond that the driver-side
+    array stops being cheap to broadcast and deletes should be
+    compacted into a rebuild (the cap fails loudly, never silently
+    drops tombstones)."""
     tomb = os.path.join(IndexPaths(index_dir).base, "tombstones")
     if not os.path.exists(tomb):
         return np.array([], dtype=np.int64)
-    rows = spark.read.parquet(tomb).select("doc_id").collect()
+    rows = (spark.read.parquet(tomb).select("doc_id")
+            .limit(max_mask + 1).collect())
+    if len(rows) > max_mask:
+        raise ValueError(
+            f"more than {max_mask} tombstones: compact deletes into a "
+            "rebuild (or use the anti-join path) instead of a driver "
+            "mask")
     return np.unique(np.array([r["doc_id"] for r in rows],
                               dtype=np.int64))

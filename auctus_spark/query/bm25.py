@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 
 from .. import B, K1, TOP_K_SIZE
 from ..analysis import analyze_query
-from ..index.build import IndexPaths, load_tombstones
+from ..index.build import IndexPaths, load_tombstones, tombstones_df
 from ..index.codec import decode_blocks, delta_decode, varbyte_decode
 from ..oracle import bm25_idf
 
@@ -47,6 +47,13 @@ class SearchEngine:
         self.spark = spark
         self.paths = IndexPaths(index_dir)
         self.term_buckets = term_buckets
+        from ..index.build import FORMAT_VERSION, read_format
+        v = read_format(index_dir)
+        if v != FORMAT_VERSION:
+            raise ValueError(
+                f"index at {index_dir} has layout "
+                f"v{v if v is not None else '<unversioned>'}; this "
+                f"engine reads v{FORMAT_VERSION} — rebuild the index")
         row = spark.read.parquet(self.paths.stats).collect()[0]
         self.n_docs = int(row["n_docs"])
         self.avgdl = float(row["avgdl"])
@@ -56,8 +63,12 @@ class SearchEngine:
         self._seg_df = spark.read.parquet(self.paths.segments)
         self._ts_df = spark.read.parquet(self.paths.term_stats)
         # Lucene-style deletes: tombstoned docIDs are masked at query
-        # time; global stats keep counting them until a rebuild
+        # time; global stats keep counting them until a rebuild.  The
+        # numpy mask is size-capped (build.MAX_TOMBSTONE_MASK); the
+        # exhaustive path uses a broadcast anti-join instead (no
+        # per-docID literals in the plan).
         self.tombstones = load_tombstones(spark, index_dir)
+        self._tomb_df = tombstones_df(spark, index_dir)
 
     # ------------------------------------------------------------------
     def _term_buckets_for(self, terms: list[str]) -> dict[str, int]:
@@ -130,9 +141,11 @@ class SearchEngine:
         flat = segs.select("term", "docs_blob", "tfs_blob", "dls_blob")\
             .mapInPandas(decode,
                          schema="term string, doc_id long, tf long, dl long")
-        if self.tombstones.size:
-            flat = flat.filter(
-                ~F.col("doc_id").isin([int(x) for x in self.tombstones]))
+        if self._tomb_df is not None:
+            # broadcast left-anti join: scales to any tombstone count
+            # (an isin(...) literal list would bloat the plan)
+            flat = flat.join(F.broadcast(self._tomb_df), "doc_id",
+                             "left_anti")
         idf_df = F.broadcast(self.spark.createDataFrame(
             pd.DataFrame({"term": list(idf), "idf": list(idf.values())})))
         scored = (flat.join(idf_df, "term")
@@ -318,13 +331,31 @@ def _tf_norm(tf: float, dl: float, avgdl: float) -> float:
 
 def _group_partials(pdf: pd.DataFrame) -> dict:
     """term → list of partial-segment dicts sorted by doc_id_min
-    (disjoint docID runs)."""
+    (disjoint docID runs).  VALIDATES disjointness: overlapping runs
+    mean the build ingested docID-interleaved input (see build.py's
+    ordering contract) and concatenated decodes would be silently
+    wrong — fail loudly instead."""
     out: dict = {}
     for r in pdf.sort_values("doc_id_min").itertuples(index=False):
         seg = {c: getattr(r, c) for c in _PARTIAL_FIELDS}
         seg["full"] = None
-        out.setdefault(r.term, []).append(seg)
+        parts = out.setdefault(r.term, [])
+        if parts and seg["doc_id_min"] <= parts[-1]["doc_id_max"]:
+            raise ValueError(
+                f"index corruption: partials of term {r.term!r} have "
+                f"overlapping docID ranges ([{parts[-1]['doc_id_min']},"
+                f"{parts[-1]['doc_id_max']}] then [{seg['doc_id_min']},"
+                f"{seg['doc_id_max']}]) — rebuild with presort=True")
+        parts.append(seg)
     return out
+
+
+def _blk_last(seg: dict) -> np.ndarray:
+    return np.frombuffer(seg["block_last_doc"], dtype="<i8")
+
+
+def _blk_offs(seg: dict, key: str) -> np.ndarray:
+    return np.frombuffer(seg[key], dtype="<i4")
 
 
 def _decode_partial_full(seg: dict):
@@ -349,10 +380,10 @@ def _decode_partial_for(seg: dict, cand: np.ndarray) -> np.ndarray:
     sub = cand[(cand >= seg["doc_id_min"]) & (cand <= seg["doc_id_max"])]
     if sub.size == 0:
         return np.array([], dtype=np.int64)
-    last = np.asarray(seg["block_last_doc"])
+    last = _blk_last(seg)
     blocks = np.unique(np.searchsorted(last, sub))
     blocks = blocks[blocks < len(last)]
-    ids, _ = decode_blocks(seg["docs_blob"], np.asarray(seg["docs_off"]),
+    ids, _ = decode_blocks(seg["docs_blob"], _blk_offs(seg, "docs_off"),
                            blocks, deltas=True)
     return ids
 
@@ -379,16 +410,16 @@ def _score_candidates(terms, idf_b, per_term, cand, avgdl):
                            & (cand <= seg["doc_id_max"])]
                 if sub.size == 0:
                     continue
-                last = np.asarray(seg["block_last_doc"])
+                last = _blk_last(seg)
                 blocks = np.unique(np.searchsorted(last, sub))
                 blocks = blocks[blocks < len(last)]
                 doc_ids, _ = decode_blocks(
-                    seg["docs_blob"], np.asarray(seg["docs_off"]),
+                    seg["docs_blob"], _blk_offs(seg, "docs_off"),
                     blocks, deltas=True)
                 tfs, _ = decode_blocks(
-                    seg["tfs_blob"], np.asarray(seg["tfs_off"]), blocks)
+                    seg["tfs_blob"], _blk_offs(seg, "tfs_off"), blocks)
                 dls, _ = decode_blocks(
-                    seg["dls_blob"], np.asarray(seg["dls_off"]), blocks)
+                    seg["dls_blob"], _blk_offs(seg, "dls_off"), blocks)
             if doc_ids.size == 0:
                 continue
             pos = np.searchsorted(doc_ids, cand)

@@ -106,3 +106,142 @@ def test_delete_and_update(spark, tmp_path):
     incremental_update(b, spark.createDataFrame(new))
     eng3 = SearchEngine(spark, out, term_buckets=4)
     assert eng3.n_docs == 301  # stats refreshed at rebuild
+
+
+def test_sha_rollup_hashlib_parity(spark, tmp_path):
+    """The JVM sha256 lineage rollup (Observation during the build
+    write) equals the hashlib-computed rollup — the per-row content
+    invariant is engine-independent."""
+    import hashlib
+
+    pdf = generate_corpus(80, min_tokens=10, max_tokens=40, vocab_size=200)
+    out = str(tmp_path / "idx")
+    b = IndexBuilder(spark, out, doc_bucket=64, chunk_docs=64,
+                     term_buckets=4)
+    b.build(spark.createDataFrame(pdf))
+    want = sum(
+        int(hashlib.sha256(c.encode()).hexdigest()[:15], 16)
+        for c in pdf["content"])
+    lin = spark.read.parquet(b.paths.lineage)
+    got = int(lin.groupBy().sum("sha_rollup").collect()[0][0])
+    assert got == want
+    assert b.verify_lineage(spark.createDataFrame(pdf))
+
+
+def test_unsorted_input_fails_loudly(spark, tmp_path):
+    """Non-docID-ascending batches must raise, never silently corrupt
+    the index (posting runs would overlap)."""
+    import pytest
+
+    pdf = generate_corpus(200, min_tokens=10, max_tokens=40, vocab_size=200)
+    shuffled = pdf.sample(frac=1.0, random_state=3).reset_index(drop=True)
+    corpus = spark.createDataFrame(shuffled).coalesce(1)
+    out = str(tmp_path / "idx")
+    b = IndexBuilder(spark, out, doc_bucket=64, chunk_docs=1 << 20,
+                     term_buckets=4)
+    with pytest.raises(Exception, match="docID-ascending"):
+        b.build(corpus, resume=False)
+
+
+def test_presort_matches_ordered_build(spark, tmp_path):
+    """presort=True range-partitions + sorts arbitrary input and must
+    produce byte-identical search results to an ordered build."""
+    pdf = generate_corpus(400, min_tokens=15, max_tokens=60, vocab_size=400)
+    ordered_dir = str(tmp_path / "ordered")
+    IndexBuilder(spark, ordered_dir, doc_bucket=128, chunk_docs=200,
+                 term_buckets=4).build(spark.createDataFrame(pdf))
+
+    shuffled = pdf.sample(frac=1.0, random_state=7).reset_index(drop=True)
+    sorted_dir = str(tmp_path / "presorted")
+    b = IndexBuilder(spark, sorted_dir, doc_bucket=128, chunk_docs=200,
+                     term_buckets=4, presort=True)
+    b.build(spark.createDataFrame(shuffled).repartition(5))
+
+    for q in ["import", "def return", "uniq_token_11"]:
+        assert _results(spark, sorted_dir, q) == _results(
+            spark, ordered_dir, q)
+
+
+def test_append_inside_committed_chunk_raises(spark, tmp_path):
+    """Chunk-granular exactly-once: new docIDs landing inside an
+    already-committed chunk must raise (they would be silently
+    dropped otherwise), while appends beyond it succeed."""
+    import pytest
+
+    pdf = generate_corpus(100, min_tokens=10, max_tokens=40, vocab_size=200)
+    out = str(tmp_path / "idx")
+    b = IndexBuilder(spark, out, doc_bucket=64, chunk_docs=1000,
+                     term_buckets=4)
+    b.build(spark.createDataFrame(pdf))
+
+    # doc_id 100 falls inside committed chunk 0 (docs 0..999)
+    intruder = generate_corpus(5, min_tokens=10, max_tokens=20,
+                               vocab_size=200, start_doc_id=100)
+    both = spark.createDataFrame(pdf).unionByName(
+        spark.createDataFrame(intruder))
+    with pytest.raises(ValueError, match="committed chunk"):
+        b.tokenize_chunks(both, resume=True)
+
+    # appends in a NEW chunk range are fine
+    fresh = generate_corpus(5, min_tokens=10, max_tokens=20,
+                            vocab_size=200, start_doc_id=1000)
+    assert b.tokenize_chunks(
+        spark.createDataFrame(pdf).unionByName(
+            spark.createDataFrame(fresh)), resume=True) == [1]
+
+
+def test_gapped_docids_build(spark, tmp_path):
+    """docID gaps spanning whole chunks must not break the build
+    (empty chunk ranges are skipped, not scanned)."""
+    a = generate_corpus(50, min_tokens=10, max_tokens=30, vocab_size=200)
+    c = generate_corpus(50, min_tokens=10, max_tokens=30, vocab_size=200,
+                        start_doc_id=500)  # chunks 0 and 5; 1-4 empty
+    corpus = spark.createDataFrame(a).unionByName(spark.createDataFrame(c))
+    out = str(tmp_path / "idx")
+    b = IndexBuilder(spark, out, doc_bucket=64, chunk_docs=100,
+                     term_buckets=4)
+    stats = b.build(corpus)
+    assert stats["n_docs"] == 100
+    assert b.tokenize_chunks(corpus, resume=True) == []  # all committed
+    eng = SearchEngine(spark, out, term_buckets=4)
+    got = [int(r.doc_id) for r in eng.search_wand("import", k=100).collect()]
+    assert got and any(d >= 500 for d in got)
+    assert b.verify_lineage(corpus)
+
+
+def test_tombstone_mask_cap(spark, tmp_path):
+    """load_tombstones fails loudly past the mask cap instead of
+    collecting millions of docIDs to the driver."""
+    import pytest
+
+    from auctus_spark.index.build import delete_docs, load_tombstones
+
+    pdf = generate_corpus(50, min_tokens=10, max_tokens=30, vocab_size=200)
+    out = str(tmp_path / "idx")
+    IndexBuilder(spark, out, doc_bucket=64, chunk_docs=1 << 20,
+                 term_buckets=4).build(spark.createDataFrame(pdf))
+    delete_docs(spark, out, list(range(10)))
+    assert len(load_tombstones(spark, out)) == 10
+    with pytest.raises(ValueError, match="tombstones"):
+        load_tombstones(spark, out, max_mask=5)
+
+
+def test_many_tombstones_no_plan_blowup(spark, tmp_path):
+    """10^5 tombstones: the exhaustive path anti-joins (no per-docID
+    literals in the plan) and the scorer mask stays within its cap."""
+    from auctus_spark.index.build import delete_docs
+
+    pdf = generate_corpus(200, min_tokens=10, max_tokens=40, vocab_size=300)
+    out = str(tmp_path / "idx")
+    IndexBuilder(spark, out, doc_bucket=64, chunk_docs=1 << 20,
+                 term_buckets=4).build(spark.createDataFrame(pdf))
+    # delete every even docID plus 10^5 past-the-end ids
+    delete_docs(spark, out,
+                [d for d in range(0, 200, 2)] + list(range(10**6, 10**6 + 10**5)))
+    eng = SearchEngine(spark, out, term_buckets=4)
+    plan = eng.search("import", k=50)._jdf.queryExecution().toString()
+    assert "doc_id#" in plan and plan.count("CAST") < 500  # no literal list
+    got = [int(r.doc_id) for r in eng.search("import", k=50).collect()]
+    assert got and all(d % 2 == 1 for d in got)
+    got_w = [int(r.doc_id) for r in eng.search_wand("import", k=50).collect()]
+    assert got_w == got
