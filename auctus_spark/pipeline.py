@@ -1,12 +1,28 @@
 """Index-free DataFrame-native query pipeline.
 
 The segment index (``auctus_spark.index``) is the scale path; this
-module expresses the same BM25 semantics as ONE declarative DataFrame
-DAG over a raw document table — tokenize with built-in ``split``/
-``explode`` (JVM-side, whole-stage codegen), aggregate stats, score,
-top-k.  It is the anchor used by the driver correctness gate (DuckDB
-oracle) and by ``entry()``; the index path must return identical
-results.
+module expresses the same BM25 semantics as declarative DataFrame
+plans over a raw document table.  It is the anchor used by the driver
+correctness gate (DuckDB oracle) and by ``entry()``; the index path
+must return identical results.
+
+Plan shape (the 100-TB contract): every query here is exactly TWO
+corpus scans and ZERO shuffles —
+
+1. **stats pass** — one aggregate computing global N, total tokens
+   (avgdl) and per-query-term df in a single projection over the
+   tokenized array (no explode, no groupBy-by-term shuffle).  The
+   result is one row, collected; idf is folded into float64 literals
+   driver-side with the exact ``math.log`` evaluation the oracle uses.
+2. **scoring pass** — one projection computing per-doc (dl, tf per
+   term) from the same tokenized array, a conjunctive filter, a
+   literal-folded score expression, and a global top-k that compiles
+   to TakeOrderedAndProject (no global sort, no exchange).
+
+Tokenization stays inside whole-stage codegen (``split``/``filter``
+array expressions); Catalyst keeps the token array materialized once
+per row (non-cheap aliases used more than once are not collapsed —
+asserted in ``tests/test_plans.py``).
 
 Semantics mirror the reference's keyword search
 (``apiserver/apiserver/search/__init__.py:57-109``): conjunctive AND,
@@ -20,7 +36,7 @@ from pyspark.sql import functions as F
 
 from . import B, K1, TOP_K_SIZE
 from .analysis import SPLIT_PATTERN, analyze_query
-
+from .oracle import bm25_idf
 
 _UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
 _LOWER = "abcdefghijklmnopqrstuvwxyz"
@@ -33,34 +49,74 @@ def _ascii_lower(col):
     return F.translate(col, _UPPER, _LOWER)
 
 
+def _toks(col):
+    """Tokenized array column: ascii-lower → split → drop empties.
+    Pure built-ins, stays inside whole-stage codegen."""
+    return F.filter(F.split(_ascii_lower(col), SPLIT_PATTERN),
+                    lambda x: x != "")
+
+
 def tokens(docs: DataFrame, id_col: str = "doc_id",
            text_col: str = "text") -> DataFrame:
-    """(id, term) pairs — one row per token occurrence.  Pure built-ins:
-    ascii-lower → split → explode stays inside whole-stage codegen."""
+    """(id, term) pairs — one row per token occurrence."""
     return (docs.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(F.split(_ascii_lower(F.col(text_col)), SPLIT_PATTERN))
-        .alias("term"))
-        .filter(F.col("term") != ""))
+        F.explode(_toks(F.col(text_col))).alias("term")))
 
 
 def doc_lengths_df(docs: DataFrame, id_col: str = "doc_id",
                    text_col: str = "text") -> DataFrame:
-    return (tokens(docs, id_col, text_col)
-            .groupBy("doc_id").agg(F.count("*").alias("dl")))
+    return (docs.select(F.col(id_col).alias("doc_id"),
+                        F.size(_toks(F.col(text_col))).alias("dl")))
 
 
 def corpus_stats(docs: DataFrame, id_col: str = "doc_id",
                  text_col: str = "text") -> tuple[int, float]:
     """Global (N, avgdl) — N counts ALL docs (zero-token docs included),
     avgdl = total tokens / N, matching the index build's discipline."""
-    row = (docs.select(
-        F.size(F.filter(
-            F.split(_ascii_lower(F.col(text_col)), SPLIT_PATTERN),
-            lambda x: x != "")).alias("dl"))
-        .agg(F.count("*").alias("n"), F.sum("dl").alias("t")).collect()[0])
+    row = (docs.select(F.size(_toks(F.col(text_col))).alias("dl"))
+           .agg(F.count("*").alias("n"), F.sum("dl").alias("t"))
+           .collect()[0])
     n = int(row["n"])
     return n, (float(row["t"]) / n if n else 0.0)
+
+
+def _query_stats(docs: DataFrame, terms: list[str], text_col: str
+                 ) -> tuple[int, float, list[int]]:
+    """ONE aggregate scan: (N, avgdl, df per query term)."""
+    t = docs.select(_toks(F.col(text_col)).alias("_toks"))
+    aggs = [F.count("*").alias("_n"), F.sum(F.size("_toks")).alias("_t")]
+    for i, term in enumerate(terms):
+        aggs.append(F.sum(
+            F.when(F.array_contains("_toks", term), 1).otherwise(0))
+            .alias(f"_df{i}"))
+    row = t.agg(*aggs).collect()[0]
+    n = int(row["_n"])
+    avgdl = float(row["_t"]) / n if n and row["_t"] is not None else 0.0
+    dfs = [int(row[f"_df{i}"]) for i in range(len(terms))]
+    return n, avgdl, dfs
+
+
+def _tf(i: int, term: str):
+    return F.size(F.filter(F.col("_toks"), lambda x: x == F.lit(term))) \
+        .alias(f"_tf{i}")
+
+
+def _score_expr(terms: list[str], idfs: list[float], avgdl: float,
+                weights: list[float] | None = None):
+    """Literal-folded BM25 sum in query-term order — the float64
+    evaluation order is the oracle's: idf * (tf / (tf + k1*(1-b+
+    b*dl/avgdl))), summed left-associatively.  tf=0 contributes +0.0
+    exactly, so disjunctive scoring needs no conditionals."""
+    norm = F.lit(K1) * (F.lit(1.0 - B) +
+                        F.lit(B) * F.col("_dl") / F.lit(avgdl))
+    score = None
+    for i in range(len(terms)):
+        w = idfs[i] if weights is None else weights[i]
+        tf = F.col(f"_tf{i}")
+        c = F.lit(w) * (tf / (tf + norm))
+        score = c if score is None else score + c
+    return score
 
 
 def bm25_topk(docs: DataFrame, query: str, k: int = TOP_K_SIZE,
@@ -69,45 +125,36 @@ def bm25_topk(docs: DataFrame, query: str, k: int = TOP_K_SIZE,
     """Conjunctive-AND BM25 top-k over a raw document table.
 
     Returns (doc_id, score) ordered by (score desc, doc_id asc).
-    ``round_to`` rounds scores for cross-engine comparison (the bitwise
-    contract with the Python oracle is handled by evaluation order:
-    idf * (tf/denom), summed in query-term order).
+    Two scans, zero shuffles (see module doc); ``round_to`` rounds
+    scores for cross-engine comparison.
     """
     spark = docs.sparkSession
     terms = analyze_query(query)
     empty = spark.createDataFrame([], f"{id_col} long, score double")
     if not terms:
         return empty
-    n_docs, avgdl = corpus_stats(docs, id_col, text_col)
-    if n_docs == 0:
-        return empty
+    n_docs, avgdl, dfs = _query_stats(docs, terms, text_col)
+    if n_docs == 0 or any(d == 0 for d in dfs):
+        return empty  # AND semantics: any missing term → no hits
+    idfs = [bm25_idf(n_docs, d) for d in dfs]
 
-    tok = tokens(docs, id_col, text_col)
-    tf = (tok.filter(F.col("term").isin(terms))
-          .groupBy("doc_id", "term").agg(F.count("*").alias("tf")))
-    dl = doc_lengths_df(docs, id_col, text_col)
-    # global df per query term; broadcast the (tiny) per-term stats
-    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
-    idf = F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df")
-                              + F.lit(0.5)) / (F.col("df") + F.lit(0.5)))
-    stats = F.broadcast(df_.withColumn("idf", idf))
-
-    contrib = F.col("idf") * (F.col("tf") / (
-        F.col("tf") + F.lit(K1) * (F.lit(1.0 - B) +
-                                   F.lit(B) * F.col("dl") / F.lit(avgdl))))
-    scored = (tf.join(stats, "term").join(dl, "doc_id")
-              .withColumn("contrib", contrib))
-    per_term = [F.max(F.when(F.col("term") == t, F.col("contrib")))
-                .alias(f"_c{i}") for i, t in enumerate(terms)]
-    agg = (scored.groupBy("doc_id")
-           .agg(*per_term, F.count("*").alias("nt"))
-           .filter(F.col("nt") == len(terms)))
-    score = F.col("_c0")
-    for i in range(1, len(terms)):
-        score = score + F.col(f"_c{i}")
+    # candidate predicate as ONE expression evaluated at the scan
+    # (a tf-column filter would be pushed below the projection and
+    # inline the tokenization once per term); survivors only reach
+    # the per-term tf projection
+    qarr = F.array(*[F.lit(t) for t in terms])
+    cond = (F.size(F.array_intersect(_toks(F.col(text_col)), qarr))
+            == len(terms))
+    per_doc = (docs.filter(cond)
+               .select(F.col(id_col).alias("doc_id"),
+                       _toks(F.col(text_col)).alias("_toks"))
+               .select("doc_id", F.size("_toks").alias("_dl"),
+                       *[_tf(i, t) for i, t in enumerate(terms)]))
+    score = _score_expr(terms, idfs, avgdl)
     if round_to is not None:
         score = F.round(score, round_to)
-    return (agg.select(F.col("doc_id").alias(id_col), score.alias("score"))
+    return (per_doc
+            .select(F.col("doc_id").alias(id_col), score.alias("score"))
             .orderBy(F.desc("score"), F.asc(id_col))
             .limit(k))
 
@@ -116,38 +163,30 @@ def bm25_or_topk(docs: DataFrame, query: str, k: int = TOP_K_SIZE,
                  id_col: str = "doc_id", text_col: str = "text",
                  round_to: int | None = None) -> DataFrame:
     """Disjunctive (should) BM25 top-k: docs matching ANY query term,
-    score = sum of present-term contributions in query-term order."""
+    score = sum of present-term contributions in query-term order
+    (absent terms contribute exactly +0.0)."""
     spark = docs.sparkSession
     terms = analyze_query(query)
     empty = spark.createDataFrame([], f"{id_col} long, score double")
     if not terms:
         return empty
-    n_docs, avgdl = corpus_stats(docs, id_col, text_col)
-    if n_docs == 0:
+    n_docs, avgdl, dfs = _query_stats(docs, terms, text_col)
+    if n_docs == 0 or all(d == 0 for d in dfs):
         return empty
-    tok = tokens(docs, id_col, text_col)
-    tf = (tok.filter(F.col("term").isin(terms))
-          .groupBy("doc_id", "term").agg(F.count("*").alias("tf")))
-    dl = doc_lengths_df(docs, id_col, text_col)
-    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
-    idf = F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df")
-                              + F.lit(0.5)) / (F.col("df") + F.lit(0.5)))
-    stats = F.broadcast(df_.withColumn("idf", idf))
-    contrib = F.col("idf") * (F.col("tf") / (
-        F.col("tf") + F.lit(K1) * (F.lit(1.0 - B) +
-                                   F.lit(B) * F.col("dl") / F.lit(avgdl))))
-    scored = (tf.join(stats, "term").join(dl, "doc_id")
-              .withColumn("contrib", contrib))
-    per_term = [F.max(F.when(F.col("term") == t, F.col("contrib")))
-                .alias(f"_c{i}") for i, t in enumerate(terms)]
-    agg = scored.groupBy("doc_id").agg(*per_term)
-    # query-term-order fold; absent terms contribute +0.0 (coalesce)
-    score = F.coalesce(F.col("_c0"), F.lit(0.0))
-    for i in range(1, len(terms)):
-        score = score + F.coalesce(F.col(f"_c{i}"), F.lit(0.0))
+    idfs = [bm25_idf(n_docs, d) for d in dfs]
+
+    qarr = F.array(*[F.lit(t) for t in terms])
+    cond = F.arrays_overlap(_toks(F.col(text_col)), qarr)
+    per_doc = (docs.filter(cond)
+               .select(F.col(id_col).alias("doc_id"),
+                       _toks(F.col(text_col)).alias("_toks"))
+               .select("doc_id", F.size("_toks").alias("_dl"),
+                       *[_tf(i, t) for i, t in enumerate(terms)]))
+    score = _score_expr(terms, idfs, avgdl)
     if round_to is not None:
         score = F.round(score, round_to)
-    return (agg.select(F.col("doc_id").alias(id_col), score.alias("score"))
+    return (per_doc
+            .select(F.col("doc_id").alias(id_col), score.alias("score"))
             .orderBy(F.desc("score"), F.asc(id_col))
             .limit(k))
 
@@ -155,27 +194,44 @@ def bm25_or_topk(docs: DataFrame, query: str, k: int = TOP_K_SIZE,
 def term_stats_df(docs: DataFrame, terms: list[str],
                   id_col: str = "doc_id", text_col: str = "text"
                   ) -> DataFrame:
-    """(term, df, cf) global statistics for a term list."""
-    tok = tokens(docs, id_col, text_col).filter(F.col("term").isin(terms))
-    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    return (tf.groupBy("term")
-            .agg(F.count("*").alias("df"), F.sum("tf").alias("cf")))
+    """(term, df, cf) global statistics for a term list — one scan,
+    one partial-aggregate (no per-term explode shuffle)."""
+    t = docs.select(_toks(F.col(text_col)).alias("_toks"))
+    aggs = []
+    for i, term in enumerate(terms):
+        aggs.append(F.sum(
+            F.when(F.array_contains("_toks", term), 1).otherwise(0))
+            .alias(f"_df{i}"))
+        aggs.append(F.sum(F.size(F.filter(
+            F.col("_toks"), lambda x: x == F.lit(term))))
+            .alias(f"_cf{i}"))
+    agg = t.agg(*aggs)
+    stacked = agg.select(F.explode(F.array(*[
+        F.struct(F.lit(term).alias("term"),
+                 F.col(f"_df{i}").cast("long").alias("df"),
+                 F.col(f"_cf{i}").cast("long").alias("cf"))
+        for i, term in enumerate(terms)])).alias("s"))
+    return (stacked.select("s.term", "s.df", "s.cf")
+            .filter(F.col("df") > 0))
 
 
 def facet_counts(docs: DataFrame, query: str, facet_col: str,
                  id_col: str = "doc_id", text_col: str = "text"
                  ) -> DataFrame:
     """Auctus returns `terms` facet aggregations with every search
-    (search/__init__.py:587-603): counts of the HIT SET grouped by a
-    keyword field — here over conjunctive-AND matches."""
+    (search/__init__.py:587-603): counts of the FULL HIT SET grouped
+    by a keyword field — conjunctive-AND matches, one scan, one
+    partial aggregate (no explode, no semi-join)."""
     terms = analyze_query(query)
-    tok = tokens(docs, id_col, text_col).filter(F.col("term").isin(terms))
-    hits = (tok.groupBy("doc_id")
-            .agg(F.count_distinct("term").alias("nt"))
-            .filter(F.col("nt") == len(terms))
-            .select("doc_id"))
-    return (docs.join(hits, docs[id_col] == hits["doc_id"], "left_semi")
-            .groupBy(facet_col).agg(F.count("*").alias("n")))
+    t = docs.select(F.col(facet_col).alias("_facet"),
+                    _toks(F.col(text_col)).alias("_toks"))
+    cond = None
+    for term in terms:
+        c = F.array_contains("_toks", term)
+        cond = c if cond is None else cond & c
+    hits = t.filter(cond) if cond is not None else t
+    return (hits.groupBy(F.col("_facet").alias(facet_col))
+            .agg(F.count("*").alias("n")))
 
 
 def bm25_multifield_topk(docs: DataFrame, query: str,
@@ -190,7 +246,17 @@ def bm25_multifield_topk(docs: DataFrame, query: str,
     score = sum over query terms of sum over fields of
     boost_f * idf_f(t) * tf_norm_f(t, d); AND = every term present in
     at least one field.  Bit-exact with oracle.search_multifield
-    (same (term, field) summation order via the pivot fold).
+    (same (term, field) summation order).
+
+    Scoring-model note: this is ES ``most_fields`` scoring (sum of
+    independent per-field BM25) with AND-across-fields candidate
+    semantics.  The reference's ES ``multi_match`` default type is
+    ``best_fields`` / can be ``cross_fields`` (blended per-term
+    statistics); rankings can diverge from upstream ES on multi-field
+    ties — documented divergence, see COVERAGE.md.
+
+    Plan: one stats aggregate over all fields at once + one scoring
+    scan, zero shuffles.
     """
     spark = docs.sparkSession
     terms = analyze_query(query)
@@ -199,54 +265,77 @@ def bm25_multifield_topk(docs: DataFrame, query: str,
         return empty
     fields = list(boosts)
 
-    per_field = []
-    for fcol in fields:
-        fd = docs.filter(F.col(fcol).isNotNull())
-        n_f, avgdl_f = corpus_stats(fd, id_col, fcol)
+    # ---- stats pass: one scan, every field together ----
+    stats_in = docs.select(*[
+        _toks(F.col(fc)).alias(f"_toks_{j}") for j, fc in enumerate(fields)])
+    aggs = []
+    for j, fc in enumerate(fields):
+        tk = f"_toks_{j}"
+        aggs.append(F.count(F.col(tk)).alias(f"_n{j}"))      # non-null docs
+        aggs.append(F.sum(F.size(tk)).alias(f"_t{j}"))
+        for i, term in enumerate(terms):
+            aggs.append(F.sum(
+                F.when(F.array_contains(tk, term), 1).otherwise(0))
+                .alias(f"_df{j}_{i}"))
+    row = stats_in.agg(*aggs).collect()[0]
+
+    # fold (boost * idf) into float64 literals with Python math —
+    # identical to the oracle's boost * idf(...) left-assoc multiply
+    live = []  # (j, field, avgdl_f, [weight per term])
+    for j, fc in enumerate(fields):
+        n_f = int(row[f"_n{j}"])
         if n_f == 0:
             continue
-        tok = tokens(fd, id_col, fcol)
-        tf = (tok.filter(F.col("term").isin(terms))
-              .groupBy("doc_id", "term").agg(F.count("*").alias("tf")))
-        dl = doc_lengths_df(fd, id_col, fcol)
-        df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
-        idf = F.log(F.lit(1.0) + (F.lit(float(n_f)) - F.col("df")
-                                  + F.lit(0.5)) / (F.col("df") + F.lit(0.5)))
-        stats = F.broadcast(df_.withColumn("idf", idf))
-        # (boost * idf) * tf_norm — grouping matches the oracle's
-        # left-associative boost * idf * tf_norm bit-for-bit
-        contrib = ((F.lit(float(boosts[fcol])) * F.col("idf")) *
-                   (F.col("tf") / (
-                       F.col("tf") + F.lit(K1) * (F.lit(1.0 - B) +
-                       F.lit(B) * F.col("dl") / F.lit(avgdl_f)))))
-        per_field.append(
-            tf.join(stats, "term").join(dl, "doc_id")
-            .select("doc_id", "term", F.lit(fcol).alias("field"),
-                    contrib.alias("contrib")))
-    if not per_field:
+        avgdl_f = float(row[f"_t{j}"]) / n_f if row[f"_t{j}"] else 0.0
+        ws, dfs = [], []
+        for i in range(len(terms)):
+            d = int(row[f"_df{j}_{i}"])
+            dfs.append(d)
+            ws.append(boosts[fc] * bm25_idf(n_f, d) if d else 0.0)
+        live.append((j, fc, avgdl_f, ws, dfs))
+    if not live:
         return empty
-    allc = per_field[0]
-    for x in per_field[1:]:
-        allc = allc.unionByName(x)
-    # pivot one column per (term, field) → fold in (term, field) order
-    cols = []
-    names = []
-    for i, t in enumerate(terms):
-        for j, fcol in enumerate(fields):
-            nm = f"_c{i}_{j}"
-            names.append(nm)
-            cols.append(F.max(F.when(
-                (F.col("term") == t) & (F.col("field") == fcol),
-                F.col("contrib"))).alias(nm))
-    agg = (allc.groupBy("doc_id")
-           .agg(*cols, F.count_distinct("term").alias("nt"))
-           .filter(F.col("nt") == len(terms)))
-    score = None
-    for nm in names:
-        c = F.coalesce(F.col(nm), F.lit(0.0))
-        score = c if score is None else score + c
+    # AND candidate check: every term present in >= 1 field
+    for i in range(len(terms)):
+        if all(entry[4][i] == 0 for entry in live):
+            return empty
+
+    # ---- scoring pass: one scan; candidate predicate at the scan ----
+    qarr = F.array(*[F.lit(t) for t in terms])
+    empty_arr = F.array().cast("array<string>")
+    seen = None
+    for j, fc, *_ in live:
+        inter = F.coalesce(F.array_intersect(_toks(F.col(fc)), qarr),
+                           empty_arr)
+        seen = inter if seen is None else F.array_union(seen, inter)
+    cond = F.size(seen) == len(terms)  # every term in >= 1 field
+
+    per_doc = docs.filter(cond).select(
+        F.col(id_col).alias("doc_id"),
+        *[_toks(F.col(fc)).alias(f"_toks_{j}") for j, fc, *_ in live])
+    cols = ["doc_id"]
+    for j, fc, *_ in live:
+        tk = f"_toks_{j}"
+        cols.append(F.coalesce(F.size(tk), F.lit(0)).alias(f"_dl{j}"))
+        for i, term in enumerate(terms):
+            cols.append(F.coalesce(
+                F.size(F.filter(F.col(tk), lambda x: x == F.lit(term))),
+                F.lit(0)).alias(f"_tf{j}_{i}"))
+    per_doc = per_doc.select(*cols)
+
+    score = None  # (term, field) summation order — the oracle's
+    for i in range(len(terms)):
+        for j, fc, avgdl_f, ws, dfs in live:
+            if ws[i] == 0.0:
+                continue
+            tf = F.col(f"_tf{j}_{i}")
+            norm = F.lit(K1) * (F.lit(1.0 - B) + F.lit(B) *
+                                F.col(f"_dl{j}") / F.lit(avgdl_f))
+            c = F.lit(ws[i]) * (tf / (tf + norm))
+            score = c if score is None else score + c
     if round_to is not None:
         score = F.round(score, round_to)
-    return (agg.select(F.col("doc_id").alias(id_col), score.alias("score"))
+    return (per_doc
+            .select(F.col("doc_id").alias(id_col), score.alias("score"))
             .orderBy(F.desc("score"), F.asc(id_col))
             .limit(k))

@@ -87,10 +87,13 @@ class SearchService:
                 .drop("_rank"))
         out = {"hits": hits}
         if facets:
-            hit_ids = hits.select(self.id_col)
-            matched = base.join(hit_ids, self.id_col, "left_semi")
+            # ES terms aggregations describe the FULL hit set, not the
+            # page window (reference search/__init__.py:587-603) — one
+            # scan over the filtered base, independent of pagination
             out["facets"] = {
-                c: matched.groupBy(c).agg(F.count("*").alias("n"))
+                c: pipeline.facet_counts(
+                    base, q.keywords, c,
+                    id_col=self.id_col, text_col=self.text_col)
                 for c in facets}
         return out
 

@@ -82,3 +82,28 @@ def test_broadcast_small_dim(spark, sf_dir):
     c = spark.read.parquet(f"{sf_dir}/customer.parquet")
     j = c.join(n, c.c_nationkey == n.n_nationkey)
     assert "BroadcastHashJoin" in _plan(j)
+
+
+def test_pipeline_bm25_fused_plan(spark, sf_dir):
+    """Index-free BM25 is exactly: scan-side candidate predicate +
+    one tokenize projection + TakeOrderedAndProject.  No exchange, no
+    per-term re-tokenization (the round-1 plan tokenized the corpus 3x
+    and shuffled twice)."""
+    from auctus_spark import pipeline
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = pipeline.bm25_topk(docs, "data join merge", k=50)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert opt.count("translate") == 2, opt  # scan predicate + projection
+    phys = _plan(df)
+    assert "Exchange" not in phys
+    assert "TakeOrderedAndProject" in phys
+
+
+def test_facet_counts_no_shuffle_but_agg(spark, sf_dir):
+    """Facets = one scan + partial aggregate (no explode/semi-join)."""
+    from auctus_spark import pipeline
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = pipeline.facet_counts(docs, "join merge", "lang")
+    phys = _plan(df)
+    assert phys.count("Exchange") <= 1      # one agg exchange only
+    assert "Join" not in phys

@@ -132,3 +132,30 @@ def test_multifield_matches_oracle(spark, built):
                for r in bm25_multifield_topk(
                    corpus, q, boosts, k=50).collect()]
         assert got == want, q
+
+
+PIPE_QUERIES = ["import", "def return", "import def return the",
+                "uniq_token_11", "import uniq_token_22",
+                "no_such_token_anywhere", "import zz_missing", "the"]
+
+
+@pytest.mark.parametrize("q", PIPE_QUERIES)
+def test_pipeline_conj_matches_oracle(spark, built, q):
+    """Index-free DataFrame path (two scans, zero shuffles) — bit-exact
+    vs the oracle, same contract as the segment-index paths."""
+    from auctus_spark import pipeline
+    _, oracle, _, corpus, _ = built
+    got = [(int(r.doc_id), float(r.score))
+           for r in pipeline.bm25_topk(
+               corpus, q, k=50, text_col="content").collect()]
+    _assert_rank_identical(got, oracle.search(q, k=50))
+
+
+@pytest.mark.parametrize("q", PIPE_QUERIES)
+def test_pipeline_disj_matches_oracle(spark, built, q):
+    from auctus_spark import pipeline
+    _, oracle, _, corpus, _ = built
+    got = [(int(r.doc_id), float(r.score))
+           for r in pipeline.bm25_or_topk(
+               corpus, q, k=50, text_col="content").collect()]
+    _assert_rank_identical(got, oracle.search_or(q, k=50))
