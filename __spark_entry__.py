@@ -476,6 +476,103 @@ def _q_bm25_batched(spark, sf_dir):
                       F.round("score", 6).alias("score"))
 
 
+def _q_bm25_stemmed(spark, sf_dir):
+    """Index-time Porter2 stemming (reference elasticsearch.yml:15 —
+    the ES english stemmer runs on every indexed field): build a
+    STEMMED segment index, then answer a query whose surface forms
+    ("merges tables values") appear nowhere in the corpus — only the
+    stem classes match.  Oracle: the same BM25 SQL with each query
+    stem-class expanded to its corpus surface forms (stem() itself is
+    in DuckDB's fts extension, unavailable offline)."""
+    import hashlib as _h
+    import os as _os
+
+    from auctus_spark.index.build import (FORMAT_VERSION, IndexBuilder,
+                                          read_analyzer, read_format, wipe)
+    from auctus_spark.query.bm25 import SearchEngine
+
+    _ensure_workers_can_import(spark)
+    tag = _h.md5(sf_dir.encode()).hexdigest()[:10]
+    idx_dir = f"/tmp/auctus_entry_index_stem_{tag}"
+    corpus = _docs(spark, sf_dir).select(
+        "doc_id", F.col("text").alias("content"))
+    b = IndexBuilder(spark, idx_dir, doc_bucket=1 << 10,
+                     chunk_docs=1 << 12, term_buckets=16, stem=True)
+    if (not _os.path.exists(_os.path.join(idx_dir, "stats"))
+            or read_format(idx_dir) != FORMAT_VERSION
+            or not read_analyzer(idx_dir).get("stem", False)):
+        wipe(idx_dir)
+        b.build(corpus)
+    eng = SearchEngine(spark, idx_dir, term_buckets=16)
+    out = eng.search_wand(STEMMED_QUERY, k=50)
+    return out.select("doc_id", F.round("score", 6).alias("score"))
+
+
+STEMMED_QUERY = "merges tables values"
+
+
+def _bm25_stemmed_sql(k: int = 50) -> str:
+    """Stemmed-BM25 oracle: analyze STEMMED_QUERY with the engine's
+    Porter2, expand each stem class to the surface forms present in
+    the sf0.01 corpus vocabulary, and run the standard BM25 SQL over
+    the mapped terms.  dl/avgdl/N are stemming-invariant (stemming is
+    a token->token map).  Falls back to '' if the sf0.01 table is
+    unavailable (caller drops the entry -> rows-only check)."""
+    import duckdb as _d
+
+    from auctus_spark.analysis import analyze_query
+    from auctus_spark.stem import stem as _stem
+
+    path = "/root/testdata/sf0.01/documents.parquet"
+    if not os.path.exists(path):
+        return ""
+    vocab = [r[0] for r in _d.connect().execute(
+        "SELECT DISTINCT unnest(regexp_split_to_array(lower(text), "
+        f"'{SPLIT_PATTERN}')) t FROM read_parquet('{path}')").fetchall()
+        if r[0]]
+    qstems = analyze_query(STEMMED_QUERY, stem=True)
+    classes = {qs: sorted(w for w in vocab if _stem(w) == qs)
+               for qs in qstems}
+    if any(not v for v in classes.values()):
+        return ""  # a query stem absent from the corpus vocabulary
+    all_members = sorted({w for v in classes.values() for w in v})
+    tlist = ", ".join(f"'{t}'" for t in all_members)
+    case = "CASE " + " ".join(
+        "WHEN term IN ({}) THEN '{}'".format(
+            ", ".join(f"'{w}'" for w in classes[qs]), qs)
+        for qs in qstems) + " END"
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(text), '{SPLIT_PATTERN}')) AS term
+  FROM documents
+), tok2 AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok2 GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT count(*) FROM tok2) * 1.0
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+tf AS (
+  SELECT doc_id, {case} AS term, count(*) AS tf FROM tok2
+  WHERE term IN ({tlist}) GROUP BY doc_id, 2
+),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * (tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))))
+           AS raw_score,
+         count(*) AS nt
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(raw_score, 6) AS score
+FROM scored WHERE nt = {len(qstems)}
+ORDER BY raw_score DESC, doc_id ASC LIMIT {k}
+"""
+
+
 def _q_bm25_multifield(spark, sf_dir):
     """Field-boosted multi_match (reference search/__init__.py:57-109:
     id^10, name^3 shape) over documents(text^1, source^5)."""
@@ -561,6 +658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_index_path": _q_bm25_index_path,
         "bm25_batched": _q_bm25_batched,
         "bm25_multifield": _q_bm25_multifield,
+        "bm25_stemmed": _q_bm25_stemmed,
     }
 
 
@@ -677,6 +775,14 @@ FROM m GROUP BY left_name, right_name
 
 
 def oracle_sql() -> dict[str, str]:
+    out = _oracle_sql_static()
+    stemmed = _bm25_stemmed_sql()
+    if stemmed:
+        out["bm25_stemmed"] = stemmed
+    return out
+
+
+def _oracle_sql_static() -> dict[str, str]:
     return {
         "bm25_topk_hot": _bm25_sql(["join"]),
         "bm25_topk_conjunctive": _bm25_sql(["data", "join", "merge"]),

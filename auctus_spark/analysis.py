@@ -47,10 +47,16 @@ _IDENT_RE = re.compile(
 )
 
 
-def tokenize(text: str) -> list[str]:
+def tokenize(text: str, stem: bool = False) -> list[str]:
     """ASCII-lowercase + split; the contract shared with the oracle
-    scorer and the Arrow-native index builder."""
-    return _TOKEN_RE.findall(text.translate(_ASCII_LOWER))
+    scorer and the Arrow-native index builder.  ``stem=True`` adds the
+    Porter2 English stemmer (the reference stems every indexed field —
+    ``elasticsearch.yml:15``)."""
+    toks = _TOKEN_RE.findall(text.translate(_ASCII_LOWER))
+    if stem:
+        from .stem import stem as _stem
+        toks = [_stem(t) for t in toks]
+    return toks
 
 
 def expand_identifier(name: str) -> list[str]:
@@ -130,17 +136,27 @@ def load_synonyms(path: str) -> dict[str, list[str]]:
     return groups
 
 
-def analyze_query(query: str, synonyms: dict[str, Iterable[str]] | None = None) -> list[str]:
+def analyze_query(query: str,
+                  synonyms: dict[str, Iterable[str]] | None = None,
+                  stem: bool = False) -> list[str]:
     """Search-time analyzer: same chain, plus optional synonym expansion
     (reference applies ``synonym_graph`` only at search time,
     ``elasticsearch.yml:16-24``).  Returns unique terms, first-seen order
-    (conjunctive AND semantics make duplicates irrelevant)."""
+    (conjunctive AND semantics make duplicates irrelevant).  Synonyms
+    match on surface forms; with ``stem=True`` every emitted term is
+    then stemmed (ES analyzer order: synonym_graph before stemmer)."""
     seen: dict[str, None] = {}
     for tok in tokenize(query):
         seen.setdefault(tok, None)
         if synonyms and tok in synonyms:
             for syn in synonyms[tok]:
                 seen.setdefault(syn, None)
+    if stem:
+        from .stem import stem as _stem
+        out: dict[str, None] = {}
+        for t in seen:
+            out.setdefault(_stem(t), None)
+        return list(out)
     return list(seen)
 
 

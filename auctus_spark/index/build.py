@@ -86,6 +86,18 @@ def read_format(index_dir: str) -> int | None:
     with open(p) as f:
         return int(f.read().strip())
 
+
+def read_analyzer(index_dir: str) -> dict:
+    """Analyzer config stamped at build time ({} for pre-analyzer
+    indexes = stem-free).  Readers MUST analyze queries with the same
+    chain the index was built with (ES stores this in the mapping)."""
+    import json
+    p = os.path.join(index_dir, "_ANALYZER")
+    if not os.path.exists(p):
+        return {}
+    with open(p) as f:
+        return json.load(f)
+
 # block metadata is packed little-endian binary, not list<long>:
 # parquet + Tungsten handle flat binary far cheaper than nested lists
 # (the merge shuffle moves every one of these rows).  Byte offsets
@@ -163,13 +175,18 @@ def _arrow_schema():
     return ARROW_PARTIAL_SCHEMA
 
 
-def _tokenize_arrow(content):
+def _tokenize_arrow(content, stem: bool = False):
     """Tokenize a pa.StringArray: ascii_lower → RE2 split on
     ``[^a-z0-9_]+`` → dictionary_encode, all in Arrow C++ (no per-token
     Python objects).  Returns (codes: int32 ndarray, doc_local: int32
     ndarray, vocab: pa.StringArray) with empty split artifacts dropped.
     Matches ``analysis.tokenize`` — the shared index/query analyzer
-    contract."""
+    contract.
+
+    ``stem=True``: Porter2 applied to the (small) per-batch VOCABULARY
+    only — never per token occurrence — then codes are remapped through
+    the merged stem classes (lru-cached across batches)."""
+    import pyarrow as pa
     import pyarrow.compute as pc
 
     n = len(content)
@@ -186,6 +203,13 @@ def _tokenize_arrow(content):
     if empty_code.size:
         keep = codes != empty_code[0]
         codes, doc_local = codes[keep], doc_local[keep]
+    if stem:
+        from ..stem import stem as _stem
+        stemmed = np.array([_stem(w) for w in vocab_np.tolist()],
+                           dtype=object)
+        new_vocab, inv = np.unique(stemmed, return_inverse=True)
+        codes = inv.astype(np.int32)[codes]
+        vocab = pa.array(new_vocab.tolist(), type=pa.string())
     return codes, doc_local, vocab
 
 
@@ -220,7 +244,8 @@ def _varbyte_stream(vals: np.ndarray, group_starts: np.ndarray):
     return out, g_off, g_end, starts
 
 
-def _encode_batch(doc_ids_all: np.ndarray, content, doc_bucket: int):
+def _encode_batch(doc_ids_all: np.ndarray, content, doc_bucket: int,
+                  stem: bool = False):
     """One corpus slice → partial-segment RecordBatch.
 
     Everything stays in Arrow/numpy: tokenization is Arrow C++
@@ -236,7 +261,7 @@ def _encode_batch(doc_ids_all: np.ndarray, content, doc_bucket: int):
     import pyarrow.compute as pc
 
     n_batch = len(doc_ids_all)
-    codes, doc_local, vocab_arr = _tokenize_arrow(content)
+    codes, doc_local, vocab_arr = _tokenize_arrow(content, stem=stem)
     dl_per_doc = np.bincount(doc_local, minlength=n_batch).astype(np.int64)
     if len(codes) == 0:
         return None
@@ -342,7 +367,8 @@ def _encode_batch(doc_ids_all: np.ndarray, content, doc_bucket: int):
 
 
 def _tokenize_encode_factory(doc_bucket: int,
-                             max_batch_bytes: int | None = None):
+                             max_batch_bytes: int | None = None,
+                             stem: bool = False):
     """mapInArrow body with byte-budgeted sub-batching: each incoming
     RecordBatch is sliced to ~16 MB of content before tokenizing so
     peak memory stays flat regardless of Arrow batch size x
@@ -380,7 +406,8 @@ def _tokenize_encode_factory(doc_bucket: int,
                 cuts.append(n)
             for lo, hi in zip(cuts[:-1], cuts[1:]):
                 segs = _encode_batch(
-                    doc_ids[lo:hi], content.slice(lo, hi - lo), doc_bucket)
+                    doc_ids[lo:hi], content.slice(lo, hi - lo), doc_bucket,
+                    stem=stem)
                 if segs is not None:
                     yield segs
     return run
@@ -402,13 +429,14 @@ class IndexBuilder:
                  doc_bucket: int = DEFAULT_DOC_BUCKET,
                  chunk_docs: int = DEFAULT_CHUNK_DOCS,
                  term_buckets: int = DEFAULT_TERM_BUCKETS,
-                 presort: bool = False):
+                 presort: bool = False, stem: bool = False):
         self.spark = spark
         self.paths = IndexPaths(out_dir)
         self.doc_bucket = doc_bucket
         self.chunk_docs = chunk_docs
         self.term_buckets = term_buckets
         self.presort = presort
+        self.stem = stem
 
     # ---------------- stage 1: tokenize+encode, chunked + resumable ---
 
@@ -423,10 +451,22 @@ class IndexBuilder:
             os.makedirs(self.paths.base, exist_ok=True)
             with open(os.path.join(self.paths.base, "_FORMAT"), "w") as f:
                 f.write(str(FORMAT_VERSION))
+            import json
+            with open(os.path.join(self.paths.base, "_ANALYZER"),
+                      "w") as f:
+                json.dump({"stem": self.stem}, f)
         elif v != FORMAT_VERSION:
             raise ValueError(
                 f"index at {self.paths.base} has layout v{v}, this build "
                 f"is v{FORMAT_VERSION} — wipe() and rebuild")
+        else:
+            az = read_analyzer(self.paths.base)
+            if az.get("stem", False) != self.stem:
+                raise ValueError(
+                    f"index at {self.paths.base} was built with "
+                    f"stem={az.get('stem', False)} but this builder has "
+                    f"stem={self.stem} — resumed chunks would mix "
+                    "analyzers; wipe() and rebuild")
 
     def _lineage_rows(self) -> dict[int, dict]:
         """chunk → lineage metrics, read driver-side (tiny table)."""
@@ -509,7 +549,7 @@ class IndexBuilder:
                 F.sum(_sha_rollup_expr()).cast("decimal(38,0)")
                 .alias("sha_rollup"))
             partials = inp.mapInArrow(
-                _tokenize_encode_factory(self.doc_bucket),
+                _tokenize_encode_factory(self.doc_bucket, stem=self.stem),
                 schema=PARTIAL_SCHEMA)
             obs_out = Observation(f"lineage_out_{chunk}")
             observed = partials.observe(

@@ -49,13 +49,15 @@ class OracleIndex:
     avgdl: float = 0.0
     doc_len: dict[int, int] = field(default_factory=dict)
     postings: dict[str, dict[int, int]] = field(default_factory=dict)
+    stem: bool = False
 
     @classmethod
-    def build(cls, docs: list[tuple[int, str]]) -> "OracleIndex":
-        idx = cls()
+    def build(cls, docs: list[tuple[int, str]],
+              stem: bool = False) -> "OracleIndex":
+        idx = cls(stem=stem)
         total = 0
         for doc_id, text in docs:
-            toks = tokenize(text)
+            toks = tokenize(text, stem=stem)
             idx.doc_len[doc_id] = len(toks)
             total += len(toks)
             for term, tf in Counter(toks).items():
@@ -71,7 +73,7 @@ class OracleIndex:
                k1: float = K1, b: float = B) -> list[tuple[int, float]]:
         """Conjunctive-AND BM25 top-k: [(doc_id, score)] sorted by
         (score desc, doc_id asc)."""
-        terms = analyze_query(query)
+        terms = analyze_query(query, stem=self.stem)
         if not terms:
             return []
         plists = []
@@ -158,7 +160,7 @@ def _search_or(self, query: str, k: int = TOP_K_SIZE,
         """Disjunctive (should) BM25 top-k: docs matching ANY query
         term; per-doc score sums contributions of present terms in
         query-term order."""
-        terms = analyze_query(query)
+        terms = analyze_query(query, stem=self.stem)
         plists = [(t, self.postings.get(t, {})) for t in terms]
         candidates: set[int] = set()
         for _, p in plists:

@@ -54,6 +54,8 @@ class SearchEngine:
                 f"index at {index_dir} has layout "
                 f"v{v if v is not None else '<unversioned>'}; this "
                 f"engine reads v{FORMAT_VERSION} — rebuild the index")
+        from ..index.build import read_analyzer
+        self.stem = bool(read_analyzer(index_dir).get("stem", False))
         row = spark.read.parquet(self.paths.stats).collect()[0]
         self.n_docs = int(row["n_docs"])
         self.avgdl = float(row["avgdl"])
@@ -115,7 +117,7 @@ class SearchEngine:
 
     # ---------------- exhaustive DataFrame plan -----------------------
     def search(self, query: str, k: int = TOP_K_SIZE) -> DataFrame:
-        terms = analyze_query(query)
+        terms = analyze_query(query, stem=self.stem)
         if not terms:
             return self._empty()
         idf = self._idf_map(terms)
@@ -194,7 +196,7 @@ class SearchEngine:
         """Conjunctive AND top-k with posting skipping: intersect
         rarest-first — only the smallest term's partials are fully
         decoded; larger lists decode candidate-containing blocks only."""
-        terms = analyze_query(query)
+        terms = analyze_query(query, stem=self.stem)
         if not terms:
             return self._empty()
         # single-job plan: global df rides in via a broadcast join with
@@ -252,7 +254,7 @@ class SearchEngine:
         the non-essential tail — whose combined bound cannot reach the
         bootstrap threshold — is never fully decoded, only probed at
         candidate positions (block-selective)."""
-        terms = analyze_query(query)
+        terms = analyze_query(query, stem=self.stem)
         if not terms:
             return self._empty()
         # single-job plan (see search_wand): df rides in via broadcast
@@ -468,7 +470,8 @@ def search_many(engine: SearchEngine, queries: dict[str, str],
     """
     from pyspark.sql.window import Window
 
-    qterms = {qid: analyze_query(q) for qid, q in queries.items()}
+    qterms = {qid: analyze_query(q, stem=engine.stem)
+              for qid, q in queries.items()}
     qterms = {qid: ts for qid, ts in qterms.items() if ts}
     all_terms = sorted({t for ts in qterms.values() for t in ts})
     if not all_terms:

@@ -159,3 +159,70 @@ def test_pipeline_disj_matches_oracle(spark, built, q):
            for r in pipeline.bm25_or_topk(
                corpus, q, k=50, text_col="content").collect()]
     _assert_rank_identical(got, oracle.search_or(q, k=50))
+
+
+STEM_QUERIES = ["imports", "importing defined returns", "the",
+                "meetings", "abilities imports", "zz_missing imports"]
+
+
+@pytest.fixture(scope="module")
+def built_stemmed(spark, tmp_path_factory):
+    """Stemmed index + stemmed oracle over the same corpus — the
+    reference's index-time english stemmer (elasticsearch.yml:15)."""
+    out = str(tmp_path_factory.mktemp("sidx"))
+    pdf = generate_corpus(N_DOCS, min_tokens=20, max_tokens=200,
+                          vocab_size=2000)
+    corpus = spark.createDataFrame(pdf)
+    b = IndexBuilder(spark, out, doc_bucket=256, chunk_docs=200,
+                     term_buckets=8, stem=True)
+    b.build(corpus)
+    oracle = OracleIndex.build(
+        [(int(r.doc_id), r.content) for r in pdf.itertuples(index=False)],
+        stem=True)
+    return out, oracle
+
+
+@pytest.mark.parametrize("q", STEM_QUERIES)
+def test_stemmed_wand_matches_stemmed_oracle(spark, built_stemmed, q):
+    out, oracle = built_stemmed
+    eng = SearchEngine(spark, out, term_buckets=8)
+    assert eng.stem is True  # analyzer config read from the index
+    got = [(int(r.doc_id), float(r.score))
+           for r in eng.search_wand(q, k=50).collect()]
+    _assert_rank_identical(got, oracle.search(q, k=50))
+
+
+def test_stemmed_exhaustive_and_or(spark, built_stemmed):
+    out, oracle = built_stemmed
+    eng = SearchEngine(spark, out, term_buckets=8)
+    q = "imports defined"
+    got = [(int(r.doc_id), float(r.score))
+           for r in eng.search(q, k=50).collect()]
+    _assert_rank_identical(got, oracle.search(q, k=50))
+    got = [(int(r.doc_id), float(r.score))
+           for r in eng.search_or(q, k=50).collect()]
+    _assert_rank_identical(got, oracle.search_or(q, k=50))
+
+
+def test_stemmed_surface_form_retrieval(spark, built_stemmed):
+    """A plural query must retrieve docs containing the singular —
+    the user-visible point of stemming."""
+    out, oracle = built_stemmed
+    eng = SearchEngine(spark, out, term_buckets=8)
+    plural = eng.search_wand("imports", k=50).collect()
+    singular = eng.search_wand("import", k=50).collect()
+    assert [(r.doc_id, r.score) for r in plural] == \
+        [(r.doc_id, r.score) for r in singular]
+    assert len(plural) > 0
+
+
+def test_analyzer_mismatch_fails_loudly(spark, built_stemmed, tmp_path):
+    """Resuming a stemmed index with a stem-free builder must raise."""
+    out, _ = built_stemmed
+    from auctus_spark.corpus import generate_corpus as gc
+    corpus = spark.createDataFrame(gc(50, min_tokens=5, max_tokens=20,
+                                      vocab_size=100))
+    b = IndexBuilder(spark, out, doc_bucket=256, chunk_docs=200,
+                     term_buckets=8, stem=False)
+    with pytest.raises(ValueError, match="stem"):
+        b.tokenize_chunks(corpus, resume=True)
