@@ -476,6 +476,50 @@ def _q_bm25_batched(spark, sf_dir):
                       F.round("score", 6).alias("score"))
 
 
+def _q_embedding_near_pairs(spark, sf_dir):
+    """Banded hyperplane-LSH near-dup pairs + exact cosine verify,
+    checked against a DuckDB exact all-pairs oracle.  LSH params are
+    threshold-tuned by recall = 1-(1-p^r)^b with p = 1-acos(t)/pi:
+    at t=0.45 (the embeddings table's near-pair regime), b=32 x r=2
+    gives miss probability ~3e-8 per true pair; the exact verify step
+    keeps precision 1."""
+    from auctus_spark.operators.dedup import embedding_near_pairs
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = embedding_near_pairs(emb, threshold=0.45, bands=32,
+                               rows_per_band=2)
+    return out.select("id_a", "id_b",
+                      F.round("cosine", 6).alias("cosine"))
+
+
+def _q_bm25_multifield_idx(spark, sf_dir):
+    """Multi-field BM25 on the SEGMENT-INDEX path: one index per field
+    (per-field N/df/avgdl — ES's statistics model), boosted per-bucket
+    scoring, checked against the same DuckDB multifield BM25 SQL as the
+    DataFrame path (reference search/__init__.py:57-109)."""
+    import hashlib as _h
+    import os as _os
+
+    from auctus_spark.index.build import FORMAT_VERSION, read_format, wipe
+    from auctus_spark.query.bm25 import MultiFieldEngine, build_field_indexes
+
+    _ensure_workers_can_import(spark)
+    tag = _h.md5(sf_dir.encode()).hexdigest()[:10]
+    base = f"/tmp/auctus_entry_index_mf_{tag}"
+    boosts = {"text": 1.0, "source": 5.0}
+    docs = _docs(spark, sf_dir)
+    dirs = {f: _os.path.join(base, f"field={f}") for f in boosts}
+    stale = any(not _os.path.exists(_os.path.join(d, "stats"))
+                or read_format(d) != FORMAT_VERSION for d in dirs.values())
+    if stale:
+        wipe(base)
+        dirs = build_field_indexes(spark, docs, base, list(boosts),
+                                   doc_bucket=1 << 10, chunk_docs=1 << 12,
+                                   term_buckets=16)
+    eng = MultiFieldEngine(spark, dirs, boosts, term_buckets=16)
+    out = eng.search("join src3", k=50)
+    return out.select("doc_id", F.round("score", 6).alias("score"))
+
+
 def _q_bm25_stemmed(spark, sf_dir):
     """Index-time Porter2 stemming (reference elasticsearch.yml:15 —
     the ES english stemmer runs on every indexed field): build a
@@ -659,6 +703,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_batched": _q_bm25_batched,
         "bm25_multifield": _q_bm25_multifield,
         "bm25_stemmed": _q_bm25_stemmed,
+        "bm25_multifield_idx": _q_bm25_multifield_idx,
+        "embedding_near_pairs": _q_embedding_near_pairs,
     }
 
 
@@ -784,6 +830,15 @@ def oracle_sql() -> dict[str, str]:
 
 def _oracle_sql_static() -> dict[str, str]:
     return {
+        "embedding_near_pairs": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(
+                       a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
+                     AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(
+                a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45
+            ORDER BY id_a, id_b""",
         "bm25_topk_hot": _bm25_sql(["join"]),
         "bm25_topk_conjunctive": _bm25_sql(["data", "join", "merge"]),
         "bm25_zero_hits": _bm25_sql(["join", "zzz_not_a_token"]),
@@ -957,6 +1012,8 @@ def _oracle_sql_static() -> dict[str, str]:
             + _bm25_sql(["data", "join"], k=20)
             + ") UNION ALL SELECT 'qb' AS query_id, * FROM ("
             + _bm25_sql(["merge", "batch"], k=20) + ")"),
+        "bm25_multifield_idx": _multifield_sql(
+            ["join", "src3"], [("text", 1.0), ("source", 5.0)]),
         "bm25_multifield": _multifield_sql(
             ["join", "src3"], [("text", 1.0), ("source", 5.0)]),
         "numeric_histogram": """

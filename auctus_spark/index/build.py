@@ -369,10 +369,17 @@ def _encode_batch(doc_ids_all: np.ndarray, content, doc_bucket: int,
 def _tokenize_encode_factory(doc_bucket: int,
                              max_batch_bytes: int | None = None,
                              stem: bool = False):
-    """mapInArrow body with byte-budgeted sub-batching: each incoming
-    RecordBatch is sliced to ~16 MB of content before tokenizing so
-    peak memory stays flat regardless of Arrow batch size x
-    concurrency.  Validates the docID-ordering contract per batch."""
+    """mapInArrow body with byte-budgeted encode granularity.
+
+    Incoming Arrow batches are SMALL (~8k rows, capped in
+    tokenize_chunks so the JVM never buffers half-GB batches); the
+    encoder ACCUMULATES them to ~``max_batch_bytes`` of content before
+    encoding, so partial segments stay coarse (fragmented partials
+    inflate the merge shuffle and the parquet write — the dominant
+    fixed cost at high parallelism).  Oversized incoming batches are
+    sliced down to the same budget, so peak memory stays flat in both
+    directions.  Validates the docID-ordering contract per batch.
+    """
     if max_batch_bytes is None:
         max_batch_bytes = int(os.environ.get(
             "AUCTUS_TOKENIZE_BATCH_BYTES", str(16 << 20)))
@@ -380,36 +387,70 @@ def _tokenize_encode_factory(doc_bucket: int,
     def run(batches):
         import pyarrow as pa
         import pyarrow.compute as pc
+
+        pend_ids: list[np.ndarray] = []
+        pend_content: list = []
+        pend_bytes = 0
+
+        def flush():
+            nonlocal pend_ids, pend_content, pend_bytes
+            if not pend_ids:
+                return None
+            ids = pend_ids[0] if len(pend_ids) == 1 \
+                else np.concatenate(pend_ids)
+            content = pend_content[0] if len(pend_content) == 1 \
+                else pa.concat_arrays(pend_content)
+            pend_ids, pend_content, pend_bytes = [], [], 0
+            return _encode_batch(ids, content, doc_bucket, stem=stem)
+
+        last_id = None
         for rb in batches:
             n = rb.num_rows
             if not n:
                 continue
             doc_ids = rb.column(
                 rb.schema.get_field_index("doc_id")).to_numpy()
-            if n > 1 and not np.all(np.diff(doc_ids) > 0):
+            if ((n > 1 and not np.all(np.diff(doc_ids) > 0))
+                    or (last_id is not None and doc_ids[0] <= last_id)):
                 raise ValueError(
                     "corpus batch is not strictly docID-ascending; the "
                     "index layout requires docID-ordered input — pass "
                     "IndexBuilder(..., presort=True) to range-partition "
                     "and sort by doc_id first")
+            last_id = int(doc_ids[-1])
             content = rb.column(rb.schema.get_field_index("content"))
             if isinstance(content, pa.ChunkedArray):
                 content = content.combine_chunks()
-            sizes = pc.binary_length(content).to_numpy()
-            cuts, acc = [0], 0
-            for i, sz in enumerate(sizes):
-                acc += int(sz)
-                if acc >= max_batch_bytes:
-                    cuts.append(i + 1)
-                    acc = 0
-            if cuts[-1] != n:
-                cuts.append(n)
-            for lo, hi in zip(cuts[:-1], cuts[1:]):
-                segs = _encode_batch(
-                    doc_ids[lo:hi], content.slice(lo, hi - lo), doc_bucket,
-                    stem=stem)
+            nbytes = int(pc.sum(pc.binary_length(content)).as_py() or 0)
+            if nbytes >= max_batch_bytes:
+                # oversized incoming batch: flush pending, then slice
+                segs = flush()
                 if segs is not None:
                     yield segs
+                sizes = pc.binary_length(content).to_numpy()
+                csum = np.cumsum(sizes)
+                bounds = np.searchsorted(
+                    csum, np.arange(max_batch_bytes, int(csum[-1]),
+                                    max_batch_bytes))
+                cuts = sorted({0, *(int(b) + 1 for b in bounds), n})
+                cuts = [c for c in cuts if c <= n]
+                for lo, hi in zip(cuts[:-1], cuts[1:]):
+                    segs = _encode_batch(
+                        doc_ids[lo:hi], content.slice(lo, hi - lo),
+                        doc_bucket, stem=stem)
+                    if segs is not None:
+                        yield segs
+                continue
+            pend_ids.append(doc_ids)
+            pend_content.append(content)
+            pend_bytes += nbytes
+            if pend_bytes >= max_batch_bytes:
+                segs = flush()
+                if segs is not None:
+                    yield segs
+        segs = flush()
+        if segs is not None:
+            yield segs
     return run
 
 
@@ -511,6 +552,26 @@ class IndexBuilder:
             return []
         done = self._lineage_rows() if resume else {}
         built = []
+        # Cap the JVM->Python Arrow batch size for FAT content rows:
+        # the session default (200k rows, tuned for thin posting rows)
+        # would make each stage-1 task buffer ~0.5 GB per batch in JVM
+        # direct memory — 32 concurrent tasks stall the whole stage on
+        # allocation/GC.  ~8k rows ≈ 20 MB/batch; restored after.
+        conf = self.spark.conf
+        key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+        prev = conf.get(key, None)
+        conf.set(key, "8192")
+        try:
+            built = self._tokenize_loop(corpus, counts, done, built)
+        finally:
+            if prev is None:
+                conf.unset(key)
+            else:
+                conf.set(key, prev)
+        return built
+
+    def _tokenize_loop(self, corpus: DataFrame, counts: dict, done: dict,
+                       built: list[int]) -> list[int]:
         if self.presort:
             n_part = max(self.spark.sparkContext.defaultParallelism, 2)
             corpus = (corpus.repartitionByRange(n_part, "doc_id")

@@ -194,37 +194,100 @@ def semantic_flags(ratios: dict) -> list[str]:
 
 
 # ---------------------------------------------------------------------
-# numerical range sketch (coverage) — deterministic stand-in for the
+# numerical range sketch (coverage) — seeded K-Means parity with the
 # reference's KMeans(n_clusters<=3, random_state=0) (numerical.py:38-86)
 # ---------------------------------------------------------------------
 
+def _kmeans_pp_init(v: np.ndarray, k: int,
+                    rng: np.random.RandomState) -> np.ndarray:
+    """k-means++ seeding (Arthur & Vassilvitskii 2007), 1-D, with the
+    greedy n_local_trials refinement sklearn uses."""
+    n = v.size
+    n_local_trials = 2 + int(np.log(k))
+    centers = np.empty(k, dtype=np.float64)
+    centers[0] = v[rng.randint(n)]
+    closest = (v - centers[0]) ** 2
+    pot = closest.sum()
+    for c in range(1, k):
+        if pot <= 0:
+            centers[c:] = centers[0]
+            break
+        rand_vals = rng.uniform(size=n_local_trials) * pot
+        cand_ids = np.searchsorted(np.cumsum(closest), rand_vals)
+        cand_ids = np.clip(cand_ids, 0, n - 1)
+        best_pot, best_id, best_closest = None, None, None
+        for cid in cand_ids:
+            d = np.minimum(closest, (v - v[cid]) ** 2)
+            p = d.sum()
+            if best_pot is None or p < best_pot:
+                best_pot, best_id, best_closest = p, cid, d
+        centers[c] = v[best_id]
+        closest, pot = best_closest, best_pot
+    return centers
+
+
+def _kmeans_1d(v: np.ndarray, k: int, seed: int = 0, n_init: int = 10,
+               max_iter: int = 300, tol: float = 1e-4
+               ) -> tuple[np.ndarray, np.ndarray]:
+    """Seeded Lloyd's over 1-D values: n_init k-means++ restarts, keep
+    lowest inertia — the algorithm (and defaults) of the sklearn
+    estimator the reference pins with ``random_state=0``."""
+    rng = np.random.RandomState(seed)
+    tol_abs = tol * v.var() if v.size else 0.0
+    best = None
+    for _ in range(n_init):
+        centers = np.sort(_kmeans_pp_init(v, k, rng))
+        for _ in range(max_iter):
+            # 1-D assignment: nearest of sorted centers via midpoints
+            mids = (centers[1:] + centers[:-1]) / 2.0
+            labels = np.searchsorted(mids, v)
+            sums = np.bincount(labels, weights=v, minlength=k)
+            cnts = np.bincount(labels, minlength=k)
+            new = centers.copy()
+            nz = cnts > 0
+            new[nz] = sums[nz] / cnts[nz]
+            # relocate empty clusters to the farthest points
+            if (~nz).any():
+                d = (v - new[labels]) ** 2
+                for j in np.nonzero(~nz)[0]:
+                    far = int(np.argmax(d))
+                    new[j] = v[far]
+                    d[far] = 0.0
+            new = np.sort(new)
+            shift = ((new - centers) ** 2).sum()
+            centers = new
+            if shift <= tol_abs:
+                break
+        mids = (centers[1:] + centers[:-1]) / 2.0
+        labels = np.searchsorted(mids, v)
+        inertia = ((v - centers[labels]) ** 2).sum()
+        if best is None or inertia < best[0]:
+            best = (inertia, centers, labels)
+    return best[1], best[2]
+
+
 def range_sketch_pdf(values: np.ndarray, n_ranges: int = N_RANGES,
                      min_size: float = MIN_RANGE_SIZE) -> list[dict]:
-    """Split sorted values at the (n_ranges-1) largest gaps, drop
-    clusters under 10%% mass, keep each cluster's [5th, 95th] percentile
-    bounds — the same output contract as the reference's K-Means sketch
-    with a deterministic, shuffle-free rule."""
-    v = np.sort(values[~np.isnan(values)])
+    """The reference's coverage sketch, exactly (numerical.py:38-86):
+    KMeans(k=min(3, n), random_state=0) over the values, drop clusters
+    under 10% mass, keep [cluster[int(.05*len)], cluster[int(.95*len)]]
+    per surviving cluster, ranges sorted."""
+    v = values[~np.isnan(values)].astype(np.float64)
     if v.size == 0:
         return []
-    if v.size == 1 or v[0] == v[-1]:
-        return [{"gte": float(v[0]), "lte": float(v[-1])}]
-    gaps = np.diff(v)
-    # cut only at significant gaps (> 4x mean spacing), at most
-    # n_ranges-1 cuts — deterministic analogue of KMeans k<=3 splits
-    cand = np.argsort(gaps)[::-1][:n_ranges - 1]
-    cand = cand[gaps[cand] > 4.0 * gaps.mean()]
-    cuts = np.sort(cand)
-    bounds = np.concatenate([[0], cuts + 1, [v.size]])
+    k = min(n_ranges, v.size)
+    if v.min() == v.max():
+        return [{"gte": float(v[0]), "lte": float(v[0])}]
+    _, labels = _kmeans_1d(v, k, seed=0)
     out = []
-    for i in range(len(bounds) - 1):
-        seg = v[bounds[i]:bounds[i + 1]]
-        if seg.size < min_size * v.size:
+    for rg in range(k):
+        cluster = np.sort(v[labels == rg])
+        if cluster.size == 0 or cluster.size < min_size * v.size:
             continue
-        out.append({"gte": float(np.percentile(seg, 5)),
-                    "lte": float(np.percentile(seg, 95))})
-    return out or [{"gte": float(np.percentile(v, 5)),
-                    "lte": float(np.percentile(v, 95))}]
+        out.append([float(cluster[int(0.05 * cluster.size)]),
+                    float(cluster[int(0.95 * cluster.size)])])
+    out.sort()
+    return [{"gte": lo, "lte": hi} for lo, hi in out]
 
 
 def range_sketch(df: DataFrame, col: str, sample_cap: int = 100_000,

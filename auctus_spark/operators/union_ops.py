@@ -104,9 +104,10 @@ def union_execute(left: DataFrame, right: DataFrame,
         right.drop(*[c for c in drop_idx if c in right.columns]),
         allowMissingColumns=True)
     if index_col:
-        w = Window.orderBy(F.monotonically_increasing_id())
-        out = out.withColumn(index_col,
-                             F.row_number().over(w).cast("long") - 1)
+        # per-partition offset numbering — a bare orderBy window here
+        # would serialize the whole union through one task
+        from ..ids import sequential_index
+        out = sequential_index(out, index_col)
     return out
 
 

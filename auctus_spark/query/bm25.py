@@ -539,3 +539,146 @@ def search_many(engine: SearchEngine, queries: dict[str, str],
         F.desc("score"), F.asc("doc_id"))
     return (local.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") <= k).drop("_rn"))
+
+
+# ---------------------------------------------------------------------
+# multi-field search over per-field segment indexes — the reference's
+# flagship multi_match (id^10, description, name^3; search/__init__.py:
+# 57-109) on the SCALE path.  Each field gets its own index (own N, df,
+# avgdl — ES's per-field statistics model); scoring is term-centric
+# AND: every query term present in >= 1 field, contribution summed in
+# (term, field) order with weight boost_f * idf_f(t) — bit-exact with
+# oracle.search_multifield.
+# ---------------------------------------------------------------------
+
+class MultiFieldEngine:
+    """Boosted multi-field BM25 over per-field segment indexes.
+
+    ``build_field_indexes`` is the companion constructor: one
+    IndexBuilder per field over ``docs.select(id, field)`` filtered to
+    non-null — all sharing doc_bucket so per-bucket scoring needs no
+    shuffle realignment across fields (postings of one doc range land
+    in one task regardless of field)."""
+
+    def __init__(self, spark: SparkSession, field_dirs: dict[str, str],
+                 boosts: dict[str, float], term_buckets: int = 64):
+        self.spark = spark
+        self.boosts = dict(boosts)
+        self.engines = {f: SearchEngine(spark, d, term_buckets)
+                        for f, d in field_dirs.items()}
+        stems = {e.stem for e in self.engines.values()}
+        if len(stems) > 1:
+            raise ValueError("field indexes disagree on analyzer config")
+        self.stem = stems.pop() if stems else False
+
+    def _empty(self) -> DataFrame:
+        return self.spark.createDataFrame([], "doc_id long, score double")
+
+    def search(self, query: str, k: int = TOP_K_SIZE) -> DataFrame:
+        fields = list(self.boosts)
+        terms = analyze_query(query, stem=self.stem)
+        if not terms:
+            return self._empty()
+        # AND across fields: a term missing from EVERY field's global
+        # stats -> zero hits
+        field_stats = {}
+        for f in fields:
+            eng = self.engines[f]
+            field_stats[f] = eng.term_stats(terms)
+        for t in terms:
+            if all(t not in field_stats[f] for f in fields):
+                return self._empty()
+        # fold boost * idf into plain floats (python float64 — the
+        # oracle's exact left-assoc multiply)
+        weights = {}   # (field, term) -> w
+        for f in fields:
+            eng = self.engines[f]
+            for t, df_ in field_stats[f].items():
+                weights[(f, t)] = self.boosts[f] * bm25_idf(eng.n_docs,
+                                                            df_)
+        avgdls = {f: self.engines[f].avgdl for f in fields}
+        segs = None
+        for f in fields:
+            s = (self.engines[f]._segments_for(terms)
+                 .select(*SearchEngine._SEG_COLS)
+                 .withColumn("field", F.lit(f)))
+            segs = s if segs is None else segs.unionByName(s)
+        tomb = np.unique(np.concatenate(
+            [self.engines[f].tombstones for f in fields])) \
+            if any(self.engines[f].tombstones.size for f in fields) \
+            else np.array([], dtype=np.int64)
+        all_terms = list(terms)
+
+        def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+            per_field = {f: _group_partials(g.drop(columns=["field"]))
+                         for f, g in pdf.groupby("field", sort=False)}
+            # candidates: per term, union across fields; AND across terms
+            cand = None
+            for t in all_terms:
+                ids_t = [
+                    _decode_full_term(per_field[f][t])
+                    for f in per_field if t in per_field[f]]
+                if not ids_t:
+                    return _empty_pdf()
+                u = (ids_t[0] if len(ids_t) == 1
+                     else np.unique(np.concatenate(ids_t)))
+                if cand is None:
+                    cand = u
+                else:
+                    pos = np.searchsorted(u, cand)
+                    pos_c = np.minimum(pos, u.size - 1) if u.size else pos
+                    cand = cand[u[pos_c] == cand] if u.size \
+                        else cand[:0]
+                if cand.size == 0:
+                    return _empty_pdf()
+            cand = _mask_tombstones(cand, tomb)
+            if cand.size == 0:
+                return _empty_pdf()
+            # (term, field) summation order — the oracle's
+            score = np.zeros(cand.size, dtype=np.float64)
+            for t in all_terms:
+                for f in fields:
+                    pt = per_field.get(f)
+                    if not pt or t not in pt:
+                        continue
+                    w = weights[(f, t)]
+                    idf_one = {t: w}
+                    s_tf, _ = _score_candidates(
+                        [t], idf_one, {t: pt[t]}, cand, avgdls[f])
+                    score += s_tf
+            cand2, score2 = _topk_local(cand, score, k)
+            return pd.DataFrame({"doc_id": cand2.astype(np.int64),
+                                 "score": score2})
+
+        local = (segs.groupBy("bucket")
+                 .applyInPandas(score_bucket,
+                                schema="doc_id long, score double"))
+        return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def build_field_indexes(spark: SparkSession, docs: DataFrame,
+                        base_dir: str, fields: list[str],
+                        id_col: str = "doc_id",
+                        doc_bucket: int = 1 << 16,
+                        chunk_docs: int = 1 << 20,
+                        term_buckets: int = 64,
+                        stem: bool = False,
+                        resume: bool = True) -> dict[str, str]:
+    """One segment index per field (field value as the content column,
+    null rows excluded — per-field N/df/avgdl like ES).  Returns
+    {field: index_dir} for MultiFieldEngine."""
+    import os as _os
+
+    from ..index.build import IndexBuilder
+    out = {}
+    for f in fields:
+        d = _os.path.join(base_dir, f"field={f}")
+        b = IndexBuilder(spark, d, doc_bucket=doc_bucket,
+                         chunk_docs=chunk_docs,
+                         term_buckets=term_buckets, stem=stem)
+        corpus = (docs.filter(F.col(f).isNotNull())
+                  .select(F.col(id_col).alias("doc_id"),
+                          F.col(f).cast("string").alias("content")))
+        b.build(corpus, resume=resume)
+        out[f] = d
+    return out

@@ -29,10 +29,18 @@ def get_spark(app: str = "auctus_spark", cores: int | None = None,
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle_partitions = shuffle_partitions or max(cores, 8)
     _export_package_path()
+    # numpy madvises MADV_HUGEPAGE on large allocations; on VMs with
+    # THP=madvise that turns every first touch of a fresh buffer into
+    # a huge-page fault + compaction stall.  Measured here: 20x slower
+    # np.unique on first touch, and with 32 concurrent python workers
+    # the whole tokenize stage serializes behind compaction (178s ->
+    # ~25s at local[32]).  Disable for the driver AND python workers.
+    os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
     return (
         SparkSession.builder
         .master(f"local[{cores}]")
         .appName(app)
+        .config("spark.executorEnv.NUMPY_MADVISE_HUGEPAGE", "0")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

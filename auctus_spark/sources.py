@@ -133,10 +133,8 @@ def read_any(spark: SparkSession, path: str, header: bool = True
         # Spark has no skipRows for csv: filter by line index via text
         # read + re-parse (still distributed)
         text = spark.read.text(path)
-        from pyspark.sql.window import Window
-        idx = F.row_number().over(
-            Window.orderBy(F.monotonically_increasing_id())) - 1
-        body = (text.withColumn("_i", idx)
+        from .ids import sequential_index
+        body = (sequential_index(text, "_i")
                 .filter(F.col("_i") >= info["skip_rows"])
                 .drop("_i"))
         return (spark.read.option("header", header)
@@ -174,11 +172,9 @@ def write_csv(df: DataFrame, path: str, single_file: bool = False) -> None:
 def write_d3m_like(df: DataFrame, path: str) -> None:
     """D3M-dataset-style output (reference d3m.py): learningData.csv
     with a d3mIndex column."""
-    from pyspark.sql.window import Window
-    idx = F.row_number().over(
-        Window.orderBy(F.monotonically_increasing_id())) - 1
-    with_idx = df.withColumn("d3mIndex", idx.cast("long"))
+    from .ids import sequential_index
+    with_idx = sequential_index(df, "d3mIndex")
     cols = ["d3mIndex"] + [c for c in df.columns]
-    write_csv(with_idx.select(*cols),
+    write_csv(with_idx.select(*cols).orderBy("d3mIndex"),
               os.path.join(path, "tables", "learningData.csv"),
               single_file=True)

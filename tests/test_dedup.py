@@ -102,6 +102,70 @@ def test_embedding_near_pairs(spark):
             (3, (-base).tolist())]
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     got = {(r.id_a, r.id_b) for r in
-           embedding_near_pairs(emb, threshold=0.98, n_planes=8).collect()}
+           embedding_near_pairs(emb, threshold=0.98).collect()}
     assert (0, 1) in got
     assert (0, 3) not in got
+
+
+def _exact_pairs(rows, threshold):
+    M = np.array([v for _, v in rows], dtype=np.float64)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    S = Mn @ Mn.T
+    out = set()
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            if S[i, j] >= threshold:
+                out.add((rows[i][0], rows[j][0]))
+    return out
+
+
+def test_embedding_near_pairs_recall_borderline(spark):
+    """Recall >= 0.95 at threshold 0.95 on BORDERLINE pairs (cos drawn
+    in [0.95, 0.97]) — the round-1 single-table version had recall
+    ~0.2 here; banding (b bands x r bits, candidate = any band fully
+    agrees) fixes it: miss prob = (1 - p^r)^b ~ 2e-6 per pair at
+    defaults.  Exact-cosine verify keeps precision 1.0."""
+    rng = np.random.Generator(np.random.PCG64(7))
+    dim, n_pairs = 32, 60
+    rows = []
+    vid = 0
+    for _ in range(n_pairs):
+        a = rng.normal(size=dim)
+        a /= np.linalg.norm(a)
+        r = rng.normal(size=dim)
+        r -= (r @ a) * a
+        r /= np.linalg.norm(r)
+        c = rng.uniform(0.951, 0.97)
+        b = c * a + np.sqrt(1 - c * c) * r
+        rows.append((vid, a.tolist())); vid += 1
+        rows.append((vid, b.tolist())); vid += 1
+    for _ in range(80):  # background vectors, no near pairs
+        v = rng.normal(size=dim)
+        rows.append((vid, v.tolist())); vid += 1
+    want = _exact_pairs(rows, 0.95)
+    assert len(want) >= 0.9 * n_pairs  # sanity: fixtures are borderline
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {(r.id_a, r.id_b) for r in
+           embedding_near_pairs(emb, threshold=0.95).collect()}
+    assert got <= want                      # exact verify: no false pos
+    recall = len(got & want) / len(want)
+    assert recall >= 0.95, recall
+
+
+def test_lsh_hot_bucket_cap(spark):
+    """A degenerate bucket (many identical docs) is dropped by the cap;
+    the join completes and other pairs survive."""
+    from auctus_spark.operators.dedup import (lsh_candidate_pairs,
+                                              minhash_signatures)
+    rows = [(i, "the same exact text repeated " * 3) for i in range(50)]
+    rows += [(100, "a unique document about spark joins and shuffles"),
+             (101, "a unique document about spark joins and shuffles")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = minhash_signatures(docs)
+    capped = lsh_candidate_pairs(sigs, max_bucket=10)
+    got = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert (100, 101) in got
+    assert not any(a < 50 and b < 50 for a, b in got)  # mega-bucket gone
+    full = {(r.id_a, r.id_b)
+            for r in lsh_candidate_pairs(sigs).collect()}
+    assert (0, 1) in full                   # uncapped keeps everything

@@ -82,11 +82,19 @@ def test_structural_type_voting(spark):
 
 
 def test_range_sketch():
-    # two well-separated clusters → two ranges
+    # two well-separated clusters; KMeans k=3 may split one of them
+    # (the reference's own check allows 2..3 ranges,
+    # tests/test_profile.py:26-38) — no range may straddle the gap
     v = np.concatenate([np.linspace(0, 10, 50), np.linspace(100, 110, 50)])
     ranges = range_sketch_pdf(v)
-    assert len(ranges) == 2
-    assert ranges[0]["lte"] <= 10.0 and ranges[1]["gte"] >= 100.0
+    assert 2 <= len(ranges) <= 3
+    assert not any(r["gte"] <= 10.0 < 100.0 <= r["lte"] for r in ranges)
+    assert ranges[0]["gte"] >= 0.0 and ranges[-1]["lte"] <= 110.0
+    # KMeans-parity golden case (reference test_profile.py: year column
+    # {2014 x n, 2015 x m} → two exact single-value ranges)
+    yr = np.array([2014.0] * 5 + [2015.0] * 4)
+    assert range_sketch_pdf(yr) == [{"gte": 2014.0, "lte": 2014.0},
+                                    {"gte": 2015.0, "lte": 2015.0}]
     # tiny cluster (<10%) dropped
     v2 = np.concatenate([np.linspace(0, 10, 98), np.array([1000.0, 1001.0])])
     r2 = range_sketch_pdf(v2)

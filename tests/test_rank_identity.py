@@ -226,3 +226,28 @@ def test_analyzer_mismatch_fails_loudly(spark, built_stemmed, tmp_path):
                      term_buckets=8, stem=False)
     with pytest.raises(ValueError, match="stem"):
         b.tokenize_chunks(corpus, resume=True)
+
+
+def test_multifield_index_matches_oracle(spark, built, tmp_path_factory):
+    """Multi-field BM25 on the SEGMENT INDEX path (per-field indexes,
+    boosted per-bucket scoring) — bit-exact vs oracle.search_multifield
+    and vs the DataFrame path."""
+    from auctus_spark.oracle import OracleIndex, search_multifield
+    from auctus_spark.query.bm25 import MultiFieldEngine, build_field_indexes
+    _, _, _, corpus, _ = built
+    base = str(tmp_path_factory.mktemp("mfidx"))
+    boosts = {"content": 1.0, "path": 3.0}
+    dirs = build_field_indexes(spark, corpus, base, ["content", "path"],
+                               doc_bucket=256, chunk_docs=200,
+                               term_buckets=8)
+    eng = MultiFieldEngine(spark, dirs, boosts, term_buckets=8)
+    pdf = corpus.toPandas()
+    fi = OracleIndex.build_fields(
+        [(int(r.doc_id), {"content": r.content, "path": r.path})
+         for r in pdf.itertuples(index=False)])
+    for q in ["import", "src file_11 import", "file_7 py",
+              "zz_missing import", "no_such_token_anywhere"]:
+        want = search_multifield(fi, q, boosts, k=50)
+        got = [(int(r.doc_id), float(r.score))
+               for r in eng.search(q, k=50).collect()]
+        assert got == want, q
