@@ -520,6 +520,81 @@ def _q_bm25_multifield_idx(spark, sf_dir):
     return out.select("doc_id", F.round("score", 6).alias("score"))
 
 
+def _q_bm25_phrase(spark, sf_dir):
+    """match_phrase over the positional segment index (positions are
+    per-posting delta+varbyte streams with block offsets, codec v3).
+    Lucene PhraseQuery scoring: phrase_freq as tf, weight = sum of the
+    terms' idfs.  Beyond the reference's DSL (Auctus never exposes
+    match_phrase) but core ES-parity surface."""
+    import hashlib as _h
+    import os as _os
+
+    from auctus_spark.index.build import (FORMAT_VERSION, IndexBuilder,
+                                          read_analyzer, read_format, wipe)
+    from auctus_spark.query.bm25 import PhraseEngine
+
+    _ensure_workers_can_import(spark)
+    tag = _h.md5(sf_dir.encode()).hexdigest()[:10]
+    idx_dir = f"/tmp/auctus_entry_index_pos_{tag}"
+    corpus = _docs(spark, sf_dir).select(
+        "doc_id", F.col("text").alias("content"))
+    b = IndexBuilder(spark, idx_dir, doc_bucket=1 << 10,
+                     chunk_docs=1 << 12, term_buckets=16, positions=True)
+    if (not _os.path.exists(_os.path.join(idx_dir, "stats"))
+            or read_format(idx_dir) != FORMAT_VERSION
+            or not read_analyzer(idx_dir).get("positions", False)):
+        wipe(idx_dir)
+        b.build(corpus)
+    eng = PhraseEngine(spark, idx_dir, term_buckets=16)
+    out = eng.search_phrase("table value", k=50)
+    return out.select("doc_id", F.round("score", 6).alias("score"))
+
+
+def _phrase_sql(terms: list[str], k: int = 50) -> str:
+    """DuckDB phrase oracle: positional self-joins on consecutive
+    positions; Lucene PhraseQuery scoring (idf_sum * tf_norm(freq))."""
+    joins = "".join(
+        f" JOIN tok a{i} ON a{i}.doc_id = a0.doc_id AND "
+        f"a{i}.pos = a0.pos + {i} AND a{i}.term = '{terms[i]}'"
+        for i in range(1, len(terms)))
+    uterms = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+    idf_terms = " + ".join(
+        f"(SELECT ln(1 + (s.n_docs - df + 0.5) / (df + 0.5)) FROM df "
+        f"CROSS JOIN stats s WHERE term = '{t}')" for t in terms)
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text),
+                     '{SPLIT_PATTERN}'), x -> x <> '') AS l
+  FROM documents),
+tok AS (
+  SELECT doc_id, l[i] AS term, i AS pos
+  FROM toks, LATERAL (SELECT unnest(range(1, len(l) + 1)) AS i)),
+dl AS (SELECT doc_id, len(l) AS dl FROM toks),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT sum(len(l)) FROM toks) * 1.0
+           / (SELECT count(*) FROM documents) AS avgdl),
+df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tok
+  WHERE term IN ({uterms}) GROUP BY term),
+occ AS (
+  SELECT a0.doc_id, count(*) AS freq
+  FROM tok a0{joins}
+  WHERE a0.term = '{terms[0]}'
+  GROUP BY a0.doc_id)
+SELECT occ.doc_id,
+       round(({idf_terms})
+             * (occ.freq / (occ.freq + 1.2 *
+                (0.25 + 0.75 * dl.dl / s.avgdl))), 6) AS score
+FROM occ JOIN dl USING (doc_id) CROSS JOIN stats s
+ORDER BY ({idf_terms})
+         * (occ.freq / (occ.freq + 1.2 *
+            (0.25 + 0.75 * dl.dl / s.avgdl))) DESC, occ.doc_id ASC
+LIMIT {k}
+"""
+
+
 def _q_bm25_stemmed(spark, sf_dir):
     """Index-time Porter2 stemming (reference elasticsearch.yml:15 —
     the ES english stemmer runs on every indexed field): build a
@@ -703,6 +778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_batched": _q_bm25_batched,
         "bm25_multifield": _q_bm25_multifield,
         "bm25_stemmed": _q_bm25_stemmed,
+        "bm25_phrase": _q_bm25_phrase,
         "bm25_multifield_idx": _q_bm25_multifield_idx,
         "embedding_near_pairs": _q_embedding_near_pairs,
     }
@@ -1012,6 +1088,7 @@ def _oracle_sql_static() -> dict[str, str]:
             + _bm25_sql(["data", "join"], k=20)
             + ") UNION ALL SELECT 'qb' AS query_id, * FROM ("
             + _bm25_sql(["merge", "batch"], k=20) + ")"),
+        "bm25_phrase": _phrase_sql(["table", "value"]),
         "bm25_multifield_idx": _multifield_sql(
             ["join", "src3"], [("text", 1.0), ("source", 5.0)]),
         "bm25_multifield": _multifield_sql(

@@ -73,8 +73,9 @@ DEFAULT_TERM_BUCKETS = 64
 # on-disk layout version: bumped when PARTIAL_SCHEMA / segment layout
 # changes; readers and resumed builds fail loudly on stale indexes
 # instead of misreading them.  v2: binary-packed block metadata,
-# marker-row-free lineage.
-FORMAT_VERSION = 2
+# marker-row-free lineage.  v3: optional per-posting position streams
+# (pos_blob/pos_off columns; empty when positions=False).
+FORMAT_VERSION = 3
 
 
 def read_format(index_dir: str) -> int | None:
@@ -108,7 +109,8 @@ PARTIAL_SCHEMA = (
     "doc_id_max long, docs_blob binary, tfs_blob binary, dls_blob binary, "
     "docs_off binary, tfs_off binary, dls_off binary, "
     "block_max_tf binary, block_min_dl binary, "
-    "block_last_doc binary, max_tf long, min_dl long"
+    "block_last_doc binary, max_tf long, min_dl long, "
+    "pos_blob binary, pos_off binary"
 )
 
 def _sha_rollup_expr():
@@ -171,6 +173,8 @@ def _arrow_schema():
             ("block_last_doc", pa.binary()),
             ("max_tf", pa.int64()),
             ("min_dl", pa.int64()),
+            ("pos_blob", pa.binary()),
+            ("pos_off", pa.binary()),
         ])
     return ARROW_PARTIAL_SCHEMA
 
@@ -245,7 +249,7 @@ def _varbyte_stream(vals: np.ndarray, group_starts: np.ndarray):
 
 
 def _encode_batch(doc_ids_all: np.ndarray, content, doc_bucket: int,
-                  stem: bool = False):
+                  stem: bool = False, positions: bool = False):
     """One corpus slice → partial-segment RecordBatch.
 
     Everything stays in Arrow/numpy: tokenization is Arrow C++
@@ -285,6 +289,23 @@ def _encode_batch(doc_ids_all: np.ndarray, content, doc_bucket: int,
     dls = dl_per_doc[dloc]
     buckets = doc_ids // doc_bucket
     n = len(skey)
+    tf_csum = np.concatenate([[0], np.cumsum(tfs)])
+
+    pos_sorted = None
+    if positions:
+        # occurrence position within the (empty-filtered) token
+        # sequence of its doc, then occurrences ordered to match the
+        # posting order of np.unique (code, doc) — per-posting
+        # ascending positions
+        n_occ = len(doc_local)
+        run_start = np.ones(n_occ, dtype=bool)
+        run_start[1:] = doc_local[1:] != doc_local[:-1]
+        run_firsts = np.nonzero(run_start)[0]
+        run_id = np.cumsum(run_start) - 1
+        pos_in_doc = (np.arange(n_occ, dtype=np.int64)
+                      - run_firsts[run_id])
+        order = np.lexsort((pos_in_doc, doc_local, codes))
+        pos_sorted = pos_in_doc[order]
 
     new_group = np.ones(n, dtype=bool)
     new_group[1:] = (tcode[1:] != tcode[:-1]) | (buckets[1:] != buckets[:-1])
@@ -326,13 +347,15 @@ def _encode_batch(doc_ids_all: np.ndarray, content, doc_bucket: int,
 
     nblk_per_g = np.diff(blk_bounds)
 
-    def _offsets_binary(pv, g_off, g_end):
+    def _offsets_binary(pv, g_off, g_end, at=None):
         # per-group int32 block byte offsets (group-relative, with an
-        # end sentinel), packed little-endian into one binary column
+        # end sentinel), packed little-endian into one binary column.
+        # ``at`` overrides the value indexes of block starts (used by
+        # the position stream, whose values are occurrences).
         vals = np.empty(nb + ng, dtype=np.int32)
         blk_pos = np.arange(nb) + np.repeat(np.arange(ng), nblk_per_g)
         base = np.repeat(g_off, nblk_per_g)
-        vals[blk_pos] = pv[bstart_idx] - base
+        vals[blk_pos] = pv[bstart_idx if at is None else at] - base
         vals[blk_bounds[1:] + np.arange(ng)] = g_end - g_off
         ent_off = blk_bounds + np.arange(ng + 1)  # entries per group
         return _binary(vals, ent_off[:-1], ent_off[1:], itemsize=4)
@@ -342,7 +365,6 @@ def _encode_batch(doc_ids_all: np.ndarray, content, doc_bucket: int,
                        blk_bounds[1:], itemsize=dtype().itemsize)
 
     sch = _arrow_schema()
-    tf_csum = np.concatenate([[0], np.cumsum(tfs)])
     arrays = [
         pc.take(vocab_arr, pa.array(tcode[group_starts])).cast(pa.string()),
         pa.array(buckets[group_starts].astype(np.int64), type=pa.int64()),
@@ -363,12 +385,35 @@ def _encode_batch(doc_ids_all: np.ndarray, content, doc_bucket: int,
         pa.array(seg_max_tf.astype(np.int64)),
         pa.array(seg_min_dl.astype(np.int64)),
     ]
+    if positions:
+        # per-posting positions: first absolute, rest delta vs the
+        # previous position of the SAME posting; per-block byte
+        # offsets via occurrence indexes (block b's positions start at
+        # occurrence tf_csum[first posting of b])
+        occ_firsts = tf_csum[:-1][np.ones(n, dtype=bool)]
+        occ_firsts = tf_csum[:-1]
+        pos_deltas = pos_sorted.copy()
+        mask = np.ones(pos_sorted.size, dtype=bool)
+        mask[occ_firsts] = False
+        idxs = np.nonzero(mask)[0]
+        pos_deltas[idxs] = pos_sorted[idxs] - pos_sorted[idxs - 1]
+        g_occ = tf_csum[group_starts]
+        pos_s, pos_o, pos_e, pos_pv = _varbyte_stream(pos_deltas, g_occ)
+        arrays.append(_binary(pos_s, pos_o, pos_e))
+        arrays.append(_offsets_binary(pos_pv, pos_o, pos_e,
+                                      at=tf_csum[bstart_idx]))
+    else:
+        empty = np.zeros(0, dtype=np.uint8)
+        zo = np.zeros(ng, dtype=np.int64)
+        arrays.append(_binary(empty, zo, zo))
+        arrays.append(_binary(empty, zo, zo))
     return pa.RecordBatch.from_arrays(arrays, schema=sch)
 
 
 def _tokenize_encode_factory(doc_bucket: int,
                              max_batch_bytes: int | None = None,
-                             stem: bool = False):
+                             stem: bool = False,
+                             positions: bool = False):
     """mapInArrow body with byte-budgeted encode granularity.
 
     Incoming Arrow batches are SMALL (~8k rows, capped in
@@ -401,7 +446,8 @@ def _tokenize_encode_factory(doc_bucket: int,
             content = pend_content[0] if len(pend_content) == 1 \
                 else pa.concat_arrays(pend_content)
             pend_ids, pend_content, pend_bytes = [], [], 0
-            return _encode_batch(ids, content, doc_bucket, stem=stem)
+            return _encode_batch(ids, content, doc_bucket, stem=stem,
+                                 positions=positions)
 
         last_id = None
         for rb in batches:
@@ -437,7 +483,7 @@ def _tokenize_encode_factory(doc_bucket: int,
                 for lo, hi in zip(cuts[:-1], cuts[1:]):
                     segs = _encode_batch(
                         doc_ids[lo:hi], content.slice(lo, hi - lo),
-                        doc_bucket, stem=stem)
+                        doc_bucket, stem=stem, positions=positions)
                     if segs is not None:
                         yield segs
                 continue
@@ -470,7 +516,8 @@ class IndexBuilder:
                  doc_bucket: int = DEFAULT_DOC_BUCKET,
                  chunk_docs: int = DEFAULT_CHUNK_DOCS,
                  term_buckets: int = DEFAULT_TERM_BUCKETS,
-                 presort: bool = False, stem: bool = False):
+                 presort: bool = False, stem: bool = False,
+                 positions: bool = False):
         self.spark = spark
         self.paths = IndexPaths(out_dir)
         self.doc_bucket = doc_bucket
@@ -478,6 +525,7 @@ class IndexBuilder:
         self.term_buckets = term_buckets
         self.presort = presort
         self.stem = stem
+        self.positions = positions
 
     # ---------------- stage 1: tokenize+encode, chunked + resumable ---
 
@@ -495,19 +543,23 @@ class IndexBuilder:
             import json
             with open(os.path.join(self.paths.base, "_ANALYZER"),
                       "w") as f:
-                json.dump({"stem": self.stem}, f)
+                json.dump({"stem": self.stem,
+                           "positions": self.positions}, f)
         elif v != FORMAT_VERSION:
             raise ValueError(
                 f"index at {self.paths.base} has layout v{v}, this build "
                 f"is v{FORMAT_VERSION} — wipe() and rebuild")
         else:
             az = read_analyzer(self.paths.base)
-            if az.get("stem", False) != self.stem:
+            if (az.get("stem", False) != self.stem
+                    or az.get("positions", False) != self.positions):
                 raise ValueError(
                     f"index at {self.paths.base} was built with "
-                    f"stem={az.get('stem', False)} but this builder has "
-                    f"stem={self.stem} — resumed chunks would mix "
-                    "analyzers; wipe() and rebuild")
+                    f"stem={az.get('stem', False)}/positions="
+                    f"{az.get('positions', False)} but this builder has "
+                    f"stem={self.stem}/positions={self.positions} — "
+                    "resumed chunks would mix layouts; wipe() and "
+                    "rebuild")
 
     def _lineage_rows(self) -> dict[int, dict]:
         """chunk → lineage metrics, read driver-side (tiny table)."""
@@ -610,7 +662,8 @@ class IndexBuilder:
                 F.sum(_sha_rollup_expr()).cast("decimal(38,0)")
                 .alias("sha_rollup"))
             partials = inp.mapInArrow(
-                _tokenize_encode_factory(self.doc_bucket, stem=self.stem),
+                _tokenize_encode_factory(self.doc_bucket, stem=self.stem,
+                                         positions=self.positions),
                 schema=PARTIAL_SCHEMA)
             obs_out = Observation(f"lineage_out_{chunk}")
             observed = partials.observe(

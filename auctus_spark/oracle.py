@@ -179,3 +179,76 @@ def _search_or(self, query: str, k: int = TOP_K_SIZE,
 
 
 OracleIndex.search_or = _search_or
+
+
+# ---------------------------------------------------------------------
+# positional index + phrase search (beyond the reference's DSL: any
+# ES-parity engine user expects match_phrase; Lucene PhraseQuery
+# semantics — ES 7.x docs, Lucene ExactPhraseScorer)
+# ---------------------------------------------------------------------
+
+
+@dataclass
+class PositionalOracleIndex:
+    """In-memory positional index: postings[term][doc] = [positions]
+    (positions = indices in the analyzed token sequence)."""
+
+    n_docs: int = 0
+    avgdl: float = 0.0
+    doc_len: dict[int, int] = field(default_factory=dict)
+    postings: dict[str, dict[int, list[int]]] = field(default_factory=dict)
+    stem: bool = False
+
+    @classmethod
+    def build(cls, docs: list[tuple[int, str]],
+              stem: bool = False) -> "PositionalOracleIndex":
+        idx = cls(stem=stem)
+        total = 0
+        for doc_id, text in docs:
+            toks = tokenize(text, stem=stem)
+            idx.doc_len[doc_id] = len(toks)
+            total += len(toks)
+            for pos, term in enumerate(toks):
+                idx.postings.setdefault(term, {}) \
+                    .setdefault(doc_id, []).append(pos)
+        idx.n_docs = len(idx.doc_len)
+        idx.avgdl = (total / idx.n_docs) if idx.n_docs else 0.0
+        return idx
+
+    def search_phrase(self, query: str, k: int = TOP_K_SIZE,
+                      k1: float = K1, b: float = B
+                      ) -> list[tuple[int, float]]:
+        """Exact phrase (slop=0) top-k, Lucene PhraseQuery scoring:
+        phrase_freq as the tf, weight = SUM of the terms' idfs —
+        score(d) = (sum_i idf(t_i)) * tf_norm(phrase_freq, dl, avgdl).
+        Duplicate query terms are KEPT (phrase order matters)."""
+        terms = [t for t in tokenize(query, stem=self.stem)]
+        if not terms:
+            return []
+        plists = []
+        for t in terms:
+            p = self.postings.get(t)
+            if not p:
+                return []
+            plists.append(p)
+        candidates = set(plists[0])
+        for p in plists[1:]:
+            candidates &= set(p)
+        idf_sum = 0.0
+        for t in terms:
+            idf_sum += bm25_idf(self.n_docs, len(self.postings[t]))
+        scored: list[tuple[int, float]] = []
+        for d in candidates:
+            occ = set(plists[0][d])
+            for i, p in enumerate(plists[1:], start=1):
+                occ &= {x - i for x in p[d]}
+                if not occ:
+                    break
+            freq = len(occ)
+            if not freq:
+                continue
+            s = idf_sum * bm25_tf_norm(freq, self.doc_len[d],
+                                       self.avgdl, k1, b)
+            scored.append((d, s))
+        scored.sort(key=lambda x: (-x[1], x[0]))
+        return scored[:k]

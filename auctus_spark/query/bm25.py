@@ -682,3 +682,167 @@ def build_field_indexes(spark: SparkSession, docs: DataFrame,
         b.build(corpus, resume=resume)
         out[f] = d
     return out
+
+
+# ---------------------------------------------------------------------
+# phrase search over positional segments (index built with
+# positions=True).  Lucene PhraseQuery semantics: candidates =
+# conjunctive AND, phrase_freq = exact consecutive occurrences,
+# score = (sum of term idfs) * tf_norm(phrase_freq, dl, avgdl) —
+# mirrored bit-for-bit by oracle.PositionalOracleIndex.search_phrase.
+# ---------------------------------------------------------------------
+
+def _decode_positions_full(seg: dict) -> np.ndarray:
+    """All positions of a partial, absolute, posting-major order."""
+    deltas = varbyte_decode(seg["pos_blob"])
+    if deltas.size == 0:
+        return deltas
+    tfs = _decode_partial_full(seg)[1]
+    firsts = np.concatenate([[0], np.cumsum(tfs)])[:-1]
+    c = np.cumsum(deltas)
+    base = np.zeros(deltas.size, dtype=np.int64)
+    # absolute = cumsum - (cumsum before posting start) + first value
+    prior = np.where(firsts > 0, c[firsts - 1], 0)
+    seg_len = np.diff(np.append(firsts, deltas.size))
+    base = np.repeat(prior, seg_len)
+    return c - base
+
+
+def _phrase_keys(seg: dict, cand: np.ndarray, shift_terms: int,
+                 term_offset: int) -> np.ndarray:
+    """(candidate_index << shift) | (position - term_offset) keys for
+    candidate docs present in this partial; positions are shifted so a
+    phrase match has EQUAL keys across terms."""
+    doc_ids, tfs, _ = _decode_partial_full(seg)
+    pos_abs = _decode_positions_full(seg)
+    lo = np.searchsorted(cand, seg["doc_id_min"])
+    hi = np.searchsorted(cand, seg["doc_id_max"], side="right")
+    sub_idx = np.arange(lo, hi)
+    if sub_idx.size == 0:
+        return np.array([], dtype=np.int64)
+    pos = np.searchsorted(doc_ids, cand[sub_idx])
+    pos_c = np.minimum(pos, doc_ids.size - 1)
+    hit = doc_ids[pos_c] == cand[sub_idx]
+    sub_idx, posting = sub_idx[hit], pos_c[hit]
+    if sub_idx.size == 0:
+        return np.array([], dtype=np.int64)
+    firsts = np.concatenate([[0], np.cumsum(tfs)])
+    counts = tfs[posting]
+    occ_start = firsts[posting]
+    flat = np.repeat(occ_start, counts) + (
+        np.arange(int(counts.sum())) -
+        np.repeat(np.concatenate([[0], np.cumsum(counts)])[:-1], counts))
+    cidx = np.repeat(sub_idx, counts)
+    p = pos_abs[flat] - term_offset
+    keep = p >= 0
+    return (cidx[keep].astype(np.int64) << np.int64(shift_terms)) \
+        | p[keep].astype(np.int64)
+
+
+class PhraseEngine(SearchEngine):
+    """SearchEngine over a positional index, adding match_phrase."""
+
+    POS_SHIFT = 32  # positions < 2^32 (dl bound); cand index above
+
+    def __init__(self, spark: SparkSession, index_dir: str,
+                 term_buckets: int = 64):
+        super().__init__(spark, index_dir, term_buckets)
+        from ..index.build import read_analyzer
+        if not read_analyzer(index_dir).get("positions", False):
+            raise ValueError(
+                f"index at {index_dir} was built without positions — "
+                "rebuild with IndexBuilder(..., positions=True) to use "
+                "match_phrase")
+
+    _POS_COLS = SearchEngine._SEG_COLS + ["pos_blob", "pos_off"]
+
+    def search_phrase(self, query: str, k: int = TOP_K_SIZE) -> DataFrame:
+        """Exact phrase (slop=0) top-k.  Duplicate terms are kept and
+        order matters (unlike the bag-of-words analyzers)."""
+        from ..analysis import tokenize as _tok
+        terms = _tok(query, stem=self.stem)
+        if not terms:
+            return self._empty()
+        uterms = list(dict.fromkeys(terms))
+        stats = self.term_stats(uterms)
+        if any(t not in stats for t in uterms):
+            return self._empty()
+        idf_sum = 0.0
+        for t in terms:  # duplicates contribute twice (Lucene weight)
+            idf_sum += bm25_idf(self.n_docs, stats[t])
+        segs = self._segments_for(uterms).select(*self._POS_COLS)
+        n_docs, avgdl = self.n_docs, self.avgdl
+        tomb = self.tombstones
+        all_terms = list(terms)
+        shift = self.POS_SHIFT
+        kk = k
+
+        def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+            per_term = _group_partials_pos(pdf)
+            if any(t not in per_term for t in all_terms):
+                return _empty_pdf()
+            order = sorted(set(all_terms),
+                           key=lambda t: sum(p["n_docs"]
+                                             for p in per_term[t]))
+            cand = None
+            for t in order:
+                ids = _decode_full_term(per_term[t])
+                if cand is None:
+                    cand = _mask_tombstones(ids, tomb)
+                else:
+                    pos = np.searchsorted(ids, cand)
+                    pos_c = np.minimum(pos, ids.size - 1)
+                    cand = cand[ids[pos_c] == cand]
+                if cand is None or cand.size == 0:
+                    return _empty_pdf()
+            # positional verify: equal keys across phrase slots
+            running = None
+            for i, t in enumerate(all_terms):
+                keys = np.concatenate([
+                    _phrase_keys(seg, cand, shift, i)
+                    for seg in per_term[t]]) if per_term[t] else \
+                    np.array([], dtype=np.int64)
+                keys = np.unique(keys)
+                running = keys if running is None else \
+                    running[np.isin(running, keys, assume_unique=True)]
+                if running.size == 0:
+                    return _empty_pdf()
+            cidx = (running >> np.int64(shift)).astype(np.int64)
+            uniq, freq = np.unique(cidx, return_counts=True)
+            docs = cand[uniq]
+            # dl from any term's postings (dls stored inline)
+            t0 = all_terms[0]
+            dl = np.zeros(docs.size, dtype=np.float64)
+            for seg in per_term[t0]:
+                ids, _, dls = _decode_partial_full(seg)
+                pos = np.searchsorted(ids, docs)
+                pos_c = np.minimum(pos, ids.size - 1)
+                hit = ids[pos_c] == docs
+                dl[hit] = dls[pos_c[hit]]
+            f = freq.astype(np.float64)
+            score = idf_sum * (f / (f + K1 * (1.0 - B + B * dl / avgdl)))
+            d2, s2 = _topk_local(docs, score, kk)
+            return pd.DataFrame({"doc_id": d2.astype(np.int64),
+                                 "score": s2})
+
+        local = (segs.groupBy("bucket")
+                 .applyInPandas(score_bucket,
+                                schema="doc_id long, score double"))
+        return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+_PARTIAL_FIELDS_POS = _PARTIAL_FIELDS + ("pos_blob", "pos_off")
+
+
+def _group_partials_pos(pdf: pd.DataFrame) -> dict:
+    out: dict = {}
+    for r in pdf.sort_values("doc_id_min").itertuples(index=False):
+        seg = {c: getattr(r, c) for c in _PARTIAL_FIELDS_POS}
+        seg["full"] = None
+        parts = out.setdefault(r.term, [])
+        if parts and seg["doc_id_min"] <= parts[-1]["doc_id_max"]:
+            raise ValueError(
+                "index corruption: overlapping partials — rebuild with "
+                "presort=True")
+        parts.append(seg)
+    return out

@@ -251,3 +251,67 @@ def test_multifield_index_matches_oracle(spark, built, tmp_path_factory):
         got = [(int(r.doc_id), float(r.score))
                for r in eng.search(q, k=50).collect()]
         assert got == want, q
+
+
+@pytest.fixture(scope="module")
+def built_positional(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("pidx"))
+    pdf = generate_corpus(N_DOCS, min_tokens=20, max_tokens=200,
+                          vocab_size=2000)
+    corpus = spark.createDataFrame(pdf)
+    b = IndexBuilder(spark, out, doc_bucket=256, chunk_docs=200,
+                     term_buckets=8, positions=True)
+    b.build(corpus)
+    from auctus_spark.oracle import PositionalOracleIndex
+    oracle = PositionalOracleIndex.build(
+        [(int(r.doc_id), r.content) for r in pdf.itertuples(index=False)])
+    return out, oracle, corpus
+
+
+PHRASE_QUERIES = ["import def", "def return", "the import",
+                  "import import", "def", "no_such_token import",
+                  "import zz_missing"]
+
+
+@pytest.mark.parametrize("q", PHRASE_QUERIES)
+def test_phrase_matches_oracle(spark, built_positional, q):
+    """match_phrase on the positional index — bit-exact vs the
+    positional oracle (Lucene PhraseQuery scoring)."""
+    from auctus_spark.query.bm25 import PhraseEngine
+    out, oracle, _ = built_positional
+    eng = PhraseEngine(spark, out, term_buckets=8)
+    got = [(int(r.doc_id), float(r.score))
+           for r in eng.search_phrase(q, k=50).collect()]
+    _assert_rank_identical(got, oracle.search_phrase(q, k=50))
+
+
+def test_phrase_is_order_sensitive(spark, built_positional):
+    from auctus_spark.query.bm25 import PhraseEngine
+    out, oracle, _ = built_positional
+    eng = PhraseEngine(spark, out, term_buckets=8)
+    a = {r.doc_id for r in eng.search_phrase("import def", k=50).collect()}
+    b = {r.doc_id for r in eng.search_phrase("def import", k=50).collect()}
+    ora = {d for d, _ in oracle.search_phrase("import def", k=50)}
+    orb = {d for d, _ in oracle.search_phrase("def import", k=50)}
+    assert a == ora and b == orb
+    assert a != b or (not a and not b)
+
+
+def test_positional_index_still_answers_bm25(spark, built_positional):
+    """A positional index serves ordinary WAND queries identically
+    (positions ride along, BM25 untouched)."""
+    out, _, corpus = built_positional
+    pdf = corpus.toPandas()
+    oracle = OracleIndex.build(
+        [(int(r.doc_id), r.content) for r in pdf.itertuples(index=False)])
+    eng = SearchEngine(spark, out, term_buckets=8)
+    got = [(int(r.doc_id), float(r.score))
+           for r in eng.search_wand("import def", k=50).collect()]
+    _assert_rank_identical(got, oracle.search("import def", k=50))
+
+
+def test_phrase_requires_positions(spark, built):
+    from auctus_spark.query.bm25 import PhraseEngine
+    out, *_ = built
+    with pytest.raises(ValueError, match="positions"):
+        PhraseEngine(spark, out, term_buckets=8)
