@@ -595,6 +595,58 @@ LIMIT {k}
 """
 
 
+def _q_bm25_synonyms(spark, sf_dir):
+    """Search-time synonym expansion (reference elasticsearch.yml:16-24
+    applies synonym_graph on every search): query token 'join' expands
+    to the slot {join, merge}; Lucene SynonymQuery semantics — slot
+    tf = sum of member tfs, slot df = max of member dfs, AND across
+    slots."""
+    return pipeline.bm25_topk_synonyms(
+        _docs(spark, sf_dir), "join data",
+        synonyms={"join": ["merge"]}, k=50, round_to=6)
+
+
+def _synonym_sql(slots: list[list[str]], k: int = 50) -> str:
+    """DuckDB oracle for SynonymQuery-style slots."""
+    all_members = sorted({t for alts in slots for t in alts})
+    tlist = ", ".join(f"'{t}'" for t in all_members)
+    slot_tf, slot_df, conds = [], [], []
+    for i, alts in enumerate(slots):
+        ms = ", ".join(f"'{t}'" for t in alts)
+        slot_tf.append(
+            f"sum(CASE WHEN term IN ({ms}) THEN 1 ELSE 0 END) AS tf{i}")
+        slot_df.append(
+            "greatest(" + ", ".join(
+                f"(SELECT count(DISTINCT doc_id) FROM tok2 "
+                f"WHERE term = '{t}')" for t in alts) + f") AS df{i}")
+        conds.append(f"tf{i} > 0")
+    contrib = " + ".join(
+        f"ln(1 + (s.n_docs - d.df{i} + 0.5) / (d.df{i} + 0.5)) * "
+        f"(tf.tf{i} / (tf.tf{i} + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)))"
+        for i in range(len(slots)))
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(text), '{SPLIT_PATTERN}')) AS term
+  FROM documents
+), tok2 AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok2 GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT count(*) FROM tok2) * 1.0
+           / (SELECT count(*) FROM documents) AS avgdl),
+d AS (SELECT {", ".join(slot_df)}),
+tf AS (
+  SELECT doc_id, {", ".join(slot_tf)} FROM tok2
+  WHERE term IN ({tlist}) GROUP BY doc_id)
+SELECT tf.doc_id, round({contrib}, 6) AS score
+FROM tf JOIN dl USING (doc_id) CROSS JOIN stats s CROSS JOIN d
+WHERE {" AND ".join(conds)}
+ORDER BY {contrib} DESC, tf.doc_id ASC
+LIMIT {k}
+"""
+
+
 def _q_bm25_stemmed(spark, sf_dir):
     """Index-time Porter2 stemming (reference elasticsearch.yml:15 —
     the ES english stemmer runs on every indexed field): build a
@@ -778,6 +830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_batched": _q_bm25_batched,
         "bm25_multifield": _q_bm25_multifield,
         "bm25_stemmed": _q_bm25_stemmed,
+        "bm25_synonyms": _q_bm25_synonyms,
         "bm25_phrase": _q_bm25_phrase,
         "bm25_multifield_idx": _q_bm25_multifield_idx,
         "embedding_near_pairs": _q_embedding_near_pairs,
@@ -1089,6 +1142,7 @@ def _oracle_sql_static() -> dict[str, str]:
             + ") UNION ALL SELECT 'qb' AS query_id, * FROM ("
             + _bm25_sql(["merge", "batch"], k=20) + ")"),
         "bm25_phrase": _phrase_sql(["table", "value"]),
+        "bm25_synonyms": _synonym_sql([["join", "merge"], ["data"]]),
         "bm25_multifield_idx": _multifield_sql(
             ["join", "src3"], [("text", 1.0), ("source", 5.0)]),
         "bm25_multifield": _multifield_sql(

@@ -252,3 +252,63 @@ class PositionalOracleIndex:
             scored.append((d, s))
         scored.sort(key=lambda x: (-x[1], x[0]))
         return scored[:k]
+
+
+def _analyze_slots(query: str, synonyms: dict, stem: bool = False
+                   ) -> list[list[str]]:
+    """Search-time synonym_graph analysis (reference applies the
+    synonym filter on every search, elasticsearch.yml:16-24): each
+    query token becomes a SLOT of alternatives [token, *synonyms],
+    dedup'd, first-seen slot order."""
+    slots: list[list[str]] = []
+    seen_slots: set[tuple] = set()
+    for tok in tokenize(query, stem=stem):
+        alts = [tok] + [s for s in synonyms.get(tok, []) if s != tok]
+        if stem:
+            from .stem import stem as _stem
+            alts = list(dict.fromkeys(_stem(a) for a in alts))
+        key = tuple(alts)
+        if key not in seen_slots:
+            seen_slots.add(key)
+            slots.append(alts)
+    return slots
+
+
+def _search_synonyms(self, query: str, synonyms: dict,
+                     k: int = TOP_K_SIZE, k1: float = K1, b: float = B
+                     ) -> list[tuple[int, float]]:
+    """Conjunctive search with synonym expansion — Lucene SynonymQuery
+    semantics per slot: the alternatives act as ONE pseudo-term with
+    tf = sum of member tfs and df = max of member dfs.  AND across
+    slots."""
+    slots = _analyze_slots(query, synonyms, stem=self.stem)
+    if not slots:
+        return []
+    slot_plists = []
+    for alts in slots:
+        merged: dict[int, int] = {}
+        df = 0
+        for t in alts:
+            p = self.postings.get(t, {})
+            df = max(df, len(p))
+            for d, tf in p.items():
+                merged[d] = merged.get(d, 0) + tf
+        if not merged:
+            return []
+        slot_plists.append((df, merged))
+    candidates = set(slot_plists[0][1])
+    for _, p in slot_plists[1:]:
+        candidates &= set(p)
+    scored: list[tuple[int, float]] = []
+    for d in candidates:
+        dl = self.doc_len[d]
+        s = 0.0
+        for df, p in slot_plists:
+            s += bm25_idf(self.n_docs, df) * bm25_tf_norm(
+                p[d], dl, self.avgdl, k1, b)
+        scored.append((d, s))
+    scored.sort(key=lambda x: (-x[1], x[0]))
+    return scored[:k]
+
+
+OracleIndex.search_synonyms = _search_synonyms

@@ -339,3 +339,82 @@ def bm25_multifield_topk(docs: DataFrame, query: str,
             .select(F.col("doc_id").alias(id_col), score.alias("score"))
             .orderBy(F.desc("score"), F.asc(id_col))
             .limit(k))
+
+
+def bm25_topk_synonyms(docs: DataFrame, query: str,
+                       synonyms: dict[str, list[str]],
+                       k: int = TOP_K_SIZE, id_col: str = "doc_id",
+                       text_col: str = "text",
+                       round_to: int | None = None) -> DataFrame:
+    """Conjunctive BM25 with search-time synonym expansion — the
+    reference applies ES ``synonym_graph`` on every search
+    (elasticsearch.yml:16-24, docker/synonyms.txt).  Lucene
+    SynonymQuery semantics per slot: alternatives form ONE pseudo-term
+    with tf = sum of member tfs, df = max of member dfs; AND across
+    slots.  Same fused two-scan / zero-shuffle plan as bm25_topk;
+    bit-exact with oracle.search_synonyms.
+    """
+    from .oracle import _analyze_slots
+    spark = docs.sparkSession
+    slots = _analyze_slots(query, synonyms)
+    empty = spark.createDataFrame([], f"{id_col} long, score double")
+    if not slots:
+        return empty
+
+    # ---- stats pass: N, avgdl, per-MEMBER df in one aggregate ----
+    t = docs.select(_toks(F.col(text_col)).alias("_toks"))
+    aggs = [F.count("*").alias("_n"), F.sum(F.size("_toks")).alias("_t")]
+    names = []
+    for i, alts in enumerate(slots):
+        for j, term in enumerate(alts):
+            nm = f"_df{i}_{j}"
+            names.append((i, j, term, nm))
+            aggs.append(F.sum(
+                F.when(F.array_contains("_toks", term), 1).otherwise(0))
+                .alias(nm))
+    row = t.agg(*aggs).collect()[0]
+    n_docs = int(row["_n"])
+    if n_docs == 0:
+        return empty
+    avgdl = float(row["_t"]) / n_docs if row["_t"] is not None else 0.0
+    slot_df = []
+    for i, alts in enumerate(slots):
+        df_i = max(int(row[f"_df{i}_{j}"]) for j in range(len(alts)))
+        if df_i == 0:
+            return empty  # no member of a required slot exists
+        slot_df.append(df_i)
+    idfs = [bm25_idf(n_docs, d) for d in slot_df]
+
+    # ---- scoring pass: slot tf = sum of member tfs ----
+    # candidate predicate: every slot has >= 1 member present
+    cond = None
+    for alts in slots:
+        sarr = F.array(*[F.lit(x) for x in alts])
+        c = F.arrays_overlap(_toks(F.col(text_col)), sarr)
+        cond = c if cond is None else cond & c
+    per_doc = (docs.filter(cond)
+               .select(F.col(id_col).alias("doc_id"),
+                       _toks(F.col(text_col)).alias("_toks")))
+
+    def _slot_tf(alts):
+        sarr = F.array(*[F.lit(x) for x in alts])
+        return F.size(F.filter(F.col("_toks"),
+                               lambda x: F.array_contains(sarr, x)))
+
+    cols = ["doc_id", F.size("_toks").alias("_dl")]
+    for i, alts in enumerate(slots):
+        cols.append(_slot_tf(alts).alias(f"_tf{i}"))
+    per_doc = per_doc.select(*cols)
+    norm = F.lit(K1) * (F.lit(1.0 - B) +
+                        F.lit(B) * F.col("_dl") / F.lit(avgdl))
+    score = None
+    for i in range(len(slots)):
+        tf = F.col(f"_tf{i}")
+        c = F.lit(idfs[i]) * (tf / (tf + norm))
+        score = c if score is None else score + c
+    if round_to is not None:
+        score = F.round(score, round_to)
+    return (per_doc
+            .select(F.col("doc_id").alias(id_col), score.alias("score"))
+            .orderBy(F.desc("score"), F.asc(id_col))
+            .limit(k))

@@ -45,13 +45,21 @@ class SearchQuery:
 
 
 class SearchService:
-    """Search over a documents table (id/text + keyword metadata)."""
+    """Search over a documents table (id/text + keyword metadata).
+
+    ``synonyms``: search-time expansion map (the reference applies ES
+    ``synonym_graph`` on every search, elasticsearch.yml:16-24; parse
+    an ES-style file with ``analysis.load_synonyms``).  Keyword
+    queries then use Lucene SynonymQuery semantics per query token
+    (pipeline.bm25_topk_synonyms)."""
 
     def __init__(self, docs: DataFrame, id_col: str = "doc_id",
-                 text_col: str = "text"):
+                 text_col: str = "text",
+                 synonyms: dict[str, list[str]] | None = None):
         self.docs = docs
         self.id_col = id_col
         self.text_col = text_col
+        self.synonyms = synonyms
 
     def _filtered(self, q: SearchQuery) -> DataFrame:
         d = self.docs
@@ -71,9 +79,14 @@ class SearchService:
                 f"page*size exceeds the {MAX_SCROLL} scroll cap")
         base = self._filtered(q)
         if q.keywords.strip():
-            scored = pipeline.bm25_topk(
-                base, q.keywords, k=q.page * q.size,
-                id_col=self.id_col, text_col=self.text_col)
+            if self.synonyms:
+                scored = pipeline.bm25_topk_synonyms(
+                    base, q.keywords, self.synonyms, k=q.page * q.size,
+                    id_col=self.id_col, text_col=self.text_col)
+            else:
+                scored = pipeline.bm25_topk(
+                    base, q.keywords, k=q.page * q.size,
+                    id_col=self.id_col, text_col=self.text_col)
         else:
             scored = base.select(
                 F.col(self.id_col), F.lit(0.0).alias("score")) \

@@ -315,3 +315,30 @@ def test_phrase_requires_positions(spark, built):
     out, *_ = built
     with pytest.raises(ValueError, match="positions"):
         PhraseEngine(spark, out, term_buckets=8)
+
+
+def test_synonyms_match_oracle(spark, built):
+    """Search-time synonym expansion (Lucene SynonymQuery semantics:
+    slot tf = sum of member tfs, slot df = max of member dfs) —
+    bit-exact vs oracle.search_synonyms."""
+    from auctus_spark import pipeline
+    _, oracle, _, corpus, _ = built
+    syn = {"import": ["def"], "uniq_token_11": ["uniq_token_22"]}
+    for q in ["import", "import return", "uniq_token_11",
+              "zz_missing import"]:
+        want = oracle.search_synonyms(q, syn, k=50)
+        got = [(int(r.doc_id), float(r.score))
+               for r in pipeline.bm25_topk_synonyms(
+                   corpus, q, syn, k=50, text_col="content").collect()]
+        _assert_rank_identical(got, want)
+
+
+def test_search_service_synonyms(spark, built):
+    from auctus_spark.query.search import SearchQuery, SearchService
+    _, oracle, _, corpus, _ = built
+    syn = {"import": ["def"]}
+    svc = SearchService(corpus, text_col="content", synonyms=syn)
+    hits = svc.search(SearchQuery(keywords="import", size=10))["hits"]
+    got = [(int(r.doc_id), float(r.score)) for r in hits.collect()]
+    want = oracle.search_synonyms("import", syn, k=10)
+    _assert_rank_identical(got, want)
