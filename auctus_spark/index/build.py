@@ -449,51 +449,81 @@ def _tokenize_encode_factory(doc_bucket: int,
             return _encode_batch(ids, content, doc_bucket, stem=stem,
                                  positions=positions)
 
-        last_id = None
-        for rb in batches:
-            n = rb.num_rows
-            if not n:
-                continue
-            doc_ids = rb.column(
-                rb.schema.get_field_index("doc_id")).to_numpy()
-            if ((n > 1 and not np.all(np.diff(doc_ids) > 0))
-                    or (last_id is not None and doc_ids[0] <= last_id)):
-                raise ValueError(
-                    "corpus batch is not strictly docID-ascending; the "
-                    "index layout requires docID-ordered input — pass "
-                    "IndexBuilder(..., presort=True) to range-partition "
-                    "and sort by doc_id first")
-            last_id = int(doc_ids[-1])
-            content = rb.column(rb.schema.get_field_index("content"))
-            if isinstance(content, pa.ChunkedArray):
-                content = content.combine_chunks()
-            nbytes = int(pc.sum(pc.binary_length(content)).as_py() or 0)
-            if nbytes >= max_batch_bytes:
-                # oversized incoming batch: flush pending, then slice
+        ready = []
+
+        def _consume_run(doc_ids, content):
+            """Append one ascending docID run, flushing when it does
+            not extend the pending one; the byte budget also flushes;
+            oversized runs are sliced.
+
+            With one-file-per-task scans (tokenize_chunks sets
+            openCostInBytes huge) a task OWNS a disjoint docID range,
+            so any ascending merge within the task is safe — including
+            across in-file gaps of sparse docID corpora."""
+            nonlocal pend_bytes
+            if pend_ids and doc_ids[0] <= int(pend_ids[-1][-1]):
                 segs = flush()
                 if segs is not None:
-                    yield segs
+                    ready.append(segs)
+            nbytes = int(pc.sum(pc.binary_length(content)).as_py() or 0)
+            if nbytes >= max_batch_bytes:
+                segs = flush()
+                if segs is not None:
+                    ready.append(segs)
                 sizes = pc.binary_length(content).to_numpy()
                 csum = np.cumsum(sizes)
                 bounds = np.searchsorted(
                     csum, np.arange(max_batch_bytes, int(csum[-1]),
                                     max_batch_bytes))
-                cuts = sorted({0, *(int(b) + 1 for b in bounds), n})
-                cuts = [c for c in cuts if c <= n]
+                nrun = len(doc_ids)
+                cuts = sorted({0, *(int(b) + 1 for b in bounds), nrun})
+                cuts = [c for c in cuts if c <= nrun]
                 for lo, hi in zip(cuts[:-1], cuts[1:]):
                     segs = _encode_batch(
                         doc_ids[lo:hi], content.slice(lo, hi - lo),
                         doc_bucket, stem=stem, positions=positions)
                     if segs is not None:
-                        yield segs
-                continue
+                        ready.append(segs)
+                return
             pend_ids.append(doc_ids)
             pend_content.append(content)
             pend_bytes += nbytes
             if pend_bytes >= max_batch_bytes:
                 segs = flush()
                 if segs is not None:
-                    yield segs
+                    ready.append(segs)
+
+        def _drain():
+            out, ready[:] = list(ready), []
+            return out
+
+        last_id = None
+        for rb in batches:
+            n = rb.num_rows
+            if not n:
+                continue
+            all_ids = rb.column(
+                rb.schema.get_field_index("doc_id")).to_numpy()
+            all_content = rb.column(rb.schema.get_field_index("content"))
+            if isinstance(all_content, pa.ChunkedArray):
+                all_content = all_content.combine_chunks()
+            diffs = np.diff(all_ids)
+            # with one-file-per-task scans (openCostInBytes set in
+            # tokenize_chunks) a task's rows are ascending by the
+            # docID-ordered-input contract; ANY non-ascending step
+            # means disordered input — fail loudly at build time
+            # rather than corrupting the run layout
+            if np.any(diffs <= 0) or (
+                    last_id is not None and all_ids[0] <= last_id):
+                raise ValueError(
+                    "corpus batch is not strictly docID-ascending; the "
+                    "index layout requires docID-ordered input — pass "
+                    "IndexBuilder(..., presort=True) to range-partition "
+                    "and sort by doc_id first")
+            last_id = int(all_ids[-1])
+            _consume_run(all_ids, all_content)
+            for segs_out in _drain():
+                yield segs_out
         segs = flush()
         if segs is not None:
             yield segs
@@ -610,16 +640,31 @@ class IndexBuilder:
         # direct memory — 32 concurrent tasks stall the whole stage on
         # allocation/GC.  ~8k rows ≈ 20 MB/batch; restored after.
         conf = self.spark.conf
-        key = "spark.sql.execution.arrow.maxRecordsPerBatch"
-        prev = conf.get(key, None)
-        conf.set(key, "8192")
+        keys = {
+            # fat content rows: cap JVM->Python Arrow batches (~20 MB)
+            "spark.sql.execution.arrow.maxRecordsPerBatch": "8192",
+            # ONE FILE PER TASK: bin-packing several parquet files into
+            # a task reorders them by SIZE, so a task's row stream can
+            # jump docID ranges (f16 then f19) — an encoded partial
+            # would span a hole that f17 (possibly in another task)
+            # fills, breaking the disjoint-run layout.  A huge open
+            # cost disables packing; splits of one big file remain
+            # contiguous row ranges.  docID-ordered input (the
+            # documented contract) then means every task OWNS a
+            # disjoint docID range.
+            "spark.sql.files.openCostInBytes": str(1 << 40),
+        }
+        prev = {k: conf.get(k, None) for k in keys}
+        for k, v in keys.items():
+            conf.set(k, v)
         try:
             built = self._tokenize_loop(corpus, counts, done, built)
         finally:
-            if prev is None:
-                conf.unset(key)
-            else:
-                conf.set(key, prev)
+            for k, v in prev.items():
+                if v is None:
+                    conf.unset(k)
+                else:
+                    conf.set(k, v)
         return built
 
     def _tokenize_loop(self, corpus: DataFrame, counts: dict, done: dict,

@@ -216,3 +216,99 @@ def median_smallest_distance(df: DataFrame, lat_col: str, lon_col: str,
     d2 = ((arr[:, None, :] - arr[None, :, :]) ** 2).sum(-1)
     np.fill_diagonal(d2, np.inf)
     return float(np.median(np.sqrt(d2.min(axis=1))))
+
+
+# ---------------------------------------------------------------------
+# AAB (axis-aligned box) geohash rasterization — reference
+# lib_profiler/datamart_profiler/spatial.py:511-631 (Geohasher.add_aab):
+# spatial coverage given as bounding boxes (admin areas, dataset
+# extents) is rasterized into quadtree cells, deepening until a level
+# would exceed the cell cap.  Driver-side sketch logic (boxes are
+# per-dataset metadata, not per-row data).
+# ---------------------------------------------------------------------
+
+def _interleave_chars(long_vals: np.ndarray, lat_vals: np.ndarray,
+                      n_long: int, n_lat: int, base_bits: int
+                      ) -> list[str]:
+    """Cross-product of quantized axis cells → interleaved-bit geohash
+    strings (longitude bit first, reference bit order)."""
+    nl, na = len(long_vals), len(lat_vals)
+    lv = np.repeat(long_vals, na)
+    av = np.tile(lat_vals, nl)
+    total_bits = n_long + n_lat
+    bits = np.zeros((nl * na, total_bits), dtype=np.int64)
+    for i in range(n_long):
+        bits[:, 2 * i] = (lv >> (n_long - 1 - i)) & 1
+    for i in range(n_lat):
+        bits[:, 2 * i + 1] = (av >> (n_lat - 1 - i)) & 1
+    n_chars = total_bits // base_bits
+    out = []
+    for r in range(nl * na):
+        chars = []
+        for c in range(n_chars):
+            val = 0
+            for j in range(base_bits):
+                val = (val << 1) | int(bits[r, c * base_bits + j])
+            chars.append(GEOHASH_CHARS[val])
+        out.append("".join(chars))
+    return out
+
+
+class GeohashAABSketch:
+    """Quadtree sketch over bounding boxes (reference ``Geohasher``
+    with ``add_aab``): each box is rasterized into the covering cells
+    of every level; when a level's distinct-cell count exceeds
+    ``max_hashes`` the sketch's precision drops to the level above.
+    ``get_hashes()`` → [(hash, number-of-boxes-covering-it)] at the
+    final precision."""
+
+    def __init__(self, max_hashes: int = MAX_GEOHASHES, base: int = 4,
+                 precision: int = 16):
+        base_bits = base.bit_length() - 1
+        if 1 << base_bits != base:
+            raise ValueError("Base is not a power of 2")
+        self.base = base
+        self.base_bits = base_bits
+        self.precision = precision
+        self.max_hashes = max_hashes
+        from collections import Counter
+        self._levels: dict[int, "Counter[str]"] = {
+            lv: Counter() for lv in range(1, precision + 1)}
+        self.total = 0
+
+    def add_aab(self, box: tuple[float, float, float, float]) -> None:
+        """box = (min_long, max_long, min_lat, max_lat) — reference
+        argument order (spatial.py:556)."""
+        import math
+        min_long, max_long, min_lat, max_lat = box
+        self.total += 1
+        for level in range(1, self.precision + 1):
+            n_long = math.ceil(level * self.base_bits / 2)
+            n_lat = math.floor(level * self.base_bits / 2)
+            lmin = int(_quantize(np.array([min_long]), -180.0, 180.0,
+                                 n_long)[0])
+            lmax = int(_quantize(np.array([max_long]), -180.0, 180.0,
+                                 n_long)[0])
+            amin = int(_quantize(np.array([min_lat]), -90.0, 90.0,
+                                 n_lat)[0]) if n_lat else 0
+            amax = int(_quantize(np.array([max_lat]), -90.0, 90.0,
+                                 n_lat)[0]) if n_lat else 0
+            cells = _interleave_chars(
+                np.arange(lmin, lmax + 1), np.arange(amin, amax + 1),
+                n_long, n_lat, self.base_bits)
+            counter = self._levels[level]
+            counter.update(cells)
+            if len(counter) > self.max_hashes:
+                self.precision = level - 1
+                for deeper in list(self._levels):
+                    if deeper >= level:
+                        del self._levels[deeper]
+                break
+
+    def get_hashes(self) -> list[tuple[str, int]]:
+        if self.precision < 1:
+            return []
+        return sorted(self._levels[self.precision].items())
+
+    def get_hashes_json(self) -> list[dict]:
+        return [{"hash": h, "number": n} for h, n in self.get_hashes()]

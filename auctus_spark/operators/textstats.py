@@ -128,40 +128,62 @@ def winnowing_fingerprints(df: DataFrame, text_col: str = "text",
     numpy per Arrow batch inside mapInPandas; output
     (doc_id, fingerprint) distinct.
     """
-    import re
-    pat = re.compile("[a-z0-9_]+")
     B_, M = np.uint64(1_000_003), np.uint64((1 << 61) - 1)
 
     def fp(batches):
+        # token hashing at VOCABULARY granularity: Arrow tokenize +
+        # dictionary_encode per batch, one md5 per DISTINCT token, then
+        # codes map through the (small) hash table — no per-token
+        # Python in the hot path (the rolling hash and window-min stay
+        # numpy per doc)
+        import hashlib
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
         for pdf in batches:
+            content = pa.array(pdf["text"].tolist(), type=pa.string())
+            toks = pc.split_pattern_regex(pc.utf8_lower(content),
+                                          "[^a-z0-9_]+")
+            flat = pc.list_flatten(toks)
+            lens = np.diff(toks.offsets.to_numpy().astype(np.int64))
+            enc = pc.dictionary_encode(flat)
+            codes = enc.indices.to_numpy()
+            doc_local = np.repeat(np.arange(len(pdf), dtype=np.int64),
+                                  lens)
+            vocab = enc.dictionary.to_numpy(zero_copy_only=False)
+            vh = np.array(
+                [int.from_bytes(hashlib.md5(w.encode()).digest()[:7],
+                                "big") for w in vocab],
+                dtype=np.uint64)
+            empty = np.nonzero(vocab == "")[0]
+            if empty.size:
+                keep = codes != empty[0]
+                codes, doc_local = codes[keep], doc_local[keep]
+            th_all = vh[codes]
+            dl = np.bincount(doc_local, minlength=len(pdf))
+            bounds = np.concatenate([[0], np.cumsum(dl)])
+            doc_ids_np = pdf["doc_id"].to_numpy()
             ids, fps = [], []
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                toks = pat.findall(text.lower())
-                if len(toks) < k:
+            for i in range(len(pdf)):
+                th = th_all[bounds[i]:bounds[i + 1]]
+                if len(th) < k:
                     continue
-                th = np.array([hash_str(t) for t in toks], dtype=np.uint64)
                 # k-gram polynomial rolling hash
-                h = np.zeros(len(th) - k + 1, dtype=np.uint64)
-                acc = np.zeros_like(h)
+                acc = np.zeros(len(th) - k + 1, dtype=np.uint64)
                 for j in range(k):
-                    acc = (acc * B_ + th[j:j + len(h)]) % M
+                    acc = (acc * B_ + th[j:j + len(acc)]) % M
                 h = acc
                 if len(h) <= window:
                     sel = {int(h.min())}
                 else:
-                    idx = np.arange(len(h) - window + 1)
-                    wins = np.lib.stride_tricks.sliding_window_view(h, window)
+                    wins = np.lib.stride_tricks.sliding_window_view(
+                        h, window)
                     sel = set(wins.min(axis=1).astype(np.int64).tolist())
-                    del idx
-                ids.extend([doc_id] * len(sel))
+                ids.extend([int(doc_ids_np[i])] * len(sel))
                 fps.extend(sorted(sel))
             yield pd.DataFrame({"doc_id": pd.Series(ids, dtype=np.int64),
                                 "fingerprint": pd.Series(fps,
                                                          dtype=np.int64)})
-
-    def hash_str(s: str) -> int:
-        import hashlib
-        return int.from_bytes(hashlib.md5(s.encode()).digest()[:7], "big")
 
     sel = df.select(F.col(id_col).alias("doc_id"),
                     F.col(text_col).alias("text"))

@@ -100,3 +100,26 @@ def test_median_smallest_distance(spark):
     pts = [(float(i), float(j)) for i in range(10) for j in range(10)]
     df = spark.createDataFrame(pts, "lat double, lon double")
     assert median_smallest_distance(df, "lat", "lon") == pytest.approx(1.0)
+
+
+def test_geohash_aab_sketch():
+    """AAB rasterization (reference spatial.py:511-631 Geohasher.add_aab):
+    boxes → covering quadtree cells, precision capped by max_hashes;
+    every emitted cell intersects the box and counts stack per box."""
+    from auctus_spark.operators.geo import GeohashAABSketch, geohash_decode
+    sk = GeohashAABSketch(max_hashes=100, base=4, precision=8)
+    sk.add_aab((10.0, 10.1, 45.0, 45.05))
+    hs = sk.get_hashes()
+    assert hs and sk.precision >= 6
+    for h, n in hs:
+        lat0, lat1, lon0, lon1 = geohash_decode(h, base=4)
+        assert lon1 >= 10.0 and lon0 <= 10.1
+        assert lat1 >= 45.0 and lat0 <= 45.05
+        assert n == 1
+    sk2 = GeohashAABSketch(max_hashes=4, base=4, precision=3)
+    sk2.add_aab((-180, 179.9, -90, 89.9))     # whole world
+    sk2.add_aab((-180, -0.01, -90, 89.9))     # western hemisphere
+    counts = dict(sk2.get_hashes())
+    assert sk2.precision == 1
+    assert counts == {"0": 2, "1": 2, "2": 1, "3": 1}
+    assert sk2.get_hashes_json()[0] == {"hash": "0", "number": 2}
