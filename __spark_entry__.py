@@ -647,6 +647,44 @@ LIMIT {k}
 """
 
 
+def _q_bm25_compacted(spark, sf_dir):
+    """Delete + compact (the Lucene forceMerge analog): tombstone a
+    docID set, physically rewrite the segments, then search — must
+    equal BM25 over the corpus WITHOUT the deleted docs (stats
+    recomputed over live docs only).  Oracle: the standard BM25 SQL
+    with the deleted ids filtered out of the corpus CTE."""
+    import hashlib as _h
+    import os as _os
+
+    from auctus_spark.index.build import (FORMAT_VERSION, IndexBuilder,
+                                          compact, delete_docs,
+                                          read_format, wipe)
+    from auctus_spark.query.bm25 import SearchEngine
+
+    _ensure_workers_can_import(spark)
+    tag = _h.md5(sf_dir.encode()).hexdigest()[:10]
+    idx_dir = f"/tmp/auctus_entry_index_cmp_{tag}"
+    corpus = _docs(spark, sf_dir).select(
+        "doc_id", F.col("text").alias("content"))
+    marker = _os.path.join(idx_dir, "_COMPACTED")
+    if (not _os.path.exists(_os.path.join(idx_dir, "stats"))
+            or read_format(idx_dir) != FORMAT_VERSION
+            or not _os.path.exists(marker)):
+        wipe(idx_dir)
+        b = IndexBuilder(spark, idx_dir, doc_bucket=1 << 10,
+                         chunk_docs=1 << 12, term_buckets=16)
+        b.build(corpus)
+        delete_docs(spark, idx_dir, COMPACT_DELETED)
+        compact(spark, idx_dir, term_buckets=16)
+        open(marker, "w").write("1")
+    eng = SearchEngine(spark, idx_dir, term_buckets=16)
+    out = eng.search_wand("data join", k=50)
+    return out.select("doc_id", F.round("score", 6).alias("score"))
+
+
+COMPACT_DELETED = [1, 2, 3, 5, 8, 13, 21, 34, 55, 89, 144, 233, 377]
+
+
 def _q_bm25_stemmed(spark, sf_dir):
     """Index-time Porter2 stemming (reference elasticsearch.yml:15 —
     the ES english stemmer runs on every indexed field): build a
@@ -830,6 +868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_batched": _q_bm25_batched,
         "bm25_multifield": _q_bm25_multifield,
         "bm25_stemmed": _q_bm25_stemmed,
+        "bm25_compacted": _q_bm25_compacted,
         "bm25_synonyms": _q_bm25_synonyms,
         "bm25_phrase": _q_bm25_phrase,
         "bm25_multifield_idx": _q_bm25_multifield_idx,
@@ -1142,6 +1181,13 @@ def _oracle_sql_static() -> dict[str, str]:
             + ") UNION ALL SELECT 'qb' AS query_id, * FROM ("
             + _bm25_sql(["merge", "batch"], k=20) + ")"),
         "bm25_phrase": _phrase_sql(["table", "value"]),
+        "bm25_compacted": _bm25_sql(["data", "join"]).replace(
+            "FROM documents",
+            "FROM (SELECT * FROM documents WHERE doc_id NOT IN "
+            "(1, 2, 3, 5, 8, 13, 21, 34, 55, 89, 144, 233, 377)) documents", 1).replace(
+            "(SELECT count(*) FROM documents)",
+            "(SELECT count(*) FROM documents WHERE doc_id NOT IN "
+            "(1, 2, 3, 5, 8, 13, 21, 34, 55, 89, 144, 233, 377))"),
         "bm25_synonyms": _synonym_sql([["join", "merge"], ["data"]]),
         "bm25_multifield_idx": _multifield_sql(
             ["join", "src3"], [("text", 1.0), ("source", 5.0)]),

@@ -881,3 +881,196 @@ def load_tombstones(spark: SparkSession, index_dir: str,
             "mask")
     return np.unique(np.array([r["doc_id"] for r in rows],
                               dtype=np.int64))
+
+
+# ---------------------------------------------------------------------
+# compaction (Lucene forceMerge analog): physically remove tombstoned
+# postings, recompute global stats, clear tombstones.  After
+# compaction the index answers queries bit-identically to a fresh
+# build over the live corpus (same postings, same N/df/avgdl).
+# ---------------------------------------------------------------------
+
+def _pack_partial_row(doc_ids, tfs, dls, pos_groups=None) -> dict:
+    """Re-encode ONE partial's surviving postings into the v3 binary
+    row fields (single group; the layout _encode_batch packs per
+    group).  ``pos_groups``: list of per-posting position arrays."""
+    from .codec import block_offsets, delta_encode, varbyte_encode
+    n = len(doc_ids)
+    deltas = delta_encode(doc_ids)
+    blk_starts = np.arange(0, n, BLOCK_SIZE)
+    row = {
+        "n_docs": int(n),
+        "tf_sum": int(tfs.sum()),
+        "doc_id_min": int(doc_ids[0]),
+        "doc_id_max": int(doc_ids[-1]),
+        "docs_blob": varbyte_encode(deltas),
+        "tfs_blob": varbyte_encode(tfs),
+        "dls_blob": varbyte_encode(dls),
+        "docs_off": block_offsets(deltas).astype(np.int32).tobytes(),
+        "tfs_off": block_offsets(tfs).astype(np.int32).tobytes(),
+        "dls_off": block_offsets(dls).astype(np.int32).tobytes(),
+        "block_max_tf": np.maximum.reduceat(tfs, blk_starts)
+        .astype(np.int32).tobytes(),
+        "block_min_dl": np.minimum.reduceat(dls, blk_starts)
+        .astype(np.int32).tobytes(),
+        "block_last_doc": doc_ids[np.minimum(
+            blk_starts + BLOCK_SIZE - 1, n - 1)]
+        .astype(np.int64).tobytes(),
+        "max_tf": int(tfs.max()),
+        "min_dl": int(dls.min()),
+    }
+    if pos_groups is None:
+        row["pos_blob"] = b""
+        row["pos_off"] = b""
+    else:
+        from .codec import _leb_lengths
+        counts = np.array([len(g) for g in pos_groups], dtype=np.int64)
+        flat = (np.concatenate(pos_groups) if counts.sum()
+                else np.array([], dtype=np.int64))
+        pos_deltas = flat.copy()
+        firsts = np.concatenate([[0], np.cumsum(counts)])[:-1]
+        mask = np.ones(flat.size, dtype=bool)
+        mask[firsts] = False
+        idxs = np.nonzero(mask)[0]
+        pos_deltas[idxs] = flat[idxs] - flat[idxs - 1]
+        row["pos_blob"] = varbyte_encode(pos_deltas)
+        # per-BLOCK byte offsets at occurrence starts (+ end sentinel)
+        lens = _leb_lengths(pos_deltas)
+        byte_csum = np.concatenate([[0], np.cumsum(lens)])
+        occ_csum = np.concatenate([[0], np.cumsum(counts)])
+        entries = byte_csum[occ_csum[blk_starts]]
+        row["pos_off"] = np.append(entries, byte_csum[-1]) \
+            .astype(np.int32).tobytes()
+    return row
+
+
+def compact(spark: SparkSession, index_dir: str,
+            term_buckets: int = DEFAULT_TERM_BUCKETS) -> dict:
+    """Remove tombstoned documents physically.
+
+    Pass 1 collects (deleted doc, dl) pairs from the postings (to fix
+    N/avgdl); pass 2 rewrites every partial with tombstoned postings
+    masked (positions preserved), atomically swapping the segments
+    dir; term_stats and stats are refinalized; tombstones cleared.
+    The lineage table still describes the ORIGINAL ingest (sha rollup
+    of what was indexed) — verify_lineage checks ingest integrity,
+    not liveness."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from .codec import varbyte_decode
+    paths = IndexPaths(index_dir)
+    tomb = load_tombstones(spark, index_dir)
+    if tomb.size == 0:
+        return {"removed_docs": 0}
+    positions = read_analyzer(index_dir).get("positions", False)
+    segs = spark.read.parquet(paths.segments)
+
+    lo, hi = int(tomb.min()), int(tomb.max())
+
+    def dropped_dl(batches):
+      import pandas as pd
+      for pdf in batches:
+        out_d, out_l = [], []
+        for r in pdf.itertuples(index=False):
+            from .codec import delta_decode
+            ids = delta_decode(varbyte_decode(r.docs_blob))
+            pos = np.searchsorted(tomb, ids)
+            pos_c = np.minimum(pos, tomb.size - 1)
+            hit = tomb[pos_c] == ids
+            if hit.any():
+                dls = varbyte_decode(r.dls_blob)
+                out_d.append(ids[hit])
+                out_l.append(dls[hit])
+        if not out_d:
+            yield pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                                "dl": pd.Series([], dtype=np.int64)})
+            continue
+        yield pd.DataFrame({"doc_id": np.concatenate(out_d),
+                            "dl": np.concatenate(out_l)})
+
+    hit_segs = segs.filter((F.col("doc_id_max") >= lo)
+                           & (F.col("doc_id_min") <= hi))
+    dropped = (hit_segs.select("docs_blob", "dls_blob")
+               .mapInPandas(dropped_dl, schema="doc_id long, dl long")
+               .groupBy("doc_id").agg(F.first("dl").alias("dl"))
+               .agg(F.count("*").alias("n"), F.sum("dl").alias("t"))
+               .collect()[0])
+    n_removed = int(dropped["n"] or 0)
+    tok_removed = int(dropped["t"] or 0)
+
+    def rewrite(batches):
+      import pandas as pd
+
+      from .codec import delta_decode
+      for pdf in batches:
+        rows = []
+        for r in pdf.itertuples(index=False):
+            if r.doc_id_max < lo or r.doc_id_min > hi:
+                rows.append(r._asdict())
+                continue
+            ids = delta_decode(varbyte_decode(r.docs_blob))
+            pos = np.searchsorted(tomb, ids)
+            pos_c = np.minimum(pos, tomb.size - 1)
+            keep = tomb[pos_c] != ids
+            if keep.all():
+                rows.append(r._asdict())
+                continue
+            if not keep.any():
+                continue
+            tfs = varbyte_decode(r.tfs_blob)
+            dls = varbyte_decode(r.dls_blob)
+            pos_groups = None
+            if positions:
+                pd_ = varbyte_decode(r.pos_blob)
+                firsts = np.concatenate([[0], np.cumsum(tfs)])
+                c = np.cumsum(pd_)
+                prior = np.where(firsts[:-1] > 0, c[firsts[:-1] - 1], 0)
+                absd = c - np.repeat(prior, tfs)
+                pos_groups = [absd[firsts[i]:firsts[i + 1]]
+                              for i in np.nonzero(keep)[0]]
+            packed = _pack_partial_row(ids[keep], tfs[keep], dls[keep],
+                                       pos_groups)
+            packed["term"] = r.term
+            packed["bucket"] = int(r.bucket)
+            packed["term_bucket"] = int(r.term_bucket)
+            rows.append(packed)
+        cols = ["term", "bucket", "n_docs", "tf_sum", "doc_id_min",
+                "doc_id_max", "docs_blob", "tfs_blob", "dls_blob",
+                "docs_off", "tfs_off", "dls_off", "block_max_tf",
+                "block_min_dl", "block_last_doc", "max_tf", "min_dl",
+                "pos_blob", "pos_off", "term_bucket"]
+        if not rows:
+            yield pd.DataFrame({c: [] for c in cols})
+            continue
+        yield pd.DataFrame(rows)[cols]
+
+    tmp = paths.segments + "_compacting"
+    (segs.mapInPandas(rewrite, schema=PARTIAL_SCHEMA
+                      + ", term_bucket int")
+        .repartition(max(spark.sparkContext.defaultParallelism,
+                         min(term_buckets, 64)), "term_bucket")
+        .sortWithinPartitions("term", "bucket", "doc_id_min")
+        .write.mode("overwrite").partitionBy("term_bucket").parquet(tmp))
+    shutil.rmtree(paths.segments)
+    os.rename(tmp, paths.segments)
+
+    # refresh stats: N/avgdl over LIVE docs; term_stats from segments
+    old = spark.read.parquet(paths.stats).collect()[0]
+    n_docs = int(old["n_docs"]) - n_removed
+    total = int(old["total_tokens"]) - tok_removed
+    os.makedirs(paths.stats, exist_ok=True)
+    pq.write_table(pa.table({
+        "n_docs": pa.array([n_docs], pa.int64()),
+        "avgdl": pa.array([total / n_docs if n_docs else 0.0],
+                          pa.float64()),
+        "total_tokens": pa.array([total], pa.int64())}),
+        os.path.join(paths.stats, "stats.parquet"))
+    segs2 = spark.read.parquet(paths.segments)
+    (segs2.groupBy("term", "term_bucket")
+        .agg(F.sum("n_docs").alias("df"), F.sum("tf_sum").alias("cf"))
+        .write.mode("overwrite").partitionBy("term_bucket")
+        .parquet(paths.term_stats))
+    shutil.rmtree(os.path.join(paths.base, "tombstones"),
+                  ignore_errors=True)
+    return {"removed_docs": n_removed, "removed_tokens": tok_removed}

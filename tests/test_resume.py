@@ -245,3 +245,67 @@ def test_many_tombstones_no_plan_blowup(spark, tmp_path):
     assert got and all(d % 2 == 1 for d in got)
     got_w = [int(r.doc_id) for r in eng.search_wand("import", k=50).collect()]
     assert got_w == got
+
+
+def test_compaction_matches_fresh_build(spark, tmp_path):
+    """compact() physically removes tombstoned docs: afterwards the
+    index answers bit-identically to a FRESH build over the live
+    corpus (same postings, same N/df/avgdl), tombstones cleared —
+    the Lucene forceMerge analog."""
+    from auctus_spark.index.build import compact, delete_docs
+    from auctus_spark.oracle import OracleIndex
+    from auctus_spark.query.bm25 import SearchEngine
+
+    pdf = generate_corpus(500, min_tokens=15, max_tokens=80,
+                          vocab_size=600)
+    corpus = spark.createDataFrame(pdf)
+    d = str(tmp_path / "cidx")
+    IndexBuilder(spark, d, doc_bucket=128, chunk_docs=250,
+                 term_buckets=4).build(corpus)
+    dead = [3, 7, 100, 101, 102, 250, 499]
+    delete_docs(spark, d, dead)
+    res = compact(spark, d, term_buckets=4)
+    assert res["removed_docs"] == len(dead)
+    assert not (tmp_path / "cidx" / "tombstones").exists()
+
+    live_pdf = pdf[~pdf.doc_id.isin(dead)]
+    oracle = OracleIndex.build(
+        [(int(r.doc_id), r.content)
+         for r in live_pdf.itertuples(index=False)])
+    eng = SearchEngine(spark, d, term_buckets=4)
+    assert eng.n_docs == oracle.n_docs
+    assert abs(eng.avgdl - oracle.avgdl) < 1e-9
+    for q in ["import", "def return", "the", "uniq_token_11"]:
+        got = [(int(r.doc_id), float(r.score))
+               for r in eng.search_wand(q, k=50).collect()]
+        assert got == oracle.search(q, k=50), q
+        got = [(int(r.doc_id), float(r.score))
+               for r in eng.search(q, k=50).collect()]
+        assert got == oracle.search(q, k=50), q
+
+
+def test_compaction_preserves_positions(spark, tmp_path):
+    """Compacting a positional index keeps match_phrase bit-exact vs
+    a positional oracle over the live corpus."""
+    from auctus_spark.index.build import compact, delete_docs
+    from auctus_spark.oracle import PositionalOracleIndex
+    from auctus_spark.query.bm25 import PhraseEngine
+
+    pdf = generate_corpus(400, min_tokens=15, max_tokens=80,
+                          vocab_size=500)
+    corpus = spark.createDataFrame(pdf)
+    d = str(tmp_path / "pidx")
+    IndexBuilder(spark, d, doc_bucket=128, chunk_docs=200,
+                 term_buckets=4, positions=True).build(corpus)
+    dead = [0, 5, 6, 99, 399]
+    delete_docs(spark, d, dead)
+    compact(spark, d, term_buckets=4)
+    live_pdf = pdf[~pdf.doc_id.isin(dead)]
+    oracle = PositionalOracleIndex.build(
+        [(int(r.doc_id), r.content)
+         for r in live_pdf.itertuples(index=False)])
+    eng = PhraseEngine(spark, d, term_buckets=4)
+    for q in ["import def", "def return", "import import"]:
+        got = [(int(r.doc_id), float(r.score))
+               for r in eng.search_phrase(q, k=50).collect()]
+        assert got == oracle.search_phrase(q, k=50), q
