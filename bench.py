@@ -13,7 +13,9 @@ local[$SPARK_GRAFT_CPUS]:
   top-k).
 
 ``python bench.py --scaling`` additionally runs the index build at
-local[N] and local[4N] (subprocesses; default N=8) on the SAME corpus
+local[N] and local[4N] (subprocesses; default N=2 — the pair the
+north rule is evidenced on; see scripts/scaling_evidence.py --paired
+for the interleaved-median protocol) on the SAME corpus
 and reports throughput at both plus scaling efficiency
 throughput(4N) / (4 * throughput(N)) — the in-sandbox proxy for the
 north rule's two-cluster-size criterion.
@@ -126,7 +128,7 @@ def main():
 
 def scaling():
     """Run the build at local[N] and local[4N] in fresh subprocesses."""
-    n = int(os.environ.get("BENCH_SCALE_N", "8"))
+    n = int(os.environ.get("BENCH_SCALE_N", "2"))
     work = os.environ.get("BENCH_WORK_DIR", "/tmp/auctus_bench")
     os.makedirs(work, exist_ok=True)
     out = {}
