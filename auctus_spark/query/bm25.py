@@ -846,3 +846,64 @@ def _group_partials_pos(pdf: pd.DataFrame) -> dict:
                 "presort=True")
         parts.append(seg)
     return out
+
+
+def search_many_or(engine: SearchEngine, queries: dict[str, str],
+                   k: int = TOP_K_SIZE) -> "DataFrame":
+    """Batched DISJUNCTIVE search: all queries in ONE job (shared
+    segment scan + decodes per bucket), per-query top-k.  Scores are
+    bit-exact with per-query ``search_or`` semantics (sum of
+    present-term contributions in query-term order)."""
+    from pyspark.sql.window import Window
+
+    qterms = {qid: analyze_query(q, stem=engine.stem)
+              for qid, q in queries.items()}
+    qterms = {qid: ts for qid, ts in qterms.items() if ts}
+    all_terms = sorted({t for ts in qterms.values() for t in ts})
+    if not all_terms:
+        return engine._empty().withColumn("query_id", F.lit(""))
+    segs = engine._segments_for(all_terms).join(
+        F.broadcast(engine._ts_for(all_terms)), "term")
+    n_docs, avgdl = engine.n_docs, engine.avgdl
+    qt_b = dict(qterms)
+    tomb = engine.tombstones
+
+    def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        idf_b = {t: bm25_idf(n_docs, int(df_))
+                 for t, df_ in zip(pdf["term"], pdf["df"])}
+        per_term = _group_partials(pdf)
+        out_q, out_d, out_s = [], [], []
+        for qid, terms in qt_b.items():
+            present = [t for t in terms if t in per_term]
+            if not present:
+                continue
+            cand = _mask_tombstones(np.unique(np.concatenate(
+                [_decode_full_term(per_term[t]) for t in present])),
+                tomb)
+            if cand.size == 0:
+                continue
+            score, _ = _score_candidates(terms, idf_b, per_term, cand,
+                                         avgdl)
+            cand, score = _topk_local(cand, score, k)
+            out_q.extend([qid] * cand.size)
+            out_d.append(cand)
+            out_s.append(score)
+        if not out_q:
+            return pd.DataFrame({
+                "query_id": pd.Series([], dtype=object),
+                "doc_id": pd.Series([], dtype=np.int64),
+                "score": pd.Series([], dtype=np.float64)})
+        return pd.DataFrame({
+            "query_id": out_q,
+            "doc_id": np.concatenate(out_d).astype(np.int64),
+            "score": np.concatenate(out_s)})
+
+    local = (segs.select(*SearchEngine._SEG_COLS, "df")
+             .groupBy("bucket")
+             .applyInPandas(score_bucket,
+                            schema="query_id string, doc_id long, "
+                                   "score double"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id"))
+    return (local.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k).drop("_rn"))

@@ -342,3 +342,19 @@ def test_search_service_synonyms(spark, built):
     got = [(int(r.doc_id), float(r.score)) for r in hits.collect()]
     want = oracle.search_synonyms("import", syn, k=10)
     _assert_rank_identical(got, want)
+
+
+def test_search_many_or_batched(spark, built):
+    """Batched disjunctive job == per-query search_or, bit-exact."""
+    from auctus_spark.query.bm25 import search_many_or
+    out, oracle, _, _, _ = built
+    eng = SearchEngine(spark, out, term_buckets=8)
+    queries = {f"q{i}": q for i, q in enumerate(OR_QUERIES)}
+    got = {}
+    for r in search_many_or(eng, queries, k=50).collect():
+        got.setdefault(r.query_id, []).append(
+            (float(r.score), int(r.doc_id)))
+    for qid, q in queries.items():
+        want = oracle.search_or(q, k=50)
+        rows = sorted(got.get(qid, []), key=lambda t: (-t[0], t[1]))
+        assert [(d, s) for s, d in rows] == want, q
