@@ -31,8 +31,18 @@ def sequential_index(df: DataFrame, index_col: str,
                      start: int = 0) -> DataFrame:
     """Add ``index_col`` numbering rows ``start..start+N-1`` in
     (partition, position) order.  No single-partition exchange; cost is
-    one extra pass for the per-partition counts."""
-    tmp = df.withColumn("_mid", F.monotonically_increasing_id())
+    one extra pass for the per-partition counts.
+
+    The input plan is evaluated TWICE (counts job + downstream action),
+    and ``monotonically_increasing_id`` is only stable if partition
+    boundaries don't move between the two.  Arbitrary upstream plans
+    (nondeterministic sources, AQE-coalesced shuffles) can shift them —
+    so pin the evaluation with an eager ``localCheckpoint`` (blocks in
+    the block manager, MEMORY_AND_DISK, lineage truncated): both jobs
+    read the SAME materialized rows, and misalignment is impossible by
+    construction."""
+    tmp = df.withColumn("_mid", F.monotonically_increasing_id()) \
+            .localCheckpoint(eager=True)
     counts = (tmp.groupBy(F.shiftright("_mid", 33).alias("_pid"))
               .agg(F.count(F.lit(1)).alias("_n"))
               .collect())

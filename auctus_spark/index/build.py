@@ -78,9 +78,28 @@ DEFAULT_TERM_BUCKETS = 64
 FORMAT_VERSION = 3
 
 
+class CompactionInProgressError(RuntimeError):
+    """A compaction started but never finished: segments and stats may
+    be inconsistent (compacted postings + pre-compaction N/df/avgdl
+    would silently mis-score).  Raised on every open until resolved."""
+
+
+def check_not_compacting(index_dir: str) -> None:
+    marker = os.path.join(index_dir, "_COMPACTING")
+    if os.path.exists(marker):
+        raise CompactionInProgressError(
+            f"index {index_dir} has an unfinished compaction "
+            "(_COMPACTING marker present). If 'segments_old' exists, "
+            "the pre-compaction segments are intact there: restore it "
+            "over 'segments', delete the marker and re-run compact(). "
+            "Otherwise rebuild from the corpus.")
+
+
 def read_format(index_dir: str) -> int | None:
     """Layout version of an existing index dir (None if no marker —
-    either empty dir or a pre-versioning build)."""
+    either empty dir or a pre-versioning build).  Also the common
+    open-path guard: fails loudly on a half-completed compaction."""
+    check_not_compacting(index_dir)
     p = os.path.join(index_dir, "_FORMAT")
     if not os.path.exists(p):
         return None
@@ -390,7 +409,6 @@ def _encode_batch(doc_ids_all: np.ndarray, content, doc_bucket: int,
         # previous position of the SAME posting; per-block byte
         # offsets via occurrence indexes (block b's positions start at
         # occurrence tf_csum[first posting of b])
-        occ_firsts = tf_csum[:-1][np.ones(n, dtype=bool)]
         occ_firsts = tf_csum[:-1]
         pos_deltas = pos_sorted.copy()
         mask = np.ones(pos_sorted.size, dtype=bool)
@@ -950,8 +968,11 @@ def compact(spark: SparkSession, index_dir: str,
 
     Pass 1 collects (deleted doc, dl) pairs from the postings (to fix
     N/avgdl); pass 2 rewrites every partial with tombstoned postings
-    masked (positions preserved), atomically swapping the segments
-    dir; term_stats and stats are refinalized; tombstones cleared.
+    masked (positions preserved) and swaps the segments dir crash-
+    safely: a ``_COMPACTING`` marker makes every open fail loudly
+    until segments, stats and term_stats are all committed, and the
+    old segments are renamed aside (recoverable) rather than deleted
+    before the new ones land.  Tombstones cleared last.
     The lineage table still describes the ORIGINAL ingest (sha rollup
     of what was indexed) — verify_lineage checks ingest integrity,
     not liveness."""
@@ -960,6 +981,7 @@ def compact(spark: SparkSession, index_dir: str,
 
     from .codec import varbyte_decode
     paths = IndexPaths(index_dir)
+    check_not_compacting(index_dir)
     tomb = load_tombstones(spark, index_dir)
     if tomb.size == 0:
         return {"removed_docs": 0}
@@ -991,13 +1013,35 @@ def compact(spark: SparkSession, index_dir: str,
 
     hit_segs = segs.filter((F.col("doc_id_max") >= lo)
                            & (F.col("doc_id_min") <= hi))
-    dropped = (hit_segs.select("docs_blob", "dls_blob")
-               .mapInPandas(dropped_dl, schema="doc_id long, dl long")
-               .groupBy("doc_id").agg(F.first("dl").alias("dl"))
-               .agg(F.count("*").alias("n"), F.sum("dl").alias("t"))
-               .collect()[0])
-    n_removed = int(dropped["n"] or 0)
-    tok_removed = int(dropped["t"] or 0)
+    # Collect the (doc, dl) pairs actually present in postings —
+    # bounded by the tombstone cap, so driver-safe.
+    dropped_rows = (hit_segs.select("docs_blob", "dls_blob")
+                    .mapInPandas(dropped_dl, schema="doc_id long, dl long")
+                    .groupBy("doc_id").agg(F.first("dl").alias("dl"))
+                    .collect())
+    found = np.array(sorted(int(r["doc_id"]) for r in dropped_rows),
+                     dtype=np.int64)
+    tok_removed = int(sum(int(r["dl"]) for r in dropped_rows))
+    # Zero-token docs were counted in N at build but never appear in
+    # postings.  Lineage decides existence: a tombstone inside a DENSE
+    # chunk range (n_docs == max-min+1) certainly existed.  Residual
+    # (documented): an empty doc in a SPARSE docID range cannot be
+    # distinguished from a never-existing docID without per-doc state,
+    # and is not subtracted — sequential-ID ingest (the supported
+    # pipeline, ids.sequential_index) always produces dense chunks.
+    import pyarrow.dataset as pads
+    lin_t = pads.dataset(paths.lineage, format="parquet",
+                         partitioning="hive").to_table(
+        columns=["n_docs", "doc_id_min", "doc_id_max"])
+    in_dense = np.zeros(tomb.size, dtype=bool)
+    for i in range(lin_t.num_rows):
+        cn = lin_t["n_docs"][i].as_py()
+        cmin = lin_t["doc_id_min"][i].as_py()
+        cmax = lin_t["doc_id_max"][i].as_py()
+        if cn == cmax - cmin + 1:
+            in_dense |= (tomb >= cmin) & (tomb <= cmax)
+    existed_empty = in_dense & ~np.isin(tomb, found)
+    n_removed = int(found.size) + int(existed_empty.sum())
 
     def rewrite(batches):
       import pandas as pd
@@ -1052,11 +1096,20 @@ def compact(spark: SparkSession, index_dir: str,
                          min(term_buckets, 64)), "term_bucket")
         .sortWithinPartitions("term", "bucket", "doc_id_min")
         .write.mode("overwrite").partitionBy("term_bucket").parquet(tmp))
-    shutil.rmtree(paths.segments)
+    # Read the pre-compaction stats BEFORE any swap step.
+    old = spark.read.parquet(paths.stats).collect()[0]
+    # Crash-safe swap: marker first (every open fails loudly until the
+    # new segments AND new stats are both committed), then rename the
+    # old segments ASIDE (never a window with no segments on disk),
+    # then delete them last.
+    marker = os.path.join(paths.base, "_COMPACTING")
+    with open(marker, "w") as f:
+        f.write("compaction in progress; see check_not_compacting\n")
+    old_dir = paths.segments + "_old"
+    os.rename(paths.segments, old_dir)
     os.rename(tmp, paths.segments)
 
     # refresh stats: N/avgdl over LIVE docs; term_stats from segments
-    old = spark.read.parquet(paths.stats).collect()[0]
     n_docs = int(old["n_docs"]) - n_removed
     total = int(old["total_tokens"]) - tok_removed
     os.makedirs(paths.stats, exist_ok=True)
@@ -1073,4 +1126,6 @@ def compact(spark: SparkSession, index_dir: str,
         .parquet(paths.term_stats))
     shutil.rmtree(os.path.join(paths.base, "tombstones"),
                   ignore_errors=True)
+    shutil.rmtree(old_dir)
+    os.remove(marker)
     return {"removed_docs": n_removed, "removed_tokens": tok_removed}

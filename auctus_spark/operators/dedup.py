@@ -27,6 +27,14 @@ from ..analysis import SPLIT_PATTERN
 
 MERSENNE_P = (1 << 61) - 1
 
+# Skew guard default for every LSH-style bucket self-join: a bucket of
+# B members emits B² pairs in ONE task, so a single degenerate bucket
+# (all-empty docs, zero vectors, boilerplate) turns web-scale dedup
+# quadratic.  10k members → ≤10⁸ pairs per bucket, bounded work.  ON
+# by default; pass ``max_bucket=None`` to explicitly opt out (e.g.
+# tiny corpora where exact recall is audited).
+DEFAULT_MAX_BUCKET = 10_000
+
 
 def exact_dedup(df: DataFrame, cols: list[str] | None = None,
                 id_col: str = "doc_id") -> DataFrame:
@@ -152,10 +160,12 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
 
 def lsh_candidate_pairs(signatures: DataFrame, bands: int = 16,
                         rows_per_band: int = 4,
-                        max_bucket: int | None = None) -> DataFrame:
+                        max_bucket: int | None = DEFAULT_MAX_BUCKET
+                        ) -> DataFrame:
     """Band the signatures, bucket-join: pairs sharing >=1 band bucket.
-    (doc_id, sig) → distinct (id_a, id_b).  ``max_bucket`` drops
-    degenerate buckets before the self-join (cap_hot_buckets)."""
+    (doc_id, sig) → distinct (id_a, id_b).  ``max_bucket`` (default
+    ``DEFAULT_MAX_BUCKET``) drops degenerate buckets before the
+    self-join; ``None`` opts out (cap_hot_buckets)."""
     banded = signatures.select(
         "doc_id",
         F.explode(F.array(*[
@@ -246,11 +256,13 @@ def hamming_distance(col_a, col_b):
 
 def simhash_near_pairs(sig: DataFrame, max_hamming: int = 3,
                        block_bits: int = 12, bits: int = 48,
-                       max_bucket: int | None = None) -> DataFrame:
+                       max_bucket: int | None = DEFAULT_MAX_BUCKET
+                       ) -> DataFrame:
     """Near-dup pairs by simhash: block on disjoint bit chunks
     (pigeonhole: hamming <= n_blocks-1 → at least one identical chunk),
-    then verify exact hamming distance.  ``max_bucket`` drops
-    degenerate blocks before the self-join (cap_hot_buckets)."""
+    then verify exact hamming distance.  ``max_bucket`` (default
+    ``DEFAULT_MAX_BUCKET``) drops degenerate blocks before the
+    self-join; ``None`` opts out (cap_hot_buckets)."""
     n_blocks = bits // block_bits
     assert max_hamming < n_blocks
     blocked = sig.select(
@@ -298,7 +310,8 @@ def embedding_near_pairs(emb: DataFrame, vec_col: str = "embedding",
                          id_col: str = "vec_id", threshold: float = 0.95,
                          bands: int = 24, rows_per_band: int = 8,
                          seed: int = 89, dim: int | None = None,
-                         max_bucket: int | None = None) -> DataFrame:
+                         max_bucket: int | None = DEFAULT_MAX_BUCKET
+                         ) -> DataFrame:
     """Near-duplicate vectors by cosine >= threshold: BANDED
     random-hyperplane LSH + exact cosine verify (no false positives).
 

@@ -9,10 +9,10 @@ type-detect regex voting (``profile_types.py:16-126``), numerical range
 sketches (``numerical.py:38-86``).
 
 Everything is a built-in aggregation; the only custom math is the
-range-sketch clustering, which replaces the reference's seeded sklearn
-K-Means (unavailable here) with deterministic 1-D gap-split clustering
-— same contract (≤3 clusters, ≥10%% mass, [5th,95th] percentile
-bounds per cluster).
+range-sketch clustering: a seeded 1-D k-means++/Lloyd's implementation
+matching the reference's sklearn KMeans contract exactly (k≤3, seed 0,
+n_init=10, k-means++ with n_local_trials; ≥10%% mass per cluster,
+[5th,95th] percentile bounds per cluster).
 """
 
 from __future__ import annotations

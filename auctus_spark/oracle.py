@@ -259,10 +259,16 @@ def _analyze_slots(query: str, synonyms: dict, stem: bool = False
     """Search-time synonym_graph analysis (reference applies the
     synonym filter on every search, elasticsearch.yml:16-24): each
     query token becomes a SLOT of alternatives [token, *synonyms],
-    dedup'd, first-seen slot order."""
+    dedup'd, first-seen slot order.
+
+    Chain order mirrors ES (coordinator/elasticsearch.yml:16-24):
+    lowercase/tokenize → synonym lookup on the SURFACE form → stem each
+    alternative exactly once.  Stemming before lookup would both miss
+    synonym keys (the file maps surface forms) and double-stem the
+    token (Porter2 is not idempotent: 'parses'→'pars'→'par')."""
     slots: list[list[str]] = []
     seen_slots: set[tuple] = set()
-    for tok in tokenize(query, stem=stem):
+    for tok in tokenize(query):
         alts = [tok] + [s for s in synonyms.get(tok, []) if s != tok]
         if stem:
             from .stem import stem as _stem

@@ -166,6 +166,34 @@ def test_lsh_hot_bucket_cap(spark):
     got = {(r.id_a, r.id_b) for r in capped.collect()}
     assert (100, 101) in got
     assert not any(a < 50 and b < 50 for a, b in got)  # mega-bucket gone
+    # default cap is 10_000 — far above this corpus, keeps everything
     full = {(r.id_a, r.id_b)
             for r in lsh_candidate_pairs(sigs).collect()}
-    assert (0, 1) in full                   # uncapped keeps everything
+    assert (0, 1) in full
+    # None is the explicit opt-out: identical to the default here
+    uncapped = {(r.id_a, r.id_b)
+                for r in lsh_candidate_pairs(sigs, max_bucket=None)
+                .collect()}
+    assert uncapped == full
+
+
+def test_default_cap_bounds_degenerate_corpus(spark):
+    """Web-scale skew guard is ON by default: a corpus that is one
+    giant duplicate class (every LSH bucket degenerate) completes in
+    bounded time instead of emitting N² ≈ 4·10⁸ pairs in one task.
+    Same guard for simhash blocks."""
+    from auctus_spark.operators.dedup import (lsh_candidate_pairs,
+                                              minhash_signatures, simhash,
+                                              simhash_near_pairs)
+    n = 20_000
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("identical boilerplate text repeated across the corpus "
+              "identical boilerplate text repeated across the corpus")
+        .alias("text"))
+    sigs = minhash_signatures(docs)
+    pairs = lsh_candidate_pairs(sigs, max_bucket=1000)
+    assert pairs.count() == 0               # mega-bucket dropped, done
+    sh = simhash(docs)
+    hp = simhash_near_pairs(sh, max_bucket=1000)
+    assert hp.count() == 0

@@ -48,3 +48,20 @@ def test_topk_cut():
     assert len(res) == 50
     # shorter docs score higher (length norm) → doc 0 first
     assert res[0][0] == 0
+
+
+def test_synonym_chain_order_surface_lookup_single_stem():
+    """ES chain order (elasticsearch.yml): lowercase -> synonym lookup
+    on the SURFACE form -> stem each alternative exactly ONCE.  Porter2
+    is not idempotent ('parses'->'pars'->'par'), so stem-before-lookup
+    both misses the synonym key and corrupts the term."""
+    from auctus_spark.oracle import _analyze_slots
+    slots = _analyze_slots("parses", {"parses": ["decode"]}, stem=True)
+    assert slots == [["pars", "decod"]]
+    # and end-to-end: a stemmed index finds docs via the synonym
+    idx = OracleIndex.build(
+        [(0, "parsing tokens"), (1, "decoded tokens"), (2, "other stuff")],
+        stem=True)
+    hits = [d for d, _ in idx.search_synonyms(
+        "parses", {"parses": ["decode"]})]
+    assert sorted(hits) == [0, 1]

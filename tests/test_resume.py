@@ -309,3 +309,65 @@ def test_compaction_preserves_positions(spark, tmp_path):
         got = [(int(r.doc_id), float(r.score))
                for r in eng.search_phrase(q, k=50).collect()]
         assert got == oracle.search_phrase(q, k=50), q
+
+
+def test_compaction_empty_doc_n(spark, tmp_path):
+    """A tombstoned ZERO-token doc never appears in postings, but it
+    was counted in N at build — compaction must subtract it too
+    (lineage dense-range existence check), or every idf is off."""
+    from auctus_spark.index.build import compact, delete_docs
+    from auctus_spark.oracle import OracleIndex
+    from auctus_spark.query.bm25 import SearchEngine
+
+    pdf = generate_corpus(300, min_tokens=15, max_tokens=60,
+                          vocab_size=400)
+    pdf.loc[pdf.doc_id == 10, "content"] = ""          # empty doc
+    pdf.loc[pdf.doc_id == 11, "content"] = "; ,, !"    # tokenless doc
+    corpus = spark.createDataFrame(pdf)
+    d = str(tmp_path / "eidx")
+    IndexBuilder(spark, d, doc_bucket=128, chunk_docs=150,
+                 term_buckets=4).build(corpus)
+    dead = [10, 11, 42]
+    delete_docs(spark, d, dead)
+    res = compact(spark, d, term_buckets=4)
+    assert res["removed_docs"] == 3
+    live_pdf = pdf[~pdf.doc_id.isin(dead)]
+    oracle = OracleIndex.build(
+        [(int(r.doc_id), r.content)
+         for r in live_pdf.itertuples(index=False)])
+    eng = SearchEngine(spark, d, term_buckets=4)
+    assert eng.n_docs == oracle.n_docs == 297
+    assert abs(eng.avgdl - oracle.avgdl) < 1e-9
+    got = [(int(r.doc_id), float(r.score))
+           for r in eng.search_wand("import", k=50).collect()]
+    assert got == oracle.search("import", k=50)
+
+
+def test_compaction_marker_blocks_open(spark, tmp_path):
+    """A half-completed compaction (_COMPACTING marker on disk) fails
+    loudly on every open — engines, builds and new compactions —
+    instead of serving compacted postings with stale stats."""
+    import pytest
+
+    from auctus_spark.index.build import (CompactionInProgressError,
+                                          compact, delete_docs)
+    from auctus_spark.query.bm25 import SearchEngine
+
+    pdf = generate_corpus(100, min_tokens=10, max_tokens=30,
+                          vocab_size=200)
+    d = str(tmp_path / "midx")
+    IndexBuilder(spark, d, doc_bucket=64, chunk_docs=100,
+                 term_buckets=2).build(spark.createDataFrame(pdf))
+    marker = tmp_path / "midx" / "_COMPACTING"
+    marker.write_text("crash simulation\n")
+    with pytest.raises(CompactionInProgressError):
+        SearchEngine(spark, d, term_buckets=2)
+    with pytest.raises(CompactionInProgressError):
+        IndexBuilder(spark, d, doc_bucket=64, chunk_docs=100,
+                     term_buckets=2).build(spark.createDataFrame(pdf))
+    delete_docs(spark, d, [1])
+    with pytest.raises(CompactionInProgressError):
+        compact(spark, d, term_buckets=2)
+    marker.unlink()
+    eng = SearchEngine(spark, d, term_buckets=2)  # recovers after fix
+    assert eng.n_docs == 100
