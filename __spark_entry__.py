@@ -685,6 +685,36 @@ def _q_bm25_compacted(spark, sf_dir):
 COMPACT_DELETED = [1, 2, 3, 5, 8, 13, 21, 34, 55, 89, 144, 233, 377]
 
 
+def _q_bm25_synonyms_idx(spark, sf_dir):
+    """Search-time synonym expansion on the SEGMENT-INDEX path (the
+    scale path — the reference applies synonym_graph on every search,
+    elasticsearch.yml:16-24): SynonymQuery semantics with slot df =
+    max of member GLOBAL dfs, computed broadcast-side in the same
+    single job as the scoring.  Same DuckDB oracle as the DataFrame
+    synonym gate."""
+    import hashlib as _h
+    import os as _os
+
+    from auctus_spark.index.build import (FORMAT_VERSION, IndexBuilder,
+                                          read_format, wipe)
+    from auctus_spark.query.bm25 import SearchEngine
+
+    _ensure_workers_can_import(spark)
+    tag = _h.md5(sf_dir.encode()).hexdigest()[:10]
+    idx_dir = f"/tmp/auctus_entry_index_{tag}"
+    corpus = _docs(spark, sf_dir).select(
+        "doc_id", F.col("text").alias("content"))
+    b = IndexBuilder(spark, idx_dir, doc_bucket=1 << 10,
+                     chunk_docs=1 << 12, term_buckets=16)
+    if (not _os.path.exists(_os.path.join(idx_dir, "stats"))
+            or read_format(idx_dir) != FORMAT_VERSION):
+        wipe(idx_dir)
+        b.build(corpus)
+    eng = SearchEngine(spark, idx_dir, term_buckets=16)
+    out = eng.search_synonyms("join data", {"join": ["merge"]}, k=50)
+    return out.select("doc_id", F.round("score", 6).alias("score"))
+
+
 def _q_bm25_stemmed(spark, sf_dir):
     """Index-time Porter2 stemming (reference elasticsearch.yml:15 —
     the ES english stemmer runs on every indexed field): build a
@@ -870,6 +900,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_stemmed": _q_bm25_stemmed,
         "bm25_compacted": _q_bm25_compacted,
         "bm25_synonyms": _q_bm25_synonyms,
+        "bm25_synonyms_idx": _q_bm25_synonyms_idx,
         "bm25_phrase": _q_bm25_phrase,
         "bm25_multifield_idx": _q_bm25_multifield_idx,
         "embedding_near_pairs": _q_embedding_near_pairs,
@@ -1189,6 +1220,7 @@ def _oracle_sql_static() -> dict[str, str]:
             "(SELECT count(*) FROM documents WHERE doc_id NOT IN "
             "(1, 2, 3, 5, 8, 13, 21, 34, 55, 89, 144, 233, 377))"),
         "bm25_synonyms": _synonym_sql([["join", "merge"], ["data"]]),
+        "bm25_synonyms_idx": _synonym_sql([["join", "merge"], ["data"]]),
         "bm25_multifield_idx": _multifield_sql(
             ["join", "src3"], [("text", 1.0), ("source", 5.0)]),
         "bm25_multifield": _multifield_sql(

@@ -248,6 +248,101 @@ class SearchEngine:
                                 schema="doc_id long, score double"))
         return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
+    def search_synonyms(self, query: str, synonyms: dict,
+                        k: int = TOP_K_SIZE) -> DataFrame:
+        """Conjunctive search with search-time synonym expansion on the
+        SEGMENT-INDEX path — the reference applies ``synonym_graph`` on
+        every search (coordinator/elasticsearch.yml:16-24,
+        docker/synonyms.txt), and this engine is the declared scale
+        path, so synonym queries must not fall back to the index-free
+        DataFrame plan.  Lucene SynonymQuery semantics per slot: the
+        alternatives act as ONE pseudo-term with tf = sum of member
+        tfs and df = max of member GLOBAL dfs; AND across slots;
+        contributions summed in slot order (bit-exact with
+        ``oracle.search_synonyms``).
+
+        Single-job plan: slot df is a GLOBAL statistic, but a bucket's
+        rows only carry terms present in that bucket — so the slot max
+        is computed on the broadcast side (term_stats scan → slot
+        aggregate → joined back onto the segments) instead of a
+        driver-side collect.  Posting rows never shuffle; only
+        (bucket → k rows) survive into the global TakeOrdered merge.
+        """
+        from ..oracle import _analyze_slots
+        slots = _analyze_slots(query, synonyms, stem=self.stem)
+        if not slots:
+            return self._empty()
+        members = sorted({t for alts in slots for t in alts})
+        member_rows = [(t, i) for i, alts in enumerate(slots)
+                       for t in alts]
+        mem_df = self.spark.createDataFrame(
+            member_rows, "term string, slot_id int")
+        # global slot df on the broadcast side, all inside one job
+        slot_df = (self._ts_for(members)
+                   .join(mem_df, "term")
+                   .groupBy("slot_id")
+                   .agg(F.max("df").alias("slot_df")))
+        meta = F.broadcast(mem_df.join(slot_df, "slot_id"))
+        segs = self._segments_for(members).join(meta, "term")
+        n_slots = len(slots)
+        n_docs, avgdl = self.n_docs, self.avgdl
+        tomb = self.tombstones
+
+        def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+            per_slot: dict[int, dict] = {}
+            sdf: dict[int, int] = {}
+            for sid, g in pdf.groupby("slot_id", sort=True):
+                per_slot[int(sid)] = _group_partials(g)
+                sdf[int(sid)] = int(g["slot_df"].iloc[0])
+            if len(per_slot) != n_slots:
+                return _empty_pdf()  # AND: a slot absent in this range
+            cand = None
+            # rarest slot first: cheapest intersection order
+            order = sorted(per_slot, key=lambda s: sum(
+                p["n_docs"] for parts in per_slot[s].values()
+                for p in parts))
+            for sid in order:
+                ids_s = [_decode_full_term(parts)
+                         for parts in per_slot[sid].values()]
+                u = (ids_s[0] if len(ids_s) == 1
+                     else np.unique(np.concatenate(ids_s)))
+                if cand is None:
+                    cand = _mask_tombstones(u, tomb)
+                else:
+                    pos = np.searchsorted(u, cand)
+                    pos_c = np.minimum(pos, u.size - 1)
+                    cand = cand[u[pos_c] == cand]
+                if cand.size == 0:
+                    return _empty_pdf()
+            # score in SLOT order (the oracle's summation order)
+            score = np.zeros(cand.size, dtype=np.float64)
+            for sid in range(n_slots):
+                idf_s = bm25_idf(n_docs, sdf[sid])
+                slot_tf = np.zeros(cand.size, dtype=np.int64)
+                dl = np.ones(cand.size, dtype=np.float64)
+                for parts in per_slot[sid].values():
+                    for seg in parts:
+                        doc_ids, tfs, dls = _decode_partial_full(seg)
+                        if doc_ids.size == 0:
+                            continue
+                        pos = np.searchsorted(doc_ids, cand)
+                        pos_c = np.minimum(pos, doc_ids.size - 1)
+                        hit = doc_ids[pos_c] == cand
+                        slot_tf[hit] += tfs[pos_c[hit]]
+                        dl[hit] = dls[pos_c[hit]]
+                tfd = slot_tf.astype(np.float64)
+                score += idf_s * (tfd / (tfd + K1 * (
+                    1.0 - B + B * dl / avgdl)))
+            cand2, score2 = _topk_local(cand, score, k)
+            return pd.DataFrame({"doc_id": cand2.astype(np.int64),
+                                 "score": score2})
+
+        local = (segs.select(*self._SEG_COLS, "slot_id", "slot_df")
+                 .groupBy("bucket")
+                 .applyInPandas(score_bucket,
+                                schema="doc_id long, score double"))
+        return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
     def search_or(self, query: str, k: int = TOP_K_SIZE) -> DataFrame:
         """Disjunctive (should) top-k via block-max MaxScore: terms
         ordered by score upper bound idf * tf_norm(max_tf, min_dl);

@@ -2,7 +2,7 @@
 Spark and its oracle_sql() on DuckDB at sf0.01, compare row count,
 schema (column names) and order-insensitive values.
 
-Usage: python scripts/check_entry.py [sf_dir]
+Usage: python scripts/check_entry.py [sf_dir] [--only name1,name2]
 """
 
 import os
@@ -32,7 +32,13 @@ def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    args = sys.argv[1:]
+    only = None
+    if "--only" in args:
+        i = args.index("--only")
+        only = set(args[i + 1].split(","))
+        del args[i:i + 2]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
     import __spark_entry__ as entry
     from auctus_spark.session import get_spark
 
@@ -44,15 +50,18 @@ def main():
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
-    print("== entry() smoke ==")
-    df = entry.entry(spark)
-    n = df.count()
-    print(f"entry rows={n} schema={df.columns}")
-    assert n >= 0
+    if only is None:
+        print("== entry() smoke ==")
+        df = entry.entry(spark)
+        n = df.count()
+        print(f"entry rows={n} schema={df.columns}")
+        assert n >= 0
 
     oracles = entry.oracle_sql()
     failed = []
     for name, fn in entry.queries().items():
+        if only is not None and name not in only:
+            continue
         try:
             got = fn(spark, sf_dir).toPandas()
             sql = oracles.get(name)

@@ -333,6 +333,26 @@ def test_synonyms_match_oracle(spark, built):
         _assert_rank_identical(got, want)
 
 
+def test_synonyms_match_oracle_index_path(spark, built):
+    """Synonym expansion on the SEGMENT-INDEX path (the scale path):
+    SearchEngine.search_synonyms must be bit-exact vs
+    oracle.search_synonyms — slot df is a GLOBAL max (computed on the
+    broadcast side), so multi-bucket indexes where a member term is
+    absent from some buckets are the interesting case (doc_bucket=256
+    here forces that)."""
+    out, oracle, _, _, _ = built
+    eng = SearchEngine(spark, out, term_buckets=8)
+    syn = {"import": ["def"], "uniq_token_11": ["uniq_token_22"],
+           "zz_missing": ["qq_also_missing"]}
+    for q in ["import", "import return", "uniq_token_11",
+              "zz_missing import", "uniq_token_11 return",
+              "no_such_token_anywhere"]:
+        want = oracle.search_synonyms(q, syn, k=50)
+        got = [(int(r.doc_id), float(r.score))
+               for r in eng.search_synonyms(q, syn, k=50).collect()]
+        _assert_rank_identical(got, want)
+
+
 def test_search_service_synonyms(spark, built):
     from auctus_spark.query.search import SearchQuery, SearchService
     _, oracle, _, corpus, _ = built
