@@ -820,6 +820,73 @@ def _q_bm25_multifield(spark, sf_dir):
         boosts={"text": 1.0, "source": 5.0}, k=50, round_to=6)
 
 
+def _q_bm25_crossfields(spark, sf_dir):
+    """multi_match type=cross_fields — the reference's flagship query
+    TYPE (search/__init__.py:64-76): blended per-term df (max over
+    fields, clamped to each field's doc count), DisjunctionMax over
+    field contributions per term (tie_breaker 0.0), AND across terms.
+    The second field is a derived title (text prefix) so query terms
+    genuinely live in BOTH fields with different dfs — the blend is
+    exercised, not vacuous."""
+    docs = _docs(spark, sf_dir).withColumn(
+        "title", F.substring("text", 1, 48))
+    return pipeline.bm25_crossfields_topk(
+        docs, "table value", boosts={"text": 1.0, "title": 3.0},
+        k=50, round_to=6)
+
+
+def _crossfields_sql(terms: list[str], fields: list[tuple[str, float]],
+                     k: int = 50) -> str:
+    """DuckDB oracle for cross_fields: per-field stats CTEs + blended
+    df (max over fields) + per-term greatest-contribution + AND."""
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    ctes, contribs, dfs_union = [], [], []
+    for fcol, boost in fields:
+        src = ("substr(text, 1, 48)" if fcol == "title" else fcol)
+        ctes.append(f"""
+tok_{fcol} AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower({src}),
+         '{SPLIT_PATTERN}')) AS term
+  FROM documents WHERE {src} IS NOT NULL),
+tok2_{fcol} AS (SELECT * FROM tok_{fcol} WHERE term <> ''),
+dl_{fcol} AS (SELECT doc_id, count(*) AS dl FROM tok2_{fcol}
+              GROUP BY doc_id),
+st_{fcol} AS (
+  SELECT (SELECT count(*) FROM documents
+          WHERE {src} IS NOT NULL) AS n_docs,
+         (SELECT count(*) FROM tok2_{fcol}) * 1.0
+           / (SELECT count(*) FROM documents
+              WHERE {src} IS NOT NULL) AS avgdl),
+tf_{fcol} AS (SELECT doc_id, term, count(*) AS tf FROM tok2_{fcol}
+              WHERE term IN ({tlist}) GROUP BY doc_id, term),
+df_{fcol} AS (SELECT term, count(*) AS df FROM tf_{fcol} GROUP BY term)""")
+        dfs_union.append(f"SELECT term, df FROM df_{fcol}")
+        contribs.append(f"""
+  SELECT tf.doc_id, tf.term,
+         {boost} * ln(1 + (s.n_docs - least(bl.df_blend, s.n_docs)
+                           + 0.5)
+                      / (least(bl.df_blend, s.n_docs) + 0.5))
+           * (tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)))
+           AS contrib
+  FROM tf_{fcol} tf JOIN blend bl USING (term)
+  JOIN dl_{fcol} dl USING (doc_id) CROSS JOIN st_{fcol} s""")
+    return f"""
+WITH {','.join(ctes)},
+blend AS (SELECT term, max(df) AS df_blend
+          FROM ({' UNION ALL '.join(dfs_union)}) GROUP BY term),
+allc AS ({' UNION ALL '.join(contribs)}),
+best AS (
+  SELECT doc_id, term, max(contrib) AS best
+  FROM allc GROUP BY doc_id, term),
+agg AS (
+  SELECT doc_id, sum(best) AS raw_score, count(*) AS nt
+  FROM best GROUP BY doc_id)
+SELECT doc_id, round(raw_score, 6) AS score
+FROM agg WHERE nt = {len(terms)}
+ORDER BY raw_score DESC, doc_id ASC LIMIT {k}
+"""
+
+
 def _multifield_sql(terms: list[str], fields: list[tuple[str, float]],
                     k: int = 50) -> str:
     tlist = ", ".join(f"'{t}'" for t in terms)
@@ -897,6 +964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_index_path": _q_bm25_index_path,
         "bm25_batched": _q_bm25_batched,
         "bm25_multifield": _q_bm25_multifield,
+        "bm25_crossfields": _q_bm25_crossfields,
         "bm25_stemmed": _q_bm25_stemmed,
         "bm25_compacted": _q_bm25_compacted,
         "bm25_synonyms": _q_bm25_synonyms,
@@ -1225,6 +1293,8 @@ def _oracle_sql_static() -> dict[str, str]:
             ["join", "src3"], [("text", 1.0), ("source", 5.0)]),
         "bm25_multifield": _multifield_sql(
             ["join", "src3"], [("text", 1.0), ("source", 5.0)]),
+        "bm25_crossfields": _crossfields_sql(
+            ["table", "value"], [("text", 1.0), ("title", 3.0)]),
         "numeric_histogram": """
             WITH mm AS (SELECT min(l_extendedprice) AS lo,
                                max(l_extendedprice) AS hi FROM lineitem),

@@ -197,6 +197,72 @@ def bounding_box_merge(df: DataFrame, lat_col: str, lon_col: str) -> dict:
     return box
 
 
+def spatial_ranges_pdf(points: np.ndarray, n_ranges: int = 3,
+                       min_size: float = 0.10,
+                       delta: float = 1e-4) -> list[dict]:
+    """The reference's per-cluster spatial coverage boxes, exactly
+    (``spatial.py:49-106`` get_spatial_ranges): KMeans(k=min(3, n),
+    random_state=0) on (lat, long) pairs; clusters under 10% mass
+    dropped; per surviving cluster the [5%, 95%] quantile box —
+    sort by lat for (min_lat, max_lat), independently by long for
+    (min_long, max_long), both at indexes int(.05*len)/int(.95*len);
+    envelopes [[min_long, max_lat], [max_long, min_lat]] sorted;
+    degenerate (zero-area) boxes inflated by ±1e-4 per axis (Lucene
+    tessellation needs area).
+
+    ``points`` is an (n, 2) array of (lat, long)."""
+    from .profiling import _kmeans_nd
+    X = points[~np.isnan(points).any(axis=1)].astype(np.float64)
+    n = X.shape[0]
+    if n == 0:
+        return []
+    k = min(n_ranges, n)
+    _, labels = _kmeans_nd(X, k, seed=0)
+    ranges = []
+    for rg in range(k):
+        cluster = X[labels == rg]
+        if cluster.shape[0] == 0 or cluster.shape[0] < min_size * n:
+            continue
+        m = cluster.shape[0]
+        min_idx, max_idx = int(0.05 * m), int(0.95 * m)
+        by_lat = np.sort(cluster[:, 0])
+        by_lon = np.sort(cluster[:, 1])
+        min_lat, max_lat = float(by_lat[min_idx]), float(by_lat[max_idx])
+        min_lon, max_lon = float(by_lon[min_idx]), float(by_lon[max_idx])
+        ranges.append([[min_lon, max_lat], [max_lon, min_lat]])
+    ranges.sort()
+    for rg in ranges:
+        if rg[0][0] == rg[1][0]:
+            rg[0][0] -= delta
+            rg[1][0] += delta
+        if rg[0][1] == rg[1][1]:
+            rg[0][1] += delta
+            rg[1][1] -= delta
+    return [{"range": {"type": "envelope", "coordinates": coords}}
+            for coords in ranges]
+
+
+def spatial_ranges(df: DataFrame, lat_col: str, lon_col: str,
+                   sample_cap: int = 100_000, seed: int = 89
+                   ) -> list[dict]:
+    """Distributed wrapper for the KMeans coverage boxes: valid-point
+    filter + sample-bounded collect (the reference profiles a 5 MB
+    seed-89 sample, core.py:33-36), then the deterministic sketch.
+    The collect is the SKETCH INPUT cap, not a scale limit — at 100 TB
+    the sample is what travels."""
+    flt = df.filter(valid_latlong(F.col(lat_col), F.col(lon_col))) \
+        .select(F.col(lat_col).cast("double").alias("lat"),
+                F.col(lon_col).cast("double").alias("lon"))
+    n = flt.count()
+    if n == 0:
+        return []
+    frac = min(1.0, sample_cap / max(n, 1))
+    pdf = (flt.sample(fraction=frac, seed=seed) if frac < 1.0
+           else flt).toPandas()
+    pts = pdf[["lat", "lon"]].to_numpy()
+    return spatial_ranges_pdf(pts)
+
+
 def median_smallest_distance(df: DataFrame, lat_col: str, lon_col: str,
                              sample_cap: int = 1000, seed: int = 89
                              ) -> float:

@@ -127,9 +127,14 @@ def profile_dataset(df: DataFrame, sample_rows: int = 20,
     spatial_coverage = []
     for lat_c, lon_c in latlong_pairs:
         if df.filter(valid_latlong(F.col(lat_c), F.col(lon_c))).head(1):
+            from .geo import spatial_ranges
             spatial_coverage.append(
                 {"lat": lat_c, "lon": lon_c,
-                 "ranges": [bounding_box_merge(df, lat_c, lon_c)]})
+                 # per-cluster KMeans boxes (reference
+                 # spatial.py:49-106), plus the merged bbox the
+                 # search-side overlap scorer consumes
+                 "ranges": spatial_ranges(df, lat_c, lon_c),
+                 "bounding_box": bounding_box_merge(df, lat_c, lon_c)})
 
     # attribute keywords: expanded column names (reference
     # core.py:965-972)

@@ -266,6 +266,76 @@ def _kmeans_1d(v: np.ndarray, k: int, seed: int = 0, n_init: int = 10,
     return best[1], best[2]
 
 
+def _kmeans_pp_init_nd(X: np.ndarray, k: int,
+                       rng: np.random.RandomState) -> np.ndarray:
+    """k-means++ seeding over (n, d) points — the d-dimensional twin
+    of ``_kmeans_pp_init`` (same greedy n_local_trials refinement)."""
+    n = X.shape[0]
+    n_local_trials = 2 + int(np.log(k))
+    centers = np.empty((k, X.shape[1]), dtype=np.float64)
+    centers[0] = X[rng.randint(n)]
+    closest = ((X - centers[0]) ** 2).sum(axis=1)
+    pot = closest.sum()
+    for c in range(1, k):
+        if pot <= 0:
+            centers[c:] = centers[0]
+            break
+        rand_vals = rng.uniform(size=n_local_trials) * pot
+        cand_ids = np.searchsorted(np.cumsum(closest), rand_vals)
+        cand_ids = np.clip(cand_ids, 0, n - 1)
+        best_pot, best_id, best_closest = None, None, None
+        for cid in cand_ids:
+            d = np.minimum(closest, ((X - X[cid]) ** 2).sum(axis=1))
+            p = d.sum()
+            if best_pot is None or p < best_pot:
+                best_pot, best_id, best_closest = p, cid, d
+        centers[c] = X[best_id]
+        closest, pot = best_closest, best_pot
+    return centers
+
+
+def _kmeans_nd(X: np.ndarray, k: int, seed: int = 0, n_init: int = 10,
+               max_iter: int = 300, tol: float = 1e-4
+               ) -> tuple[np.ndarray, np.ndarray]:
+    """Seeded Lloyd's over (n, d) points: n_init k-means++ restarts,
+    keep lowest inertia — the d-dimensional twin of ``_kmeans_1d``
+    (the reference's spatial sketch pins
+    ``KMeans(n_clusters=min(3, n), random_state=0)`` on (lat, long)
+    pairs, spatial.py:49-106).  k is small (<= 3), so the (n, k)
+    distance matrix is the right assignment strategy."""
+    rng = np.random.RandomState(seed)
+    tol_abs = tol * X.var(axis=0).sum() if X.size else 0.0
+    best = None
+    for _ in range(n_init):
+        centers = _kmeans_pp_init_nd(X, k, rng)
+        for _ in range(max_iter):
+            d2 = ((X[:, None, :] - centers[None, :, :]) ** 2).sum(-1)
+            labels = d2.argmin(axis=1)
+            new = centers.copy()
+            cnts = np.bincount(labels, minlength=k)
+            for dim in range(X.shape[1]):
+                sums = np.bincount(labels, weights=X[:, dim],
+                                   minlength=k)
+                nz = cnts > 0
+                new[nz, dim] = sums[nz] / cnts[nz]
+            if (cnts == 0).any():
+                dd = ((X - new[labels]) ** 2).sum(axis=1)
+                for j in np.nonzero(cnts == 0)[0]:
+                    far = int(np.argmax(dd))
+                    new[j] = X[far]
+                    dd[far] = 0.0
+            shift = ((new - centers) ** 2).sum()
+            centers = new
+            if shift <= tol_abs:
+                break
+        d2 = ((X[:, None, :] - centers[None, :, :]) ** 2).sum(-1)
+        labels = d2.argmin(axis=1)
+        inertia = (d2[np.arange(X.shape[0]), labels]).sum()
+        if best is None or inertia < best[0]:
+            best = (inertia, centers, labels)
+    return best[1], best[2]
+
+
 def range_sketch_pdf(values: np.ndarray, n_ranges: int = N_RANGES,
                      min_size: float = MIN_RANGE_SIZE) -> list[dict]:
     """The reference's coverage sketch, exactly (numerical.py:38-86):

@@ -117,6 +117,119 @@ def content_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("fingerprint", F.md5(norm))
 
 
+def _winnow_batch(pdf: pd.DataFrame, k: int, window: int
+                  ) -> pd.DataFrame:
+    """Winnowing over ONE Arrow batch, fully vectorized ACROSS docs —
+    no per-doc Python loop (the round-2 implementation looped
+    ``for i in range(len(pdf))``, which capped throughput on
+    many-small-docs corpora).
+
+    Token hashing is at VOCABULARY granularity (dictionary_encode,
+    one md5 per distinct token).  The k-gram rolling hash is computed
+    once over the FLAT token-hash array (each output position only
+    reads th[j..j+k), so per-position values are bit-identical to the
+    per-doc computation); positions whose k-gram crosses a doc
+    boundary are garbage and masked by construction: doc i's valid
+    hash positions are [bounds[i], bounds[i]+n_h_i).  Window minima
+    are a single gather over a sliding_window_view; docs with
+    n_h <= window take their segment minimum via
+    ``np.minimum.reduceat`` (garbage slots carry a +inf sentinel, so
+    the segment reduce ignores them)."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    B_, M = np.uint64(1_000_003), np.uint64((1 << 61) - 1)
+    SENT = np.uint64(0xFFFFFFFFFFFFFFFF)  # > any value mod M
+    out_empty = pd.DataFrame(
+        {"doc_id": pd.Series([], dtype=np.int64),
+         "fingerprint": pd.Series([], dtype=np.int64)})
+    if not len(pdf):
+        return out_empty
+    content = pa.array(pdf["text"].tolist(), type=pa.string())
+    toks = pc.split_pattern_regex(pc.utf8_lower(content),
+                                  "[^a-z0-9_]+")
+    flat = pc.list_flatten(toks)
+    lens = np.diff(toks.offsets.to_numpy().astype(np.int64))
+    enc = pc.dictionary_encode(flat)
+    codes = enc.indices.to_numpy()
+    doc_local = np.repeat(np.arange(len(pdf), dtype=np.int64), lens)
+    vocab = enc.dictionary.to_numpy(zero_copy_only=False)
+    vh = np.array(
+        [int.from_bytes(hashlib.md5(w.encode()).digest()[:7], "big")
+         for w in vocab],
+        dtype=np.uint64)
+    empty = np.nonzero(vocab == "")[0]
+    if empty.size:
+        keep = codes != empty[0]
+        codes, doc_local = codes[keep], doc_local[keep]
+    th_all = vh[codes]
+    dl = np.bincount(doc_local, minlength=len(pdf))
+    bounds = np.concatenate([[0], np.cumsum(dl)])
+    doc_ids_np = pdf["doc_id"].to_numpy()
+
+    L = th_all.size
+    if L < k:
+        return out_empty
+    m = L - k + 1
+    acc = np.zeros(m, dtype=np.uint64)
+    for j in range(k):  # k tiny; each step is full-batch numpy
+        acc = (acc * B_ + th_all[j:j + m]) % M
+    # pad garbage tail positions (cross-boundary k-grams live INSIDE
+    # acc too, but no doc's valid range [bounds[i], bounds[i]+n_h_i)
+    # ever indexes them)
+    # one extra SENT slot so reduceat can take starts == L (trailing
+    # zero-token docs) without clipping into a neighbour's segment
+    acc_pad = np.concatenate(
+        [acc, np.full(L - m + 1, SENT, dtype=np.uint64)])
+    n_h = np.maximum(dl - (k - 1), 0)       # valid hash count per doc
+    h_start = bounds[:-1]
+    # cross-boundary k-grams (positions [bounds[i]+n_h_i, bounds[i+1])
+    # for every doc) are garbage acc values — overwrite with SENT so
+    # the segment reduce below can never pick them
+    delta = np.zeros(acc_pad.size + 1, dtype=np.int64)
+    np.add.at(delta, h_start + n_h, 1)
+    np.add.at(delta, bounds[1:], -1)
+    invalid = np.cumsum(delta[:-1]) > 0
+    acc_pad[invalid] = SENT
+
+    ids_parts, fp_parts = [], []
+    small = (n_h > 0) & (n_h <= window)
+    if small.any():
+        # segment min via reduceat: [bounds[i], bounds[i+1]) — the
+        # garbage tail inside each segment is SENT, never the min
+        mins = np.minimum.reduceat(acc_pad, h_start)
+        ids_parts.append(doc_ids_np[small].astype(np.int64))
+        fp_parts.append(mins[small].astype(np.int64))
+    big = n_h > window
+    if big.any():
+        nw = (n_h[big] - window + 1).astype(np.int64)
+        total = int(nw.sum())
+        base = np.repeat(h_start[big], nw)
+        csum = np.concatenate([[0], np.cumsum(nw)])[:-1]
+        intra = np.arange(total, dtype=np.int64) - np.repeat(csum, nw)
+        wpos = base + intra
+        wins = np.lib.stride_tricks.sliding_window_view(acc_pad, window)
+        wmins = wins[wpos].min(axis=1)
+        ids_parts.append(np.repeat(doc_ids_np[big].astype(np.int64),
+                                   nw))
+        fp_parts.append(wmins.astype(np.int64))
+    if not ids_parts:
+        return out_empty
+    ids_all = np.concatenate(ids_parts)
+    fps_all = np.concatenate(fp_parts)
+    # per-doc distinct (the old set(); global .distinct() still runs
+    # downstream, this just shrinks the Arrow transfer)
+    order = np.lexsort((fps_all, ids_all))
+    ids_all, fps_all = ids_all[order], fps_all[order]
+    keep = np.ones(ids_all.size, dtype=bool)
+    keep[1:] = (ids_all[1:] != ids_all[:-1]) | \
+               (fps_all[1:] != fps_all[:-1])
+    return pd.DataFrame({"doc_id": ids_all[keep],
+                         "fingerprint": fps_all[keep]})
+
+
 def winnowing_fingerprints(df: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id", k: int = 5,
                            window: int = 4) -> DataFrame:
@@ -128,62 +241,9 @@ def winnowing_fingerprints(df: DataFrame, text_col: str = "text",
     numpy per Arrow batch inside mapInPandas; output
     (doc_id, fingerprint) distinct.
     """
-    B_, M = np.uint64(1_000_003), np.uint64((1 << 61) - 1)
-
     def fp(batches):
-        # token hashing at VOCABULARY granularity: Arrow tokenize +
-        # dictionary_encode per batch, one md5 per DISTINCT token, then
-        # codes map through the (small) hash table — no per-token
-        # Python in the hot path (the rolling hash and window-min stay
-        # numpy per doc)
-        import hashlib
-
-        import pyarrow as pa
-        import pyarrow.compute as pc
         for pdf in batches:
-            content = pa.array(pdf["text"].tolist(), type=pa.string())
-            toks = pc.split_pattern_regex(pc.utf8_lower(content),
-                                          "[^a-z0-9_]+")
-            flat = pc.list_flatten(toks)
-            lens = np.diff(toks.offsets.to_numpy().astype(np.int64))
-            enc = pc.dictionary_encode(flat)
-            codes = enc.indices.to_numpy()
-            doc_local = np.repeat(np.arange(len(pdf), dtype=np.int64),
-                                  lens)
-            vocab = enc.dictionary.to_numpy(zero_copy_only=False)
-            vh = np.array(
-                [int.from_bytes(hashlib.md5(w.encode()).digest()[:7],
-                                "big") for w in vocab],
-                dtype=np.uint64)
-            empty = np.nonzero(vocab == "")[0]
-            if empty.size:
-                keep = codes != empty[0]
-                codes, doc_local = codes[keep], doc_local[keep]
-            th_all = vh[codes]
-            dl = np.bincount(doc_local, minlength=len(pdf))
-            bounds = np.concatenate([[0], np.cumsum(dl)])
-            doc_ids_np = pdf["doc_id"].to_numpy()
-            ids, fps = [], []
-            for i in range(len(pdf)):
-                th = th_all[bounds[i]:bounds[i + 1]]
-                if len(th) < k:
-                    continue
-                # k-gram polynomial rolling hash
-                acc = np.zeros(len(th) - k + 1, dtype=np.uint64)
-                for j in range(k):
-                    acc = (acc * B_ + th[j:j + len(acc)]) % M
-                h = acc
-                if len(h) <= window:
-                    sel = {int(h.min())}
-                else:
-                    wins = np.lib.stride_tricks.sliding_window_view(
-                        h, window)
-                    sel = set(wins.min(axis=1).astype(np.int64).tolist())
-                ids.extend([int(doc_ids_np[i])] * len(sel))
-                fps.extend(sorted(sel))
-            yield pd.DataFrame({"doc_id": pd.Series(ids, dtype=np.int64),
-                                "fingerprint": pd.Series(fps,
-                                                         dtype=np.int64)})
+            yield _winnow_batch(pdf, k, window)
 
     sel = df.select(F.col(id_col).alias("doc_id"),
                     F.col(text_col).alias("text"))

@@ -155,6 +155,60 @@ def search_multifield(field_indices: dict[str, "OracleIndex"],
     return scored[:k]
 
 
+def search_cross_fields(field_indices: dict[str, "OracleIndex"],
+                        query: str, boosts: dict[str, float],
+                        k: int = TOP_K_SIZE) -> list[tuple[int, float]]:
+    """``multi_match type: cross_fields`` — the reference's flagship
+    query TYPE (``search/__init__.py:64-76``).  Lucene BlendedTermQuery
+    semantics (ES 7.10 MultiMatchQuery.blendTerms): per query term the
+    document frequency is BLENDED across the field group —
+    df_blend(t) = max over fields of df(t, f) — and each field scores
+    the term with idf(N_f, min(df_blend, N_f)) (the clamp keeps idf
+    positive where Lucene's unclamped blend can go negative when a
+    small field's docCount < df_blend); the per-term score is the
+    DisjunctionMax over fields with tie_breaker 0.0 (cross_fields
+    default): max_f boost_f * idf_f * tf_norm_f.  AND across terms
+    (every term in >= 1 field); per-term maxima summed in query order.
+    """
+    from .analysis import analyze_query
+    terms = analyze_query(query)
+    if not terms:
+        return []
+    candidates: set[int] | None = None
+    for t in terms:
+        docs_t: set[int] = set()
+        for f in boosts:
+            idx = field_indices.get(f)
+            if idx:
+                docs_t |= set(idx.postings.get(t, {}))
+        candidates = docs_t if candidates is None else candidates & docs_t
+        if not candidates:
+            return []
+    df_blend = {t: max((len(field_indices[f].postings.get(t, {}))
+                        for f in boosts if f in field_indices),
+                       default=0) for t in terms}
+    scored = []
+    for d in sorted(candidates):
+        s = 0.0
+        for t in terms:
+            best = 0.0
+            for f, boost in boosts.items():
+                idx = field_indices.get(f)
+                if not idx:
+                    continue
+                p = idx.postings.get(t, {})
+                if d in p:
+                    c = boost * bm25_idf(
+                        idx.n_docs, min(df_blend[t], idx.n_docs)) * \
+                        bm25_tf_norm(p[d], idx.doc_len[d], idx.avgdl)
+                    if c > best:
+                        best = c
+            s += best
+        scored.append((d, s))
+    scored.sort(key=lambda x: (-x[1], x[0]))
+    return scored[:k]
+
+
 def _search_or(self, query: str, k: int = TOP_K_SIZE,
                k1: float = K1, b: float = B) -> list[tuple[int, float]]:
         """Disjunctive (should) BM25 top-k: docs matching ANY query

@@ -250,10 +250,8 @@ def bm25_multifield_topk(docs: DataFrame, query: str,
 
     Scoring-model note: this is ES ``most_fields`` scoring (sum of
     independent per-field BM25) with AND-across-fields candidate
-    semantics.  The reference's ES ``multi_match`` default type is
-    ``best_fields`` / can be ``cross_fields`` (blended per-term
-    statistics); rankings can diverge from upstream ES on multi-field
-    ties — documented divergence, see COVERAGE.md.
+    semantics.  The reference's flagship ``type: cross_fields``
+    (blended per-term statistics) is ``bm25_crossfields_topk`` below.
 
     Plan: one stats aggregate over all fields at once + one scoring
     scan, zero shuffles.
@@ -333,6 +331,115 @@ def bm25_multifield_topk(docs: DataFrame, query: str,
                                 F.col(f"_dl{j}") / F.lit(avgdl_f))
             c = F.lit(ws[i]) * (tf / (tf + norm))
             score = c if score is None else score + c
+    if round_to is not None:
+        score = F.round(score, round_to)
+    return (per_doc
+            .select(F.col("doc_id").alias(id_col), score.alias("score"))
+            .orderBy(F.desc("score"), F.asc(id_col))
+            .limit(k))
+
+
+def bm25_crossfields_topk(docs: DataFrame, query: str,
+                          boosts: dict[str, float], k: int = TOP_K_SIZE,
+                          id_col: str = "doc_id",
+                          round_to: int | None = None) -> DataFrame:
+    """``multi_match type: cross_fields`` — the reference's flagship
+    query TYPE (search/__init__.py:64-76 sets ``type: cross_fields``
+    on every keyword search).  Lucene BlendedTermQuery semantics:
+    per-term df is blended across the field group (df_blend = max over
+    fields), each field scores with idf(N_f, min(df_blend, N_f))
+    (clamped — see oracle.search_cross_fields), and the per-term score
+    is the DisjunctionMax over fields (tie_breaker 0.0, the
+    cross_fields default): max_f boost_f * idf_f * tf_norm_f.  AND
+    across terms.  Bit-exact with oracle.search_cross_fields.
+
+    Same fused plan as ``bm25_multifield_topk``: one stats aggregate
+    over all fields + one scoring scan with the candidate predicate at
+    the scan, zero shuffles, TakeOrderedAndProject top-k.
+    """
+    spark = docs.sparkSession
+    terms = analyze_query(query)
+    empty = spark.createDataFrame([], f"{id_col} long, score double")
+    if not terms:
+        return empty
+    fields = list(boosts)
+
+    # ---- stats pass: one scan, every field together ----
+    stats_in = docs.select(*[
+        _toks(F.col(fc)).alias(f"_toks_{j}") for j, fc in enumerate(fields)])
+    aggs = []
+    for j, fc in enumerate(fields):
+        tk = f"_toks_{j}"
+        aggs.append(F.count(F.col(tk)).alias(f"_n{j}"))      # non-null docs
+        aggs.append(F.sum(F.size(tk)).alias(f"_t{j}"))
+        for i, term in enumerate(terms):
+            aggs.append(F.sum(
+                F.when(F.array_contains(tk, term), 1).otherwise(0))
+                .alias(f"_df{j}_{i}"))
+    row = stats_in.agg(*aggs).collect()[0]
+
+    live = []  # (j, field, avgdl_f, n_f, dfs)
+    for j, fc in enumerate(fields):
+        n_f = int(row[f"_n{j}"])
+        if n_f == 0:
+            continue
+        avgdl_f = float(row[f"_t{j}"]) / n_f if row[f"_t{j}"] else 0.0
+        dfs = [int(row[f"_df{j}_{i}"]) for i in range(len(terms))]
+        live.append((j, fc, avgdl_f, n_f, dfs))
+    if not live:
+        return empty
+    # blended df per term + AND check (term absent from every field)
+    df_blend = []
+    for i in range(len(terms)):
+        m = max(entry[4][i] for entry in live)
+        if m == 0:
+            return empty
+        df_blend.append(m)
+    # weight per (field, term): boost_f * idf(N_f, min(df_blend, N_f))
+    # folded into float64 literals with Python math (the oracle's exact
+    # left-assoc multiply)
+    weights = {}
+    for j, fc, avgdl_f, n_f, dfs in live:
+        for i in range(len(terms)):
+            weights[(j, i)] = boosts[fc] * bm25_idf(
+                n_f, min(df_blend[i], n_f))
+
+    # ---- scoring pass: one scan; candidate predicate at the scan ----
+    qarr = F.array(*[F.lit(t) for t in terms])
+    empty_arr = F.array().cast("array<string>")
+    seen = None
+    for j, fc, *_ in live:
+        inter = F.coalesce(F.array_intersect(_toks(F.col(fc)), qarr),
+                           empty_arr)
+        seen = inter if seen is None else F.array_union(seen, inter)
+    cond = F.size(seen) == len(terms)  # every term in >= 1 field
+
+    per_doc = docs.filter(cond).select(
+        F.col(id_col).alias("doc_id"),
+        *[_toks(F.col(fc)).alias(f"_toks_{j}") for j, fc, *_ in live])
+    cols = ["doc_id"]
+    for j, fc, *_ in live:
+        tk = f"_toks_{j}"
+        cols.append(F.coalesce(F.size(tk), F.lit(0)).alias(f"_dl{j}"))
+        for i, term in enumerate(terms):
+            cols.append(F.coalesce(
+                F.size(F.filter(F.col(tk), lambda x: x == F.lit(term))),
+                F.lit(0)).alias(f"_tf{j}_{i}"))
+    per_doc = per_doc.select(*cols)
+
+    score = None  # sum over terms of dismax over fields
+    for i in range(len(terms)):
+        contribs = []
+        for j, fc, avgdl_f, n_f, dfs in live:
+            if dfs[i] == 0:
+                continue  # term absent from field f ⇒ tf=0 everywhere
+            tf = F.col(f"_tf{j}_{i}")
+            norm = F.lit(K1) * (F.lit(1.0 - B) + F.lit(B) *
+                                F.col(f"_dl{j}") / F.lit(avgdl_f))
+            contribs.append(F.lit(weights[(j, i)]) * (tf / (tf + norm)))
+        best = (contribs[0] if len(contribs) == 1
+                else F.greatest(*contribs))
+        score = best if score is None else score + best
     if round_to is not None:
         score = F.round(score, round_to)
     return (per_doc

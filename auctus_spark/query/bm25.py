@@ -670,32 +670,27 @@ class MultiFieldEngine:
         return self.spark.createDataFrame([], "doc_id long, score double")
 
     def search(self, query: str, k: int = TOP_K_SIZE) -> DataFrame:
+        """SINGLE-JOB plan: no driver-side stats collects — each
+        field's global (term, df) rides in via a broadcast join onto
+        that field's segment scan (the discipline ``search_wand``
+        follows); boost_f * idf_f(t) is folded inside the bucket
+        scorer from per-field constants captured at engine init.
+        The term-missing-everywhere early return is subsumed by the
+        per-bucket AND check (a term with no postings in any field
+        empties every bucket)."""
         fields = list(self.boosts)
         terms = analyze_query(query, stem=self.stem)
         if not terms:
             return self._empty()
-        # AND across fields: a term missing from EVERY field's global
-        # stats -> zero hits
-        field_stats = {}
-        for f in fields:
-            eng = self.engines[f]
-            field_stats[f] = eng.term_stats(terms)
-        for t in terms:
-            if all(t not in field_stats[f] for f in fields):
-                return self._empty()
-        # fold boost * idf into plain floats (python float64 — the
-        # oracle's exact left-assoc multiply)
-        weights = {}   # (field, term) -> w
-        for f in fields:
-            eng = self.engines[f]
-            for t, df_ in field_stats[f].items():
-                weights[(f, t)] = self.boosts[f] * bm25_idf(eng.n_docs,
-                                                            df_)
+        boosts = dict(self.boosts)
+        n_docs_f = {f: self.engines[f].n_docs for f in fields}
         avgdls = {f: self.engines[f].avgdl for f in fields}
         segs = None
         for f in fields:
-            s = (self.engines[f]._segments_for(terms)
+            eng = self.engines[f]
+            s = (eng._segments_for(terms)
                  .select(*SearchEngine._SEG_COLS)
+                 .join(F.broadcast(eng._ts_for(terms)), "term")
                  .withColumn("field", F.lit(f)))
             segs = s if segs is None else segs.unionByName(s)
         tomb = np.unique(np.concatenate(
@@ -705,8 +700,12 @@ class MultiFieldEngine:
         all_terms = list(terms)
 
         def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
-            per_field = {f: _group_partials(g.drop(columns=["field"]))
-                         for f, g in pdf.groupby("field", sort=False)}
+            per_field = {}
+            dfs_field: dict[str, dict[str, int]] = {}
+            for f, g in pdf.groupby("field", sort=False):
+                per_field[f] = _group_partials(g)
+                dfs_field[f] = {t: int(d)
+                                for t, d in zip(g["term"], g["df"])}
             # candidates: per term, union across fields; AND across terms
             cand = None
             for t in all_terms:
@@ -729,18 +728,111 @@ class MultiFieldEngine:
             cand = _mask_tombstones(cand, tomb)
             if cand.size == 0:
                 return _empty_pdf()
-            # (term, field) summation order — the oracle's
+            # (term, field) summation order — the oracle's; weight =
+            # boost_f * idf_f(t) from the row's GLOBAL df (python
+            # float64, the oracle's exact left-assoc multiply)
             score = np.zeros(cand.size, dtype=np.float64)
             for t in all_terms:
                 for f in fields:
                     pt = per_field.get(f)
                     if not pt or t not in pt:
                         continue
-                    w = weights[(f, t)]
+                    w = boosts[f] * bm25_idf(n_docs_f[f],
+                                             dfs_field[f][t])
                     idf_one = {t: w}
                     s_tf, _ = _score_candidates(
                         [t], idf_one, {t: pt[t]}, cand, avgdls[f])
                     score += s_tf
+            cand2, score2 = _topk_local(cand, score, k)
+            return pd.DataFrame({"doc_id": cand2.astype(np.int64),
+                                 "score": score2})
+
+        local = (segs.groupBy("bucket")
+                 .applyInPandas(score_bucket,
+                                schema="doc_id long, score double"))
+        return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def search_cross_fields(self, query: str, k: int = TOP_K_SIZE
+                            ) -> DataFrame:
+        """``multi_match type: cross_fields`` on the SEGMENT-INDEX
+        path — the reference's flagship query type (search/__init__.py:
+        64-76).  Lucene BlendedTermQuery semantics: df_blend(t) = max
+        over fields of the GLOBAL df; per-field contribution uses
+        idf(N_f, min(df_blend, N_f)); per-term score = DisjunctionMax
+        over fields (tie_breaker 0.0); AND across terms; per-term
+        maxima summed in query order.  Bit-exact with
+        oracle.search_cross_fields.
+
+        Single job: df_blend is a GLOBAL statistic, so it is computed
+        on the broadcast side (union of per-field term_stats scans →
+        max per term → joined back onto every field's segments) —
+        no driver-side collects, posting rows never shuffle."""
+        fields = list(self.boosts)
+        terms = analyze_query(query, stem=self.stem)
+        if not terms:
+            return self._empty()
+        boosts = dict(self.boosts)
+        n_docs_f = {f: self.engines[f].n_docs for f in fields}
+        avgdls = {f: self.engines[f].avgdl for f in fields}
+        ts_all = None
+        for f in fields:
+            t = self.engines[f]._ts_for(terms)
+            ts_all = t if ts_all is None else ts_all.unionByName(t)
+        blend = F.broadcast(ts_all.groupBy("term")
+                            .agg(F.max("df").alias("df_blend")))
+        segs = None
+        for f in fields:
+            s = (self.engines[f]._segments_for(terms)
+                 .select(*SearchEngine._SEG_COLS)
+                 .join(blend, "term")
+                 .withColumn("field", F.lit(f)))
+            segs = s if segs is None else segs.unionByName(s)
+        tomb = np.unique(np.concatenate(
+            [self.engines[f].tombstones for f in fields])) \
+            if any(self.engines[f].tombstones.size for f in fields) \
+            else np.array([], dtype=np.int64)
+        all_terms = list(terms)
+
+        def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+            per_field = {}
+            for f, g in pdf.groupby("field", sort=False):
+                per_field[f] = _group_partials(g)
+            blend_b = {t: int(d)
+                       for t, d in zip(pdf["term"], pdf["df_blend"])}
+            # candidates: per term union across fields; AND across terms
+            cand = None
+            for t in all_terms:
+                ids_t = [_decode_full_term(per_field[f][t])
+                         for f in per_field if t in per_field[f]]
+                if not ids_t:
+                    return _empty_pdf()
+                u = (ids_t[0] if len(ids_t) == 1
+                     else np.unique(np.concatenate(ids_t)))
+                if cand is None:
+                    cand = u
+                else:
+                    pos = np.searchsorted(u, cand)
+                    pos_c = np.minimum(pos, u.size - 1) if u.size else pos
+                    cand = cand[u[pos_c] == cand] if u.size else cand[:0]
+                if cand.size == 0:
+                    return _empty_pdf()
+            cand = _mask_tombstones(cand, tomb)
+            if cand.size == 0:
+                return _empty_pdf()
+            # sum over terms (query order) of max over fields
+            score = np.zeros(cand.size, dtype=np.float64)
+            for t in all_terms:
+                best = np.zeros(cand.size, dtype=np.float64)
+                for f in fields:
+                    pt = per_field.get(f)
+                    if not pt or t not in pt:
+                        continue
+                    w = boosts[f] * bm25_idf(
+                        n_docs_f[f], min(blend_b[t], n_docs_f[f]))
+                    s_tf, _ = _score_candidates(
+                        [t], {t: w}, {t: pt[t]}, cand, avgdls[f])
+                    np.maximum(best, s_tf, out=best)
+                score += best
             cand2, score2 = _topk_local(cand, score, k)
             return pd.DataFrame({"doc_id": cand2.astype(np.int64),
                                  "score": score2})

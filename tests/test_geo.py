@@ -81,6 +81,49 @@ def test_valid_latlong_and_box(spark):
     assert b1["max_lat"] - b1["min_lat"] == pytest.approx(2e-4)
 
 
+def test_spatial_ranges_kmeans_boxes():
+    """Per-cluster KMeans coverage boxes (reference spatial.py:49-106):
+    3 well-separated clusters -> 3 quantile envelopes, each containing
+    its cluster's 5-95% core; an under-10% outlier cluster is dropped;
+    a single-point corpus yields one inflated (non-degenerate) box."""
+    from auctus_spark.operators.geo import spatial_ranges_pdf
+    rng = np.random.Generator(np.random.PCG64(11))
+    clusters = [(40.7, -74.0), (34.0, -118.2), (48.9, 2.3)]
+    pts = []
+    for clat, clon in clusters:
+        pts += [(clat + rng.normal(0, 0.05), clon + rng.normal(0, 0.05))
+                for _ in range(200)]
+    out = spatial_ranges_pdf(np.array(pts))
+    assert len(out) == 3
+    for r in out:
+        assert r["range"]["type"] == "envelope"
+        (min_lon, max_lat), (max_lon, min_lat) = r["range"]["coordinates"]
+        # each box hugs exactly one cluster center
+        hits = [c for c in clusters
+                if min_lat <= c[0] <= max_lat and min_lon <= c[1] <= max_lon]
+        assert len(hits) == 1, (r, hits)
+        assert max_lat - min_lat < 0.5 and max_lon - min_lon < 0.5
+    # envelopes sorted by min_long (reference ranges.sort())
+    lons = [r["range"]["coordinates"][0][0] for r in out]
+    assert lons == sorted(lons)
+    # k = min(3, n): a single point clusters alone and gets inflated
+    one = spatial_ranges_pdf(np.array([[40.0, -73.0]]))
+    assert len(one) == 1
+    (a_lon, a_lat), (b_lon, b_lat) = one[0]["range"]["coordinates"]
+    assert b_lon - a_lon == pytest.approx(2e-4)
+    assert a_lat - b_lat == pytest.approx(2e-4)
+    # an 18-point blob next to a 500-point blob: the small one is
+    # under 10% mass and must be dropped
+    big = [(10.0 + rng.normal(0, 0.01), 20.0 + rng.normal(0, 0.01))
+           for _ in range(500)]
+    small = [(50.0 + rng.normal(0, 0.01), -60.0 + rng.normal(0, 0.01))
+             for _ in range(18)]
+    out2 = spatial_ranges_pdf(np.array(big + small))
+    for r in out2:
+        (min_lon, max_lat), (max_lon, min_lat) = r["range"]["coordinates"]
+        assert not (min_lat <= 50.0 <= max_lat)
+
+
 def test_geohash_sketch(spark):
     rng = np.random.Generator(np.random.PCG64(4))
     pts = [(float(40 + rng.normal(0, 0.1)), float(-74 + rng.normal(0, 0.1)))

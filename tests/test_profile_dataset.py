@@ -54,9 +54,17 @@ def test_temporal_and_spatial_coverage(doc):
     assert len(t) == 1 and t[0]["temporal_resolution"] == "day"
     s = doc["spatial_coverage"]
     assert len(s) == 1
-    box = s[0]["ranges"][0]
+    box = s[0]["bounding_box"]
     assert box["min_lat"] == pytest.approx(40.0)
     assert box["max_lon"] == pytest.approx(-74.0 + 0.59)
+    # per-cluster KMeans envelopes (reference spatial.py:49-106)
+    rngs = s[0]["ranges"]
+    assert rngs and all(r["range"]["type"] == "envelope" for r in rngs)
+    for r in rngs:
+        (min_lon, max_lat), (max_lon, min_lat) = r["range"]["coordinates"]
+        assert min_lon <= max_lon and min_lat <= max_lat
+        assert box["min_lat"] - 1e-4 <= min_lat
+        assert max_lat <= box["max_lat"] + 1e-4
 
 
 def test_counts_and_keywords(doc):

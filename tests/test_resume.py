@@ -190,6 +190,90 @@ def test_append_inside_committed_chunk_raises(spark, tmp_path):
             spark.createDataFrame(fresh)), resume=True) == [1]
 
 
+def test_subchunk_streaming_appends(spark, tmp_path):
+    """Sub-chunk incremental appends (StreamingIndexer tail buffer):
+    three micro-batches that do NOT align with chunk boundaries must
+    produce search results identical to one fresh full build — the
+    tail chunk is rebuilt from its raw buffer on each overlap."""
+    from auctus_spark.streaming.incremental import StreamingIndexer
+
+    pdf = generate_corpus(600, min_tokens=10, max_tokens=60,
+                          vocab_size=400)
+    corpus = spark.createDataFrame(pdf)
+    full_dir = str(tmp_path / "full")
+    IndexBuilder(spark, full_dir, doc_bucket=128, chunk_docs=200,
+                 term_buckets=4).build(corpus)
+
+    inc_dir = str(tmp_path / "inc")
+    b = IndexBuilder(spark, inc_dir, doc_bucket=128, chunk_docs=200,
+                     term_buckets=4)
+    sink = StreamingIndexer(b)
+    # batches cut at 150 / 450: both INSIDE chunk ranges (0..199,
+    # 400..599) — round 2 raised here
+    sink(corpus.filter("doc_id < 150"), epoch_id=0)
+    sink(corpus.filter("doc_id >= 150 and doc_id < 450"), epoch_id=1)
+    sink(corpus.filter("doc_id >= 450"), epoch_id=2)
+    sink.finalize()
+    for q in ["import", "def return", "uniq_token_11", "the"]:
+        assert _results(spark, inc_dir, q) == _results(spark, full_dir, q)
+    # lineage invariant holds over the merged corpus
+    assert b.verify_lineage(corpus)
+
+
+def test_subchunk_replay_and_partial_overlap(spark, tmp_path):
+    """foreachBatch redelivery: a fully-replayed batch is a no-op; a
+    batch that only PARTIALLY overlaps the buffered rows is corrupt
+    input and fails loudly."""
+    import pytest
+
+    from auctus_spark.streaming.incremental import StreamingIndexer
+
+    pdf = generate_corpus(300, min_tokens=10, max_tokens=40,
+                          vocab_size=300)
+    corpus = spark.createDataFrame(pdf)
+    out = str(tmp_path / "idx")
+    b = IndexBuilder(spark, out, doc_bucket=64, chunk_docs=200,
+                     term_buckets=4)
+    sink = StreamingIndexer(b)
+    sink(corpus.filter("doc_id < 150"), epoch_id=0)
+    lin1 = b._lineage_rows()
+    # replay the same batch: exactly-once, lineage unchanged
+    sink(corpus.filter("doc_id < 150"), epoch_id=0)
+    assert b._lineage_rows() == lin1
+    # partial overlap (100..249 replays 100..149, adds 150..249)
+    with pytest.raises(ValueError, match="replay"):
+        sink(corpus.filter("doc_id >= 100 and doc_id < 250"),
+             epoch_id=1)
+    # clean continuation still works and matches a fresh build
+    sink(corpus.filter("doc_id >= 150"), epoch_id=2)
+    sink.finalize()
+    full_dir = str(tmp_path / "full")
+    IndexBuilder(spark, full_dir, doc_bucket=64, chunk_docs=200,
+                 term_buckets=4).build(corpus)
+    for q in ["import", "uniq_token_11"]:
+        assert _results(spark, out, q) == _results(spark, full_dir, q)
+
+
+def test_subchunk_append_without_buffer_raises(spark, tmp_path):
+    """An index whose tail chunk was built OUTSIDE the streaming path
+    has no raw buffer — sub-chunk appends must still fail loudly."""
+    import pytest
+
+    from auctus_spark.streaming.incremental import StreamingIndexer
+
+    pdf = generate_corpus(100, min_tokens=10, max_tokens=40,
+                          vocab_size=200)
+    out = str(tmp_path / "idx")
+    b = IndexBuilder(spark, out, doc_bucket=64, chunk_docs=1000,
+                     term_buckets=4)
+    b.build(spark.createDataFrame(pdf))
+    sink = StreamingIndexer(b)
+    intruder = generate_corpus(5, min_tokens=10, max_tokens=20,
+                               vocab_size=200, start_doc_id=100)
+    with pytest.raises(ValueError, match="committed chunk"):
+        sink(spark.createDataFrame(intruder), epoch_id=0)
+
+
 def test_gapped_docids_build(spark, tmp_path):
     """docID gaps spanning whole chunks must not break the build
     (empty chunk ranges are skipped, not scanned)."""

@@ -79,3 +79,59 @@ def test_winnowing(spark):
     df2 = spark.createDataFrame([(9, base)], "doc_id long, text string")
     fp2 = {r.fingerprint for r in winnowing_fingerprints(df2).collect()}
     assert fp2 == by_doc[1]
+
+
+def _winnow_reference(pdf, k, window):
+    """Per-doc reference (the round-2 implementation, kept verbatim as
+    the parity oracle for the batch-vectorized _winnow_batch)."""
+    import hashlib
+    import re
+
+    import numpy as np
+    B_, M = np.uint64(1_000_003), np.uint64((1 << 61) - 1)
+    out = {}
+    for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+        toks = [t for t in re.split(r"[^a-z0-9_]+", text.lower()) if t]
+        th = np.array(
+            [int.from_bytes(hashlib.md5(w.encode()).digest()[:7], "big")
+             for w in toks], dtype=np.uint64)
+        if len(th) < k:
+            continue
+        acc = np.zeros(len(th) - k + 1, dtype=np.uint64)
+        for j in range(k):
+            acc = (acc * B_ + th[j:j + len(acc)]) % M
+        if len(acc) <= window:
+            sel = {int(acc.min())}
+        else:
+            wins = np.lib.stride_tricks.sliding_window_view(acc, window)
+            sel = set(wins.min(axis=1).astype(np.int64).tolist())
+        out[int(doc_id)] = sel
+    return out
+
+
+def test_winnowing_vectorized_parity():
+    """The batch-vectorized winnowing (no per-doc Python loop) is
+    fingerprint-identical to the per-doc reference, across edge cases:
+    empty docs, docs shorter than k, n_h == window boundary, trailing
+    empty doc, punctuation-only doc."""
+    import random
+
+    import pandas as pd
+
+    from auctus_spark.operators.textstats import _winnow_batch
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = []
+    for i in range(60):
+        n = rng.choice([0, 1, 3, 5, 6, 8, 9, 20, 80])
+        rows.append((i, " ".join(rng.choice(vocab) for _ in range(n))))
+    rows += [(100, ""), (101, "..!!,,"), (102, "one two three four five"),
+             (103, "a b c d e f g h"), (104, "")]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    for k, w in [(5, 4), (3, 4), (1, 2), (2, 1)]:
+        got = _winnow_batch(pdf, k, w)
+        got_by = {}
+        for d, f in zip(got["doc_id"], got["fingerprint"]):
+            got_by.setdefault(int(d), set()).add(int(f))
+        want = _winnow_reference(pdf, k, w)
+        assert got_by == want, (k, w)
