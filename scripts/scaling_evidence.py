@@ -17,7 +17,15 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def run_build(cores: int, docs: int, work: str) -> float:
+def run_build(cores: int, docs: int, work: str,
+              pin_cpus: bool = False) -> float:
+    """One build in a subprocess.  ``pin_cpus=True`` runs the whole
+    process tree (JVM + python workers) under ``taskset -c 0..N-1`` —
+    the honest cluster proxy: an unpinned local[N] JVM schedules its
+    GC/IO/shuffle threads and python workers onto the machine's OTHER
+    idle cores, so the small-N leg borrows parallelism that a real
+    N-core executor would not have, and the measured N→4N ratio is
+    deflated by exactly that borrowed work."""
     code = f"""
 import sys, time, json
 sys.path.insert(0, {REPO!r})
@@ -25,8 +33,12 @@ import bench
 r = bench._build_once({cores}, {work!r}, {docs})
 print("RESULT", json.dumps(r["build_sec"]))
 """
-    p = subprocess.run([sys.executable, "-c", code], capture_output=True,
-                       text=True, timeout=1800)
+    argv = [sys.executable, "-c", code]
+    if pin_cpus:
+        argv = ["taskset", "-c", f"0-{cores - 1}" if cores > 1 else "0"
+                ] + argv
+    p = subprocess.run(argv, capture_output=True,
+                       text=True, timeout=3600)
     for ln in p.stdout.splitlines():
         if ln.startswith("RESULT"):
             return float(ln.split()[1])
@@ -54,12 +66,13 @@ def paired():
         if "--base" in sys.argv else 1
     work = os.environ.get("BENCH_WORK_DIR", "/tmp/auctus_bench")
     os.makedirs(work, exist_ok=True)
+    pin = "--no-pin" not in sys.argv
     lo, hi = base, 4 * base
     pairs = []
     runs = []
     for rep in range(reps):
-        tl = run_build(lo, docs, work)
-        th = run_build(hi, docs, work)
+        tl = run_build(lo, docs, work, pin_cpus=pin)
+        th = run_build(hi, docs, work, pin_cpus=pin)
         eff = (docs / th) / (4 * (docs / tl))
         pairs.append(eff)
         runs.append({f"local[{lo}]": round(tl, 1),
@@ -79,6 +92,10 @@ def paired():
             f"local[{hi}]": round(docs / sorted(
                 r[f"local[{hi}]"] for r in runs)[reps // 2], 0)},
         "runs_sec": runs,
+        "cpu_pinning": ("taskset -c 0..N-1 per leg (JVM + python "
+                        "workers confined to exactly N cores — the "
+                        "faithful N-executor proxy)" if pin
+                        else "none"),
         "protocol": "back-to-back (N,4N) pairs; per-pair efficiency "
                     "ratios; median over reps"}))
 
