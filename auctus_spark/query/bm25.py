@@ -533,6 +533,52 @@ def _score_candidates(terms, idf_b, per_term, cand, avgdl):
     return score, present
 
 
+def _multifield_candidates(all_terms, per_field, tomb):
+    """Term-centric AND candidates over per-field partials with
+    posting skipping: per term the candidate set is the UNION across
+    fields; only the rarest term (fewest total postings across
+    fields) is fully decoded — larger terms probe candidate-containing
+    blocks only (``_decode_partial_for``), the same discipline as the
+    single-field WAND scorer.  Returns the candidate docID array, or
+    None for an empty bucket.  Intersection is order-independent and
+    the tombstone mask commutes with it, so results are identical to
+    the exhaustive query-order loop."""
+    sizes = {}
+    for t in all_terms:
+        total = 0
+        seen = False
+        for f, pt in per_field.items():
+            if t in pt:
+                seen = True
+                total += sum(p["n_docs"] for p in pt[t])
+        if not seen:
+            return None  # AND: term absent from every field here
+        sizes[t] = total
+    order = sorted(set(all_terms), key=lambda t: sizes[t])
+    cand = None
+    for t in order:
+        if cand is None:
+            ids_t = [_decode_full_term(pt[t])
+                     for pt in per_field.values() if t in pt]
+            cand = (ids_t[0] if len(ids_t) == 1
+                    else np.unique(np.concatenate(ids_t)))
+        else:
+            hit = np.zeros(cand.size, dtype=bool)
+            for pt in per_field.values():
+                for seg in pt.get(t, ()):
+                    ids = _decode_partial_for(seg, cand)
+                    if ids.size == 0:
+                        continue
+                    pos = np.searchsorted(ids, cand)
+                    pos_c = np.minimum(pos, ids.size - 1)
+                    hit |= ids[pos_c] == cand
+            cand = cand[hit]
+        if cand.size == 0:
+            return None
+    cand = _mask_tombstones(cand, tomb)
+    return cand if cand.size else None
+
+
 def _mask_tombstones(cand: np.ndarray, tomb: np.ndarray) -> np.ndarray:
     if tomb.size == 0 or cand.size == 0:
         return cand
@@ -706,27 +752,8 @@ class MultiFieldEngine:
                 per_field[f] = _group_partials(g)
                 dfs_field[f] = {t: int(d)
                                 for t, d in zip(g["term"], g["df"])}
-            # candidates: per term, union across fields; AND across terms
-            cand = None
-            for t in all_terms:
-                ids_t = [
-                    _decode_full_term(per_field[f][t])
-                    for f in per_field if t in per_field[f]]
-                if not ids_t:
-                    return _empty_pdf()
-                u = (ids_t[0] if len(ids_t) == 1
-                     else np.unique(np.concatenate(ids_t)))
-                if cand is None:
-                    cand = u
-                else:
-                    pos = np.searchsorted(u, cand)
-                    pos_c = np.minimum(pos, u.size - 1) if u.size else pos
-                    cand = cand[u[pos_c] == cand] if u.size \
-                        else cand[:0]
-                if cand.size == 0:
-                    return _empty_pdf()
-            cand = _mask_tombstones(cand, tomb)
-            if cand.size == 0:
+            cand = _multifield_candidates(all_terms, per_field, tomb)
+            if cand is None:
                 return _empty_pdf()
             # (term, field) summation order — the oracle's; weight =
             # boost_f * idf_f(t) from the row's GLOBAL df (python
@@ -799,25 +826,8 @@ class MultiFieldEngine:
                 per_field[f] = _group_partials(g)
             blend_b = {t: int(d)
                        for t, d in zip(pdf["term"], pdf["df_blend"])}
-            # candidates: per term union across fields; AND across terms
-            cand = None
-            for t in all_terms:
-                ids_t = [_decode_full_term(per_field[f][t])
-                         for f in per_field if t in per_field[f]]
-                if not ids_t:
-                    return _empty_pdf()
-                u = (ids_t[0] if len(ids_t) == 1
-                     else np.unique(np.concatenate(ids_t)))
-                if cand is None:
-                    cand = u
-                else:
-                    pos = np.searchsorted(u, cand)
-                    pos_c = np.minimum(pos, u.size - 1) if u.size else pos
-                    cand = cand[u[pos_c] == cand] if u.size else cand[:0]
-                if cand.size == 0:
-                    return _empty_pdf()
-            cand = _mask_tombstones(cand, tomb)
-            if cand.size == 0:
+            cand = _multifield_candidates(all_terms, per_field, tomb)
+            if cand is None:
                 return _empty_pdf()
             # sum over terms (query order) of max over fields
             score = np.zeros(cand.size, dtype=np.float64)

@@ -411,6 +411,13 @@ def test_synonyms_match_oracle_index_path(spark, built):
         got = [(int(r.doc_id), float(r.score))
                for r in eng.search_synonyms(q, syn, k=50).collect()]
         _assert_rank_identical(got, want)
+    # single-job discipline: the global slot-df aggregate rides the
+    # broadcast side — building the plan launches no driver jobs
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None))
+    plan = eng.search_synonyms("import return", syn, k=50)
+    assert len(tracker.getJobIdsForGroup(None)) == before
+    assert plan.collect() is not None
 
 
 def test_search_service_synonyms(spark, built):
