@@ -108,9 +108,12 @@ def pivoted_columns(columns: list[str]) -> list[int] | None:
 
 def read_any(spark: SparkSession, path: str, header: bool = True
              ) -> DataFrame:
-    """Detect + load.  parquet/csv/tsv/json load natively; xlsx loads
-    via pandas if openpyxl is present; xls/SPSS/Stata raise (codec not
-    in this environment — detection still reported)."""
+    """Detect + load.  parquet/csv/tsv/json load natively; xls (Excel
+    97 / BIFF8) via the from-spec pure-Python reader in
+    ``sources_xls`` (reference excel97.py parity: convert to CSV text,
+    then the standard CSV path with header/junk handling); xlsx via
+    pandas if openpyxl is present; SPSS/Stata raise (codec not in
+    this environment — detection still reported)."""
     info = detect_format(path)
     fmt = info["format"]
     if fmt == "parquet":
@@ -124,7 +127,20 @@ def read_any(spark: SparkSession, path: str, header: bool = True
         except ImportError as e:
             raise NotImplementedError(
                 "xlsx requires openpyxl (not in this environment)") from e
-    if fmt in ("xls", "stata", "spss"):
+    if fmt == "xls":
+        import os
+        import tempfile
+
+        from .sources_xls import xls_to_csv_text
+        with open(path, "rb") as f:
+            csv_text = xls_to_csv_text(f.read())
+        tmp = tempfile.NamedTemporaryFile(
+            "w", suffix=".csv", delete=False,
+            dir=os.path.dirname(path) or None)
+        tmp.write(csv_text)
+        tmp.close()
+        return read_any(spark, tmp.name, header=header)
+    if fmt in ("stata", "spss"):
         raise NotImplementedError(
             f"{fmt} codec not available in this environment")
     reader = (spark.read.option("header", header)

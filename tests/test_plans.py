@@ -55,6 +55,37 @@ def test_wand_plan_shape(engine):
     assert plan.count("Exchange hashpartitioning") == 1  # bucket shuffle only
 
 
+def test_synonyms_idx_plan_shape(engine):
+    """Segment-path synonyms: the global slot-df aggregate rides the
+    BROADCAST side of the one scoring job — broadcast join present,
+    exactly one posting-side shuffle (bucket groups), TakeOrdered
+    merge, and the segment scan still partition-prunes."""
+    plan = _plan(engine.search_synonyms("import def", {"import": ["the"]}))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "PartitionFilters" in plan
+    # posting rows shuffle once (applyInPandas bucket groups); the
+    # broadcast side may add exchanges on its own tiny tables, but
+    # none of them move posting rows
+    bucket_exchanges = [
+        seg for seg in plan.split("Exchange hashpartitioning")[1:]
+        if seg[:40].find("bucket") >= 0]
+    assert len(bucket_exchanges) == 1, plan
+
+
+def test_crossfields_fused_plan(spark, sf_dir):
+    """cross_fields DataFrame path keeps the fused shape: candidate
+    predicate at the scan, no exchange, TakeOrderedAndProject."""
+    from auctus_spark import pipeline
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .withColumn("title", F.substring("text", 1, 48))
+    df = pipeline.bm25_crossfields_topk(
+        docs, "table value", {"text": 1.0, "title": 3.0}, k=50)
+    phys = _plan(df)
+    assert "Exchange" not in phys
+    assert "TakeOrderedAndProject" in phys
+
+
 def test_parquet_pushdown_tpch(spark, sf_dir):
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     q = (li.filter(F.col("l_shipdate") <= "1998-09-02")
