@@ -106,6 +106,24 @@ def pivoted_columns(columns: list[str]) -> list[int] | None:
     return hits if len(hits) >= 3 else None
 
 
+def _reference_csv_frame(pdf):
+    """The reference's converter output discipline (stata.py/spss.py):
+    floats through '%g' (no forced decimal point), datetimes to
+    ISO-8601 — applied as string columns so the CSV round-trip the
+    reference performs is reproduced exactly."""
+    import pandas as pd
+    out = {}
+    for c in pdf.columns:
+        s = pdf[c]
+        if str(s.dtype).startswith("datetime"):
+            out[c] = s.dt.strftime("%Y-%m-%dT%H:%M:%S")
+        elif s.dtype.kind == "f":
+            out[c] = s.map(lambda v: "" if pd.isna(v) else f"{v:g}")
+        else:
+            out[c] = s.astype(str)
+    return pd.DataFrame(out)
+
+
 def read_any(spark: SparkSession, path: str, header: bool = True
              ) -> DataFrame:
     """Detect + load.  parquet/csv/tsv/json load natively; xls (Excel
@@ -140,9 +158,16 @@ def read_any(spark: SparkSession, path: str, header: bool = True
         tmp.write(csv_text)
         tmp.close()
         return read_any(spark, tmp.name, header=header)
-    if fmt in ("stata", "spss"):
-        raise NotImplementedError(
-            f"{fmt} codec not available in this environment")
+    if fmt == "stata":
+        # reference stata.py: pandas.read_stata → CSV (%g floats,
+        # ISO-8601 dates); pandas' Stata reader is dependency-free
+        import pandas as pd
+        pdf = pd.read_stata(path)
+        return spark.createDataFrame(_reference_csv_frame(pdf))
+    if fmt == "spss":
+        from .sources_sav import read_sav_frame
+        return spark.createDataFrame(_reference_csv_frame(
+            read_sav_frame(path)))
     reader = (spark.read.option("header", header)
               .option("sep", info.get("separator", ",")))
     if info.get("skip_rows"):
