@@ -139,12 +139,19 @@ def read_any(spark: SparkSession, path: str, header: bool = True
     if fmt == "json":
         return spark.read.json(path)
     if fmt == "xlsx":
-        try:
-            import pandas as pd
-            return spark.createDataFrame(pd.read_excel(path))
-        except ImportError as e:
-            raise NotImplementedError(
-                "xlsx requires openpyxl (not in this environment)") from e
+        # pure-stdlib SpreadsheetML reader (reference excel.py parity:
+        # single sheet, CSV text through the standard loader)
+        import os
+        import tempfile
+
+        from .sources_xlsx import xlsx_to_csv_text
+        csv_text = xlsx_to_csv_text(path)
+        tmp = tempfile.NamedTemporaryFile(
+            "w", suffix=".csv", delete=False,
+            dir=os.path.dirname(path) or None)
+        tmp.write(csv_text)
+        tmp.close()
+        return read_any(spark, tmp.name, header=header)
     if fmt == "xls":
         import os
         import tempfile
