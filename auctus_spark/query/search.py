@@ -91,7 +91,11 @@ class SearchService:
             scored = base.select(
                 F.col(self.id_col), F.lit(0.0).alias("score")) \
                 .orderBy(self.id_col).limit(q.page * q.size)
-        # page slice (ES from_/size): rank rows, keep the page window
+        # page slice (ES from_/size): rank rows, keep the page window.
+        # The unpartitioned Window is bounded by construction: its
+        # input is the top-k limit above, and page*size is capped at
+        # 10k rows (ES scroll guard, SearchQuery.validate) — never a
+        # whole-table sort at any scale.
         from pyspark.sql.window import Window
         w = Window.orderBy(F.desc("score"), F.asc(self.id_col))
         hits = (scored.withColumn("_rank", F.row_number().over(w))

@@ -25,10 +25,16 @@ def _export_package_path() -> None:
 
 
 def get_spark(app: str = "auctus_spark", cores: int | None = None,
-              shuffle_partitions: int | None = None) -> SparkSession:
+              shuffle_partitions: int | None = None,
+              submit_mode: bool = False) -> SparkSession:
+    """``submit_mode=True`` is the spark-submit path: the master (and
+    the package, via ``--py-files auctus_spark.zip``) come from the
+    spark-submit invocation — only the engine's tuning configs are
+    applied here (see ``scripts/submit_build.py``)."""
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle_partitions = shuffle_partitions or max(cores, 8)
-    _export_package_path()
+    if not submit_mode:
+        _export_package_path()
     # numpy madvises MADV_HUGEPAGE on large allocations; on VMs with
     # THP=madvise that turns every first touch of a fresh buffer into
     # a huge-page fault + compaction stall.  Measured here: 20x slower
@@ -36,9 +42,11 @@ def get_spark(app: str = "auctus_spark", cores: int | None = None,
     # the whole tokenize stage serializes behind compaction (178s ->
     # ~25s at local[32]).  Disable for the driver AND python workers.
     os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
+    builder = SparkSession.builder
+    if not submit_mode:
+        builder = builder.master(f"local[{cores}]")
     return (
-        SparkSession.builder
-        .master(f"local[{cores}]")
+        builder
         .appName(app)
         .config("spark.executorEnv.NUMPY_MADVISE_HUGEPAGE", "0")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))

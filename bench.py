@@ -167,8 +167,15 @@ def main():
 
 
 def scaling():
-    """Run the build at local[N] and local[4N] in fresh subprocesses."""
-    n = int(os.environ.get("BENCH_SCALE_N", "2"))
+    """Run the build at local[N] and local[4N] in fresh subprocesses.
+
+    Each leg is CPU-pinned to exactly N cores (taskset) when
+    available — an unpinned local[N] JVM borrows the box's idle cores
+    for GC/IO/python workers, deflating the ratio (see
+    scripts/scaling_evidence.py and BASELINE.md round 3).  Default
+    N=1: the (1, 4) pair keeps both legs off this single box's
+    memory-bandwidth ceiling."""
+    n = int(os.environ.get("BENCH_SCALE_N", "1"))
     work = os.environ.get("BENCH_WORK_DIR", "/tmp/auctus_bench")
     os.makedirs(work, exist_ok=True)
     out = {}
@@ -179,7 +186,11 @@ def scaling():
             "print('RESULT ' + json.dumps({k: r[k] for k in"
             " ('build_sec','files_per_sec')}))"
             % (REPO, cores, work, N_DOCS))
-        p = subprocess.run([sys.executable, "-c", code],
+        argv = [sys.executable, "-c", code]
+        if shutil.which("taskset"):
+            argv = ["taskset", "-c", f"0-{cores - 1}" if cores > 1
+                    else "0"] + argv
+        p = subprocess.run(argv,
                            capture_output=True, text=True, timeout=3600)
         line = [ln for ln in p.stdout.splitlines()
                 if ln.startswith("RESULT ")]
