@@ -1045,6 +1045,131 @@ def _group_partials_pos(pdf: pd.DataFrame) -> dict:
     return out
 
 
+def search_many_synonyms(engine: SearchEngine,
+                         queries: dict[str, str], synonyms: dict,
+                         k: int = TOP_K_SIZE) -> "DataFrame":
+    """Batched SYNONYM-EXPANDED conjunctive search: every query in
+    ONE job with shared decodes (the reference applies synonym_graph
+    on all searches, so the batched offline-eval shape needs it too).
+    Per-slot SynonymQuery semantics and broadcast-side GLOBAL slot
+    dfs exactly as ``SearchEngine.search_synonyms``; scores bit-exact
+    with the per-query path."""
+    from pyspark.sql.window import Window
+
+    from ..oracle import _analyze_slots
+    qslots = {qid: _analyze_slots(q, synonyms, stem=engine.stem)
+              for qid, q in queries.items()}
+    qslots = {qid: s for qid, s in qslots.items() if s}
+    members = sorted({t for slots in qslots.values()
+                      for alts in slots for t in alts})
+    if not members:
+        return engine._empty().withColumn("query_id", F.lit(""))
+    # one slot-df table across ALL queries: slot key = its member
+    # tuple (identical slots across queries share one aggregate row)
+    slot_key = {}
+    for slots in qslots.values():
+        for alts in slots:
+            slot_key.setdefault(tuple(alts), len(slot_key))
+    mem_rows = [(t, sid) for alts, sid in slot_key.items()
+                for t in alts]
+    mem_df = engine.spark.createDataFrame(
+        mem_rows, "term string, slot_id int")
+    slot_df = (engine._ts_for(members).join(mem_df, "term")
+               .groupBy("slot_id").agg(F.max("df").alias("slot_df")))
+    # segments carry ONE row per (partial, term): slot resolution
+    # happens inside the scorer from the broadcast slot-df map
+    segs = engine._segments_for(members).join(
+        F.broadcast(slot_df.join(mem_df, "slot_id")
+                    .groupBy("term")
+                    .agg(F.map_from_entries(F.collect_list(
+                        F.struct("slot_id", "slot_df")))
+                        .alias("slot_dfs"))), "term")
+    n_docs, avgdl = engine.n_docs, engine.avgdl
+    tomb = engine.tombstones
+    q_sids = {qid: [slot_key[tuple(alts)] for alts in slots]
+              for qid, slots in qslots.items()}
+    sid_members = {sid: list(alts) for alts, sid in slot_key.items()}
+
+    def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        per_term = _group_partials(pdf)
+        sdf_map: dict[int, int] = {}
+        for m in pdf["slot_dfs"]:
+            sdf_map.update({int(a): int(b) for a, b in m.items()})
+        out_q, out_d, out_s = [], [], []
+        for qid, sids in q_sids.items():
+            # AND across slots: every slot needs >= 1 member here
+            slot_terms = []
+            dead = False
+            for sid in sids:
+                ts = [t for t in sid_members[sid] if t in per_term]
+                if not ts:
+                    dead = True
+                    break
+                slot_terms.append((sid, ts))
+            if dead:
+                continue
+            # rarest slot first
+            slot_terms.sort(key=lambda st: sum(
+                p["n_docs"] for t in st[1] for p in per_term[t]))
+            cand = None
+            for sid, ts in slot_terms:
+                ids_s = [_decode_full_term(per_term[t]) for t in ts]
+                u = (ids_s[0] if len(ids_s) == 1
+                     else np.unique(np.concatenate(ids_s)))
+                if cand is None:
+                    cand = _mask_tombstones(u, tomb)
+                else:
+                    pos = np.searchsorted(u, cand)
+                    pos_c = np.minimum(pos, u.size - 1)
+                    cand = cand[u[pos_c] == cand]
+                if cand.size == 0:
+                    dead = True
+                    break
+            if dead:
+                continue
+            score = np.zeros(cand.size, dtype=np.float64)
+            for sid in sids:   # slot order = the oracle's summation
+                idf_s = bm25_idf(n_docs, sdf_map[sid])
+                slot_tf = np.zeros(cand.size, dtype=np.int64)
+                dl = np.ones(cand.size, dtype=np.float64)
+                for t in sid_members[sid]:
+                    for seg in per_term.get(t, ()):
+                        doc_ids, tfs, dls = _decode_partial_full(seg)
+                        if doc_ids.size == 0:
+                            continue
+                        pos = np.searchsorted(doc_ids, cand)
+                        pos_c = np.minimum(pos, doc_ids.size - 1)
+                        hit = doc_ids[pos_c] == cand
+                        slot_tf[hit] += tfs[pos_c[hit]]
+                        dl[hit] = dls[pos_c[hit]]
+                tfd = slot_tf.astype(np.float64)
+                score += idf_s * (tfd / (tfd + K1 * (
+                    1.0 - B + B * dl / avgdl)))
+            cand2, score2 = _topk_local(cand, score, k)
+            out_q.extend([qid] * cand2.size)
+            out_d.append(cand2)
+            out_s.append(score2)
+        if not out_q:
+            return pd.DataFrame({
+                "query_id": pd.Series([], dtype=object),
+                "doc_id": pd.Series([], dtype=np.int64),
+                "score": pd.Series([], dtype=np.float64)})
+        return pd.DataFrame({
+            "query_id": out_q,
+            "doc_id": np.concatenate(out_d).astype(np.int64),
+            "score": np.concatenate(out_s)})
+
+    local = (segs.select(*SearchEngine._SEG_COLS, "slot_dfs")
+             .groupBy("bucket")
+             .applyInPandas(score_bucket,
+                            schema="query_id string, doc_id long, "
+                                   "score double"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id"))
+    return (local.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k).drop("_rn"))
+
+
 def search_many_or(engine: SearchEngine, queries: dict[str, str],
                    k: int = TOP_K_SIZE) -> "DataFrame":
     """Batched DISJUNCTIVE search: all queries in ONE job (shared

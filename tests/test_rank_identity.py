@@ -420,6 +420,26 @@ def test_synonyms_match_oracle_index_path(spark, built):
     assert plan.collect() is not None
 
 
+def test_search_many_synonyms_batched(spark, built):
+    """Batched synonym search == per-query oracle, bit-exact, one
+    shared job across queries (incl. shared slots across queries)."""
+    from auctus_spark.query.bm25 import search_many_synonyms
+    out, oracle, _, _, _ = built
+    eng = SearchEngine(spark, out, term_buckets=8)
+    syn = {"import": ["def"], "uniq_token_11": ["uniq_token_22"]}
+    queries = {"qa": "import", "qb": "import return",
+               "qc": "uniq_token_11", "qd": "zz_missing import",
+               "qe": "no_such_token_anywhere"}
+    got: dict = {}
+    for r in search_many_synonyms(eng, queries, syn, k=50).collect():
+        got.setdefault(r.query_id, []).append(
+            (float(r.score), int(r.doc_id)))
+    for qid, q in queries.items():
+        want = oracle.search_synonyms(q, syn, k=50)
+        rows = sorted(got.get(qid, []), key=lambda t: (-t[0], t[1]))
+        assert [(d, s) for s, d in rows] == want, q
+
+
 def test_search_service_synonyms(spark, built):
     from auctus_spark.query.search import SearchQuery, SearchService
     _, oracle, _, corpus, _ = built

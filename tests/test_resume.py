@@ -254,6 +254,45 @@ def test_subchunk_replay_and_partial_overlap(spark, tmp_path):
         assert _results(spark, out, q) == _results(spark, full_dir, q)
 
 
+def test_subchunk_appends_positional_stemmed(spark, tmp_path):
+    """Sub-chunk appends preserve the full analyzer surface: a
+    POSITIONAL + STEMMED index built from three non-aligned
+    micro-batches answers match_phrase and stemmed WAND queries
+    identically to a fresh full build."""
+    from auctus_spark.query.bm25 import PhraseEngine
+    from auctus_spark.streaming.incremental import StreamingIndexer
+
+    pdf = generate_corpus(500, min_tokens=10, max_tokens=60,
+                          vocab_size=300)
+    corpus = spark.createDataFrame(pdf)
+    kw = dict(doc_bucket=128, chunk_docs=200, term_buckets=4,
+              stem=True, positions=True)
+    full_dir = str(tmp_path / "full")
+    IndexBuilder(spark, full_dir, **kw).build(corpus)
+
+    inc_dir = str(tmp_path / "inc")
+    sink = StreamingIndexer(IndexBuilder(spark, inc_dir, **kw))
+    sink(corpus.filter("doc_id < 130"), epoch_id=0)
+    sink(corpus.filter("doc_id >= 130 and doc_id < 390"), epoch_id=1)
+    sink(corpus.filter("doc_id >= 390"), epoch_id=2)
+    sink.finalize()
+
+    e_full = PhraseEngine(spark, full_dir, term_buckets=4)
+    e_inc = PhraseEngine(spark, inc_dir, term_buckets=4)
+    for q in ["import", "def return", "uniq_token_11"]:
+        got = [(int(r.doc_id), float(r.score))
+               for r in e_inc.search_wand(q).collect()]
+        want = [(int(r.doc_id), float(r.score))
+                for r in e_full.search_wand(q).collect()]
+        assert got == want, ("wand", q)
+    for q in ["import def", "def return"]:
+        got = [(int(r.doc_id), float(r.score))
+               for r in e_inc.search_phrase(q).collect()]
+        want = [(int(r.doc_id), float(r.score))
+                for r in e_full.search_phrase(q).collect()]
+        assert got == want, ("phrase", q)
+
+
 def test_subchunk_append_without_buffer_raises(spark, tmp_path):
     """An index whose tail chunk was built OUTSIDE the streaming path
     has no raw buffer — sub-chunk appends must still fail loudly."""
