@@ -166,6 +166,12 @@ class IndexPaths:
     def segments(self):
         return os.path.join(self.base, "segments")
 
+    @property
+    def removed(self):
+        # docIDs physically removed by past compactions (liveness
+        # record; grows with lifetime deletes, read driver-side)
+        return os.path.join(self.base, "removed_docs")
+
 
 ARROW_PARTIAL_SCHEMA = None  # built lazily (pyarrow import)
 
@@ -975,7 +981,11 @@ def compact(spark: SparkSession, index_dir: str,
     before the new ones land.  Tombstones cleared last.
     The lineage table still describes the ORIGINAL ingest (sha rollup
     of what was indexed) — verify_lineage checks ingest integrity,
-    not liveness."""
+    not liveness.  Liveness lives in ``removed_docs/``: every docID a
+    compaction physically removes is appended there, and later
+    compactions consult it so a re-delete of an already-removed docID
+    (idempotent-delete retry) is a no-op instead of decrementing
+    N/avgdl a second time."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -1040,7 +1050,19 @@ def compact(spark: SparkSession, index_dir: str,
         cmax = lin_t["doc_id_max"][i].as_py()
         if cn == cmax - cmin + 1:
             in_dense |= (tomb >= cmin) & (tomb <= cmax)
-    existed_empty = in_dense & ~np.isin(tomb, found)
+    # Liveness guard: lineage describes the ORIGINAL ingest, so a
+    # docID already removed by a PREVIOUS compaction still sits in a
+    # dense range.  Without this mask a re-delete (idempotent-delete
+    # retry) would decrement N/avgdl a second time.  The removed_docs
+    # record (appended below, before tombstones are cleared) is the
+    # per-doc liveness complement of lineage.
+    prior_removed = np.array([], dtype=np.int64)
+    if os.path.isdir(paths.removed):
+        prior_removed = pads.dataset(
+            paths.removed, format="parquet").to_table(
+            columns=["doc_id"])["doc_id"].to_numpy()
+    existed_empty = (in_dense & ~np.isin(tomb, found)
+                     & ~np.isin(tomb, prior_removed))
     n_removed = int(found.size) + int(existed_empty.sum())
 
     def rewrite(batches):
@@ -1108,6 +1130,18 @@ def compact(spark: SparkSession, index_dir: str,
     old_dir = paths.segments + "_old"
     os.rename(paths.segments, old_dir)
     os.rename(tmp, paths.segments)
+
+    # Record the docIDs removed THIS compaction before tombstones are
+    # cleared: if we crash between here and the tombstone delete, a
+    # re-run sees the same tombstones but (a) postings no longer carry
+    # them (found = 0) and (b) prior_removed masks the dense-existence
+    # test, so n_removed = 0 and stats are not double-decremented.
+    newly = np.union1d(found, tomb[existed_empty])
+    if newly.size:
+        os.makedirs(paths.removed, exist_ok=True)
+        seq = len(os.listdir(paths.removed))
+        pq.write_table(pa.table({"doc_id": pa.array(newly, pa.int64())}),
+                       os.path.join(paths.removed, f"r{seq:05d}.parquet"))
 
     # refresh stats: N/avgdl over LIVE docs; term_stats from segments
     n_docs = int(old["n_docs"]) - n_removed

@@ -9,9 +9,9 @@ pivoted-table detection) and the converter family (``excel.py``,
 
 Detection reads a small local prefix of the file (driver-side, like
 the reference); the LOAD is always a distributed ``spark.read``.
-Converters that need unavailable libs (xls/SPSS/Stata) are detected
-and reported but raise NotImplementedError on load — the detection
-contract is real and tested, the codec is stubbed per environment.
+Every detected format has a real dependency-free codec: xls/xlsx via
+the from-spec readers in ``sources_xls``/``sources_xlsx``, SPSS via
+``sources_sav``, Stata via ``pandas.read_stata``.
 """
 
 from __future__ import annotations
@@ -106,32 +106,71 @@ def pivoted_columns(columns: list[str]) -> list[int] | None:
     return hits if len(hits) >= 3 else None
 
 
-def _reference_csv_frame(pdf):
-    """The reference's converter output discipline (stata.py/spss.py):
-    floats through '%g' (no forced decimal point), datetimes to
-    ISO-8601 — applied as string columns so the CSV round-trip the
-    reference performs is reproduced exactly."""
+def _reference_csv_frame(pdf, date_format: str | None = None):
+    """The reference's converter output discipline: floats through
+    '%g' (no forced decimal point), datetimes rendered as the
+    reference's CSV round-trip would.  ``date_format`` is the Stata
+    converter's explicit '%Y-%m-%dT%H:%M:%S' (reference stata.py);
+    SPSS passes None because the reference's spss.py gives
+    ``to_csv`` no date_format, so pyreadstat datetimes serialize with
+    the pandas default space separator and DATE columns (date objects)
+    date-only."""
     import pandas as pd
     out = {}
     for c in pdf.columns:
         s = pdf[c]
         if str(s.dtype).startswith("datetime"):
-            out[c] = s.dt.strftime("%Y-%m-%dT%H:%M:%S")
+            out[c] = (s.dt.strftime(date_format or "%Y-%m-%d %H:%M:%S")
+                      .fillna(""))
         elif s.dtype.kind == "f":
             out[c] = s.map(lambda v: "" if pd.isna(v) else f"{v:g}")
+        elif s.dtype == object:
+            out[c] = s.map(lambda v: "" if pd.isna(v) else str(v))
         else:
             out[c] = s.astype(str)
     return pd.DataFrame(out)
 
 
+_CONVERTED_TMP: list[str] = []
+
+
+def _csv_sidecar(path: str, csv_text: str) -> str:
+    """Write converted CSV text next to the source (same FS the
+    executors read — a driver-local /tmp would be invisible to a real
+    cluster).  The file must outlive the LAZY DataFrame built over it,
+    so it is removed at interpreter exit, not eagerly."""
+    import atexit
+    import tempfile
+    tmp = tempfile.NamedTemporaryFile(
+        "w", suffix=".csv", delete=False,
+        dir=os.path.dirname(path) or None)
+    tmp.write(csv_text)
+    tmp.close()
+    if not _CONVERTED_TMP:
+        atexit.register(_cleanup_converted)
+    _CONVERTED_TMP.append(tmp.name)
+    return tmp.name
+
+
+def _cleanup_converted() -> None:
+    for p in _CONVERTED_TMP:
+        try:
+            os.unlink(p)
+        except OSError:
+            pass
+    _CONVERTED_TMP.clear()
+
+
 def read_any(spark: SparkSession, path: str, header: bool = True
              ) -> DataFrame:
     """Detect + load.  parquet/csv/tsv/json load natively; xls (Excel
-    97 / BIFF8) via the from-spec pure-Python reader in
-    ``sources_xls`` (reference excel97.py parity: convert to CSV text,
-    then the standard CSV path with header/junk handling); xlsx via
-    pandas if openpyxl is present; SPSS/Stata raise (codec not in
-    this environment — detection still reported)."""
+    97 / BIFF8) via the from-spec pure-Python BIFF8/OLE2 reader in
+    ``sources_xls``, xlsx via the pure-stdlib SpreadsheetML reader in
+    ``sources_xlsx`` (reference excel97.py / excel.py parity: convert
+    to CSV text, then the standard CSV path with header/junk
+    handling); SPSS via the from-spec PSPP reader in ``sources_sav``
+    and Stata via ``pandas.read_stata``, both through the reference
+    converters' CSV string discipline (``_reference_csv_frame``)."""
     info = detect_format(path)
     fmt = info["format"]
     if fmt == "parquet":
@@ -139,38 +178,24 @@ def read_any(spark: SparkSession, path: str, header: bool = True
     if fmt == "json":
         return spark.read.json(path)
     if fmt == "xlsx":
-        # pure-stdlib SpreadsheetML reader (reference excel.py parity:
-        # single sheet, CSV text through the standard loader)
-        import os
-        import tempfile
-
         from .sources_xlsx import xlsx_to_csv_text
-        csv_text = xlsx_to_csv_text(path)
-        tmp = tempfile.NamedTemporaryFile(
-            "w", suffix=".csv", delete=False,
-            dir=os.path.dirname(path) or None)
-        tmp.write(csv_text)
-        tmp.close()
-        return read_any(spark, tmp.name, header=header)
+        return read_any(spark, _csv_sidecar(path, xlsx_to_csv_text(path)),
+                        header=header)
     if fmt == "xls":
-        import os
-        import tempfile
-
         from .sources_xls import xls_to_csv_text
         with open(path, "rb") as f:
             csv_text = xls_to_csv_text(f.read())
-        tmp = tempfile.NamedTemporaryFile(
-            "w", suffix=".csv", delete=False,
-            dir=os.path.dirname(path) or None)
-        tmp.write(csv_text)
-        tmp.close()
-        return read_any(spark, tmp.name, header=header)
+        return read_any(spark, _csv_sidecar(path, csv_text),
+                        header=header)
     if fmt == "stata":
         # reference stata.py: pandas.read_stata → CSV (%g floats,
-        # ISO-8601 dates); pandas' Stata reader is dependency-free
+        # ISO-8601 T-separated dates — the one converter that passes
+        # an explicit date_format); pandas' Stata reader is
+        # dependency-free
         import pandas as pd
         pdf = pd.read_stata(path)
-        return spark.createDataFrame(_reference_csv_frame(pdf))
+        return spark.createDataFrame(_reference_csv_frame(
+            pdf, date_format="%Y-%m-%dT%H:%M:%S"))
     if fmt == "spss":
         from .sources_sav import read_sav_frame
         return spark.createDataFrame(_reference_csv_frame(

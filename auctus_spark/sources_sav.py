@@ -177,10 +177,15 @@ def read_sav_frame(path: str) -> pd.DataFrame:
                 (pd.NaT if (isinstance(v, float) and np.isnan(v))
                  else _GREGORIAN + datetime.timedelta(seconds=v))
                 for v in col]
-            s = pd.Series(vals, dtype="datetime64[ns]")
             if fmt in _DATE_TYPES:
-                s = s.dt.normalize()
-            out[name] = s
+                # pyreadstat parity: DATE* formats come back as
+                # datetime.date objects (so CSV round-trips render
+                # them date-only), DATETIME as datetime64
+                out[name] = pd.Series(
+                    [v if v is pd.NaT else v.date() for v in vals],
+                    dtype=object)
+            else:
+                out[name] = pd.Series(vals, dtype="datetime64[ns]")
         else:
             out[name] = pd.Series(col, dtype=np.float64)
     return pd.DataFrame(out)

@@ -55,7 +55,9 @@ def _cfb_stream(data: bytes, name: str) -> bytes:
     n_difat = struct.unpack_from("<I", data, 72)[0]
 
     def sector(i: int) -> bytes:
-        off = 512 + i * ssz
+        # [MS-CFB] 2.1: sector i starts at (i+1) << sectorShift — the
+        # 512-byte header occupies (and v4 files zero-pad) sector -1.
+        off = (i + 1) * ssz
         return data[off:off + ssz]
 
     # FAT sector list: 109 header DIFAT entries + DIFAT chain

@@ -36,25 +36,9 @@ def _col_index(ref: str) -> int:
     return n - 1
 
 
-def _is_date_fmt(code: str) -> bool:
-    bare = []
-    q = b = False
-    for ch in code:
-        if q:
-            q = ch != '"'
-            continue
-        if b:
-            b = ch != "]"
-            continue
-        if ch == '"':
-            q = True
-        elif ch == "[":
-            b = True
-        else:
-            bare.append(ch.lower())
-    s = "".join(bare)
-    return any(c in s for c in "ymdhs") and "#" not in s and "0" not in s \
-        or any(tok in s for tok in ("yy", "dd", "hh"))
+# One shared heuristic for custom number formats, so the same workbook
+# content is typed identically whether it arrives as .xls or .xlsx.
+from .sources_xls import _is_date_format as _is_date_fmt
 
 
 def parse_xlsx(path: str) -> list[list]:

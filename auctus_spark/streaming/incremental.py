@@ -57,10 +57,15 @@ class StreamingIndexer:
     ``buffer_tail=True`` (default) enables sub-chunk appends: the open
     tail chunk's raw rows are kept in ``<index>/tail_buffer/chunk=N``
     and a batch landing inside that chunk rebuilds it from
-    buffer ∪ new rows (crash order: merged buffer written to a tmp dir
-    → chunk partials+lineage dropped → buffer swapped → re-tokenize;
-    a crash mid-way leaves the chunk absent from lineage with ALL its
-    rows in the buffer, so the next append or finalize recovers it).
+    buffer ∪ new rows (crash order: merged buffer written to a tmp
+    dir → buffer swapped → chunk partials+lineage dropped →
+    re-tokenize; the buffer is therefore ALWAYS a superset of the open
+    chunk).  A crash after the swap but before the drop leaves a
+    committed chunk with a LARGER buffer — detected by comparing the
+    buffer row count to the chunk's lineage ``n_docs`` and healed by a
+    rebuild on the next append; a crash after the drop leaves the
+    chunk absent from lineage with ALL its rows in the buffer, healed
+    the same way.
     Replayed batches (foreachBatch redelivery) are detected by docID
     containment against the buffer and skipped; a batch that OVERLAPS
     the buffer only partially is corrupt input and fails loudly.
@@ -76,9 +81,10 @@ class StreamingIndexer:
         return os.path.join(self.builder.paths.base, "tail_buffer",
                             f"chunk={chunk}")
 
-    def _write_buffer(self, rows: DataFrame, chunk: int) -> None:
-        """Retain the open chunk's raw rows; drop buffers of older
-        (now sealed) chunks."""
+    def _write_buffer(self, rows: DataFrame, chunk: int,
+                      clean: bool = True) -> None:
+        """Retain the open chunk's raw rows; with ``clean`` (default)
+        also drop buffers of older (now sealed) chunks."""
         import glob
         import os
         import shutil
@@ -87,6 +93,8 @@ class StreamingIndexer:
         final = self._tail_dir(chunk)
         shutil.rmtree(final, ignore_errors=True)
         os.rename(tmp, final)
+        if not clean:
+            return
         for d in glob.glob(os.path.join(
                 self.builder.paths.base, "tail_buffer", "chunk=*")):
             if not d.endswith(f"chunk={chunk}") and not d.endswith("_tmp"):
@@ -138,31 +146,49 @@ class StreamingIndexer:
         for c, buf_dir in sorted(buffers.items()):
             old = b.spark.read.parquet(buf_dir).select("doc_id",
                                                        "content")
-            if c in done and c in counts:
-                # committed tail: replay vs clean-append vs corrupt
+            if c in done:
+                # committed tail: replay vs clean-append vs corrupt.
+                # ``stale`` detects a crash that swapped the merged
+                # buffer in but died before dropping the chunk: the
+                # buffer then holds MORE rows than the committed chunk
+                # and is the source of truth.
                 lo = c * b.chunk_docs
                 in_chunk = batch_df.filter(
                     (F.col("doc_id") >= lo)
                     & (F.col("doc_id") < lo + b.chunk_docs))
+                fresh = in_chunk.join(old, "doc_id", "left_anti")
                 n_new = in_chunk.count()
-                n_fresh = in_chunk.join(old, "doc_id",
-                                        "left_anti").count()
-                if n_fresh == 0:    # full replay: drop those rows
-                    work = work.filter(
-                        (F.col("doc_id") < lo)
-                        | (F.col("doc_id") >= lo + b.chunk_docs))
-                elif n_fresh < n_new:
+                n_fresh = fresh.count()
+                stale = old.count() > int(done[c]["n_docs"])
+                if 0 < n_fresh < n_new:
                     raise ValueError(
                         f"append into chunk {c} overlaps "
                         f"{n_new - n_fresh} already-buffered docIDs "
                         f"but also carries {n_fresh} new ones — "
                         "neither a clean replay nor a clean append; "
                         "refusing")
-                else:               # rebuild tail from buffer ∪ new
-                    work = work.unionByName(old)
-                    rebuild = True
-                    self._drop_chunk(c)
-            elif c not in done:
+                if n_fresh == 0 and not stale:
+                    if n_new:       # full replay: drop those rows
+                        work = work.filter(
+                            (F.col("doc_id") < lo)
+                            | (F.col("doc_id") >= lo + b.chunk_docs))
+                    continue
+                # rebuild tail from buffer ∪ new — crash-safe order
+                # (class docstring): swap the MERGED buffer in FIRST,
+                # so the buffer is always a superset of the open
+                # chunk, THEN drop the chunk, then re-tokenize.
+                if n_fresh:
+                    self._write_buffer(old.unionByName(fresh), c,
+                                       clean=False)
+                buf = b.spark.read.parquet(
+                    self._tail_dir(c)).select("doc_id", "content")
+                work = (work.filter(
+                            (F.col("doc_id") < lo)
+                            | (F.col("doc_id") >= lo + b.chunk_docs))
+                        .unionByName(buf))
+                rebuild = True
+                self._drop_chunk(c)
+            else:
                 # crash recovery: chunk dropped but never re-committed;
                 # its rows live only in the buffer (replayed batch rows
                 # may duplicate them — anti-join keeps one copy)

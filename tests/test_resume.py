@@ -293,6 +293,49 @@ def test_subchunk_appends_positional_stemmed(spark, tmp_path):
         assert got == want, ("phrase", q)
 
 
+def test_subchunk_crash_windows_recover(spark, tmp_path):
+    """The two crash windows of the sub-chunk rebuild order (merged
+    buffer swapped → chunk dropped → re-tokenized) both self-heal:
+
+    A. crash AFTER the buffer swap, BEFORE the chunk drop — the
+       committed chunk is stale (buffer has more rows than lineage
+       n_docs); the next append detects it and rebuilds.
+    B. crash AFTER the chunk drop, BEFORE re-tokenize — the chunk is
+       absent from lineage with ALL its rows (old ∪ new) in the
+       buffer; the next append restores them.
+    """
+    from auctus_spark.streaming.incremental import StreamingIndexer
+
+    pdf = generate_corpus(300, min_tokens=10, max_tokens=40,
+                          vocab_size=300)
+    corpus = spark.createDataFrame(pdf)
+    full_dir = str(tmp_path / "full")
+    IndexBuilder(spark, full_dir, doc_bucket=64, chunk_docs=200,
+                 term_buckets=4).build(corpus)
+
+    for window, out in (("A", str(tmp_path / "wa")),
+                        ("B", str(tmp_path / "wb"))):
+        b = IndexBuilder(spark, out, doc_bucket=64, chunk_docs=200,
+                         term_buckets=4)
+        sink = StreamingIndexer(b)
+        sink(corpus.filter("doc_id < 150"), epoch_id=0)
+        # simulate the crashed second append of docs 150..179: merged
+        # buffer swapped in ...
+        sink._write_buffer(corpus.filter("doc_id < 180"), 0,
+                           clean=False)
+        if window == "B":
+            sink._drop_chunk(0)      # ... and chunk dropped too
+        # foreachBatch redelivery of the crashed batch + the rest
+        sink(corpus.filter("doc_id >= 150 and doc_id < 180"),
+             epoch_id=1)
+        sink(corpus.filter("doc_id >= 180"), epoch_id=2)
+        sink.finalize()
+        for q in ["import", "uniq_token_11", "the"]:
+            assert _results(spark, out, q) == _results(
+                spark, full_dir, q), (window, q)
+        assert b.verify_lineage(corpus), window
+
+
 def test_subchunk_append_without_buffer_raises(spark, tmp_path):
     """An index whose tail chunk was built OUTSIDE the streaming path
     has no raw buffer — sub-chunk appends must still fail loudly."""
@@ -464,6 +507,46 @@ def test_compaction_empty_doc_n(spark, tmp_path):
     got = [(int(r.doc_id), float(r.score))
            for r in eng.search_wand("import", k=50).collect()]
     assert got == oracle.search("import", k=50)
+
+
+def test_compaction_redelete_idempotent(spark, tmp_path):
+    """Re-deleting docIDs a previous compaction already removed (the
+    natural idempotent-delete retry) must be a no-op: the removed_docs
+    liveness record masks the lineage dense-range existence test, so
+    N/avgdl are not decremented a second time."""
+    from auctus_spark.index.build import compact, delete_docs
+    from auctus_spark.oracle import OracleIndex
+    from auctus_spark.query.bm25 import SearchEngine
+
+    pdf = generate_corpus(300, min_tokens=15, max_tokens=60,
+                          vocab_size=400)
+    pdf.loc[pdf.doc_id == 10, "content"] = ""          # empty doc
+    corpus = spark.createDataFrame(pdf)
+    d = str(tmp_path / "ridx")
+    IndexBuilder(spark, d, doc_bucket=128, chunk_docs=150,
+                 term_buckets=4).build(corpus)
+    dead = [10, 42, 255]
+    delete_docs(spark, d, dead)
+    assert compact(spark, d, term_buckets=4)["removed_docs"] == 3
+    # retry the SAME deletes (plus one new) and compact again
+    delete_docs(spark, d, dead + [77])
+    res = compact(spark, d, term_buckets=4)
+    assert res["removed_docs"] == 1          # only doc 77 this time
+    live_pdf = pdf[~pdf.doc_id.isin(dead + [77])]
+    oracle = OracleIndex.build(
+        [(int(r.doc_id), r.content)
+         for r in live_pdf.itertuples(index=False)])
+    eng = SearchEngine(spark, d, term_buckets=4)
+    assert eng.n_docs == oracle.n_docs == 296
+    assert abs(eng.avgdl - oracle.avgdl) < 1e-9
+    got = [(int(r.doc_id), float(r.score))
+           for r in eng.search_wand("import", k=50).collect()]
+    assert got == oracle.search("import", k=50)
+    # a THIRD all-replay compaction is a clean no-op
+    delete_docs(spark, d, dead + [77])
+    assert compact(spark, d, term_buckets=4)["removed_docs"] == 0
+    eng2 = SearchEngine(spark, d, term_buckets=4)
+    assert eng2.n_docs == 296 and abs(eng2.avgdl - oracle.avgdl) < 1e-9
 
 
 def test_compaction_marker_blocks_open(spark, tmp_path):

@@ -132,7 +132,30 @@ def test_read_any_sav_end_to_end(spark, tmp_path):
     rows = df.collect()
     assert rows[0]["NUM"] == "1"        # reference %g formatting
     assert rows[1]["NUM"] == "12.5"
-    assert rows[1]["WHEN"] == "2020-01-02T01:00:00"
+    # reference spss.py passes NO date_format to to_csv → pandas
+    # default space separator (the T-format is stata.py's only)
+    assert rows[1]["WHEN"] == "2020-01-02 01:00:00"
+
+
+def test_reference_csv_frame_spss_dates():
+    """pyreadstat parity: SPSS DATE columns (date objects) render
+    date-only, DATETIME with the pandas space separator, missing as
+    empty string; Stata's explicit format keeps the T separator."""
+    import datetime
+
+    import numpy as np
+    import pandas as pd
+
+    from auctus_spark.sources import _reference_csv_frame
+    pdf = pd.DataFrame({
+        "d": pd.Series([datetime.date(2020, 1, 1), np.nan], dtype=object),
+        "ts": pd.Series([pd.Timestamp("2020-01-01 12:00:00"), pd.NaT]),
+    })
+    got = _reference_csv_frame(pdf)
+    assert got["d"].tolist() == ["2020-01-01", ""]
+    assert got["ts"].tolist() == ["2020-01-01 12:00:00", ""]
+    got_t = _reference_csv_frame(pdf, date_format="%Y-%m-%dT%H:%M:%S")
+    assert got_t["ts"].tolist() == ["2020-01-01T12:00:00", ""]
 
 
 def test_read_any_stata_end_to_end(spark, tmp_path):
