@@ -75,18 +75,33 @@ def token_shingles(df: DataFrame, text_col: str = "text",
             .filter(F.col("shingle") != ""))
 
 
+# Hot-shingle skew guard, ON by default (mirrors DEFAULT_MAX_BUCKET):
+# a stop-shingle with corpus-scale df makes the shingle self-join emit
+# df² pairs on ONE key.  Dropping shingles with df > 10k bounds any
+# single join key at ≤10⁸ pairs; a shingle shared by >10k docs carries
+# ~zero Jaccard signal anyway (it is the set analogue of a stopword).
+DEFAULT_MAX_SHINGLE_DF = 10_000
+
+
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", n: int = 3,
-                        threshold: float = 0.8) -> DataFrame:
+                        threshold: float = 0.8,
+                        max_shingle_df: int | None =
+                        DEFAULT_MAX_SHINGLE_DF) -> DataFrame:
     """Candidate pairs with shingle-set Jaccard >= threshold.
 
     Scalable set-similarity join: explode distinct shingles, self-join
     on shingle (co-partitioned shuffle), count intersections, compute
-    |A∩B| / (|A|+|B|-|A∩B|).  Hot shingles (df of a shingle ~ corpus
-    size) should be capped upstream for 100TB runs — see
-    ``frequent_shingle_cap``.
+    |A∩B| / (|A|+|B|-|A∩B|).  Shingles appearing in more than
+    ``max_shingle_df`` docs are dropped BEFORE the self-join (default
+    on — the web-scale skew guard; ``None`` opts out for tiny corpora
+    where exact recall is audited).  Set sizes are computed after the
+    cap, so the Jaccard is exact over the capped shingle universe.
     """
-    sh = token_shingles(df, text_col, id_col, n).cache()
+    sh = token_shingles(df, text_col, id_col, n)
+    if max_shingle_df is not None:
+        sh = frequent_shingle_cap(sh, max_shingle_df)
+    sh = sh.cache()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("id_b"), "shingle")

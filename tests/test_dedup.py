@@ -197,3 +197,33 @@ def test_default_cap_bounds_degenerate_corpus(spark):
     sh = simhash(docs)
     hp = simhash_near_pairs(sh, max_bucket=1000)
     assert hp.count() == 0
+
+
+def test_ngram_jaccard_hot_shingle_cap_default(spark):
+    """The shingle self-join's skew guard is ON by default: a corpus
+    where every doc shares one stop-shingle completes in bounded time
+    (hot shingle dropped → 0 candidate keys) instead of emitting df²
+    pairs on one join key.  Opting out (max_shingle_df=None) and a
+    cap above the df keep exact behavior."""
+    from auctus_spark.operators.dedup import ngram_jaccard_pairs
+    n = 12_000
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("shared boiler plate "),
+                 F.concat_ws(" ", F.lit("u"), F.col("id").cast("string"),
+                             F.lit("v"), F.col("id").cast("string"),
+                             F.lit("w"), F.col("id").cast("string")))
+        .alias("text"))
+    # every doc carries the hot shingles from "shared boiler plate" +
+    # unique per-doc shingles → default cap drops the hot ones, the
+    # unique ones match nothing: no pairs, bounded work
+    assert ngram_jaccard_pairs(docs, threshold=0.1).count() == 0
+    # small corpus, cap above df: identical to explicit opt-out
+    small = docs.filter(F.col("doc_id") < 30)
+    capped = {(r.id_a, r.id_b, round(r.jaccard, 9))
+              for r in ngram_jaccard_pairs(small, threshold=0.05)
+              .collect()}
+    uncapped = {(r.id_a, r.id_b, round(r.jaccard, 9))
+                for r in ngram_jaccard_pairs(
+                    small, threshold=0.05, max_shingle_df=None).collect()}
+    assert capped == uncapped and capped
