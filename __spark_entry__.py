@@ -929,6 +929,163 @@ ORDER BY raw_score DESC, doc_id ASC LIMIT {k}
 """
 
 
+# ---------------------------------------------------------------------
+# round-4 gates: previously pytest-only SURVEY §2 operators
+# ---------------------------------------------------------------------
+
+def _temporal_resolution_sql() -> str:
+    """The reference's coarse→fine probe (temporal.py:36-71) as one
+    CASE: first resolution whose n_distinct/bins < 1.05."""
+    def one(table: str, col: str) -> str:
+        bins = ", ".join(
+            f"count(DISTINCT date_trunc('{r}', {col})) AS b_{r}"
+            for r in ("year", "quarter", "month", "week", "day",
+                      "hour", "minute", "second"))
+        whens = " ".join(
+            f"WHEN n / b_{r} < 1.05 THEN '{r}'"
+            for r in ("year", "quarter", "month", "week", "day",
+                      "hour", "minute", "second"))
+        return (f"SELECT '{col}' AS col, CASE {whens} ELSE 'second' END"
+                f" AS resolution FROM (SELECT count(DISTINCT {col})*1.0"
+                f" AS n, {bins} FROM {table})")
+    return (one("orders", "o_orderdate") + " UNION ALL "
+            + one("events", "ts"))
+
+
+def _geohash4_sql() -> str:
+    """Base-4 geohash (quadtree) digits in SQL: 8 lon bits + 8 lat
+    bits, lon bit first per digit — mirrors geo.geohash_encode's
+    quantize (ceil((v-lo)/step)-1, clipped) exactly."""
+    digits = " || ".join(
+        f"CAST(2*((qlon >> {7 - c}) & 1) + ((qlat >> {7 - c}) & 1)"
+        f" AS VARCHAR)"
+        for c in range(8))
+    return f"""
+        WITH pts AS (
+          SELECT CAST((c_custkey % 12) * 10 - 55 AS DOUBLE) AS lat,
+                 CAST((c_custkey % 10) * 30 - 135 AS DOUBLE) AS lon
+          FROM customer),
+        q AS (
+          SELECT least(greatest(CAST(ceil((lon + 180.0)
+                   / (360.0 / 256.0)) AS BIGINT) - 1, 0), 255) AS qlon,
+                 least(greatest(CAST(ceil((lat + 90.0)
+                   / (180.0 / 256.0)) AS BIGINT) - 1, 0), 255) AS qlat
+          FROM pts),
+        h AS (SELECT {digits} AS hash FROM q)
+        SELECT hash, count(*) AS number FROM h
+        GROUP BY hash ORDER BY hash"""
+
+def _q_augment_join(spark, sf_dir):
+    """Augmentation join with post-join fan-in aggregation (reference
+    augmentation.py:250-336, 376-547): every customer row keeps its
+    identity; matched orders fold back as mean/sum/max/min columns."""
+    from auctus_spark.operators.joins import augment_join
+    c = _t(spark, sf_dir, "customer")
+    o = (_t(spark, sf_dir, "orders")
+         .withColumnRenamed("o_custkey", "c_custkey"))
+    out = augment_join(
+        c, o, on=["c_custkey"],
+        agg_columns={"o_totalprice": ["mean", "sum", "max", "min"]},
+        keep_columns=["o_totalprice"])
+    return out.select(
+        "c_custkey", "c_mktsegment",
+        F.round("mean_o_totalprice", 6).alias("mean_o_totalprice"),
+        F.round("sum_o_totalprice", 6).alias("sum_o_totalprice"),
+        F.round("max_o_totalprice", 6).alias("max_o_totalprice"),
+        F.round("min_o_totalprice", 6).alias("min_o_totalprice"))
+
+
+def _q_temporal_aligned_join(spark, sf_dir):
+    """Cross-resolution temporal join (reference augmentation.py:
+    134-231): hourly event rollups truncated onto daily order-side
+    resolution — coarser side wins."""
+    from auctus_spark.operators.joins import temporal_aligned_join
+    ev = _t(spark, sf_dir, "events")
+    left = (ev.groupBy(F.date_trunc("day", "ts").alias("d"))
+            .agg(F.count("*").alias("n_day")))
+    right = (ev.groupBy(F.date_trunc("hour", "ts").alias("h"))
+             .agg(F.sum("value").alias("v_hour")))
+    out = temporal_aligned_join(left, right, "d", "h", "day", "hour")
+    return out.select("d", "n_day", "h",
+                      F.round("v_hour", 6).alias("v_hour"))
+
+
+def _q_spatial_overlap(spark, sf_dir):
+    """Spatial box-intersection candidate scoring (reference
+    join.py:255-358): intersection-area / query-area summed over query
+    boxes, boost_mode replace.  Boxes derived deterministically from
+    customer keys."""
+    from auctus_spark.operators.joins import spatial_overlap_score
+    c = _t(spark, sf_dir, "customer")
+    cand = c.select(
+        F.col("c_custkey").alias("cand_id"),
+        ((F.col("c_custkey") % 60) - 30).cast("double").alias("min_lon"),
+        ((F.col("c_custkey") % 40) - 20).cast("double").alias("min_lat"),
+        ((F.col("c_custkey") % 60) - 30 + 1 + (F.col("c_custkey") % 5))
+        .cast("double").alias("max_lon"),
+        ((F.col("c_custkey") % 40) - 20 + 1 + (F.col("c_custkey") % 3))
+        .cast("double").alias("max_lat"))
+    q = spark.createDataFrame(
+        [(-10.0, -10.0, 10.0, 10.0), (0.0, 0.0, 25.0, 15.0)],
+        "q_min_lon double, q_min_lat double, q_max_lon double, "
+        "q_max_lat double")
+    out = spatial_overlap_score(cand, q)
+    return out.select("cand_id", F.round("score", 6).alias("score"))
+
+
+def _q_categorical_histogram(spark, sf_dir):
+    """top-5 most common values (reference core.py:401-420)."""
+    from auctus_spark.operators.profiling import categorical_histogram
+    return categorical_histogram(
+        _t(spark, sf_dir, "orders"), "o_orderpriority", k=5)
+
+
+def _q_word_histogram(spark, sf_dir):
+    """top-5 lowercase \\W+ words (reference core.py:422-444)."""
+    from auctus_spark.operators.profiling import text_word_histogram
+    return text_word_histogram(_docs(spark, sf_dir), "text", k=5)
+
+
+def _q_numeric_profile(spark, sf_dir):
+    """One-pass mean/stddev/distinct/min/max column profile
+    (reference core.py:310-346)."""
+    from auctus_spark.operators.profiling import numeric_profile
+    out = numeric_profile(_t(spark, sf_dir, "lineitem"),
+                          "l_extendedprice")
+    return out.select(
+        F.round("mean", 6).alias("mean"),
+        F.round("stddev", 6).alias("stddev"),
+        "num_distinct_values",
+        F.round("min", 6).alias("min"),
+        F.round("max", 6).alias("max"))
+
+
+def _q_temporal_resolution(spark, sf_dir):
+    """Temporal-resolution detection — exact reference rule
+    (temporal.py:36-71): coarse→fine probe, first resolution whose
+    avg distinct-values-per-bin < 1.05."""
+    from auctus_spark.operators.profiling import temporal_resolution
+    r_orders = temporal_resolution(
+        _t(spark, sf_dir, "orders"), "o_orderdate")
+    r_events = temporal_resolution(_t(spark, sf_dir, "events"), "ts")
+    return spark.createDataFrame(
+        [("o_orderdate", r_orders), ("ts", r_events)],
+        "col string, resolution string")
+
+
+def _q_geohash_sketch(spark, sf_dir):
+    """Quadtree (base-4 geohash) histogram sketch (reference
+    spatial.py:406-508, 511-631) over deterministic synthetic points;
+    the lon-bit-first interleave is the oracle-checked contract."""
+    _ensure_workers_can_import(spark)
+    from auctus_spark.operators.geo import geohash_sketch
+    pts = _t(spark, sf_dir, "customer").select(
+        ((F.col("c_custkey") % 12) * 10 - 55).cast("double").alias("lat"),
+        ((F.col("c_custkey") % 10) * 30 - 135).cast("double")
+        .alias("lon"))
+    return geohash_sketch(pts, "lat", "lon", base=4, max_precision=8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk_hot": _q_bm25_hot,
@@ -972,6 +1129,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_phrase": _q_bm25_phrase,
         "bm25_multifield_idx": _q_bm25_multifield_idx,
         "embedding_near_pairs": _q_embedding_near_pairs,
+        "augment_join": _q_augment_join,
+        "temporal_aligned_join": _q_temporal_aligned_join,
+        "spatial_overlap": _q_spatial_overlap,
+        "categorical_histogram": _q_categorical_histogram,
+        "word_histogram": _q_word_histogram,
+        "numeric_profile": _q_numeric_profile,
+        "temporal_resolution": _q_temporal_resolution,
+        "geohash_sketch": _q_geohash_sketch,
     }
 
 
@@ -1308,4 +1473,66 @@ def _oracle_sql_static() -> dict[str, str]:
                                    - (SELECT lo FROM mm)) / 10), 6)
                      AS bin_start
             FROM b GROUP BY bin ORDER BY bin""",
+        "augment_join": """
+            SELECT c_custkey, c_mktsegment,
+                   round(avg(o_totalprice), 6) AS mean_o_totalprice,
+                   round(sum(o_totalprice), 6) AS sum_o_totalprice,
+                   round(max(o_totalprice), 6) AS max_o_totalprice,
+                   round(min(o_totalprice), 6) AS min_o_totalprice
+            FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+            GROUP BY c_custkey, c_mktsegment""",
+        "temporal_aligned_join": """
+            WITH l AS (SELECT date_trunc('day', ts) AS d,
+                              count(*) AS n_day
+                       FROM events GROUP BY 1),
+            r AS (SELECT date_trunc('hour', ts) AS h,
+                         sum(value) AS v_hour
+                  FROM events GROUP BY 1)
+            SELECT l.d, l.n_day, r.h, round(r.v_hour, 6) AS v_hour
+            FROM l LEFT JOIN r ON date_trunc('day', r.h) = l.d""",
+        "spatial_overlap": """
+            WITH cand AS (
+              SELECT c_custkey AS cand_id,
+                     CAST((c_custkey % 60) - 30 AS DOUBLE) AS min_lon,
+                     CAST((c_custkey % 40) - 20 AS DOUBLE) AS min_lat,
+                     CAST((c_custkey % 60) - 30 + 1 + (c_custkey % 5)
+                          AS DOUBLE) AS max_lon,
+                     CAST((c_custkey % 40) - 20 + 1 + (c_custkey % 3)
+                          AS DOUBLE) AS max_lat
+              FROM customer),
+            q(q_min_lon, q_min_lat, q_max_lon, q_max_lat) AS (
+              VALUES (-10.0, -10.0, 10.0, 10.0),
+                     (0.0, 0.0, 25.0, 15.0))
+            SELECT cand_id,
+                   round(sum((least(max_lon, q_max_lon)
+                              - greatest(min_lon, q_min_lon))
+                             * (least(max_lat, q_max_lat)
+                                - greatest(min_lat, q_min_lat))
+                             / ((q_max_lon - q_min_lon)
+                                * (q_max_lat - q_min_lat))), 6) AS score
+            FROM cand JOIN q
+              ON min_lon < q_max_lon AND max_lon > q_min_lon
+             AND min_lat < q_max_lat AND max_lat > q_min_lat
+            GROUP BY cand_id""",
+        "categorical_histogram": """
+            SELECT o_orderpriority, count(*) AS count
+            FROM orders GROUP BY o_orderpriority
+            ORDER BY count DESC, o_orderpriority ASC LIMIT 5""",
+        "word_histogram": r"""
+            WITH w AS (
+              SELECT unnest(regexp_split_to_array(lower(text), '\W+'))
+                       AS word
+              FROM documents)
+            SELECT word, count(*) AS count FROM w WHERE word <> ''
+            GROUP BY word ORDER BY count DESC, word ASC LIMIT 5""",
+        "numeric_profile": """
+            SELECT round(avg(l_extendedprice), 6) AS mean,
+                   round(stddev_pop(l_extendedprice), 6) AS stddev,
+                   count(DISTINCT l_extendedprice)
+                     AS num_distinct_values,
+                   round(min(l_extendedprice), 6) AS min,
+                   round(max(l_extendedprice), 6) AS max
+            FROM lineitem""",
+        "temporal_resolution": _temporal_resolution_sql(),
+        "geohash_sketch": _geohash4_sql(),
     }
