@@ -1033,6 +1033,29 @@ def _q_spatial_overlap(spark, sf_dir):
     return out.select("cand_id", F.round("score", 6).alias("score"))
 
 
+def _q_script_score(spark, sf_dir):
+    """Generic script_score facade (reference join.py:176-252) with a
+    formula neither built-in scorer implements: fraction of the
+    CANDIDATE interval covered by the query range, score_mode max,
+    outer weight 2.0 (function_score boost_mode multiply)."""
+    from auctus_spark.operators.joins import script_score_join
+    c = _t(spark, sf_dir, "customer")
+    cand = c.select(
+        F.col("c_custkey").alias("cand_id"),
+        (F.col("c_custkey") % 500).cast("double").alias("gte"),
+        ((F.col("c_custkey") % 500) + 1 + (F.col("c_custkey") % 50))
+        .cast("double").alias("lte"))
+    q = spark.createDataFrame(
+        [(0.0, 100.0), (200.0, 260.0), (400.0, 470.0)],
+        "q_gte double, q_lte double")
+    match = ((F.col("q_gte") <= F.col("lte"))
+             & (F.col("q_lte") >= F.col("gte")))
+    script = ((F.least("lte", "q_lte") - F.greatest("gte", "q_gte") + 1)
+              / (F.col("lte") - F.col("gte") + 1))
+    out = script_score_join(cand, q, match, script, "max", weight=2.0)
+    return out.select("cand_id", F.round("score", 6).alias("score"))
+
+
 def _q_categorical_histogram(spark, sf_dir):
     """top-5 most common values (reference core.py:401-420)."""
     from auctus_spark.operators.profiling import categorical_histogram
@@ -1130,6 +1153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_multifield_idx": _q_bm25_multifield_idx,
         "embedding_near_pairs": _q_embedding_near_pairs,
         "augment_join": _q_augment_join,
+        "script_score": _q_script_score,
         "temporal_aligned_join": _q_temporal_aligned_join,
         "spatial_overlap": _q_spatial_overlap,
         "categorical_histogram": _q_categorical_histogram,
@@ -1513,6 +1537,21 @@ def _oracle_sql_static() -> dict[str, str]:
             FROM cand JOIN q
               ON min_lon < q_max_lon AND max_lon > q_min_lon
              AND min_lat < q_max_lat AND max_lat > q_min_lat
+            GROUP BY cand_id""",
+        "script_score": """
+            WITH cand AS (
+              SELECT c_custkey AS cand_id,
+                     CAST(c_custkey % 500 AS DOUBLE) AS gte,
+                     CAST((c_custkey % 500) + 1 + (c_custkey % 50)
+                          AS DOUBLE) AS lte
+              FROM customer),
+            q(q_gte, q_lte) AS (VALUES (0.0, 100.0), (200.0, 260.0),
+                                       (400.0, 470.0))
+            SELECT cand_id,
+                   round(max((least(lte, q_lte) - greatest(gte, q_gte)
+                              + 1) / (lte - gte + 1)) * 2.0, 6)
+                     AS score
+            FROM cand JOIN q ON q_gte <= lte AND q_lte >= gte
             GROUP BY cand_id""",
         "categorical_histogram": """
             SELECT o_orderpriority, count(*) AS count

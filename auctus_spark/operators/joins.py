@@ -188,10 +188,46 @@ def sessionize(events: DataFrame, user_col: str = "user_id",
             .drop("_new"))
 
 
+SCORE_MODES = {"sum": F.sum, "max": F.max, "min": F.min, "avg": F.avg}
+
+
+def script_score_join(candidates: DataFrame, query_rows: DataFrame,
+                      match, script, score_mode: str = "sum",
+                      cand_id: str = "cand_id",
+                      weight: float | None = None) -> DataFrame:
+    """Generic ES ``function_score``/``script_score`` surface — the
+    scoring shape every reference join-candidate search instantiates
+    (join.py:176-252 numerical, :302-358 spatial, :420-459 temporal):
+
+    - ``query_rows`` are broadcast: each row is one nested query
+      clause and supplies the painless script's ``params``;
+    - ``match`` (Column predicate) is the ES query clause (e.g. range
+      ``relation: intersects``) — only matching pairs are scored;
+    - ``script`` (Column expression over candidate + query columns)
+      is the painless source with ``boost_mode: replace``: its value
+      IS the pair score;
+    - ``score_mode`` folds the pair scores per candidate (ES nested
+      score_mode: sum/max/min/avg);
+    - ``weight`` multiplies the folded score (outer function_score
+      ``functions: [{weight}]`` with ``boost_mode: multiply``).
+
+    One broadcast join + one aggregation; candidates never shuffle
+    more than once, so a new scoring formula is a pair of expressions,
+    not a new operator.
+    """
+    j = candidates.join(F.broadcast(query_rows), match)
+    out = j.groupBy(cand_id).agg(
+        SCORE_MODES[score_mode](script).alias("score"))
+    if weight is not None:
+        out = out.withColumn("score", F.col("score") * F.lit(weight))
+    return out.orderBy(F.desc("score"), F.asc(cand_id))
+
+
 def range_overlap_score(candidates: DataFrame, query_ranges: DataFrame,
                         cand_id: str = "cand_id") -> DataFrame:
-    """Numerical/temporal coverage scoring (reference join.py:150-252):
-    nested range query with ``relation: intersects``; painless score
+    """Numerical/temporal coverage scoring (reference join.py:150-252)
+    as a ``script_score_join`` instance: nested range query with
+    ``relation: intersects``; painless score
     ``(min(lte) - max(gte) + 1) / total_query_coverage`` summed over
     query ranges, ``boost_mode: replace``.
 
@@ -200,20 +236,20 @@ def range_overlap_score(candidates: DataFrame, query_ranges: DataFrame,
     total = query_ranges.agg(
         F.sum(F.col("q_lte") - F.col("q_gte") + 1).alias("t")).collect()[0]
     total_q = float(total["t"])
-    j = candidates.join(
-        F.broadcast(query_ranges),
-        (F.col("q_gte") <= F.col("lte")) & (F.col("q_lte") >= F.col("gte")))
-    overlap = (F.least(F.col("lte"), F.col("q_lte"))
+    match = ((F.col("q_gte") <= F.col("lte"))
+             & (F.col("q_lte") >= F.col("gte")))
+    script = ((F.least(F.col("lte"), F.col("q_lte"))
                - F.greatest(F.col("gte"), F.col("q_gte")) + 1)
-    return (j.groupBy(cand_id)
-            .agg((F.sum(overlap) / F.lit(total_q)).alias("score"))
-            .orderBy(F.desc("score"), F.asc(cand_id)))
+              / F.lit(total_q))
+    return script_score_join(candidates, query_ranges, match, script,
+                             "sum", cand_id)
 
 
 def spatial_overlap_score(candidates: DataFrame, query_boxes: DataFrame,
                           cand_id: str = "cand_id") -> DataFrame:
-    """Spatial intersection scoring (reference join.py:255-358):
-    geo_shape envelope intersects + intersection-area / query-area.
+    """Spatial intersection scoring (reference join.py:255-358) as a
+    ``script_score_join`` instance: geo_shape envelope intersects +
+    intersection-area / query-area.
 
     candidates: (cand_id, min_lon, min_lat, max_lon, max_lat);
     query_boxes: (q_min_lon, q_min_lat, q_max_lon, q_max_lat).
@@ -224,15 +260,12 @@ def spatial_overlap_score(candidates: DataFrame, query_boxes: DataFrame,
                - F.greatest("min_lat", "q_min_lat"))
     q_area = ((F.col("q_max_lon") - F.col("q_min_lon"))
               * (F.col("q_max_lat") - F.col("q_min_lat")))
-    j = candidates.join(
-        F.broadcast(query_boxes),
-        (F.col("min_lon") < F.col("q_max_lon"))
-        & (F.col("max_lon") > F.col("q_min_lon"))
-        & (F.col("min_lat") < F.col("q_max_lat"))
-        & (F.col("max_lat") > F.col("q_min_lat")))
-    return (j.groupBy(cand_id)
-            .agg(F.sum((inter_w * inter_h) / q_area).alias("score"))
-            .orderBy(F.desc("score"), F.asc(cand_id)))
+    match = ((F.col("min_lon") < F.col("q_max_lon"))
+             & (F.col("max_lon") > F.col("q_min_lon"))
+             & (F.col("min_lat") < F.col("q_max_lat"))
+             & (F.col("max_lat") > F.col("q_min_lat")))
+    return script_score_join(candidates, query_boxes, match,
+                             (inter_w * inter_h) / q_area, "sum", cand_id)
 
 
 def spatial_nearest_join(left: DataFrame, right: DataFrame,

@@ -97,6 +97,39 @@ def test_spatial_overlap_score(spark):
     assert got["b"] == pytest.approx(0.25)
 
 
+def test_script_score_join_modes(spark):
+    """The generic function_score/script_score facade: arbitrary match
+    predicate + score expression, ES score_mode folding and weight
+    (boost_mode multiply)."""
+    from pyspark.sql import functions as F
+
+    from auctus_spark.operators.joins import script_score_join
+    cand = spark.createDataFrame(
+        [("a", 0.0, 10.0), ("b", 5.0, 6.0), ("c", 100.0, 200.0)],
+        "cand_id string, gte double, lte double")
+    q = spark.createDataFrame([(0.0, 10.0), (5.0, 6.0)],
+                              "q_gte double, q_lte double")
+    match = ((F.col("q_gte") <= F.col("lte"))
+             & (F.col("q_lte") >= F.col("gte")))
+    # fraction of the CANDIDATE covered by the query range — a formula
+    # neither built-in scorer implements
+    script = ((F.least("lte", "q_lte") - F.greatest("gte", "q_gte") + 1)
+              / (F.col("lte") - F.col("gte") + 1))
+    for mode, want_a, want_b in [
+            ("sum", 11 / 11 + 2 / 11, 2 / 2 + 2 / 2),
+            ("max", 11 / 11, 1.0),
+            ("min", 2 / 11, 1.0),
+            ("avg", (11 / 11 + 2 / 11) / 2, 1.0)]:
+        got = {r.cand_id: r.score for r in script_score_join(
+            cand, q, match, script, mode).collect()}
+        assert got["a"] == pytest.approx(want_a), mode
+        assert got["b"] == pytest.approx(want_b), mode
+        assert "c" not in got
+    w = {r.cand_id: r.score for r in script_score_join(
+        cand, q, match, script, "max", weight=2.5).collect()}
+    assert w["a"] == pytest.approx(2.5)
+
+
 def test_spatial_nearest_join(spark):
     left = spark.createDataFrame(
         [(0.0, 0.0, "origin"), (5.0, 5.0, "mid")],
