@@ -1033,6 +1033,16 @@ def _q_spatial_overlap(spark, sf_dir):
     return out.select("cand_id", F.round("score", 6).alias("score"))
 
 
+def _q_lazo_containment(spark, sf_dir):
+    """Directional Lazo containment |A∩B|/|A| (reference
+    join.py:462-554, 633-662) over the documents table — ranks
+    asymmetric-size near-pairs symmetric Jaccard misses."""
+    from auctus_spark.operators.dedup import containment_pairs
+    out = containment_pairs(_docs(spark, sf_dir), threshold=0.5)
+    return out.select("id_q", "id_c",
+                      F.round("containment", 6).alias("containment"))
+
+
 def _q_script_score(spark, sf_dir):
     """Generic script_score facade (reference join.py:176-252) with a
     formula neither built-in scorer implements: fraction of the
@@ -1154,6 +1164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_pairs": _q_embedding_near_pairs,
         "augment_join": _q_augment_join,
         "script_score": _q_script_score,
+        "lazo_containment": _q_lazo_containment,
         "temporal_aligned_join": _q_temporal_aligned_join,
         "spatial_overlap": _q_spatial_overlap,
         "categorical_histogram": _q_categorical_histogram,
@@ -1181,6 +1192,26 @@ _SHINGLES = f"""
          lead(term, 2) OVER w AS shingle
   FROM (SELECT * FROM ({_TOKPOS}) WHERE term <> '')
   WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+"""
+
+
+def _containment_pairs_sql(threshold: float) -> str:
+    return f"""
+WITH sh AS ({_SHINGLES}),
+sh2 AS (SELECT * FROM sh WHERE shingle IS NOT NULL),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh2 GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM sh2 a JOIN sh2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id),
+dirs AS (
+  SELECT id_a AS id_q, id_b AS id_c, i * 1.0 / sa.sz AS containment
+  FROM inter JOIN sizes sa ON sa.doc_id = id_a
+  UNION ALL
+  SELECT id_b AS id_q, id_a AS id_c, i * 1.0 / sb.sz AS containment
+  FROM inter JOIN sizes sb ON sb.doc_id = id_b)
+SELECT id_q, id_c, round(containment, 6) AS containment
+FROM dirs WHERE containment >= {threshold}
 """
 
 
@@ -1387,6 +1418,7 @@ def _oracle_sql_static() -> dict[str, str]:
                      vec_id
             LIMIT 20""",
         "ngram_jaccard_dups": _jaccard_pairs_sql(0.5),
+        "lazo_containment": _containment_pairs_sql(0.5),
         # LSH recall ~1 at j>=0.8 with 16 bands x 4 rows (verified in
         # tests); oracle = exact pairs above threshold
         "minhash_dedup": _jaccard_pairs_sql(0.8),

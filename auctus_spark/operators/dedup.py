@@ -232,6 +232,72 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
             .select("id_a", "id_b", "jaccard"))
 
 
+def containment_pairs(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", threshold: float = 0.5,
+                      candidates: str = "shingle",
+                      num_perm: int = 64, bands: int = 16,
+                      seed: int = 89,
+                      max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF
+                      ) -> DataFrame:
+    """Directional Lazo-style containment scores
+    ``|A∩B| / |A|`` — the reference's textual-join semantics
+    (``apiserver/apiserver/search/join.py:462-554, 633-662``: Lazo
+    sketches estimate how much of the QUERY column's value set a
+    candidate column contains; the scores ride into ES as
+    constant_score boosts).  Unlike symmetric Jaccard this ranks a
+    small set fully inside a big one at 1.0 — the case join
+    augmentation cares about.
+
+    Returns (id_q, id_c, containment): the fraction of doc ``id_q``'s
+    distinct shingle set contained in ``id_c``'s, both directions of
+    every candidate pair, filtered at ``threshold``.
+
+    ``candidates='shingle'`` (default) generates candidates from the
+    capped shingle self-join — exact recall, skew-bounded by
+    ``max_shingle_df``.  ``candidates='lsh'`` uses the banded-minhash
+    buckets instead (cheaper at corpus scale, recall follows the
+    symmetric-Jaccard band curve — like Lazo itself, a sketch with
+    false negatives for very asymmetric pairs).
+    """
+    sh = token_shingles(df, text_col, id_col)
+    if max_shingle_df is not None:
+        sh = frequent_shingle_cap(sh, max_shingle_df)
+    sh = sh.cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.select(F.col("doc_id").alias("id_a"),
+                  F.col("shingle").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"),
+                  F.col("shingle").alias("sh_b"))
+    if candidates == "lsh":
+        sigs = minhash_signatures(df, text_col, id_col,
+                                  num_perm=num_perm, seed=seed)
+        cand = lsh_candidate_pairs(sigs, bands, num_perm // bands)
+        inter = (cand.join(a, "id_a").join(b, "id_b")
+                 .filter(F.col("sh_a") == F.col("sh_b"))
+                 .groupBy("id_a", "id_b")
+                 .agg(F.count("*").alias("inter")))
+    elif candidates == "shingle":
+        inter = (a.join(b, F.col("sh_a") == F.col("sh_b"))
+                 .filter(F.col("id_a") < F.col("id_b"))
+                 .groupBy("id_a", "id_b")
+                 .agg(F.count("*").alias("inter")))
+    else:
+        raise ValueError(f"unknown candidates source: {candidates!r}")
+    both = (inter
+            .join(sizes.withColumnRenamed("doc_id", "id_a")
+                  .withColumnRenamed("sz", "sz_a"), "id_a")
+            .join(sizes.withColumnRenamed("doc_id", "id_b")
+                  .withColumnRenamed("sz", "sz_b"), "id_b"))
+    d1 = both.select(F.col("id_a").alias("id_q"),
+                     F.col("id_b").alias("id_c"),
+                     (F.col("inter") / F.col("sz_a")).alias("containment"))
+    d2 = both.select(F.col("id_b").alias("id_q"),
+                     F.col("id_a").alias("id_c"),
+                     (F.col("inter") / F.col("sz_b")).alias("containment"))
+    return (d1.unionByName(d2)
+            .filter(F.col("containment") >= threshold))
+
+
 # ---------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------

@@ -199,6 +199,41 @@ def test_default_cap_bounds_degenerate_corpus(spark):
     assert hp.count() == 0
 
 
+def test_containment_pairs_asymmetric(spark):
+    """Lazo containment |A∩B|/|A| ranks a small set fully inside a big
+    one at 1.0 while symmetric Jaccard stays low — the asymmetric-size
+    join-augmentation case (reference join.py:633-662)."""
+    from auctus_spark.operators.dedup import (containment_pairs,
+                                              ngram_jaccard_pairs)
+    small = "alpha beta gamma delta epsilon zeta"
+    big = small + " " + " ".join(f"tok{i} filler{i} pad{i}"
+                                 for i in range(20))
+    docs = spark.createDataFrame(
+        [(0, small), (1, big),
+         (2, "completely different words entirely here now")],
+        "doc_id long, text string")
+    got = {(r.id_q, r.id_c): r.containment
+           for r in containment_pairs(docs, threshold=0.5).collect()}
+    assert got[(0, 1)] == 1.0           # small fully contained in big
+    assert (1, 0) not in got            # big barely contained in small
+    assert not any(2 in p for p in got)
+    # symmetric Jaccard misses the pair entirely at the same threshold
+    jac = ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    assert not jac
+    # high-overlap corpus: LSH candidate source finds the same pairs
+    near = spark.createDataFrame(
+        [(10, "one two three four five six seven eight nine ten"),
+         (11, "one two three four five six seven eight nine eleven"),
+         (12, "unrelated content about completely other things here")],
+        "doc_id long, text string")
+    via_sh = {(r.id_q, r.id_c): round(r.containment, 9)
+              for r in containment_pairs(near, threshold=0.5).collect()}
+    via_lsh = {(r.id_q, r.id_c): round(r.containment, 9)
+               for r in containment_pairs(near, threshold=0.5,
+                                          candidates="lsh").collect()}
+    assert via_sh == via_lsh and (10, 11) in via_sh
+
+
 def test_ngram_jaccard_hot_shingle_cap_default(spark):
     """The shingle self-join's skew guard is ON by default: a corpus
     where every doc shares one stop-shingle completes in bounded time
