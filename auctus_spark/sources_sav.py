@@ -6,9 +6,11 @@ this module implements the subset of the PUBLIC format specification
 (documented in the PSPP manual, "System File Format") the conversion
 needs: the $FL2 header, variable records (numeric + strings spanning
 continuation elements), value-label and document records (skipped),
-type-7 extensions (skipped), bytecode ("compression 1") case decoding
-with bias/sysmis/spaces/literal opcodes, and SPSS date/datetime
-formats (values are seconds since 1582-10-14, the Gregorian epoch).
+type-7 extensions (subtype 14 very-long-string widths parsed — strings
+>255 bytes stored as 252-content-byte segments are merged back; other
+subtypes skipped), bytecode ("compression 1") case decoding with
+bias/sysmis/spaces/literal opcodes, and SPSS date/datetime formats
+(values are seconds since 1582-10-14, the Gregorian epoch).
 
 No pyreadstat/PSPP code is used or copied — record layouts follow the
 published specification.
@@ -54,6 +56,7 @@ def _read_sav(data: bytes):
     names: list[str] = []
     widths: list[int] = []       # 0 = numeric, >0 = string width
     fmts: list[int] = []         # print-format TYPE code
+    vls: dict[str, int] = {}     # very-long-string true widths
     while True:
         rtype = u32(pos)
         pos += 4
@@ -89,10 +92,26 @@ def _read_sav(data: bytes):
             n = u32(pos)
             pos += 4 + n * 80
         elif rtype == 7:         # extension
-            pos += 4             # subtype
+            subtype = u32(pos)
+            pos += 4
             size = u32(pos)
             count = u32(pos + 4)
-            pos += 8 + size * count
+            pos += 8
+            if subtype == 14:
+                # very-long-string record: "NAME=LENGTH" pairs, each
+                # followed by a null byte and a tab (PSPP spec);
+                # strings >255 bytes are stored as 255-wide segments
+                # of 252 content bytes each, merged below
+                raw = data[pos:pos + size * count]
+                for entry in raw.replace(b"\x00", b"").split(b"\t"):
+                    if b"=" in entry:
+                        nm, ln = entry.split(b"=", 1)
+                        try:
+                            vls[nm.rstrip(b" ").decode("latin-1")] = \
+                                int(ln)
+                        except ValueError:
+                            pass
+            pos += size * count
         elif rtype == 999:       # dictionary terminator
             pos += 4
             break
@@ -154,11 +173,43 @@ def _read_sav(data: bytes):
                 v = struct.unpack(endian + "d", parts[0])[0]
                 cols[i].append(np.nan if v == SYSMIS else v)
             else:
-                s = b"".join(parts)[:w].rstrip(b" ")
-                cols[i].append(s.decode("latin-1"))
+                cols[i].append(b"".join(parts))   # raw; decoded below
         if n_cases >= 0 and len(cols[0]) >= n_cases:
             break
-    return names, widths, fmts, cols
+
+    # merge very-long-string segments (width > 255): the dictionary
+    # holds ceil(W/252) segment variables — every segment but the last
+    # is 255 wide and carries 252 content bytes
+    out_names, out_widths, out_fmts, out_cols = [], [], [], []
+    i = 0
+    while i < len(names):
+        w = widths[i]
+        true_w = vls.get(names[i])
+        if w == 255 and true_w and true_w > 255:
+            n_segs = (true_w + 251) // 252
+            last_w = true_w - 252 * (n_segs - 1)
+            merged = []
+            for r in range(len(cols[i])):
+                buf = b"".join(cols[i + k][r][:252]
+                               for k in range(n_segs - 1))
+                buf += cols[i + n_segs - 1][r][:last_w]
+                merged.append(buf.rstrip(b" ").decode("latin-1"))
+            out_names.append(names[i])
+            out_widths.append(true_w)
+            out_fmts.append(fmts[i])
+            out_cols.append(merged)
+            i += n_segs
+        else:
+            if w > 0:
+                out_cols.append([b[:w].rstrip(b" ").decode("latin-1")
+                                 for b in cols[i]])
+            else:
+                out_cols.append(cols[i])
+            out_names.append(names[i])
+            out_widths.append(w)
+            out_fmts.append(fmts[i])
+            i += 1
+    return out_names, out_widths, out_fmts, out_cols
 
 
 def read_sav_frame(path: str) -> pd.DataFrame:

@@ -170,3 +170,59 @@ def test_read_any_stata_end_to_end(spark, tmp_path):
     rows = df.collect()
     assert rows[0]["a"] == "1" and rows[1]["a"] == "2.25"
     assert rows[0]["b"] == "x"
+
+
+def _sav_vls() -> bytes:
+    """Fixture with a very-long-string variable (W=300): two segments
+    (255-wide carrying 252 content bytes + 48-wide remainder), the
+    type-7 subtype-14 record mapping LONGSTR to its true width, and
+    uncompressed cases — all per the PSPP spec."""
+    head = b"$FL2" + b"@(#) vls".ljust(60)
+    head += struct.pack("<i", 2)            # layout
+    # case size: 1 numeric + 32 (seg1: 255-wide) + 6 (seg2: 48-wide)
+    head += struct.pack("<i", 39)
+    head += struct.pack("<i", 0)            # uncompressed
+    head += struct.pack("<i", 0)            # weight
+    head += struct.pack("<i", 2)            # n_cases
+    head += struct.pack("<d", 100.0)
+    head += b"01 Jan 26" + b"00:00:00" + b"vls".ljust(64) + b"\0" * 3
+    assert len(head) == 176
+
+    recs = _var_record(0, "NUM")
+    recs += _var_record(255, "LONGSTR", fmt_type=1)
+    for _ in range(31):                     # seg1 continuations
+        recs += struct.pack("<iiiiii", 2, -1, 0, 0, 0, 0) + b" " * 8
+    recs += _var_record(48, "LONGST_1", fmt_type=1)
+    for _ in range(5):                      # seg2 continuations
+        recs += struct.pack("<iiiiii", 2, -1, 0, 0, 0, 0) + b" " * 8
+    vls = b"LONGSTR=00300\x00\t"
+    recs += struct.pack("<iiii", 7, 14, 1, len(vls)) + vls
+    recs += struct.pack("<ii", 999, 0)
+
+    def seg_bytes(value: bytes) -> bytes:
+        # segment 1: content bytes 0..251, padded to 256 (32 elements)
+        # segment 2: content bytes 252..299, padded to 48 (6 elements)
+        s1 = value[:252].ljust(256)
+        s2 = value[252:300].ljust(48)
+        return s1 + s2
+
+    # v2 has spaces AT the segment boundary (positions 250-251) that
+    # must survive the merge
+    v1 = b"A" * 260
+    v2 = b"b" * 250 + b"  c" + b"d" * 47
+    assert len(v2) == 300
+    body = struct.pack("<d", 1.0) + seg_bytes(v1.ljust(300))
+    body += struct.pack("<d", 2.0) + seg_bytes(v2)
+    return head + recs + body
+
+
+def test_read_sav_very_long_string(tmp_path):
+    from auctus_spark.sources_sav import read_sav_frame
+    p = tmp_path / "vls.sav"
+    p.write_bytes(_sav_vls())
+    df = read_sav_frame(str(p))
+    assert list(df.columns) == ["NUM", "LONGSTR"]
+    assert df["NUM"].tolist() == [1.0, 2.0]
+    assert df["LONGSTR"].iloc[0] == "A" * 260
+    # interior spaces straddling the 252-byte segment cut are intact
+    assert df["LONGSTR"].iloc[1] == "b" * 250 + "  c" + "d" * 47
