@@ -244,10 +244,126 @@ def write_csv(df: DataFrame, path: str, single_file: bool = False) -> None:
 
 def write_d3m_like(df: DataFrame, path: str) -> None:
     """D3M-dataset-style output (reference d3m.py): learningData.csv
-    with a d3mIndex column."""
+    with a d3mIndex column.  :func:`write_d3m` adds the full
+    datasetDoc.json."""
     from .ids import sequential_index
     with_idx = sequential_index(df, "d3mIndex")
     cols = ["d3mIndex"] + [c for c in df.columns]
     write_csv(with_idx.select(*cols).orderBy("d3mIndex"),
               os.path.join(path, "tables", "learningData.csv"),
               single_file=True)
+
+
+# ---------------------------------------------------------------------
+# D3M datasetDoc.json (MIT-LL data-supply schema)
+# ---------------------------------------------------------------------
+# Semantic-type URIs from the PUBLIC D3M / schema.org vocabulary
+# (reference lib_profiler/datamart_profiler/types.py)
+T_BOOLEAN = "http://schema.org/Boolean"
+T_INTEGER = "http://schema.org/Integer"
+T_FLOAT = "http://schema.org/Float"
+T_TEXT = "http://schema.org/Text"
+T_DATE_TIME = "http://schema.org/DateTime"
+T_ID = "http://schema.org/identifier"
+T_CATEGORICAL = \
+    "https://metadata.datadrivendiscovery.org/types/CategoricalData"
+
+_D3M_STRUCTURAL = {T_BOOLEAN: "boolean", T_INTEGER: "integer",
+                   T_FLOAT: "real", T_TEXT: "string"}
+D3M_VERSIONS = ("3.2.0", "4.0.0")
+
+
+def d3m_metadata(dataset_id: str, metadata: dict,
+                 version: str = "4.0.0",
+                 need_d3mindex: bool = False) -> dict:
+    """Full datasetDoc.json metadata (reference d3m.py:25-98 parity):
+    column roles/types from structural + semantic types, about block
+    with version map, 4.0.0 vs 3.2.0 resFormat shapes."""
+    if version not in D3M_VERSIONS:
+        raise ValueError(f"Unknown D3M schema version {version!r}")
+    columns = metadata["columns"]
+    if need_d3mindex and not any(c["name"] == "d3mIndex"
+                                 for c in columns):
+        columns = [{"name": "d3mIndex", "structural_type": T_INTEGER,
+                    "semantic_types": [T_ID]}] + list(columns)
+    d3m_columns = []
+    for i, column in enumerate(columns):
+        if T_BOOLEAN in column["semantic_types"]:
+            col_type = "boolean"
+        elif T_CATEGORICAL in column["semantic_types"]:
+            col_type = "categorical"
+        elif (column["structural_type"] == T_TEXT
+                and T_DATE_TIME in column["semantic_types"]):
+            col_type = "dateTime"
+        else:
+            col_type = _D3M_STRUCTURAL.get(column["structural_type"],
+                                           "string")
+        d3m_columns.append({
+            "colIndex": i,
+            "colName": column["name"],
+            "colType": col_type,
+            "role": ["index" if column["name"] == "d3mIndex"
+                     else "attribute"],
+        })
+    meta = {
+        "about": {
+            "datasetID": dataset_id,
+            "datasetName": metadata.get("name", dataset_id),
+            "license": metadata.get("license", "unknown"),
+            "datasetSchemaVersion": version,
+            "redacted": False,
+            "datasetVersion": "1.0",
+        },
+        "dataResources": [{
+            "resID": "learningData",
+            "resPath": "tables/learningData.csv",
+            "resType": "table",
+            "resFormat": ({"text/csv": ["csv"]} if version == "4.0.0"
+                          else ["text/csv"]),
+            "isCollection": False,
+            "columns": d3m_columns,
+        }],
+    }
+    if "description" in metadata:
+        meta["about"]["description"] = metadata["description"]
+    if "size" in metadata:
+        meta["about"]["approximateSize"] = "%d B" % metadata["size"]
+    if "qualities" in metadata:
+        meta["qualities"] = metadata["qualities"]
+    return meta
+
+
+def _spark_structural_type(dtype: str) -> str:
+    if dtype == "boolean":
+        return T_BOOLEAN
+    if dtype in ("tinyint", "smallint", "int", "bigint", "long"):
+        return T_INTEGER
+    if dtype in ("float", "double") or dtype.startswith("decimal"):
+        return T_FLOAT
+    return T_TEXT
+
+
+def write_d3m(df: DataFrame, path: str, dataset_id: str,
+              metadata: dict | None = None, version: str = "4.0.0",
+              semantic_types: dict[str, list[str]] | None = None
+              ) -> dict:
+    """Complete D3M dataset output (reference d3m.py D3mWriter):
+    ``tables/learningData.csv`` with a prepended d3mIndex plus
+    ``datasetDoc.json`` (sort_keys, indent=2 — byte-parity with the
+    reference's json.dump call).  Structural types derive from the
+    Spark schema; per-column ``semantic_types`` override/annotate
+    (e.g. categorical, dateTime)."""
+    import json
+    write_d3m_like(df, path)
+    cols = [{"name": c,
+             "structural_type": _spark_structural_type(t),
+             "semantic_types": (semantic_types or {}).get(c, [])}
+            for c, t in df.dtypes]
+    meta = dict(metadata or {})
+    meta["columns"] = cols
+    doc = d3m_metadata(dataset_id, meta, version=version,
+                       need_d3mindex=True)
+    with open(os.path.join(path, "datasetDoc.json"), "w",
+              encoding="utf-8", newline="") as fp:
+        json.dump(doc, fp, sort_keys=True, indent=2)
+    return doc

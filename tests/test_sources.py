@@ -82,3 +82,71 @@ def test_sample_deterministic(spark, sf_dir):
     s2 = sample_dataset(df, 500).count()
     assert s1 == s2  # seeded
     assert s1 < df.count()
+
+
+def test_d3m_dataset_doc_golden(spark, tmp_path):
+    """Full datasetDoc.json parity with the reference writer
+    (d3m.py:25-98; golden mirrors tests/test_materialize.py
+    basic_d3m_metadata_with_index): structural->colType map,
+    categorical/boolean semantic overrides, index role, 4.0.0
+    resFormat shape, sorted 2-indent serialization."""
+    import glob
+    import json
+
+    from auctus_spark.sources import T_CATEGORICAL, d3m_metadata, write_d3m
+
+    df = spark.createDataFrame(
+        [("remi", "france", 4, True), ("aecio", "brazil", 7, False)],
+        "name string, country string, number long, what boolean")
+    out = str(tmp_path / "ds")
+    doc = write_d3m(df, out, "test1",
+                    metadata={"name": "basic", "size": 425},
+                    semantic_types={"country": [T_CATEGORICAL]})
+    golden_cols = [
+        {"colIndex": 0, "colName": "d3mIndex", "colType": "integer",
+         "role": ["index"]},
+        {"colIndex": 1, "colName": "name", "colType": "string",
+         "role": ["attribute"]},
+        {"colIndex": 2, "colName": "country", "colType": "categorical",
+         "role": ["attribute"]},
+        {"colIndex": 3, "colName": "number", "colType": "integer",
+         "role": ["attribute"]},
+        {"colIndex": 4, "colName": "what", "colType": "boolean",
+         "role": ["attribute"]},
+    ]
+    golden = {
+        "about": {
+            "datasetID": "test1",
+            "datasetName": "basic",
+            "datasetSchemaVersion": "4.0.0",
+            "datasetVersion": "1.0",
+            "approximateSize": "425 B",
+            "license": "unknown",
+            "redacted": False,
+        },
+        "dataResources": [{
+            "resID": "learningData",
+            "resType": "table",
+            "resFormat": {"text/csv": ["csv"]},
+            "resPath": "tables/learningData.csv",
+            "isCollection": False,
+            "columns": golden_cols,
+        }],
+    }
+    assert doc == golden
+    with open(f"{out}/datasetDoc.json") as fp:
+        assert json.load(fp) == golden
+    # learningData.csv really carries the d3mIndex
+    part = glob.glob(f"{out}/tables/learningData.csv/*.csv")[0]
+    with open(part) as fp:
+        header = fp.readline().strip()
+    assert header.startswith("d3mIndex,")
+    # 3.2.0 keeps the list-shaped resFormat
+    cols = [{"name": "name",
+             "structural_type": "http://schema.org/Text",
+             "semantic_types": []}]
+    doc32 = d3m_metadata("x", {"columns": cols}, version="3.2.0")
+    assert doc32["dataResources"][0]["resFormat"] == ["text/csv"]
+    import pytest
+    with pytest.raises(ValueError, match="version"):
+        d3m_metadata("x", {"columns": cols}, version="9.9")
