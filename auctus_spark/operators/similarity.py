@@ -140,6 +140,27 @@ class HyperplaneLSH:
         cand = bucketed.filter(F.col("bucket").isin(probes))
         return cosine_topk(cand, query_vec, k, vec_col, id_col)
 
+    def partition_table(self, emb: DataFrame, path: str,
+                        vec_col: str = "embedding") -> None:
+        """Write the bucketed table hive-partitioned by bucket id —
+        the ANN analogue of the posting index's term_bucket layout.
+        ``search_partitioned`` then touches only the probed buckets'
+        files (partition pruning on the ``bucket`` filter)."""
+        (self.bucketize(emb, vec_col)
+         .repartition("bucket")
+         .write.mode("overwrite").partitionBy("bucket").parquet(path))
+
+    def search_partitioned(self, spark, path: str,
+                           query_vec: list[float], k: int = 10,
+                           vec_col: str = "embedding",
+                           id_col: str = "vec_id",
+                           n_probe_bits: int = 2) -> DataFrame:
+        """ANN top-k over a :meth:`partition_table` layout: the bucket
+        isin-filter folds into partition pruning, so only probed
+        partitions are read."""
+        return self.search(spark.read.parquet(path), query_vec, k,
+                           vec_col, id_col, n_probe_bits)
+
 
 def ann_recall(exact: list[int], approx: list[int]) -> float:
     return len(set(exact) & set(approx)) / max(len(exact), 1)

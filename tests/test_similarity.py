@@ -68,3 +68,31 @@ def test_lsh_search_recall(spark, vectors):
     probes = lsh.probe_buckets(q, 2)
     n_cand = bucketed.filter(bucketed.bucket.isin(probes)).count()
     assert n_cand < 400
+
+
+def test_lsh_partition_table_pruning(spark, vectors, tmp_path):
+    """partition_table writes bucket=N hive partitions;
+    search_partitioned reads ONLY the probed partitions (the scan's
+    partition filter carries the bucket isin) and returns exactly what
+    the in-memory bucketed search returns."""
+    rows, mat = vectors
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    lsh = HyperplaneLSH(dim=32, n_planes=10)
+    path = str(tmp_path / "ann")
+    lsh.partition_table(emb, path)
+    import glob
+    import os
+    parts = glob.glob(os.path.join(path, "bucket=*"))
+    assert len(parts) > 4                       # really hive-partitioned
+    q = mat[7].tolist()
+    got = [(r.vec_id, round(r.cos_sim, 9)) for r in
+           lsh.search_partitioned(spark, path, q, k=10).collect()]
+    want = [(r.vec_id, round(r.cos_sim, 9)) for r in
+            lsh.search(lsh.bucketize(emb), q, k=10).collect()]
+    assert got == want and len(got) == 10
+    # partition pruning: the physical scan keeps a PartitionFilters
+    # entry on bucket (pruned read, not a full-table scan)
+    plan = (lsh.search_partitioned(spark, path, q, k=10)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "PartitionFilters: [" in plan and "bucket" in plan.split(
+        "PartitionFilters")[1][:200]
