@@ -116,15 +116,11 @@ class SearchEngine:
         return self.spark.createDataFrame([], "doc_id long, score double")
 
     # ---------------- exhaustive DataFrame plan -----------------------
-    def search(self, query: str, k: int = TOP_K_SIZE) -> DataFrame:
-        terms = analyze_query(query, stem=self.stem)
-        if not terms:
-            return self._empty()
-        idf = self._idf_map(terms)
-        if idf is None:
-            return self._empty()
+    def _flat_postings(self, terms: list[str]) -> DataFrame:
+        """Decode the query terms' postings to flat (term, doc_id, tf,
+        dl) rows, tombstones masked — the shared front half of the
+        exhaustive scorer and the explain surface."""
         segs = self._segments_for(terms)
-        avgdl = self.avgdl
 
         def decode(batches):
             for pdf in batches:
@@ -148,6 +144,17 @@ class SearchEngine:
             # (an isin(...) literal list would bloat the plan)
             flat = flat.join(F.broadcast(self._tomb_df), "doc_id",
                              "left_anti")
+        return flat
+
+    def search(self, query: str, k: int = TOP_K_SIZE) -> DataFrame:
+        terms = analyze_query(query, stem=self.stem)
+        if not terms:
+            return self._empty()
+        idf = self._idf_map(terms)
+        if idf is None:
+            return self._empty()
+        avgdl = self.avgdl
+        flat = self._flat_postings(terms)
         idf_df = F.broadcast(self.spark.createDataFrame(
             pd.DataFrame({"term": list(idf), "idf": list(idf.values())})))
         scored = (flat.join(idf_df, "term")
@@ -174,6 +181,96 @@ class SearchEngine:
         return (agg.select("doc_id", score.alias("score"))
                 .orderBy(F.desc("score"), F.asc("doc_id"))
                 .limit(k))
+
+    # ---------------- explain (ES _explain analog) --------------------
+    def explain(self, query: str, k: int = 10) -> DataFrame:
+        """Flattened ES/Lucene explain: one row per (top-k doc, query
+        term) with every scoring factor — tf, dl, df, idf, the BM25
+        tf-norm, and the term's contribution — plus the doc's final
+        score.  The debugging surface for rank diffs: ES ``_explain``
+        returns the same numbers as a nested tree
+        (:meth:`explain_doc` builds that shape)."""
+        schema = ("doc_id long, score double, term string, tf long, "
+                  "dl long, df long, idf double, tf_norm double, "
+                  "contribution double")
+        terms = analyze_query(query, stem=self.stem)
+        if not terms:
+            return self.spark.createDataFrame([], schema)
+        idf = self._idf_map(terms)
+        if idf is None:
+            return self.spark.createDataFrame([], schema)
+        stats = self.term_stats(terms)
+        top = self.search(query, k)
+        factors = F.broadcast(self.spark.createDataFrame(
+            pd.DataFrame({"term": terms,
+                          "df": [stats[t] for t in terms],
+                          "idf": [idf[t] for t in terms]})))
+        tf_norm = (F.col("tf") /
+                   (F.col("tf") + F.lit(K1) *
+                    (F.lit(1.0 - B) +
+                     F.lit(B) * F.col("dl") / F.lit(self.avgdl))))
+        return (self._flat_postings(terms)
+                .join(F.broadcast(top), "doc_id")
+                .join(factors, "term")
+                .withColumn("tf_norm", tf_norm)
+                .withColumn("contribution",
+                            F.col("idf") * F.col("tf_norm"))
+                .select("doc_id", "score", "term", "tf", "dl", "df",
+                        "idf", "tf_norm", "contribution")
+                .orderBy(F.desc("score"), F.asc("doc_id"), F.asc("term")))
+
+    def explain_doc(self, query: str, doc_id: int) -> dict | None:
+        """ES ``_explain``-shaped tree for ONE document (matched or
+        not): ``{value, description, details}`` nesting with the
+        Lucene BM25 breakdown per term.  Returns None when the doc
+        matches no query term (conjunctive semantics: any missing
+        term zeroes the doc — reported via ``matched``)."""
+        terms = analyze_query(query, stem=self.stem)
+        if not terms:
+            return None
+        stats = self.term_stats(terms)
+        rows = (self._flat_postings([t for t in terms if t in stats])
+                .filter(F.col("doc_id") == doc_id).collect()
+                if stats else [])
+        per_term = {r["term"]: r for r in rows}
+        if not per_term:
+            return None
+        details = []
+        total = 0.0
+        for t in terms:
+            r = per_term.get(t)
+            if r is None:
+                continue
+            df_t = stats[t]
+            idf_t = bm25_idf(self.n_docs, df_t)
+            tfn = _tf_norm(float(r["tf"]), float(r["dl"]), self.avgdl)
+            contrib = idf_t * tfn
+            total += contrib
+            details.append({
+                "value": contrib,
+                "description": (f"weight({t} in {doc_id}) "
+                                "[BM25Similarity], result of:"),
+                "details": [
+                    {"value": idf_t,
+                     "description": (f"idf, computed as ln(1 + (N - n "
+                                     f"+ 0.5) / (n + 0.5)) from n={df_t}, "
+                                     f"N={self.n_docs}"),
+                     "details": []},
+                    {"value": tfn,
+                     "description": (f"tf, computed as freq / (freq + "
+                                     f"k1 * (1 - b + b * dl / avgdl)) "
+                                     f"from freq={int(r['tf'])}, "
+                                     f"k1={K1}, b={B}, dl={int(r['dl'])}, "
+                                     f"avgdl={self.avgdl}"),
+                     "details": []},
+                ]})
+        matched = len(details) == len(terms)
+        return {"value": total if matched else 0.0,
+                "matched": matched,
+                "description": ("sum of:" if matched else
+                                "conjunctive AND not satisfied "
+                                "(missing terms); sum would be:"),
+                "details": details}
 
     # ---------------- bucket-parallel block-max scorers ----------------
     #

@@ -465,3 +465,55 @@ def test_search_many_or_batched(spark, built):
         want = oracle.search_or(q, k=50)
         rows = sorted(got.get(qid, []), key=lambda t: (-t[0], t[1]))
         assert [(d, s) for s, d in rows] == want, q
+
+
+def test_explain_breakdown(spark, built):
+    """ES _explain analog: per-(doc, term) factors sum to the final
+    score; idf/tf-norm match the oracle's arithmetic; the tree shape
+    mirrors ES (value/description/details)."""
+    out, oracle, stats, corpus, b = built
+    eng = SearchEngine(spark, out, term_buckets=8)
+    q = "import def return"
+    want = dict(oracle.search(q, k=10))
+    rows = eng.explain(q, k=10).collect()
+    assert rows
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(int(r.doc_id), []).append(r)
+    assert set(by_doc) == set(want)
+    for d, rr in by_doc.items():
+        assert len(rr) == 3                   # one row per query term
+        assert {x.term for x in rr} == {"import", "def", "return"}
+        for x in rr:
+            assert x.score == want[d]
+            # factor consistency: contribution = idf * tf_norm, and
+            # idf is the Lucene formula over (df, N)
+            assert x.contribution == pytest.approx(
+                x.idf * x.tf_norm, rel=1e-15)
+            assert x.idf == pytest.approx(
+                math.log(1 + (eng.n_docs - x.df + 0.5) / (x.df + 0.5)),
+                rel=1e-15)
+        assert sum(x.contribution for x in rr) == pytest.approx(
+            want[d], rel=1e-12)
+    # tree-shaped single-doc explain
+    top_doc = max(want, key=want.get)
+    tree = eng.explain_doc(q, top_doc)
+    assert tree["matched"] and tree["value"] == pytest.approx(
+        want[top_doc], rel=1e-12)
+    assert len(tree["details"]) == 3
+    leaf = tree["details"][0]["details"]
+    assert leaf[0]["description"].startswith("idf")
+    assert leaf[1]["description"].startswith("tf")
+    assert tree["details"][0]["value"] == pytest.approx(
+        leaf[0]["value"] * leaf[1]["value"], rel=1e-15)
+    # a doc missing one term: matched=False, partial details
+    has_import = {d for d, _ in oracle.search("import", k=600)}
+    has_all = {d for d, _ in oracle.search(q, k=600)}
+    not_all = sorted(has_import - has_all)
+    if not_all:
+        t2 = eng.explain_doc(q, not_all[0])
+        assert t2 is not None and not t2["matched"]
+        assert t2["value"] == 0.0 and 0 < len(t2["details"]) < 3
+    # unmatched / zero-hit cases
+    assert eng.explain_doc("no_such_token_anywhere", 0) is None
+    assert eng.explain("no_such_token_anywhere").count() == 0
