@@ -550,6 +550,23 @@ def _q_bm25_phrase(spark, sf_dir):
     return out.select("doc_id", F.round("score", 6).alias("score"))
 
 
+def _q_bm25_phrase_sloppy(spark, sf_dir):
+    """match_phrase with slop=2 (Lucene SloppyPhraseScorer window
+    algorithm — oracle.lucene_sloppy_freq runs in BOTH the engine
+    buckets and the pytest oracle, bit-identical scores;
+    tests/test_rank_identity.py::test_sloppy_phrase_matches_oracle).
+    Rows-only driver check: the window accumulation is not
+    SQL-expressible."""
+    from auctus_spark.query.bm25 import PhraseEngine
+    _q_bm25_phrase(spark, sf_dir)        # ensure the index exists
+    import hashlib as _h
+    tag = _h.md5(sf_dir.encode()).hexdigest()[:10]
+    eng = PhraseEngine(spark, f"/tmp/auctus_entry_index_pos_{tag}",
+                       term_buckets=16)
+    out = eng.search_phrase("table value", k=50, slop=2)
+    return out.select("doc_id", F.round("score", 6).alias("score"))
+
+
 def _phrase_sql(terms: list[str], k: int = 50) -> str:
     """DuckDB phrase oracle: positional self-joins on consecutive
     positions; Lucene PhraseQuery scoring (idf_sum * tf_norm(freq))."""
@@ -1160,6 +1177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_synonyms": _q_bm25_synonyms,
         "bm25_synonyms_idx": _q_bm25_synonyms_idx,
         "bm25_phrase": _q_bm25_phrase,
+        "bm25_phrase_sloppy": _q_bm25_phrase_sloppy,
         "bm25_multifield_idx": _q_bm25_multifield_idx,
         "embedding_near_pairs": _q_embedding_near_pairs,
         "augment_join": _q_augment_join,

@@ -41,6 +41,57 @@ def bm25_tf_norm(tf: float, doc_len: float, avgdl: float,
     return tf / (tf + k1 * (1.0 - b + b * doc_len / avgdl))
 
 
+def lucene_sloppy_freq(pos_lists, slop: int) -> float:
+    """Lucene SloppyPhraseScorer.phraseFreq for phrases WITHOUT
+    repeated terms: ``pos_lists[i]`` is slot i's sorted OFFSET-ADJUSTED
+    positions (token position − phrase offset).  A priority queue of
+    per-slot cursors advances the minimum; every time the minimal
+    window closes, ``1 / (1 + matchLength)`` accrues if the window
+    width (= slop consumed) is within ``slop``.  Same algorithm runs
+    in the oracle and inside the engine's bucket scorer, so scores are
+    bit-identical by construction (float64 throughout — Lucene
+    accumulates in float32; documented divergence)."""
+    import heapq
+    n = len(pos_lists)
+    cursors = [0] * n
+    heap = []
+    end = None
+    for off in range(n):
+        pl = pos_lists[off]
+        if len(pl) == 0:
+            return 0.0
+        p = int(pl[0])
+        heap.append((p, off))
+        if end is None or p > end:
+            end = p
+    heapq.heapify(heap)
+    freq = 0.0
+    pos, off = heapq.heappop(heap)
+    match_length = end - pos
+    nxt = heap[0][0] if heap else pos
+    while True:
+        cursors[off] += 1
+        if cursors[off] >= len(pos_lists[off]):
+            break
+        pos = int(pos_lists[off][cursors[off]])
+        if pos > end:
+            end = pos
+        if pos > nxt:
+            if match_length <= slop:
+                freq += 1.0 / (1.0 + match_length)
+            heapq.heappush(heap, (pos, off))
+            pos, off = heapq.heappop(heap)
+            nxt = heap[0][0] if heap else pos
+            match_length = end - pos
+        else:
+            ml2 = end - pos
+            if ml2 < match_length:
+                match_length = ml2
+    if match_length <= slop:
+        freq += 1.0 / (1.0 + match_length)
+    return freq
+
+
 @dataclass
 class OracleIndex:
     """In-memory inverted index over (doc_id, text) pairs."""
@@ -270,15 +321,21 @@ class PositionalOracleIndex:
         return idx
 
     def search_phrase(self, query: str, k: int = TOP_K_SIZE,
-                      k1: float = K1, b: float = B
+                      k1: float = K1, b: float = B, slop: int = 0
                       ) -> list[tuple[int, float]]:
-        """Exact phrase (slop=0) top-k, Lucene PhraseQuery scoring:
-        phrase_freq as the tf, weight = SUM of the terms' idfs —
+        """Phrase top-k, Lucene PhraseQuery scoring: phrase_freq as the
+        tf (exact adjacency count at slop=0; :func:`lucene_sloppy_freq`
+        accumulation for slop>0), weight = SUM of the terms' idfs —
         score(d) = (sum_i idf(t_i)) * tf_norm(phrase_freq, dl, avgdl).
-        Duplicate query terms are KEPT (phrase order matters)."""
+        Duplicate query terms are KEPT at slop=0 (order matters);
+        slop>0 with repeated terms is rejected (Lucene's repeats
+        machinery is out of scope)."""
         terms = [t for t in tokenize(query, stem=self.stem)]
         if not terms:
             return []
+        if slop and len(set(terms)) != len(terms):
+            raise ValueError("slop > 0 with repeated phrase terms is "
+                             "not supported")
         plists = []
         for t in terms:
             p = self.postings.get(t)
@@ -293,12 +350,17 @@ class PositionalOracleIndex:
             idf_sum += bm25_idf(self.n_docs, len(self.postings[t]))
         scored: list[tuple[int, float]] = []
         for d in candidates:
-            occ = set(plists[0][d])
-            for i, p in enumerate(plists[1:], start=1):
-                occ &= {x - i for x in p[d]}
-                if not occ:
-                    break
-            freq = len(occ)
+            if slop:
+                freq = lucene_sloppy_freq(
+                    [[x - i for x in p[d]]
+                     for i, p in enumerate(plists)], slop)
+            else:
+                occ = set(plists[0][d])
+                for i, p in enumerate(plists[1:], start=1):
+                    occ &= {x - i for x in p[d]}
+                    if not occ:
+                        break
+                freq = len(occ)
             if not freq:
                 continue
             s = idf_sum * bm25_tf_norm(freq, self.doc_len[d],

@@ -1002,24 +1002,26 @@ def _decode_positions_full(seg: dict) -> np.ndarray:
     return c - base
 
 
-def _phrase_keys(seg: dict, cand: np.ndarray, shift_terms: int,
-                 term_offset: int) -> np.ndarray:
-    """(candidate_index << shift) | (position - term_offset) keys for
-    candidate docs present in this partial; positions are shifted so a
-    phrase match has EQUAL keys across terms."""
+def _phrase_occurrences(seg: dict, cand: np.ndarray, term_offset: int
+                        ) -> tuple[np.ndarray, np.ndarray]:
+    """(candidate_index, position − term_offset) pairs for candidate
+    docs present in this partial — the raw material of both the exact
+    (key-equality) and sloppy phrase matchers.  Adjusted positions may
+    be negative (a later slot's term occurring early)."""
+    empty = (np.array([], dtype=np.int64), np.array([], dtype=np.int64))
     doc_ids, tfs, _ = _decode_partial_full(seg)
     pos_abs = _decode_positions_full(seg)
     lo = np.searchsorted(cand, seg["doc_id_min"])
     hi = np.searchsorted(cand, seg["doc_id_max"], side="right")
     sub_idx = np.arange(lo, hi)
     if sub_idx.size == 0:
-        return np.array([], dtype=np.int64)
+        return empty
     pos = np.searchsorted(doc_ids, cand[sub_idx])
     pos_c = np.minimum(pos, doc_ids.size - 1)
     hit = doc_ids[pos_c] == cand[sub_idx]
     sub_idx, posting = sub_idx[hit], pos_c[hit]
     if sub_idx.size == 0:
-        return np.array([], dtype=np.int64)
+        return empty
     firsts = np.concatenate([[0], np.cumsum(tfs)])
     counts = tfs[posting]
     occ_start = firsts[posting]
@@ -1028,9 +1030,17 @@ def _phrase_keys(seg: dict, cand: np.ndarray, shift_terms: int,
         np.repeat(np.concatenate([[0], np.cumsum(counts)])[:-1], counts))
     cidx = np.repeat(sub_idx, counts)
     p = pos_abs[flat] - term_offset
+    return cidx.astype(np.int64), p.astype(np.int64)
+
+
+def _phrase_keys(seg: dict, cand: np.ndarray, shift_terms: int,
+                 term_offset: int) -> np.ndarray:
+    """(candidate_index << shift) | (position - term_offset) keys for
+    candidate docs present in this partial; positions are shifted so a
+    phrase match has EQUAL keys across terms."""
+    cidx, p = _phrase_occurrences(seg, cand, term_offset)
     keep = p >= 0
-    return (cidx[keep].astype(np.int64) << np.int64(shift_terms)) \
-        | p[keep].astype(np.int64)
+    return (cidx[keep] << np.int64(shift_terms)) | p[keep]
 
 
 class PhraseEngine(SearchEngine):
@@ -1050,13 +1060,21 @@ class PhraseEngine(SearchEngine):
 
     _POS_COLS = SearchEngine._SEG_COLS + ["pos_blob", "pos_off"]
 
-    def search_phrase(self, query: str, k: int = TOP_K_SIZE) -> DataFrame:
-        """Exact phrase (slop=0) top-k.  Duplicate terms are kept and
-        order matters (unlike the bag-of-words analyzers)."""
+    def search_phrase(self, query: str, k: int = TOP_K_SIZE,
+                      slop: int = 0) -> DataFrame:
+        """Phrase top-k.  Duplicate terms are kept and order matters
+        (unlike the bag-of-words analyzers).  ``slop`` > 0 runs the
+        Lucene sloppy matcher (``oracle.lucene_sloppy_freq`` — the
+        SAME function the oracle scores with, so ranks and scores stay
+        bit-identical): phrase freq accumulates 1/(1+window) over
+        minimal windows within the edit budget; repeated terms with
+        slop>0 are rejected (Lucene repeats machinery out of scope)."""
         from ..analysis import tokenize as _tok
         terms = _tok(query, stem=self.stem)
         if not terms:
             return self._empty()
+        if slop:
+            return self._search_phrase_sloppy(terms, k, slop)
         uterms = list(dict.fromkeys(terms))
         stats = self.term_stats(uterms)
         if any(t not in stats for t in uterms):
@@ -1114,6 +1132,87 @@ class PhraseEngine(SearchEngine):
                 hit = ids[pos_c] == docs
                 dl[hit] = dls[pos_c[hit]]
             f = freq.astype(np.float64)
+            score = idf_sum * (f / (f + K1 * (1.0 - B + B * dl / avgdl)))
+            d2, s2 = _topk_local(docs, score, kk)
+            return pd.DataFrame({"doc_id": d2.astype(np.int64),
+                                 "score": s2})
+
+        local = (segs.groupBy("bucket")
+                 .applyInPandas(score_bucket,
+                                schema="doc_id long, score double"))
+        return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def _search_phrase_sloppy(self, terms: list[str], k: int,
+                              slop: int) -> DataFrame:
+        """Bucket-parallel sloppy phrase: candidate docs (conjunctive
+        posting intersection, rarest-first) then the Lucene window
+        algorithm per candidate over offset-adjusted positions."""
+        if len(set(terms)) != len(terms):
+            raise ValueError("slop > 0 with repeated phrase terms is "
+                             "not supported")
+        from ..oracle import lucene_sloppy_freq
+        stats = self.term_stats(terms)
+        if any(t not in stats for t in terms):
+            return self._empty()
+        idf_sum = 0.0
+        for t in terms:
+            idf_sum += bm25_idf(self.n_docs, stats[t])
+        segs = self._segments_for(terms).select(*self._POS_COLS)
+        avgdl = self.avgdl
+        tomb = self.tombstones
+        all_terms = list(terms)
+        kk, sl = k, slop
+
+        def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+            per_term = _group_partials_pos(pdf)
+            if any(t not in per_term for t in all_terms):
+                return _empty_pdf()
+            order = sorted(all_terms,
+                           key=lambda t: sum(p["n_docs"]
+                                             for p in per_term[t]))
+            cand = None
+            for t in order:
+                ids = _decode_full_term(per_term[t])
+                if cand is None:
+                    cand = _mask_tombstones(ids, tomb)
+                else:
+                    pos = np.searchsorted(ids, cand)
+                    pos_c = np.minimum(pos, ids.size - 1)
+                    cand = cand[ids[pos_c] == cand]
+                if cand is None or cand.size == 0:
+                    return _empty_pdf()
+            # per-slot positions grouped by candidate index
+            slot_maps: list[dict[int, np.ndarray]] = []
+            for i, t in enumerate(all_terms):
+                parts = [_phrase_occurrences(seg, cand, i)
+                         for seg in per_term[t]]
+                c = np.concatenate([x[0] for x in parts])
+                p = np.concatenate([x[1] for x in parts])
+                o = np.lexsort((p, c))
+                c, p = c[o], p[o]
+                uniq, starts = np.unique(c, return_index=True)
+                slot_maps.append(dict(zip(uniq.tolist(),
+                                          np.split(p, starts[1:]))))
+            docs_out, freqs = [], []
+            for ci in range(cand.size):
+                if any(ci not in m for m in slot_maps):
+                    continue
+                f = lucene_sloppy_freq([m[ci] for m in slot_maps], sl)
+                if f > 0.0:
+                    docs_out.append(int(cand[ci]))
+                    freqs.append(f)
+            if not docs_out:
+                return _empty_pdf()
+            docs = np.array(docs_out, dtype=np.int64)
+            f = np.array(freqs, dtype=np.float64)
+            t0 = all_terms[0]
+            dl = np.zeros(docs.size, dtype=np.float64)
+            for seg in per_term[t0]:
+                ids, _, dls = _decode_partial_full(seg)
+                pos = np.searchsorted(ids, docs)
+                pos_c = np.minimum(pos, ids.size - 1)
+                hit = ids[pos_c] == docs
+                dl[hit] = dls[pos_c[hit]]
             score = idf_sum * (f / (f + K1 * (1.0 - B + B * dl / avgdl)))
             d2, s2 = _topk_local(docs, score, kk)
             return pd.DataFrame({"doc_id": d2.astype(np.int64),

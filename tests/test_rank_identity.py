@@ -357,6 +357,55 @@ def test_phrase_is_order_sensitive(spark, built_positional):
     assert a != b or (not a and not b)
 
 
+def test_sloppy_freq_unit():
+    """lucene_sloppy_freq on hand-checked Lucene cases: exact
+    adjacency = 1.0, one gap = 1/2, transposition needs slop 2 at
+    1/3, out-of-budget = 0, repeats accumulate."""
+    from auctus_spark.oracle import lucene_sloppy_freq as sf
+    # "a b" in "a b": adjusted positions a=[0], b=[0]
+    assert sf([[0], [0]], 0) == 1.0
+    # "a x b": a=[0], b adjusted=[1] → window 1 → 1/2 at slop>=1
+    assert sf([[0], [1]], 0) == 0.0
+    assert sf([[0], [1]], 1) == 0.5
+    # "b a": a=[1], b=[-1] → window 2 → 1/3 at slop>=2
+    assert sf([[1], [-1]], 1) == 0.0
+    assert sf([[1], [-1]], 2) == pytest.approx(1 / 3)
+    # "a b a b": two exact matches
+    assert sf([[0, 2], [0, 2]], 0) == 2.0
+    # three terms "a x b c": a=[0], b=[1], c=[1] → window 1 → 1/2
+    assert sf([[0], [1], [1]], 1) == 0.5
+
+
+@pytest.mark.parametrize("q,slop", [
+    ("import def", 1), ("import def", 2), ("def import", 2),
+    ("the import", 3), ("import return", 2),
+    ("import def return", 2), ("no_such_token import", 1)])
+def test_sloppy_phrase_matches_oracle(spark, built_positional, q, slop):
+    """match_phrase with slop — bit-exact vs the positional oracle
+    (both run oracle.lucene_sloppy_freq; superset of slop=0 hits)."""
+    from auctus_spark.query.bm25 import PhraseEngine
+    out, oracle, _ = built_positional
+    eng = PhraseEngine(spark, out, term_buckets=8)
+    got = [(int(r.doc_id), float(r.score))
+           for r in eng.search_phrase(q, k=50, slop=slop).collect()]
+    _assert_rank_identical(got, oracle.search_phrase(q, k=50, slop=slop))
+    exact = {d for d, _ in oracle.search_phrase(q, k=600)}
+    sloppy = {d for d, _ in oracle.search_phrase(q, k=600, slop=slop)}
+    assert exact <= sloppy
+
+
+def test_sloppy_phrase_repeats_rejected(spark, built_positional):
+    import pytest as _pt
+
+    from auctus_spark.query.bm25 import PhraseEngine
+    out, oracle, _ = built_positional
+    eng = PhraseEngine(spark, out, term_buckets=8)
+    with _pt.raises(ValueError, match="repeated"):
+        eng.search_phrase("import import", slop=1)
+    with _pt.raises(ValueError, match="repeated"):
+        oracle.search_phrase("import import", slop=1)
+
+
 def test_positional_index_still_answers_bm25(spark, built_positional):
     """A positional index serves ordinary WAND queries identically
     (positions ride along, BM25 untouched)."""
