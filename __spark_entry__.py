@@ -109,11 +109,15 @@ ORDER BY raw_score DESC, doc_id ASC LIMIT {k}
 # queries
 # ---------------------------------------------------------------------
 
-def _bm25_or_sql(terms: list[str], k: int = 50) -> str:
-    """Disjunctive variant: drop the conjunctive nt filter; a doc's
-    score sums its present-term contributions."""
+def _bm25_or_sql(terms: list[str], k: int = 50,
+                 min_should_match: int = 0) -> str:
+    """Disjunctive variant: drop the conjunctive nt filter (or relax
+    it to ``nt >= min_should_match``); a doc's score sums its
+    present-term contributions."""
     sql = _bm25_sql(terms, k)
-    return sql.replace(f"WHERE nt = {len(terms)}", "")
+    repl = (f"WHERE nt >= {min_should_match}"
+            if min_should_match > 1 else "")
+    return sql.replace(f"WHERE nt = {len(terms)}", repl)
 
 
 def _q_bm25_hot(spark, sf_dir):
@@ -446,6 +450,21 @@ def _q_bm25_index_path(spark, sf_dir):
         b.build(corpus)
     eng = SearchEngine(spark, idx_dir, term_buckets=16)
     out = eng.search_wand("data join", k=50)
+    return out.select("doc_id", F.round("score", 6).alias("score"))
+
+
+def _q_bm25_min_should_match(spark, sf_dir):
+    """Disjunctive index search with ES minimum_should_match=2 (the
+    reference's textual-join body sets minimum_should_match,
+    join.py:543): docs matching >=2 of the 3 should terms."""
+    from auctus_spark.query.bm25 import SearchEngine
+    _ensure_workers_can_import(spark)
+    _q_bm25_index_path(spark, sf_dir)       # ensure the index exists
+    import hashlib as _h
+    tag = _h.md5(sf_dir.encode()).hexdigest()[:10]
+    eng = SearchEngine(spark, f"/tmp/auctus_entry_index_{tag}",
+                       term_buckets=16)
+    out = eng.search_or("data join merge", k=50, min_should_match=2)
     return out.select("doc_id", F.round("score", 6).alias("score"))
 
 
@@ -1168,6 +1187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_agg_events": _q_window_agg_events,
         "numeric_histogram": _q_numeric_histogram,
         "bm25_or": _q_bm25_or,
+        "bm25_min_should_match": _q_bm25_min_should_match,
         "bm25_index_path": _q_bm25_index_path,
         "bm25_batched": _q_bm25_batched,
         "bm25_multifield": _q_bm25_multifield,
@@ -1512,6 +1532,8 @@ def _oracle_sql_static() -> dict[str, str]:
                    round(sum(value), 4) AS value_sum
             FROM events GROUP BY ALL ORDER BY w_start, event_type""",
         "bm25_or": _bm25_or_sql(["join", "zzz_not_a_token", "merge"]),
+        "bm25_min_should_match": _bm25_or_sql(
+            ["data", "join", "merge"], min_should_match=2),
         "bm25_index_path": _bm25_sql(["data", "join"]),
         "bm25_batched": (
             "SELECT 'qa' AS query_id, * FROM ("

@@ -148,6 +148,35 @@ class OracleIndex:
         scored.sort(key=lambda x: (-x[1], x[0]))
         return scored[:k]
 
+    def search_or(self, query: str, k: int = TOP_K_SIZE,
+                  k1: float = K1, b: float = B,
+                  min_should_match: int = 1) -> list[tuple[int, float]]:
+        """Disjunctive (should) BM25 top-k; docs matching fewer than
+        ``min_should_match`` query terms are dropped (ES bool
+        minimum_should_match).  Contributions sum in query-term order
+        (bit-exact contract with the engine)."""
+        terms = analyze_query(query, stem=self.stem)
+        if not terms:
+            return []
+        plists = [(t, self.postings.get(t)) for t in terms]
+        candidates: set[int] = set()
+        for _, p in plists:
+            if p:
+                candidates |= set(p)
+        scored: list[tuple[int, float]] = []
+        for d in candidates:
+            dl = self.doc_len[d]
+            s, nt = 0.0, 0
+            for t, p in plists:
+                if p and d in p:
+                    s += bm25_idf(self.n_docs, len(p)) * bm25_tf_norm(
+                        p[d], dl, self.avgdl, k1, b)
+                    nt += 1
+            if nt >= min_should_match:
+                scored.append((d, s))
+        scored.sort(key=lambda x: (-x[1], x[0]))
+        return scored[:k]
+
     @classmethod
     def build_fields(cls, docs: list[tuple[int, dict[str, str]]]
                      ) -> dict[str, "OracleIndex"]:
@@ -258,32 +287,6 @@ def search_cross_fields(field_indices: dict[str, "OracleIndex"],
         scored.append((d, s))
     scored.sort(key=lambda x: (-x[1], x[0]))
     return scored[:k]
-
-
-def _search_or(self, query: str, k: int = TOP_K_SIZE,
-               k1: float = K1, b: float = B) -> list[tuple[int, float]]:
-        """Disjunctive (should) BM25 top-k: docs matching ANY query
-        term; per-doc score sums contributions of present terms in
-        query-term order."""
-        terms = analyze_query(query, stem=self.stem)
-        plists = [(t, self.postings.get(t, {})) for t in terms]
-        candidates: set[int] = set()
-        for _, p in plists:
-            candidates |= set(p)
-        scored: list[tuple[int, float]] = []
-        for d in candidates:
-            dl = self.doc_len[d]
-            s = 0.0
-            for t, p in plists:
-                if d in p:
-                    s += bm25_idf(self.n_docs, len(p)) * bm25_tf_norm(
-                        p[d], dl, self.avgdl, k1, b)
-            scored.append((d, s))
-        scored.sort(key=lambda x: (-x[1], x[0]))
-        return scored[:k]
-
-
-OracleIndex.search_or = _search_or
 
 
 # ---------------------------------------------------------------------

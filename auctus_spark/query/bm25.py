@@ -440,15 +440,25 @@ class SearchEngine:
                                 schema="doc_id long, score double"))
         return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
-    def search_or(self, query: str, k: int = TOP_K_SIZE) -> DataFrame:
+    def search_or(self, query: str, k: int = TOP_K_SIZE,
+                  min_should_match: int = 1) -> DataFrame:
         """Disjunctive (should) top-k via block-max MaxScore: terms
         ordered by score upper bound idf * tf_norm(max_tf, min_dl);
         the non-essential tail — whose combined bound cannot reach the
         bootstrap threshold — is never fully decoded, only probed at
-        candidate positions (block-selective)."""
+        candidate positions (block-selective).
+
+        ``min_should_match`` (ES bool minimum_should_match — the
+        reference's textual-join body sets it, join.py:543) keeps only
+        docs matching at least that many query terms.  With m > 1 the
+        single-term bootstrap threshold is no longer a valid lower
+        bound for the k-th QUALIFYING doc, so MaxScore pruning is
+        disabled (every term decoded) — correctness over pruning."""
         terms = analyze_query(query, stem=self.stem)
         if not terms:
             return self._empty()
+        if min_should_match > 1:
+            return self._search_or_msm(terms, k, min_should_match)
         # single-job plan (see search_wand): df rides in via broadcast
         segs = self._segments_for(terms).join(
             F.broadcast(self._ts_for(terms)), "term")
@@ -499,6 +509,42 @@ class SearchEngine:
             score, _ = _score_candidates(all_terms, idf_b, per_term,
                                          cand, avgdl)
             cand, score = _topk_local(cand, score, k)
+            return pd.DataFrame({"doc_id": cand.astype(np.int64),
+                                 "score": score})
+
+        local = (segs.select(*self._SEG_COLS, "df")
+                 .groupBy("bucket")
+                 .applyInPandas(score_bucket,
+                                schema="doc_id long, score double"))
+        return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def _search_or_msm(self, terms: list[str], k: int,
+                       m: int) -> DataFrame:
+        """should + minimum_should_match=m (m > 1): union candidates,
+        exact block-selective scoring, keep docs present in >= m
+        terms."""
+        segs = self._segments_for(terms).join(
+            F.broadcast(self._ts_for(terms)), "term")
+        all_terms = list(terms)
+        n_docs, avgdl = self.n_docs, self.avgdl
+        tomb = self.tombstones
+        kk = k
+
+        def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+            idf_b = {t: bm25_idf(n_docs, int(df_))
+                     for t, df_ in zip(pdf["term"], pdf["df"])}
+            per_term = _group_partials(pdf)
+            if len(per_term) < m:
+                return _empty_pdf()   # can't reach m matches
+            cand = _mask_tombstones(np.unique(np.concatenate(
+                [_decode_full_term(p) for p in per_term.values()])),
+                tomb)
+            if cand.size == 0:
+                return _empty_pdf()
+            score, present = _score_candidates(all_terms, idf_b,
+                                               per_term, cand, avgdl)
+            keep = present >= m
+            cand, score = _topk_local(cand[keep], score[keep], kk)
             return pd.DataFrame({"doc_id": cand.astype(np.int64),
                                  "score": score})
 

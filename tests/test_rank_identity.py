@@ -357,6 +357,28 @@ def test_phrase_is_order_sensitive(spark, built_positional):
     assert a != b or (not a and not b)
 
 
+@pytest.mark.parametrize("q,m", [
+    ("import def return", 1), ("import def return", 2),
+    ("import def return", 3), ("import uniq_token_11 zz_missing", 2),
+    ("the import def return", 3)])
+def test_search_or_min_should_match(spark, built, q, m):
+    """Disjunctive search with ES minimum_should_match: engine
+    (MaxScore for m=1, union-candidates for m>1) is bit-exact vs the
+    oracle; m > n_present terms yields nothing."""
+    out, oracle, stats, corpus, b = built
+    eng = SearchEngine(spark, out, term_buckets=8)
+    got = [(int(r.doc_id), float(r.score)) for r in
+           eng.search_or(q, k=50, min_should_match=m).collect()]
+    _assert_rank_identical(got, oracle.search_or(
+        q, k=50, min_should_match=m))
+    # m=1 is a superset of m=2 is a superset of m=3
+    if m > 1:
+        prev = {d for d, _ in oracle.search_or(
+            q, k=600, min_should_match=m - 1)}
+        assert {d for d, _ in oracle.search_or(
+            q, k=600, min_should_match=m)} <= prev
+
+
 def test_sloppy_freq_unit():
     """lucene_sloppy_freq on hand-checked Lucene cases: exact
     adjacency = 1.0, one gap = 1/2, transposition needs slop 2 at
