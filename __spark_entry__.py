@@ -1102,6 +1102,41 @@ def _q_script_score(spark, sf_dir):
     return out.select("cand_id", F.round("score", 6).alias("score"))
 
 
+def _q_search_service(spark, sf_dir):
+    """Full search-service request (reference apiserver semantics):
+    terms filters on lang+source, must_not docID exclusions, BM25
+    keywords over the FILTERED base (per-request corpus stats, like
+    an ES filtered query), page-1 window."""
+    from auctus_spark.query.search import SearchQuery, SearchService
+    svc = SearchService(_docs(spark, sf_dir))
+    q = SearchQuery(keywords="data join",
+                    filters={"lang": ["en", "fr"],
+                             "source": ["src0", "src1", "src2", "src3",
+                                        "src4", "src5", "src6", "src7"]},
+                    exclude_ids=[1, 2, 3, 5, 8], page=1, size=50)
+    out = svc.search(q)["hits"]
+    return out.select("doc_id", F.round("score", 6).alias("score"))
+
+
+def _q_function_score_boost(spark, sf_dir):
+    """function_score filter+weight (reference search/__init__.py:
+    112-161): conjunctive keyword filter match scores a constant
+    weight, boost_mode replace."""
+    from auctus_spark.query.search import keyword_filter_boost
+    out = keyword_filter_boost(_docs(spark, sf_dir), "data join",
+                               weight=10.0)
+    return out.select("doc_id", F.round("score", 6).alias("score"))
+
+
+def _q_temporal_histogram(spark, sf_dir):
+    """10-bin temporal histogram over unix seconds (reference
+    core.py:380-399)."""
+    from auctus_spark.operators.profiling import temporal_histogram
+    out = temporal_histogram(_t(spark, sf_dir, "events"), "ts")
+    return out.select("bin", "count",
+                      F.round("bin_start", 6).alias("bin_start"))
+
+
 def _q_categorical_histogram(spark, sf_dir):
     """top-5 most common values (reference core.py:401-420)."""
     from auctus_spark.operators.profiling import categorical_histogram
@@ -1206,6 +1241,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_aligned_join": _q_temporal_aligned_join,
         "spatial_overlap": _q_spatial_overlap,
         "categorical_histogram": _q_categorical_histogram,
+        "search_service": _q_search_service,
+        "function_score_boost": _q_function_score_boost,
+        "temporal_histogram": _q_temporal_histogram,
         "word_histogram": _q_word_histogram,
         "numeric_profile": _q_numeric_profile,
         "temporal_resolution": _q_temporal_resolution,
@@ -1231,6 +1269,15 @@ _SHINGLES = f"""
   FROM (SELECT * FROM ({_TOKPOS}) WHERE term <> '')
   WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
 """
+
+
+def _bm25_filtered_sql(terms: list[str], cond: str, k: int = 50) -> str:
+    """BM25 over a filtered documents subset (ES filtered query:
+    per-request corpus stats over the filtered base)."""
+    sql = _bm25_sql(terms, k)
+    return (f"WITH docs_f AS (SELECT * FROM documents WHERE {cond})"
+            + sql.replace("WITH tok", ", tok", 1)
+                 .replace("FROM documents", "FROM docs_f"))
 
 
 def _containment_pairs_sql(threshold: float) -> str:
@@ -1625,6 +1672,31 @@ def _oracle_sql_static() -> dict[str, str]:
                      AS score
             FROM cand JOIN q ON q_gte <= lte AND q_lte >= gte
             GROUP BY cand_id""",
+        "search_service": _bm25_filtered_sql(
+            ["data", "join"],
+            "lang IN ('en', 'fr') AND source IN ('src0', 'src1', "
+            "'src2', 'src3', 'src4', 'src5', 'src6', 'src7') AND "
+            "doc_id NOT IN (1, 2, 3, 5, 8)"),
+        "function_score_boost": f"""
+            WITH tok2 AS (SELECT * FROM ({_TOK2}) WHERE term <> ''),
+            hits AS (
+              SELECT doc_id, count(DISTINCT term) AS nt FROM tok2
+              WHERE term IN ('data', 'join') GROUP BY doc_id)
+            SELECT doc_id, 10.0 AS score FROM hits WHERE nt = 2""",
+        "temporal_histogram": """
+            WITH t AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS t
+                       FROM events),
+            mm AS (SELECT min(t) AS lo, max(t) AS hi FROM t),
+            b AS (SELECT least(CAST(floor((t - lo)
+                                    / ((hi - lo) / 10.0)) AS BIGINT), 9)
+                         AS bin
+                  FROM t, mm)
+            SELECT bin, count(*) AS count,
+                   round((SELECT lo FROM mm)
+                         + bin * (((SELECT hi FROM mm)
+                                   - (SELECT lo FROM mm)) / 10.0), 6)
+                     AS bin_start
+            FROM b GROUP BY bin ORDER BY bin""",
         "categorical_histogram": """
             SELECT o_orderpriority, count(*) AS count
             FROM orders GROUP BY o_orderpriority
