@@ -468,6 +468,22 @@ def _q_bm25_min_should_match(spark, sf_dir):
     return out.select("doc_id", F.round("score", 6).alias("score"))
 
 
+def _q_bm25_phrase_batched(spark, sf_dir):
+    """Batched phrase msearch: both phrase queries in ONE job (shared
+    segment scan + position decodes); each checked against its own
+    positional phrase SQL."""
+    from auctus_spark.query.bm25 import PhraseEngine, search_many_phrase
+    _q_bm25_phrase(spark, sf_dir)           # ensure the index exists
+    import hashlib as _h
+    tag = _h.md5(sf_dir.encode()).hexdigest()[:10]
+    eng = PhraseEngine(spark, f"/tmp/auctus_entry_index_pos_{tag}",
+                       term_buckets=16)
+    out = search_many_phrase(
+        eng, {"qa": "table value", "qb": "data join"}, k=20)
+    return out.select("query_id", "doc_id",
+                      F.round("score", 6).alias("score"))
+
+
 def _q_bm25_batched(spark, sf_dir):
     """Batched multi-query index search (one job, shared decodes) —
     each query checked against its own BM25 SQL."""
@@ -1137,6 +1153,25 @@ def _q_temporal_histogram(spark, sf_dir):
                       F.round("bin_start", 6).alias("bin_start"))
 
 
+def _q_column_types(spark, sf_dir):
+    """Structural-type detection battery (reference
+    profile_types.py:82-126): single-pass regex voting over
+    string-cast columns, 2% tolerance, 10% categorical ratio."""
+    from auctus_spark.operators.profiling import (classify_column,
+                                                  infer_structural_types,
+                                                  semantic_flags)
+    c = _t(spark, sf_dir, "customer")
+    rows = []
+    for col in ["c_custkey", "c_name", "c_mktsegment", "c_acctbal"]:
+        r = infer_structural_types(
+            c.select(F.col(col).cast("string").alias(col)),
+            col).collect()[0].asDict()
+        rows.append((col, classify_column(r),
+                     "CATEGORICAL" in semantic_flags(r)))
+    return spark.createDataFrame(
+        rows, "col string, kind string, categorical boolean")
+
+
 def _q_categorical_histogram(spark, sf_dir):
     """top-5 most common values (reference core.py:401-420)."""
     from auctus_spark.operators.profiling import categorical_histogram
@@ -1232,6 +1267,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_synonyms": _q_bm25_synonyms,
         "bm25_synonyms_idx": _q_bm25_synonyms_idx,
         "bm25_phrase": _q_bm25_phrase,
+        "bm25_phrase_batched": _q_bm25_phrase_batched,
         "bm25_phrase_sloppy": _q_bm25_phrase_sloppy,
         "bm25_multifield_idx": _q_bm25_multifield_idx,
         "embedding_near_pairs": _q_embedding_near_pairs,
@@ -1242,6 +1278,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_overlap": _q_spatial_overlap,
         "categorical_histogram": _q_categorical_histogram,
         "search_service": _q_search_service,
+        "column_types": _q_column_types,
         "function_score_boost": _q_function_score_boost,
         "temporal_histogram": _q_temporal_histogram,
         "word_histogram": _q_word_histogram,
@@ -1269,6 +1306,37 @@ _SHINGLES = f"""
   FROM (SELECT * FROM ({_TOKPOS}) WHERE term <> '')
   WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
 """
+
+
+def _column_types_sql() -> str:
+    """Reference type-voting thresholds as SQL: anchored regexes are
+    full matches under both Java regex (rlike) and RE2
+    (regexp_matches)."""
+    def one(col: str) -> str:
+        return f"""
+  SELECT '{col}' AS col,
+    CASE WHEN n = 0 THEN 'MISSING_DATA'
+         WHEN int_r >= 0.98 THEN 'INTEGER'
+         WHEN float_r >= 0.98 THEN 'FLOAT'
+         WHEN point_r >= 0.98 THEN 'GEO_POINT'
+         ELSE 'TEXT' END AS kind,
+    dist_r <= 0.10 AS categorical
+  FROM (
+    SELECT count(*) FILTER (v IS NOT NULL AND v <> '') AS n,
+      count(*) FILTER (regexp_matches(v, '^[+-]?[0-9]+$')) * 1.0
+        / count(*) FILTER (v IS NOT NULL AND v <> '') AS int_r,
+      count(*) FILTER (regexp_matches(v,
+        '^[+-]?([0-9]+\\.?[0-9]*|\\.[0-9]+)([eE][+-]?[0-9]+)?$')) * 1.0
+        / count(*) FILTER (v IS NOT NULL AND v <> '') AS float_r,
+      count(*) FILTER (regexp_matches(v,
+        '^\\s*POINT\\s*\\(-?[0-9.]+ -?[0-9.]+\\)\\s*$')) * 1.0
+        / count(*) FILTER (v IS NOT NULL AND v <> '') AS point_r,
+      count(DISTINCT v) * 1.0
+        / count(*) FILTER (v IS NOT NULL AND v <> '') AS dist_r
+    FROM (SELECT CAST({col} AS VARCHAR) AS v FROM customer))"""
+    return " UNION ALL ".join(
+        one(c) for c in ["c_custkey", "c_name", "c_mktsegment",
+                         "c_acctbal"])
 
 
 def _bm25_filtered_sql(terms: list[str], cond: str, k: int = 50) -> str:
@@ -1588,6 +1656,11 @@ def _oracle_sql_static() -> dict[str, str]:
             + ") UNION ALL SELECT 'qb' AS query_id, * FROM ("
             + _bm25_sql(["merge", "batch"], k=20) + ")"),
         "bm25_phrase": _phrase_sql(["table", "value"]),
+        "bm25_phrase_batched": (
+            "SELECT 'qa' AS query_id, * FROM ("
+            + _phrase_sql(["table", "value"], 20)
+            + ") UNION ALL SELECT 'qb' AS query_id, * FROM ("
+            + _phrase_sql(["data", "join"], 20) + ")"),
         "bm25_compacted": _bm25_sql(["data", "join"]).replace(
             "FROM documents",
             "FROM (SELECT * FROM documents WHERE doc_id NOT IN "
@@ -1672,6 +1745,7 @@ def _oracle_sql_static() -> dict[str, str]:
                      AS score
             FROM cand JOIN q ON q_gte <= lte AND q_lte >= gte
             GROUP BY cand_id""",
+        "column_types": _column_types_sql(),
         "search_service": _bm25_filtered_sql(
             ["data", "join"],
             "lang IN ('en', 'fr') AND source IN ('src0', 'src1', "

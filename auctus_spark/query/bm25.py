@@ -1089,6 +1089,88 @@ def _phrase_keys(seg: dict, cand: np.ndarray, shift_terms: int,
     return (cidx[keep] << np.int64(shift_terms)) | p[keep]
 
 
+def _phrase_cand(per_term: dict, terms: list[str],
+                 tomb: np.ndarray) -> np.ndarray | None:
+    """Conjunctive candidate intersection, rarest term first; None
+    when empty."""
+    cand = None
+    for t in sorted(set(terms),
+                    key=lambda t: sum(p["n_docs"] for p in per_term[t])):
+        ids = _decode_full_term(per_term[t])
+        if cand is None:
+            cand = _mask_tombstones(ids, tomb)
+        else:
+            pos = np.searchsorted(ids, cand)
+            pos_c = np.minimum(pos, ids.size - 1)
+            cand = cand[ids[pos_c] == cand]
+        if cand.size == 0:
+            return None
+    return cand
+
+
+_NO_DOCS = (np.array([], dtype=np.int64), np.array([], dtype=np.float64))
+
+
+def _phrase_exact_docs(per_term: dict, cand: np.ndarray,
+                       all_terms: list[str], shift: int
+                       ) -> tuple[np.ndarray, np.ndarray]:
+    """(docs, phrase_freq) via key-equality intersection across phrase
+    slots (slop=0)."""
+    running = None
+    for i, t in enumerate(all_terms):
+        keys = np.unique(np.concatenate(
+            [_phrase_keys(seg, cand, shift, i) for seg in per_term[t]]))
+        running = keys if running is None else \
+            running[np.isin(running, keys, assume_unique=True)]
+        if running.size == 0:
+            return _NO_DOCS
+    cidx = (running >> np.int64(shift)).astype(np.int64)
+    uniq, freq = np.unique(cidx, return_counts=True)
+    return cand[uniq], freq.astype(np.float64)
+
+
+def _phrase_sloppy_docs(per_term: dict, cand: np.ndarray,
+                        terms: list[str], slop: int
+                        ) -> tuple[np.ndarray, np.ndarray]:
+    """(docs, sloppy_freq) via the Lucene window matcher over
+    offset-adjusted per-slot positions."""
+    from ..oracle import lucene_sloppy_freq
+    slot_maps: list[dict[int, np.ndarray]] = []
+    for i, t in enumerate(terms):
+        parts = [_phrase_occurrences(seg, cand, i)
+                 for seg in per_term[t]]
+        c = np.concatenate([x[0] for x in parts])
+        p = np.concatenate([x[1] for x in parts])
+        o = np.lexsort((p, c))
+        c, p = c[o], p[o]
+        uniq, starts = np.unique(c, return_index=True)
+        slot_maps.append(dict(zip(uniq.tolist(), np.split(p, starts[1:]))))
+    docs_out, freqs = [], []
+    for ci in range(cand.size):
+        if any(ci not in m for m in slot_maps):
+            continue
+        f = lucene_sloppy_freq([m[ci] for m in slot_maps], slop)
+        if f > 0.0:
+            docs_out.append(int(cand[ci]))
+            freqs.append(f)
+    if not docs_out:
+        return _NO_DOCS
+    return (np.array(docs_out, dtype=np.int64),
+            np.array(freqs, dtype=np.float64))
+
+
+def _dl_for(parts: list, docs: np.ndarray) -> np.ndarray:
+    """Doc lengths for ``docs`` from a term's partials (dls inline)."""
+    dl = np.zeros(docs.size, dtype=np.float64)
+    for seg in parts:
+        ids, _, dls = _decode_partial_full(seg)
+        pos = np.searchsorted(ids, docs)
+        pos_c = np.minimum(pos, ids.size - 1)
+        hit = ids[pos_c] == docs
+        dl[hit] = dls[pos_c[hit]]
+    return dl
+
+
 class PhraseEngine(SearchEngine):
     """SearchEngine over a positional index, adding match_phrase."""
 
@@ -1139,45 +1221,14 @@ class PhraseEngine(SearchEngine):
             per_term = _group_partials_pos(pdf)
             if any(t not in per_term for t in all_terms):
                 return _empty_pdf()
-            order = sorted(set(all_terms),
-                           key=lambda t: sum(p["n_docs"]
-                                             for p in per_term[t]))
-            cand = None
-            for t in order:
-                ids = _decode_full_term(per_term[t])
-                if cand is None:
-                    cand = _mask_tombstones(ids, tomb)
-                else:
-                    pos = np.searchsorted(ids, cand)
-                    pos_c = np.minimum(pos, ids.size - 1)
-                    cand = cand[ids[pos_c] == cand]
-                if cand is None or cand.size == 0:
-                    return _empty_pdf()
-            # positional verify: equal keys across phrase slots
-            running = None
-            for i, t in enumerate(all_terms):
-                keys = np.concatenate([
-                    _phrase_keys(seg, cand, shift, i)
-                    for seg in per_term[t]]) if per_term[t] else \
-                    np.array([], dtype=np.int64)
-                keys = np.unique(keys)
-                running = keys if running is None else \
-                    running[np.isin(running, keys, assume_unique=True)]
-                if running.size == 0:
-                    return _empty_pdf()
-            cidx = (running >> np.int64(shift)).astype(np.int64)
-            uniq, freq = np.unique(cidx, return_counts=True)
-            docs = cand[uniq]
-            # dl from any term's postings (dls stored inline)
-            t0 = all_terms[0]
-            dl = np.zeros(docs.size, dtype=np.float64)
-            for seg in per_term[t0]:
-                ids, _, dls = _decode_partial_full(seg)
-                pos = np.searchsorted(ids, docs)
-                pos_c = np.minimum(pos, ids.size - 1)
-                hit = ids[pos_c] == docs
-                dl[hit] = dls[pos_c[hit]]
-            f = freq.astype(np.float64)
+            cand = _phrase_cand(per_term, all_terms, tomb)
+            if cand is None:
+                return _empty_pdf()
+            docs, f = _phrase_exact_docs(per_term, cand, all_terms,
+                                         shift)
+            if docs.size == 0:
+                return _empty_pdf()
+            dl = _dl_for(per_term[all_terms[0]], docs)
             score = idf_sum * (f / (f + K1 * (1.0 - B + B * dl / avgdl)))
             d2, s2 = _topk_local(docs, score, kk)
             return pd.DataFrame({"doc_id": d2.astype(np.int64),
@@ -1196,7 +1247,6 @@ class PhraseEngine(SearchEngine):
         if len(set(terms)) != len(terms):
             raise ValueError("slop > 0 with repeated phrase terms is "
                              "not supported")
-        from ..oracle import lucene_sloppy_freq
         stats = self.term_stats(terms)
         if any(t not in stats for t in terms):
             return self._empty()
@@ -1213,52 +1263,13 @@ class PhraseEngine(SearchEngine):
             per_term = _group_partials_pos(pdf)
             if any(t not in per_term for t in all_terms):
                 return _empty_pdf()
-            order = sorted(all_terms,
-                           key=lambda t: sum(p["n_docs"]
-                                             for p in per_term[t]))
-            cand = None
-            for t in order:
-                ids = _decode_full_term(per_term[t])
-                if cand is None:
-                    cand = _mask_tombstones(ids, tomb)
-                else:
-                    pos = np.searchsorted(ids, cand)
-                    pos_c = np.minimum(pos, ids.size - 1)
-                    cand = cand[ids[pos_c] == cand]
-                if cand is None or cand.size == 0:
-                    return _empty_pdf()
-            # per-slot positions grouped by candidate index
-            slot_maps: list[dict[int, np.ndarray]] = []
-            for i, t in enumerate(all_terms):
-                parts = [_phrase_occurrences(seg, cand, i)
-                         for seg in per_term[t]]
-                c = np.concatenate([x[0] for x in parts])
-                p = np.concatenate([x[1] for x in parts])
-                o = np.lexsort((p, c))
-                c, p = c[o], p[o]
-                uniq, starts = np.unique(c, return_index=True)
-                slot_maps.append(dict(zip(uniq.tolist(),
-                                          np.split(p, starts[1:]))))
-            docs_out, freqs = [], []
-            for ci in range(cand.size):
-                if any(ci not in m for m in slot_maps):
-                    continue
-                f = lucene_sloppy_freq([m[ci] for m in slot_maps], sl)
-                if f > 0.0:
-                    docs_out.append(int(cand[ci]))
-                    freqs.append(f)
-            if not docs_out:
+            cand = _phrase_cand(per_term, all_terms, tomb)
+            if cand is None:
                 return _empty_pdf()
-            docs = np.array(docs_out, dtype=np.int64)
-            f = np.array(freqs, dtype=np.float64)
-            t0 = all_terms[0]
-            dl = np.zeros(docs.size, dtype=np.float64)
-            for seg in per_term[t0]:
-                ids, _, dls = _decode_partial_full(seg)
-                pos = np.searchsorted(ids, docs)
-                pos_c = np.minimum(pos, ids.size - 1)
-                hit = ids[pos_c] == docs
-                dl[hit] = dls[pos_c[hit]]
+            docs, f = _phrase_sloppy_docs(per_term, cand, all_terms, sl)
+            if docs.size == 0:
+                return _empty_pdf()
+            dl = _dl_for(per_term[all_terms[0]], docs)
             score = idf_sum * (f / (f + K1 * (1.0 - B + B * dl / avgdl)))
             d2, s2 = _topk_local(docs, score, kk)
             return pd.DataFrame({"doc_id": d2.astype(np.int64),
@@ -1464,6 +1475,98 @@ def search_many_or(engine: SearchEngine, queries: dict[str, str],
 
     local = (segs.select(*SearchEngine._SEG_COLS, "df")
              .groupBy("bucket")
+             .applyInPandas(score_bucket,
+                            schema="query_id string, doc_id long, "
+                                   "score double"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id"))
+    return (local.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k).drop("_rn"))
+
+
+def search_many_phrase(engine: "PhraseEngine", queries: dict[str, str],
+                       k: int = TOP_K_SIZE, slop: int = 0
+                       ) -> "DataFrame":
+    """Batched match_phrase: ALL phrase queries answered in ONE job —
+    the segment scan covers the union of query terms, decoded partials
+    (postings AND position streams) are shared across queries inside
+    each bucket, output is (query_id, doc_id, score) with per-query
+    top-k.  ``slop`` applies to every query (Lucene sloppy matcher,
+    repeated-term phrases rejected when slop > 0).  Scores are
+    bit-exact with per-query ``search_phrase``."""
+    from pyspark.sql.window import Window
+
+    from ..analysis import tokenize as _tok
+    qterms = {qid: _tok(q, stem=engine.stem)
+              for qid, q in queries.items()}
+    qterms = {qid: ts for qid, ts in qterms.items() if ts}
+    if slop:
+        bad = sorted(qid for qid, ts in qterms.items()
+                     if len(set(ts)) != len(ts))
+        if bad:
+            raise ValueError(
+                f"slop > 0 with repeated phrase terms is not "
+                f"supported (queries {bad})")
+    empty = engine.spark.createDataFrame(
+        [], "query_id string, doc_id long, score double")
+    uterms = sorted({t for ts in qterms.values() for t in ts})
+    if not uterms:
+        return empty
+    stats = engine.term_stats(uterms)
+    live: dict[str, list[str]] = {}
+    idf_sums: dict[str, float] = {}
+    for qid, ts in qterms.items():
+        if any(t not in stats for t in ts):
+            continue    # phrase needs every term somewhere
+        s = 0.0
+        for t in ts:    # duplicates contribute twice (Lucene weight)
+            s += bm25_idf(engine.n_docs, stats[t])
+        live[qid] = ts
+        idf_sums[qid] = s
+    if not live:
+        return empty
+    needed = sorted({t for ts in live.values() for t in ts})
+    segs = engine._segments_for(needed).select(*engine._POS_COLS)
+    avgdl = engine.avgdl
+    tomb = engine.tombstones
+    shift = engine.POS_SHIFT
+    qt_b, idf_b = dict(live), dict(idf_sums)
+    kk, sl = k, slop
+
+    def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        per_term = _group_partials_pos(pdf)
+        out_q, out_d, out_s = [], [], []
+        for qid, terms in qt_b.items():
+            if any(t not in per_term for t in terms):
+                continue
+            cand = _phrase_cand(per_term, terms, tomb)
+            if cand is None:
+                continue
+            if sl:
+                docs, f = _phrase_sloppy_docs(per_term, cand, terms, sl)
+            else:
+                docs, f = _phrase_exact_docs(per_term, cand, terms,
+                                             shift)
+            if docs.size == 0:
+                continue
+            dl = _dl_for(per_term[terms[0]], docs)
+            score = idf_b[qid] * (f / (f + K1 * (1.0 - B
+                                                 + B * dl / avgdl)))
+            d2, s2 = _topk_local(docs, score, kk)
+            out_q.extend([qid] * d2.size)
+            out_d.append(d2)
+            out_s.append(s2)
+        if not out_q:
+            return pd.DataFrame({
+                "query_id": pd.Series([], dtype=object),
+                "doc_id": pd.Series([], dtype=np.int64),
+                "score": pd.Series([], dtype=np.float64)})
+        return pd.DataFrame({
+            "query_id": out_q,
+            "doc_id": np.concatenate(out_d).astype(np.int64),
+            "score": np.concatenate(out_s)})
+
+    local = (segs.groupBy("bucket")
              .applyInPandas(score_bucket,
                             schema="query_id string, doc_id long, "
                                    "score double"))

@@ -588,3 +588,31 @@ def test_explain_breakdown(spark, built):
     # unmatched / zero-hit cases
     assert eng.explain_doc("no_such_token_anywhere", 0) is None
     assert eng.explain("no_such_token_anywhere").count() == 0
+
+
+@pytest.mark.parametrize("slop", [0, 2])
+def test_search_many_phrase_batched(spark, built_positional, slop):
+    """Batched phrase msearch: one job, per-query results bit-exact
+    with per-query search_phrase; queries with globally-missing terms
+    drop out; repeated-term queries rejected at slop>0."""
+    from auctus_spark.query.bm25 import PhraseEngine, search_many_phrase
+    out, oracle, _ = built_positional
+    eng = PhraseEngine(spark, out, term_buckets=8)
+    queries = {"qa": "import def", "qb": "def return",
+               "qc": "no_such_token import", "qd": "the import"}
+    got = search_many_phrase(eng, queries, k=20, slop=slop).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append(
+            (int(r.doc_id), float(r.score)))
+    assert "qc" not in by_q                 # missing term → dropped
+    for qid, q in queries.items():
+        if qid == "qc":
+            continue
+        want = [(int(r.doc_id), float(r.score)) for r in
+                eng.search_phrase(q, k=20, slop=slop).collect()]
+        assert sorted(by_q.get(qid, []),
+                      key=lambda t: (-t[1], t[0])) == want, (qid, slop)
+    if slop:
+        with pytest.raises(ValueError, match="repeated"):
+            search_many_phrase(eng, {"qx": "import import"}, slop=slop)
