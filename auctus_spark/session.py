@@ -26,11 +26,22 @@ def _export_package_path() -> None:
 
 def get_spark(app: str = "auctus_spark", cores: int | None = None,
               shuffle_partitions: int | None = None,
-              submit_mode: bool = False) -> SparkSession:
+              submit_mode: bool = False,
+              iceberg_catalog: str | None = None,
+              iceberg_warehouse: str | None = None) -> SparkSession:
     """``submit_mode=True`` is the spark-submit path: the master (and
     the package, via ``--py-files auctus_spark.zip``) come from the
     spark-submit invocation — only the engine's tuning configs are
-    applied here (see ``scripts/submit_build.py``)."""
+    applied here (see ``scripts/submit_build.py``).
+
+    ``iceberg_catalog``/``iceberg_warehouse`` wire the standard
+    Iceberg Spark-runtime configs (SparkCatalog + session extensions)
+    so ``sources.read_corpus_table`` can resolve
+    ``<catalog>.db.table`` names; the iceberg-spark-runtime jar must
+    be on the cluster classpath (``spark-submit --packages
+    org.apache.iceberg:iceberg-spark-runtime-<ver>``) — this sandbox
+    has no such jar, so the option is config-plumbing only here and
+    exercised with catalog/temp tables in tests."""
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle_partitions = shuffle_partitions or max(cores, 8)
     if not submit_mode:
@@ -45,6 +56,19 @@ def get_spark(app: str = "auctus_spark", cores: int | None = None,
     builder = SparkSession.builder
     if not submit_mode:
         builder = builder.master(f"local[{cores}]")
+    if iceberg_catalog:
+        builder = (builder
+                   .config("spark.sql.extensions",
+                           "org.apache.iceberg.spark.extensions."
+                           "IcebergSparkSessionExtensions")
+                   .config(f"spark.sql.catalog.{iceberg_catalog}",
+                           "org.apache.iceberg.spark.SparkCatalog")
+                   .config(f"spark.sql.catalog.{iceberg_catalog}.type",
+                           "hadoop"))
+        if iceberg_warehouse:
+            builder = builder.config(
+                f"spark.sql.catalog.{iceberg_catalog}.warehouse",
+                iceberg_warehouse)
     return (
         builder
         .appName(app)

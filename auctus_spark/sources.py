@@ -161,6 +161,30 @@ def _cleanup_converted() -> None:
     _CONVERTED_TMP.clear()
 
 
+def read_corpus_table(spark: SparkSession, ref: str) -> DataFrame:
+    """Corpus input adapter for the build pipeline: ``ref`` is either
+    a CATALOG TABLE NAME (e.g. an Iceberg table ``cat.db.repos`` on a
+    cluster whose session carries the Iceberg runtime — see
+    ``session.get_spark(iceberg_catalog=...)``) or a filesystem PATH
+    (parquet).  Table names resolve through ``spark.table()``, so
+    snapshot/format handling belongs to the catalog (Iceberg, Hive,
+    temp views alike); the engine itself is storage-agnostic — it only
+    needs the ``(repo, path, commit, lang, content)``-shaped rows."""
+    if "/" not in ref and os.sep not in ref:
+        try:
+            if spark.catalog.tableExists(ref):
+                return spark.table(ref)
+        except Exception:
+            pass
+        if not os.path.exists(ref):
+            raise ValueError(
+                f"{ref!r} is neither a catalog table nor a path — "
+                "register the table (or configure the Iceberg catalog "
+                "via get_spark(iceberg_catalog=...)) or pass a "
+                "parquet path")
+    return spark.read.parquet(ref)
+
+
 def read_any(spark: SparkSession, path: str, header: bool = True
              ) -> DataFrame:
     """Detect + load.  parquet/csv/tsv/json load natively; xls (Excel

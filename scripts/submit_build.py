@@ -31,7 +31,8 @@ import time
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--corpus", required=True,
-                    help="parquet/Iceberg path of the corpus table")
+                    help="corpus table: parquet path OR catalog table"
+                         " name (e.g. an Iceberg cat.db.table)")
     ap.add_argument("--index", required=True, help="index output dir")
     ap.add_argument("--query", action="append", default=[],
                     help="query to answer after the build (repeatable)")
@@ -50,7 +51,8 @@ def main() -> int:
     from auctus_spark.session import get_spark
 
     spark = get_spark("auctus_spark_submit", submit_mode=True)
-    corpus = spark.read.parquet(args.corpus)
+    from auctus_spark.sources import read_corpus_table
+    corpus = read_corpus_table(spark, args.corpus)
 
     t0 = time.time()
     b = IndexBuilder(spark, args.index, doc_bucket=args.doc_bucket,

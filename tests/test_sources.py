@@ -150,3 +150,24 @@ def test_d3m_dataset_doc_golden(spark, tmp_path):
     import pytest
     with pytest.raises(ValueError, match="version"):
         d3m_metadata("x", {"columns": cols}, version="9.9")
+
+
+def test_read_corpus_table_name_and_path(spark, tmp_path):
+    """Corpus input adapter: catalog table names resolve through
+    spark.table() (the Iceberg-on-cluster path — here a catalog temp
+    table), filesystem paths read as parquet, junk refs fail loudly."""
+    import pytest
+
+    from auctus_spark.sources import read_corpus_table
+    df = spark.createDataFrame(
+        [(0, "r", "a.py", "c0", "py", "import os")],
+        "doc_id long, repo string, path string, commit string, "
+        "lang string, content string")
+    df.createOrReplaceTempView("corpus_tbl")
+    got = read_corpus_table(spark, "corpus_tbl")
+    assert got.count() == 1 and got.columns == df.columns
+    p = str(tmp_path / "corpus_pq")
+    df.write.parquet(p)
+    assert read_corpus_table(spark, p).count() == 1
+    with pytest.raises(ValueError, match="neither a catalog table"):
+        read_corpus_table(spark, "no_such_table_anywhere")
