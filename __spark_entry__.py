@@ -1212,6 +1212,59 @@ def _q_temporal_resolution(spark, sf_dir):
         "col string, resolution string")
 
 
+def _q_range_sketch(spark, sf_dir):
+    """Numerical coverage sketch (reference numerical.py:38-86):
+    seeded KMeans(k<=3, random_state=0) cluster ranges with 10% mass
+    filter and 5-95% cuts.  Rows-only driver check (iterative seeded
+    KMeans is not SQL-expressible); sklearn-parity pinned in
+    tests/test_profiling.py."""
+    from auctus_spark.operators.profiling import range_sketch
+    ranges = range_sketch(_t(spark, sf_dir, "lineitem"),
+                          "l_extendedprice")
+    return spark.createDataFrame(
+        [(i, round(r["gte"], 6), round(r["lte"], 6))
+         for i, r in enumerate(ranges)],
+        "range_id int, gte double, lte double")
+
+
+def _q_spatial_ranges(spark, sf_dir):
+    """2-D KMeans spatial coverage boxes (reference spatial.py:49-106):
+    per-cluster 5-95% quantile envelopes, ±1e-4 degenerate inflation.
+    Rows-only driver check; exact-contract tests in test_geo.py."""
+    from auctus_spark.operators.geo import spatial_ranges
+    pts = _t(spark, sf_dir, "customer").select(
+        (((F.col("c_custkey") * 37) % 160) / F.lit(2.0) - 35.0)
+        .alias("lat"),
+        (((F.col("c_custkey") * 61) % 300) / F.lit(2.0) - 70.0)
+        .alias("lon"))
+    boxes = spatial_ranges(pts, "lat", "lon")
+    rows = []
+    for i, b in enumerate(boxes):
+        (min_lon, max_lat), (max_lon, min_lat) = b["range"]["coordinates"]
+        rows.append((i, round(min_lon, 6), round(min_lat, 6),
+                     round(max_lon, 6), round(max_lat, 6)))
+    return spark.createDataFrame(
+        rows, "box_id int, min_lon double, min_lat double, "
+              "max_lon double, max_lat double")
+
+
+def _q_profile_dataset(spark, sf_dir):
+    """Whole-dataset profile (reference profile() metadata doc):
+    per-column structural + semantic classification in ONE aggregate
+    pass.  Rows-only driver check; the SQL-expressible pieces are
+    separately oracle-gated (column_types, numeric_profile,
+    histograms, temporal_resolution)."""
+    from auctus_spark.operators.profile_dataset import profile_dataset
+    prof = profile_dataset(_t(spark, sf_dir, "orders"))
+    rows = [(c["name"], c["structural_type"],
+             ",".join(c["semantic_types"]),
+             int(c["num_distinct_values"]))
+            for c in prof["columns"]]
+    return spark.createDataFrame(
+        rows, "name string, structural_type string, "
+              "semantic_types string, num_distinct_values long")
+
+
 def _q_geohash_sketch(spark, sf_dir):
     """Quadtree (base-4 geohash) histogram sketch (reference
     spatial.py:406-508, 511-631) over deterministic synthetic points;
@@ -1285,6 +1338,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "numeric_profile": _q_numeric_profile,
         "temporal_resolution": _q_temporal_resolution,
         "geohash_sketch": _q_geohash_sketch,
+        "range_sketch": _q_range_sketch,
+        "spatial_ranges": _q_spatial_ranges,
+        "profile_dataset": _q_profile_dataset,
     }
 
 

@@ -49,12 +49,15 @@ def profile_dataset(df: DataFrame, sample_rows: int = 20,
             (F.count(F.when(F.size(F.split(s, r"\s+")) >=
                             profiling.FREE_TEXT_MIN_WORDS, 1)))
             .alias(f"{c}__freetext"),
+            # cast the STRING form: always a legal cast (timestamp →
+            # double is not), null for non-numeric text, identical
+            # values for numeric columns
             F.avg(F.when(s.rlike(
                 r"^[+-]?([0-9]+\.?[0-9]*|\.[0-9]+)([eE][+-]?[0-9]+)?$"),
-                col.cast("double"))).alias(f"{c}__mean"),
+                s.cast("double"))).alias(f"{c}__mean"),
             F.stddev_pop(F.when(s.rlike(
                 r"^[+-]?([0-9]+\.?[0-9]*|\.[0-9]+)([eE][+-]?[0-9]+)?$"),
-                col.cast("double"))).alias(f"{c}__std"),
+                s.cast("double"))).alias(f"{c}__std"),
         ]
     row = df.agg(*aggs).collect()[0]
 

@@ -5,6 +5,8 @@ import datetime as dt
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from auctus_spark.operators.profile_dataset import profile_dataset
 
 
@@ -73,3 +75,18 @@ def test_counts_and_keywords(doc):
     assert doc["nb_temporal_columns"] == 1
     assert "description" in doc["attribute_keywords"]
     assert doc["sample"].startswith("id,")
+
+
+def test_profile_dataset_timestamp_ntz(spark):
+    """TIMESTAMP(_NTZ) columns must profile as temporal, not crash the
+    one-pass aggregate (Spark 4 forbids timestamp→double casts —
+    regression found by the driver gate on the orders table)."""
+    df = spark.createDataFrame(
+        [(1, 2.5, "2024-01-01 10:00:00")],
+        "k long, v double, ts string").withColumn(
+        "ts", F.col("ts").cast("timestamp_ntz"))
+    prof = profile_dataset(df)
+    by_name = {c["name"]: c for c in prof["columns"]}
+    assert "DATE_TIME" in by_name["ts"]["semantic_types"]
+    assert by_name["v"]["structural_type"] == "FLOAT"
+    assert by_name["v"]["mean"] == 2.5
