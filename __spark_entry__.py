@@ -1153,6 +1153,17 @@ def _q_temporal_histogram(spark, sf_dir):
                       F.round("bin_start", 6).alias("bin_start"))
 
 
+def _q_gopher_rules(spark, sf_dir):
+    """Published Gopher quality-rule battery (Rae et al. 2021 App. A)
+    over the documents table — JVM-side expressions, one scan."""
+    from auctus_spark.operators.textstats import gopher_rules
+    out = gopher_rules(_docs(spark, sf_dir))
+    return out.select("doc_id", "n_words", "r_word_count",
+                      "r_mean_word_len", "r_symbol_ratio",
+                      "r_bullet_lines", "r_ellipsis_lines",
+                      "r_alpha_words", "r_stopwords", "gopher_keep")
+
+
 def _q_column_types(spark, sf_dir):
     """Structural-type detection battery (reference
     profile_types.py:82-126): single-pass regex voting over
@@ -1332,6 +1343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "categorical_histogram": _q_categorical_histogram,
         "search_service": _q_search_service,
         "column_types": _q_column_types,
+        "gopher_rules": _q_gopher_rules,
         "function_score_boost": _q_function_score_boost,
         "temporal_histogram": _q_temporal_histogram,
         "word_histogram": _q_word_histogram,
@@ -1361,6 +1373,52 @@ _SHINGLES = f"""
          lead(term, 2) OVER w AS shingle
   FROM (SELECT * FROM ({_TOKPOS}) WHERE term <> '')
   WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+"""
+
+
+def _gopher_rules_sql() -> str:
+    stops = ", ".join(f"'{s}'" for s in
+                      ("the", "be", "to", "of", "and", "that",
+                       "have", "with"))
+    return rf"""
+WITH w AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(text, '\s+'),
+                x -> x <> '') AS words,
+    list_filter(regexp_split_to_array(text, '\n'),
+                x -> trim(x) <> '') AS lines,
+    length(text) - length(replace(text, '#', '')) AS n_hash,
+    (length(text) - length(replace(text, '...', ''))) / 3 AS n_ell
+  FROM documents),
+m AS (
+  SELECT doc_id, len(words) AS nw,
+    greatest(len(words), 1) * 1.0 AS nw1,
+    coalesce(list_sum(list_transform(words, x -> length(x))), 0)
+      / (greatest(len(words), 1) * 1.0) AS mwl,
+    n_hash, n_ell,
+    len(list_filter(lines, x -> regexp_matches(trim(x), '^[-*•]')))
+      / (greatest(len(lines), 1) * 1.0) AS bullet,
+    len(list_filter(lines, x -> regexp_matches(trim(x), '\.\.\.$')))
+      / (greatest(len(lines), 1) * 1.0) AS ell_end,
+    len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))
+      / (greatest(len(words), 1) * 1.0) AS alpha,
+    len(list_intersect(
+        list_distinct(list_transform(words, x -> lower(x))),
+        [{stops}])) AS stops
+  FROM w)
+SELECT doc_id, CAST(nw AS BIGINT) AS n_words,
+  nw >= 50 AND nw <= 100000 AS r_word_count,
+  mwl >= 3.0 AND mwl <= 10.0 AS r_mean_word_len,
+  (n_hash + n_ell) / nw1 <= 0.1 AS r_symbol_ratio,
+  bullet <= 0.9 AS r_bullet_lines,
+  ell_end <= 0.3 AS r_ellipsis_lines,
+  alpha >= 0.8 AS r_alpha_words,
+  stops >= 2 AS r_stopwords,
+  (nw >= 50 AND nw <= 100000) AND (mwl >= 3.0 AND mwl <= 10.0)
+    AND ((n_hash + n_ell) / nw1 <= 0.1) AND (bullet <= 0.9)
+    AND (ell_end <= 0.3) AND (alpha >= 0.8) AND (stops >= 2)
+    AS gopher_keep
+FROM m
 """
 
 
@@ -1802,6 +1860,7 @@ def _oracle_sql_static() -> dict[str, str]:
             FROM cand JOIN q ON q_gte <= lte AND q_lte >= gte
             GROUP BY cand_id""",
         "column_types": _column_types_sql(),
+        "gopher_rules": _gopher_rules_sql(),
         "search_service": _bm25_filtered_sql(
             ["data", "join"],
             "lang IN ('en', 'fr') AND source IN ('src0', 'src1', "

@@ -249,3 +249,68 @@ def winnowing_fingerprints(df: DataFrame, text_col: str = "text",
                     F.col(text_col).alias("text"))
     return sel.mapInPandas(fp, schema="doc_id long, fingerprint long") \
         .distinct()
+
+
+# Gopher quality rules (Rae et al. 2021, "Scaling Language Models:
+# ... Gopher", Appendix A — the published document-quality filter
+# battery used by large-scale training-data pipelines).
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have",
+                    "with")
+
+
+def gopher_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document Gopher rule flags, all JVM-side expressions in ONE
+    scan (no UDFs):
+
+    - ``r_word_count``: 50 <= words <= 100,000
+    - ``r_mean_word_len``: mean word length in [3, 10]
+    - ``r_symbol_ratio``: (#'#' chars + '...' occurrences) / words
+      <= 0.1
+    - ``r_bullet_lines``: <= 90% of lines start with a bullet
+    - ``r_ellipsis_lines``: <= 30% of lines end with '...'
+    - ``r_alpha_words``: >= 80% of words contain a letter
+    - ``r_stopwords``: >= 2 distinct Gopher stop words present
+    - ``gopher_keep``: AND of all rules
+
+    Words split on whitespace, lines on newlines — the paper's
+    definitions; thresholds are the published ones.
+    """
+    t = F.col(text_col)
+    words = F.filter(F.split(t, r"\s+"), lambda x: x != "")
+    n_words = F.size(words)
+    n_words1 = F.greatest(n_words, F.lit(1)).cast("double")
+    mean_wl = (F.aggregate(words, F.lit(0),
+                           lambda acc, x: acc + F.length(x))
+               / n_words1)
+    n_hash = F.length(t) - F.length(F.regexp_replace(t, "#", ""))
+    n_ellipsis = ((F.length(t)
+                   - F.length(F.replace(t, F.lit("..."), F.lit(""))))
+                  / F.lit(3))
+    lines = F.filter(F.split(t, "\n"), lambda x: F.trim(x) != "")
+    n_lines1 = F.greatest(F.size(lines), F.lit(1)).cast("double")
+    bullet = F.size(F.filter(
+        lines, lambda x: F.trim(x).rlike(r"^[-*•]"))) / n_lines1
+    ellipsis_end = F.size(F.filter(
+        lines, lambda x: F.trim(x).rlike(r"\.\.\.$"))) / n_lines1
+    alpha = F.size(F.filter(
+        words, lambda x: x.rlike("[A-Za-z]"))) / n_words1
+    stops = F.size(F.array_intersect(
+        F.array_distinct(F.transform(words, F.lower)),
+        F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])))
+    out = (df
+           .withColumn("n_words", n_words.cast("long"))
+           .withColumn("r_word_count",
+                       (n_words >= 50) & (n_words <= 100_000))
+           .withColumn("r_mean_word_len",
+                       (mean_wl >= 3.0) & (mean_wl <= 10.0))
+           .withColumn("r_symbol_ratio",
+                       ((n_hash + n_ellipsis) / n_words1) <= 0.1)
+           .withColumn("r_bullet_lines", bullet <= 0.9)
+           .withColumn("r_ellipsis_lines", ellipsis_end <= 0.3)
+           .withColumn("r_alpha_words", alpha >= 0.8)
+           .withColumn("r_stopwords", stops >= 2))
+    keep = (F.col("r_word_count") & F.col("r_mean_word_len")
+            & F.col("r_symbol_ratio") & F.col("r_bullet_lines")
+            & F.col("r_ellipsis_lines") & F.col("r_alpha_words")
+            & F.col("r_stopwords"))
+    return out.withColumn("gopher_keep", keep)

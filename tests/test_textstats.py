@@ -135,3 +135,35 @@ def test_winnowing_vectorized_parity():
             got_by.setdefault(int(d), set()).add(int(f))
         want = _winnow_reference(pdf, k, w)
         assert got_by == want, (k, w)
+
+
+def test_gopher_rules(spark):
+    """Published Gopher rule battery: each rule trips on a crafted
+    violator and passes on a clean doc."""
+    from auctus_spark.operators.textstats import gopher_rules
+    clean = ("the quick brown fox jumps over the lazy dog and then "
+             "walks to town with that friendly cat of ours to have "
+             "a rest by the river bank where they sit and talk about "
+             "things that matter most to animals of every kind here "
+             "during every single sunny day now")  # >=50 words, clean
+    docs = [
+        (0, clean),
+        (1, "too short to pass the word count"),            # word count
+        (2, " ".join(["a"] * 60)),                          # mean len <3
+        (3, " ".join(["####likethis"] * 60)),               # symbols
+        (4, "\n".join(["- bullet line here ok"] * 10)),     # bullets
+        (5, " ".join(["12345"] * 30 + ["the to of and"])),  # alpha
+        (6, " ".join(["zorp"] * 60)),                       # stopwords
+    ]
+    out = {r["doc_id"]: r.asDict() for r in gopher_rules(
+        spark.createDataFrame(docs, "doc_id long, text string"))
+        .collect()}
+    assert out[0]["gopher_keep"] is True
+    assert out[1]["r_word_count"] is False
+    assert out[2]["r_mean_word_len"] is False
+    assert out[3]["r_symbol_ratio"] is False
+    assert out[4]["r_bullet_lines"] is False
+    assert out[5]["r_alpha_words"] is False
+    assert out[6]["r_stopwords"] is False
+    for d in range(1, 7):
+        assert out[d]["gopher_keep"] is False, d
