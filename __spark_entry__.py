@@ -1164,6 +1164,21 @@ def _q_gopher_rules(spark, sf_dir):
                       "r_alpha_words", "r_stopwords", "gopher_keep")
 
 
+def _q_gopher_repetition(spark, sf_dir):
+    """Gopher repetition filters (duplicate-line fractions + top
+    n-gram char fractions, published thresholds) over documents."""
+    from auctus_spark.operators.textstats import gopher_repetition
+    out = gopher_repetition(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        F.round("dup_line_frac", 6).alias("dup_line_frac"),
+        F.round("dup_line_char_frac", 6).alias("dup_line_char_frac"),
+        F.round("top_2gram_char_frac", 6).alias("top_2gram_char_frac"),
+        F.round("top_3gram_char_frac", 6).alias("top_3gram_char_frac"),
+        F.round("top_4gram_char_frac", 6).alias("top_4gram_char_frac"),
+        "rep_keep")
+
+
 def _q_column_types(spark, sf_dir):
     """Structural-type detection battery (reference
     profile_types.py:82-126): single-pass regex voting over
@@ -1344,6 +1359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_service": _q_search_service,
         "column_types": _q_column_types,
         "gopher_rules": _q_gopher_rules,
+        "gopher_repetition": _q_gopher_repetition,
         "function_score_boost": _q_function_score_boost,
         "temporal_histogram": _q_temporal_histogram,
         "word_histogram": _q_word_histogram,
@@ -1418,6 +1434,69 @@ SELECT doc_id, CAST(nw AS BIGINT) AS n_words,
     AND ((n_hash + n_ell) / nw1 <= 0.1) AND (bullet <= 0.9)
     AND (ell_end <= 0.3) AND (alpha >= 0.8) AND (stops >= 2)
     AS gopher_keep
+FROM m
+"""
+
+
+def _gopher_repetition_sql() -> str:
+    gram_ctes, gram_joins = [], []
+    for n in (2, 3, 4):
+        gram_ctes.append(rf"""
+g{n} AS (
+  SELECT doc_id, g, count(*) AS cnt FROM (
+    SELECT doc_id,
+      array_to_string(w[i:i + {n - 1}], ' ') AS g
+    FROM wd, LATERAL (SELECT unnest(range(1, len(w) - {n - 1} + 1))
+                      AS i)
+    WHERE len(w) >= {n})
+  GROUP BY doc_id, g),
+t{n} AS (
+  SELECT doc_id,
+    cnt * (length(g) - {n - 1}) AS covered
+  FROM (SELECT doc_id, g, cnt,
+          row_number() OVER (PARTITION BY doc_id
+                             ORDER BY cnt DESC, g ASC) AS rn
+        FROM g{n})
+  WHERE rn = 1)""")
+        gram_joins.append(
+            f"coalesce(t{n}.covered / greatest(wd.wchars, 1.0), 0.0)"
+            f" AS f{n}")
+    return rf"""
+WITH wd AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(text, '\s+'),
+                x -> x <> '') AS w,
+    coalesce(list_sum(list_transform(
+      list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''),
+      x -> length(x))), 0) * 1.0 AS wchars
+  FROM documents),
+ln AS (
+  SELECT doc_id, line, count(*) AS cnt FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(text, '\n')) AS line
+    FROM documents)
+  WHERE trim(line) <> '' GROUP BY doc_id, line),
+ls AS (
+  SELECT doc_id,
+    1.0 - count(*) * 1.0 / sum(cnt) AS dlf,
+    1.0 - sum(length(line)) * 1.0 / sum(length(line) * cnt) AS dlcf
+  FROM ln GROUP BY doc_id),
+{','.join(gram_ctes)},
+m AS (
+  SELECT wd.doc_id,
+    coalesce(ls.dlf, 0.0) AS dlf, coalesce(ls.dlcf, 0.0) AS dlcf,
+    {', '.join(gram_joins)}
+  FROM wd LEFT JOIN ls ON ls.doc_id = wd.doc_id
+    LEFT JOIN t2 ON t2.doc_id = wd.doc_id
+    LEFT JOIN t3 ON t3.doc_id = wd.doc_id
+    LEFT JOIN t4 ON t4.doc_id = wd.doc_id)
+SELECT doc_id,
+  round(dlf, 6) AS dup_line_frac,
+  round(dlcf, 6) AS dup_line_char_frac,
+  round(f2, 6) AS top_2gram_char_frac,
+  round(f3, 6) AS top_3gram_char_frac,
+  round(f4, 6) AS top_4gram_char_frac,
+  dlf <= 0.30 AND dlcf <= 0.20 AND f2 <= 0.20 AND f3 <= 0.18
+    AND f4 <= 0.16 AS rep_keep
 FROM m
 """
 
@@ -1861,6 +1940,7 @@ def _oracle_sql_static() -> dict[str, str]:
             GROUP BY cand_id""",
         "column_types": _column_types_sql(),
         "gopher_rules": _gopher_rules_sql(),
+        "gopher_repetition": _gopher_repetition_sql(),
         "search_service": _bm25_filtered_sql(
             ["data", "join"],
             "lang IN ('en', 'fr') AND source IN ('src0', 'src1', "

@@ -314,3 +314,84 @@ def gopher_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
             & F.col("r_ellipsis_lines") & F.col("r_alpha_words")
             & F.col("r_stopwords"))
     return out.withColumn("gopher_keep", keep)
+
+
+# Gopher repetition-filter thresholds (Rae et al. 2021, Appendix A):
+# max duplicate-line fraction, duplicate-line CHARACTER fraction, and
+# top word-{2,3,4}-gram character fractions.
+GOPHER_REP_THRESHOLDS = {
+    "dup_line_frac": 0.30,
+    "dup_line_char_frac": 0.20,
+    "top_2gram_char_frac": 0.20,
+    "top_3gram_char_frac": 0.18,
+    "top_4gram_char_frac": 0.16,
+}
+
+
+def gopher_repetition(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Gopher repetition filters (the other half of the Appendix-A
+    battery; :func:`gopher_rules` covers the document-shape rules):
+
+    - ``dup_line_frac``    = 1 − distinct_lines / lines
+    - ``dup_line_char_frac`` = 1 − chars_of_distinct_lines /
+      chars_of_all_lines (each distinct line's chars counted once)
+    - ``top_{2,3,4}gram_char_frac`` = occurrences_of_most_frequent
+      n-gram × its char length / total word chars
+
+    (the standard public formulation of the paper's fractions — the
+    dup-5..10-gram variants are omitted, documented scope).
+    ``rep_keep`` ANDs the published thresholds.  Shuffles group by
+    (doc, line) / (doc, ngram) — linear, skew-free (keys are
+    per-document)."""
+    did = F.col(id_col)
+    t = F.col(text_col)
+    lines = (df.select(did.alias("_id"),
+                       F.explode(F.split(t, "\n")).alias("line"))
+             .filter(F.trim("line") != ""))
+    per_line = lines.groupBy("_id", "line").agg(
+        F.count("*").alias("cnt"))
+    line_stats = per_line.groupBy("_id").agg(
+        (1.0 - F.count("*") / F.sum("cnt")).alias("dup_line_frac"),
+        (1.0 - F.sum(F.length("line"))
+         / F.sum(F.length("line") * F.col("cnt")))
+        .alias("dup_line_char_frac"))
+
+    words = F.filter(F.split(t, r"\s+"), lambda x: x != "")
+    base = df.select(did.alias("_id"), words.alias("w"),
+                     F.aggregate(words, F.lit(0),
+                                 lambda acc, x: acc + F.length(x))
+                     .cast("double").alias("wchars"))
+    tops = None
+    for n in (2, 3, 4):
+        ng = F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size("w") - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice("w", i + 1, n)))
+        grams = (base.filter(F.size("w") >= n)
+                 .select("_id", "wchars", F.explode(ng).alias("g"))
+                 .groupBy("_id", "wchars", "g")
+                 .agg(F.count("*").alias("cnt")))
+        # top n-gram per doc: (count desc, gram asc) deterministic
+        from pyspark.sql.window import Window
+        w = Window.partitionBy("_id").orderBy(F.desc("cnt"), F.asc("g"))
+        top = (grams.withColumn("_rn", F.row_number().over(w))
+               .filter(F.col("_rn") == 1)
+               .select("_id",
+                       (F.col("cnt")
+                        * (F.length("g") - (n - 1))  # gram word chars
+                        / F.greatest(F.col("wchars"), F.lit(1.0)))
+                       .alias(f"top_{n}gram_char_frac")))
+        tops = top if tops is None else tops.join(top, "_id", "left")
+    out = (df.select(did.alias("_id"), "*")
+           .join(line_stats, "_id", "left")
+           .join(tops, "_id", "left")
+           .drop("_id"))
+    for c in ("dup_line_frac", "dup_line_char_frac"):
+        out = out.withColumn(c, F.coalesce(F.col(c), F.lit(0.0)))
+    for n in (2, 3, 4):
+        c = f"top_{n}gram_char_frac"
+        out = out.withColumn(c, F.coalesce(F.col(c), F.lit(0.0)))
+    keep = F.lit(True)
+    for c, thr in GOPHER_REP_THRESHOLDS.items():
+        keep = keep & (F.col(c) <= thr)
+    return out.withColumn("rep_keep", keep)

@@ -167,3 +167,28 @@ def test_gopher_rules(spark):
     assert out[6]["r_stopwords"] is False
     for d in range(1, 7):
         assert out[d]["gopher_keep"] is False, d
+
+
+def test_gopher_repetition(spark):
+    """Repetition half of the Gopher battery: duplicate-line fractions
+    and top n-gram char fractions with the published thresholds."""
+    from auctus_spark.operators.textstats import gopher_repetition
+    clean = " ".join(f"w{i:03d}" for i in range(120))   # all distinct
+    docs = [
+        (0, clean + "\n" + " ".join(f"x{i}" for i in range(60))),
+        (1, "same line\n" * 8 + "one different line here"),  # dups
+        (2, ("spam spam " * 40) + clean),               # top 2-gram
+        (3, ""),                                        # empty
+    ]
+    out = {r.doc_id: r for r in gopher_repetition(
+        spark.createDataFrame(docs, "doc_id long, text string"))
+        .collect()}
+    assert out[0].rep_keep is True
+    assert out[0].dup_line_frac == 0.0
+    assert out[1].dup_line_frac > 0.30 and out[1].rep_keep is False
+    assert out[1].dup_line_char_frac > 0.20
+    assert out[2].top_2gram_char_frac > 0.20 and out[2].rep_keep is False
+    assert out[3].rep_keep is True                      # nothing repeats
+    # exact formula check on doc 1's duplicate lines: 9 lines, 2
+    # distinct → dup_line_frac = 1 - 2/9
+    assert out[1].dup_line_frac == 1 - 2 / 9
