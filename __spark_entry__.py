@@ -1179,6 +1179,15 @@ def _q_gopher_repetition(spark, sf_dir):
         "rep_keep")
 
 
+def _q_c4_rules(spark, sf_dir):
+    """C4 cleaning rules (Raffel et al. 2020 §2.2 public subset) over
+    the documents table."""
+    from auctus_spark.operators.textstats import c4_rules
+    out = c4_rules(_docs(spark, sf_dir))
+    return out.select("doc_id", "n_kept_lines", "n_sentences",
+                      "has_lorem", "has_brace", "c4_keep")
+
+
 def _q_column_types(spark, sf_dir):
     """Structural-type detection battery (reference
     profile_types.py:82-126): single-pass regex voting over
@@ -1360,6 +1369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "column_types": _q_column_types,
         "gopher_rules": _q_gopher_rules,
         "gopher_repetition": _q_gopher_repetition,
+        "c4_rules": _q_c4_rules,
         "function_score_boost": _q_function_score_boost,
         "temporal_histogram": _q_temporal_histogram,
         "word_histogram": _q_word_histogram,
@@ -1941,6 +1951,33 @@ def _oracle_sql_static() -> dict[str, str]:
         "column_types": _column_types_sql(),
         "gopher_rules": _gopher_rules_sql(),
         "gopher_repetition": _gopher_repetition_sql(),
+        "c4_rules": """
+            WITH l AS (
+              SELECT doc_id, text,
+                list_filter(regexp_split_to_array(text, '\n'),
+                            x -> trim(x) <> '') AS lines
+              FROM documents),
+            k AS (
+              SELECT doc_id, text,
+                list_filter(lines,
+                  x -> regexp_matches(x, '[.!?"]\s*$')
+                   AND len(list_filter(regexp_split_to_array(x, '\s+'),
+                                       w -> w <> '')) >= 5) AS kept
+              FROM l),
+            m AS (
+              SELECT doc_id,
+                CAST(len(kept) AS BIGINT) AS n_kept_lines,
+                CAST(coalesce(length(regexp_replace(
+                  array_to_string(kept, chr(10)), '[^.!?]', '', 'g')),
+                  0) AS BIGINT) AS n_sentences,
+                contains(lower(text), 'lorem ipsum') AS has_lorem,
+                contains(text, '{') AS has_brace
+              FROM k)
+            SELECT doc_id, n_kept_lines, n_sentences, has_lorem,
+                   has_brace,
+                   n_sentences >= 3 AND NOT has_lorem AND NOT has_brace
+                     AS c4_keep
+            FROM m""",
         "search_service": _bm25_filtered_sql(
             ["data", "join"],
             "lang IN ('en', 'fr') AND source IN ('src0', 'src1', "

@@ -395,3 +395,37 @@ def gopher_repetition(df: DataFrame, text_col: str = "text",
     for c, thr in GOPHER_REP_THRESHOLDS.items():
         keep = keep & (F.col(c) <= thr)
     return out.withColumn("rep_keep", keep)
+
+
+def c4_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """C4 cleaning rules (Raffel et al. 2020 §2.2, the public
+    subset): line-level — keep only lines that end in terminal
+    punctuation (. ! ? ") AND have >= 5 words; page-level — drop
+    pages with < 3 sentences after cleaning, or containing
+    "lorem ipsum" or a curly brace (the paper's code-page marker).
+    The dirty-word list and 3-sentence dedup are out of scope here
+    (dedup is first-class elsewhere in this package).
+
+    Adds ``clean_text`` (kept lines re-joined), ``n_kept_lines``,
+    ``n_sentences`` (terminal-punct count in clean_text), flag
+    columns and ``c4_keep`` — all JVM-side expressions.
+    """
+    t = F.col(text_col)
+    lines = F.filter(F.split(t, "\n"), lambda x: F.trim(x) != "")
+    kept = F.filter(
+        lines,
+        lambda x: x.rlike(r'[.!?"]\s*$')
+        & (F.size(F.filter(F.split(x, r"\s+"), lambda w: w != ""))
+           >= 5))
+    clean = F.concat_ws("\n", kept)
+    n_sent = F.length(F.regexp_replace(clean, r"[^.!?]", ""))
+    has_lorem = F.lower(t).contains("lorem ipsum")
+    has_brace = t.contains("{")
+    out = (df.withColumn("clean_text", clean)
+           .withColumn("n_kept_lines", F.size(kept).cast("long"))
+           .withColumn("n_sentences", n_sent.cast("long"))
+           .withColumn("has_lorem", has_lorem)
+           .withColumn("has_brace", has_brace))
+    keep = ((F.col("n_sentences") >= 3) & ~F.col("has_lorem")
+            & ~F.col("has_brace"))
+    return out.withColumn("c4_keep", keep)

@@ -192,3 +192,29 @@ def test_gopher_repetition(spark):
     # exact formula check on doc 1's duplicate lines: 9 lines, 2
     # distinct → dup_line_frac = 1 - 2/9
     assert out[1].dup_line_frac == 1 - 2 / 9
+
+
+def test_c4_rules(spark):
+    """C4 line + page rules: terminal-punct >=5-word lines kept,
+    <3-sentence / lorem-ipsum / curly-brace pages dropped."""
+    from auctus_spark.operators.textstats import c4_rules
+    good = ("This is a perfectly normal first sentence here.\n"
+            "And here is another good long sentence for you.\n"
+            "Finally a third complete sentence ends the page.")
+    docs = [
+        (0, good),
+        (1, "short line\nno punct here at all\nok?"),   # lines dropped
+        (2, good + "\nAlso some lorem ipsum filler text."),
+        (3, good + "\nfunction() { return 1; }"),
+        (4, "One single sentence is simply not enough here."),
+    ]
+    out = {r.doc_id: r for r in c4_rules(
+        spark.createDataFrame(docs, "doc_id long, text string"))
+        .collect()}
+    assert out[0].c4_keep is True and out[0].n_kept_lines == 3
+    assert out[1].n_kept_lines == 0 and out[1].c4_keep is False
+    assert out[2].has_lorem is True and out[2].c4_keep is False
+    assert out[3].has_brace is True and out[3].c4_keep is False
+    assert out[4].n_sentences == 1 and out[4].c4_keep is False
+    # line filter really strips: clean_text keeps only good lines
+    assert out[1].clean_text == ""
