@@ -138,3 +138,43 @@ def test_facet_counts_no_shuffle_but_agg(spark, sf_dir):
     phys = _plan(df)
     assert phys.count("Exchange") <= 1      # one agg exchange only
     assert "Join" not in phys
+
+
+def test_script_score_join_broadcasts(spark, sf_dir):
+    """script_score_join must broadcast the query rows (the painless
+    params side) — candidates never shuffle; a sort-merge join or
+    cartesian product here would be the 100TB killer."""
+    from auctus_spark.operators.joins import script_score_join
+    cand = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("cand_id"),
+        (F.col("c_custkey") % 500).cast("double").alias("gte"),
+        ((F.col("c_custkey") % 500) + 10).cast("double").alias("lte"))
+    q = spark.createDataFrame([(0.0, 100.0), (200.0, 260.0)],
+                              "q_gte double, q_lte double")
+    match = ((F.col("q_gte") <= F.col("lte"))
+             & (F.col("q_lte") >= F.col("gte")))
+    script = F.least("lte", "q_lte") - F.greatest("gte", "q_gte")
+    df = script_score_join(cand, q, match, script, "sum")
+    phys = _plan(df)
+    assert "Broadcast" in phys, phys
+    assert "SortMergeJoin" not in phys
+    assert "CartesianProduct" not in phys
+
+
+def test_ann_partitioned_search_single_scan(spark, tmp_path):
+    """search_partitioned compiles to ONE pruned parquet scan +
+    TakeOrdered — no shuffle at all (the probed-buckets filter is a
+    partition filter, cosine math is scan-side)."""
+    import numpy as np
+
+    from auctus_spark.operators.similarity import HyperplaneLSH
+    rng = np.random.Generator(np.random.PCG64(5))
+    rows = [(i, rng.normal(size=16).tolist()) for i in range(300)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    lsh = HyperplaneLSH(dim=16, n_planes=8)
+    path = str(tmp_path / "annp")
+    lsh.partition_table(emb, path)
+    df = lsh.search_partitioned(spark, path, rows[0][1], k=5)
+    phys = _plan(df)
+    assert "Exchange" not in phys, phys
+    assert "TakeOrderedAndProject" in phys
