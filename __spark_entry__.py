@@ -1188,6 +1188,16 @@ def _q_c4_rules(spark, sf_dir):
                       "has_lorem", "has_brace", "c4_keep")
 
 
+def _q_gopher_dup_ngrams(spark, sf_dir):
+    """Duplicate n-gram char fractions (n=5..10, union-of-positions)
+    over documents — the remaining Gopher repetition rules."""
+    from auctus_spark.operators.textstats import gopher_dup_ngrams
+    out = gopher_dup_ngrams(_docs(spark, sf_dir))
+    cols = [F.round(f"dup_{n}gram_char_frac", 6)
+            .alias(f"dup_{n}gram_char_frac") for n in range(5, 11)]
+    return out.select("doc_id", *cols, "dup_ngram_keep")
+
+
 def _q_column_types(spark, sf_dir):
     """Structural-type detection battery (reference
     profile_types.py:82-126): single-pass regex voting over
@@ -1369,6 +1379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "column_types": _q_column_types,
         "gopher_rules": _q_gopher_rules,
         "gopher_repetition": _q_gopher_repetition,
+        "gopher_dup_ngrams": _q_gopher_dup_ngrams,
         "c4_rules": _q_c4_rules,
         "function_score_boost": _q_function_score_boost,
         "temporal_histogram": _q_temporal_histogram,
@@ -1445,6 +1456,52 @@ SELECT doc_id, CAST(nw AS BIGINT) AS n_words,
     AND (ell_end <= 0.3) AND (alpha >= 0.8) AND (stops >= 2)
     AS gopher_keep
 FROM m
+"""
+
+
+def _gopher_dup_ngrams_sql() -> str:
+    thr = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
+    gram_sels = " UNION ALL ".join(
+        f"SELECT doc_id, i - 1 AS i, {n} AS n, "
+        f"array_to_string(w[i:i + {n - 1}], ' ') AS g "
+        f"FROM base, LATERAL (SELECT unnest(range(1, len(w) - {n - 1}"
+        f" + 1)) AS i) WHERE len(w) >= {n}"
+        for n in range(5, 11))
+    fracs = ", ".join(
+        f"round(coalesce(max(CASE WHEN f.n = {n} THEN f.covd END)"
+        f" / wc.wchars, 0.0), 6) AS dup_{n}gram_char_frac"
+        for n in range(5, 11))
+    keep = " AND ".join(
+        f"coalesce(max(CASE WHEN f.n = {n} THEN f.covd END)"
+        f" / wc.wchars, 0.0) <= {t}" for n, t in thr.items())
+    return rf"""
+WITH base AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w
+  FROM documents),
+words AS (
+  SELECT doc_id, i - 1 AS idx, w[i] AS word
+  FROM base, LATERAL (SELECT unnest(range(1, len(w) + 1)) AS i)),
+wc AS (SELECT doc_id,
+              coalesce(sum(length(word)), 0) * 1.0 AS wchars
+       FROM base LEFT JOIN words USING (doc_id) GROUP BY doc_id),
+grams AS ({gram_sels}),
+dup AS (
+  SELECT doc_id, n, g, list(i) AS starts FROM grams
+  GROUP BY doc_id, n, g HAVING count(*) > 1),
+cov AS (
+  SELECT DISTINCT doc_id, n, i + off AS idx
+  FROM (SELECT doc_id, n, unnest(starts) AS i FROM dup) d,
+       LATERAL (SELECT unnest(range(0, d.n)) AS off)),
+f AS (
+  SELECT cov.doc_id, cov.n, sum(length(words.word)) * 1.0 AS covd
+  FROM cov JOIN words ON words.doc_id = cov.doc_id
+                     AND words.idx = cov.idx
+  GROUP BY cov.doc_id, cov.n)
+SELECT wc.doc_id, {fracs},
+       {keep} AS dup_ngram_keep
+FROM wc LEFT JOIN f ON f.doc_id = wc.doc_id
+GROUP BY wc.doc_id, wc.wchars
 """
 
 
@@ -1951,6 +2008,7 @@ def _oracle_sql_static() -> dict[str, str]:
         "column_types": _column_types_sql(),
         "gopher_rules": _gopher_rules_sql(),
         "gopher_repetition": _gopher_repetition_sql(),
+        "gopher_dup_ngrams": _gopher_dup_ngrams_sql(),
         "c4_rules": """
             WITH l AS (
               SELECT doc_id, text,

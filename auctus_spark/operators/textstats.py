@@ -339,8 +339,8 @@ def gopher_repetition(df: DataFrame, text_col: str = "text",
     - ``top_{2,3,4}gram_char_frac`` = occurrences_of_most_frequent
       n-gram × its char length / total word chars
 
-    (the standard public formulation of the paper's fractions — the
-    dup-5..10-gram variants are omitted, documented scope).
+    (the standard public formulation of the paper's fractions; the
+    dup-5..10-gram variants live in :func:`gopher_dup_ngrams`).
     ``rep_keep`` ANDs the published thresholds.  Shuffles group by
     (doc, line) / (doc, ngram) — linear, skew-free (keys are
     per-document)."""
@@ -429,3 +429,84 @@ def c4_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
     keep = ((F.col("n_sentences") >= 3) & ~F.col("has_lorem")
             & ~F.col("has_brace"))
     return out.withColumn("c4_keep", keep)
+
+
+# duplicate n-gram char-fraction thresholds (Gopher Appendix A):
+# fraction of word characters covered by n-grams that occur more
+# than once, for n = 5..10.
+GOPHER_DUP_NGRAM_THRESHOLDS = {5: 0.15, 6: 0.14, 7: 0.13,
+                               8: 0.12, 9: 0.11, 10: 0.10}
+
+
+def gopher_dup_ngrams(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      ns: tuple = (5, 6, 7, 8, 9, 10)) -> DataFrame:
+    """The remaining Gopher repetition rules: for each n in 5..10 the
+    fraction of word CHARACTERS covered by duplicated n-grams — the
+    UNION of covered word positions, so overlapping occurrences never
+    double-count (the paper's semantics; char coverage is measured on
+    word characters, separators excluded — documented choice shared
+    with :func:`gopher_repetition`'s top-n-gram fractions).
+
+    ONE window pass builds every n-gram length at once (words sorted
+    per doc, n-grams via lead()), then one (doc, n, gram) groupBy →
+    duplicated keys (count > 1) → explode covered positions →
+    distinct → sum covered word lengths.  Every shuffle keys on the
+    document — linear, skew-free.  ``dup_ngram_keep`` ANDs the
+    published thresholds."""
+    from pyspark.sql.window import Window
+    did = F.col(id_col)
+    words_arr = F.filter(F.split(F.col(text_col), r"\s+"),
+                         lambda x: x != "")
+    base = df.select(did.alias("_id"), words_arr.alias("w"))
+    words = (base.select(
+        "_id", F.posexplode("w").alias("idx", "word")))
+    wchars = words.groupBy("_id").agg(
+        F.sum(F.length("word")).cast("double").alias("wchars"))
+    max_n = max(ns)
+    wsort = Window.partitionBy("_id").orderBy("idx")
+    leads = [F.col("word")] + [F.lead("word", j).over(wsort)
+                               for j in range(1, max_n)]
+    with_leads = words.select(
+        "_id", F.col("idx").alias("i"),
+        *[F.when(leads[n - 1].isNotNull(),
+                 F.concat_ws(" ", *leads[:n])).alias(f"_g{n}")
+          for n in ns])
+    gram_structs = [F.struct(F.lit(n).alias("n"),
+                             F.col(f"_g{n}").alias("g")) for n in ns]
+    grams = (with_leads
+             .select("_id", "i",
+                     F.explode(F.array(*gram_structs)).alias("s"))
+             .select("_id", "i", F.col("s.n").alias("n"),
+                     F.col("s.g").alias("g"))
+             .filter(F.col("g").isNotNull()))
+    dup = (grams.groupBy("_id", "n", "g")
+           .agg(F.count("*").alias("cnt"),
+                F.collect_list("i").alias("starts"))
+           .filter(F.col("cnt") > 1))
+    covered = (dup.select("_id", "n", F.explode("starts").alias("i"))
+               .select("_id", "n", F.explode(
+                   F.sequence(F.col("i"), F.col("i") + F.col("n") - 1))
+                   .alias("idx"))
+               .distinct())
+    fracs = (covered.join(words, ["_id", "idx"])
+             .groupBy("_id", "n")
+             .agg(F.sum(F.length("word")).cast("double").alias("_cov"))
+             .join(wchars, "_id")
+             .groupBy("_id")
+             .pivot("n", list(ns))
+             .agg(F.first(F.col("_cov")
+                          / F.greatest("wchars", F.lit(1.0)))))
+    for n in ns:
+        fracs = fracs.withColumnRenamed(
+            str(n), f"dup_{n}gram_char_frac")
+    out = df.join(fracs.withColumnRenamed("_id", id_col),
+                  id_col, "left")
+    for n in ns:
+        c = f"dup_{n}gram_char_frac"
+        out = out.withColumn(c, F.coalesce(F.col(c), F.lit(0.0)))
+    keep = F.lit(True)
+    for n in ns:
+        thr = GOPHER_DUP_NGRAM_THRESHOLDS[n]
+        keep = keep & (F.col(f"dup_{n}gram_char_frac") <= thr)
+    return out.withColumn("dup_ngram_keep", keep)

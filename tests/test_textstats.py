@@ -218,3 +218,31 @@ def test_c4_rules(spark):
     assert out[4].n_sentences == 1 and out[4].c4_keep is False
     # line filter really strips: clean_text keeps only good lines
     assert out[1].clean_text == ""
+
+
+def test_gopher_dup_ngrams(spark):
+    """Duplicate n-gram char fractions: union-of-positions semantics
+    (overlaps never double-count), published thresholds."""
+    from auctus_spark.operators.textstats import gopher_dup_ngrams
+    clean = " ".join(f"w{i:03d}" for i in range(80))    # no repeats
+    # "a b c d e" ×3 separated by unique words → the 5-gram repeats;
+    # its occurrences cover exactly 15 of the words
+    rep = " ".join(["a b c d e", "u1 u2", "a b c d e", "u3 u4",
+                    "a b c d e"])
+    docs = [(0, clean), (1, rep), (2, "")]
+    out = {r.doc_id: r for r in gopher_dup_ngrams(
+        spark.createDataFrame(docs, "doc_id long, text string"))
+        .collect()}
+    assert out[0].dup_5gram_char_frac == 0.0
+    assert out[0].dup_ngram_keep is True
+    # rep doc: 15 covered single-char words / (15 + 4*2) chars
+    assert out[1].dup_5gram_char_frac == pytest.approx(15 / 23)
+    assert out[1].dup_ngram_keep is False
+    assert out[2].dup_ngram_keep is True
+    # union semantics: consecutive repeats "x x x x x x x" — the
+    # 5-gram "x x x x x" occurs 3 times overlapping, covering ALL 7
+    # positions exactly once
+    over = spark.createDataFrame([(9, " ".join(["x"] * 7))],
+                                 "doc_id long, text string")
+    r9 = gopher_dup_ngrams(over).collect()[0]
+    assert r9.dup_5gram_char_frac == pytest.approx(1.0)
