@@ -845,6 +845,33 @@ class IndexBuilder:
                 and int(expect["n"]) == int(lin["n"]))
 
 
+def export_metrics_tables(spark: SparkSession, index_dir: str,
+                          prefix: str,
+                          table_format: str | None = None) -> list[str]:
+    """Publish the index's checkpoint metrics — per-chunk lineage
+    (sha256 rollups, doc ranges, token counts) and global stats — as
+    CATALOG tables, so build lineage is queryable alongside the corpus
+    (the north rule's "checkpoints ... with lineage and metrics into
+    Iceberg": with an Iceberg catalog configured —
+    ``session.get_spark(iceberg_catalog=...)`` — pass
+    ``prefix='cat.db.myindex'`` and ``table_format='iceberg'``; in
+    catalogs without Iceberg jars the session's default table format
+    applies).  Overwrites on re-export (a re-run republishes the
+    current checkpoint state).  Returns the table names written."""
+    paths = IndexPaths(index_dir)
+    out = []
+    for name, path in (("lineage", paths.lineage),
+                       ("stats", paths.stats)):
+        table = f"{prefix}_{name}"
+        writer = (spark.read.parquet(path)
+                  .write.mode("overwrite"))
+        if table_format:
+            writer = writer.format(table_format)
+        writer.saveAsTable(table)
+        out.append(table)
+    return out
+
+
 def wipe(out_dir: str) -> None:
     shutil.rmtree(out_dir, ignore_errors=True)
 

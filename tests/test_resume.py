@@ -577,3 +577,29 @@ def test_compaction_marker_blocks_open(spark, tmp_path):
     marker.unlink()
     eng = SearchEngine(spark, d, term_buckets=2)  # recovers after fix
     assert eng.n_docs == 100
+
+
+def test_export_metrics_tables(spark, tmp_path):
+    """Lineage + stats publish as catalog tables (the Iceberg-bound
+    checkpoint-metrics path; default session catalog here) and stay
+    queryable/consistent with the on-disk checkpoints; re-export
+    overwrites."""
+    from auctus_spark.index.build import export_metrics_tables
+    pdf = generate_corpus(120, min_tokens=10, max_tokens=30,
+                          vocab_size=200)
+    d = str(tmp_path / "midx")
+    b = IndexBuilder(spark, d, doc_bucket=64, chunk_docs=60,
+                     term_buckets=2)
+    stats = b.build(spark.createDataFrame(pdf))
+    tables = export_metrics_tables(spark, d, "auctus_m")
+    assert tables == ["auctus_m_lineage", "auctus_m_stats"]
+    lin = spark.table("auctus_m_lineage")
+    assert lin.count() == 2                   # two chunks
+    got = spark.table("auctus_m_stats").collect()[0]
+    assert int(got["n_docs"]) == stats["n_docs"] == 120
+    assert abs(float(got["avgdl"]) - stats["avgdl"]) < 1e-12
+    # re-export is an overwrite, not an append
+    export_metrics_tables(spark, d, "auctus_m")
+    assert spark.table("auctus_m_lineage").count() == 2
+    for t in tables:
+        spark.sql(f"DROP TABLE {t}")
