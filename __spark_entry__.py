@@ -1173,6 +1173,8 @@ def _q_gopher_repetition(spark, sf_dir):
         "doc_id",
         F.round("dup_line_frac", 6).alias("dup_line_frac"),
         F.round("dup_line_char_frac", 6).alias("dup_line_char_frac"),
+        F.round("dup_para_frac", 6).alias("dup_para_frac"),
+        F.round("dup_para_char_frac", 6).alias("dup_para_char_frac"),
         F.round("top_2gram_char_frac", 6).alias("top_2gram_char_frac"),
         F.round("top_3gram_char_frac", 6).alias("top_3gram_char_frac"),
         F.round("top_4gram_char_frac", 6).alias("top_4gram_char_frac"),
@@ -1547,23 +1549,38 @@ ls AS (
     1.0 - count(*) * 1.0 / sum(cnt) AS dlf,
     1.0 - sum(length(line)) * 1.0 / sum(length(line) * cnt) AS dlcf
   FROM ln GROUP BY doc_id),
+pr AS (
+  SELECT doc_id, para, count(*) AS cnt FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(text, '\n\s*\n'))
+      AS para
+    FROM documents)
+  WHERE trim(para) <> '' GROUP BY doc_id, para),
+ps AS (
+  SELECT doc_id,
+    1.0 - count(*) * 1.0 / sum(cnt) AS dpf,
+    1.0 - sum(length(para)) * 1.0 / sum(length(para) * cnt) AS dpcf
+  FROM pr GROUP BY doc_id),
 {','.join(gram_ctes)},
 m AS (
   SELECT wd.doc_id,
     coalesce(ls.dlf, 0.0) AS dlf, coalesce(ls.dlcf, 0.0) AS dlcf,
+    coalesce(ps.dpf, 0.0) AS dpf, coalesce(ps.dpcf, 0.0) AS dpcf,
     {', '.join(gram_joins)}
   FROM wd LEFT JOIN ls ON ls.doc_id = wd.doc_id
+    LEFT JOIN ps ON ps.doc_id = wd.doc_id
     LEFT JOIN t2 ON t2.doc_id = wd.doc_id
     LEFT JOIN t3 ON t3.doc_id = wd.doc_id
     LEFT JOIN t4 ON t4.doc_id = wd.doc_id)
 SELECT doc_id,
   round(dlf, 6) AS dup_line_frac,
   round(dlcf, 6) AS dup_line_char_frac,
+  round(dpf, 6) AS dup_para_frac,
+  round(dpcf, 6) AS dup_para_char_frac,
   round(f2, 6) AS top_2gram_char_frac,
   round(f3, 6) AS top_3gram_char_frac,
   round(f4, 6) AS top_4gram_char_frac,
-  dlf <= 0.30 AND dlcf <= 0.20 AND f2 <= 0.20 AND f3 <= 0.18
-    AND f4 <= 0.16 AS rep_keep
+  dlf <= 0.30 AND dpf <= 0.30 AND dlcf <= 0.20 AND dpcf <= 0.20
+    AND f2 <= 0.20 AND f3 <= 0.18 AND f4 <= 0.16 AS rep_keep
 FROM m
 """
 

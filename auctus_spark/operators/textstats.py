@@ -321,7 +321,9 @@ def gopher_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
 # top word-{2,3,4}-gram character fractions.
 GOPHER_REP_THRESHOLDS = {
     "dup_line_frac": 0.30,
+    "dup_para_frac": 0.30,
     "dup_line_char_frac": 0.20,
+    "dup_para_char_frac": 0.20,
     "top_2gram_char_frac": 0.20,
     "top_3gram_char_frac": 0.18,
     "top_4gram_char_frac": 0.16,
@@ -336,6 +338,8 @@ def gopher_repetition(df: DataFrame, text_col: str = "text",
     - ``dup_line_frac``    = 1 − distinct_lines / lines
     - ``dup_line_char_frac`` = 1 − chars_of_distinct_lines /
       chars_of_all_lines (each distinct line's chars counted once)
+    - ``dup_para_frac`` / ``dup_para_char_frac`` — the same two over
+      PARAGRAPHS (blank-line-separated blocks)
     - ``top_{2,3,4}gram_char_frac`` = occurrences_of_most_frequent
       n-gram × its char length / total word chars
 
@@ -346,16 +350,21 @@ def gopher_repetition(df: DataFrame, text_col: str = "text",
     per-document)."""
     did = F.col(id_col)
     t = F.col(text_col)
-    lines = (df.select(did.alias("_id"),
-                       F.explode(F.split(t, "\n")).alias("line"))
-             .filter(F.trim("line") != ""))
-    per_line = lines.groupBy("_id", "line").agg(
-        F.count("*").alias("cnt"))
-    line_stats = per_line.groupBy("_id").agg(
-        (1.0 - F.count("*") / F.sum("cnt")).alias("dup_line_frac"),
-        (1.0 - F.sum(F.length("line"))
-         / F.sum(F.length("line") * F.col("cnt")))
-        .alias("dup_line_char_frac"))
+    def _dup_stats(split_re: str, tag: str):
+        units = (df.select(did.alias("_id"),
+                           F.explode(F.split(t, split_re))
+                           .alias("u"))
+                 .filter(F.trim("u") != ""))
+        per = units.groupBy("_id", "u").agg(F.count("*").alias("cnt"))
+        return per.groupBy("_id").agg(
+            (1.0 - F.count("*") / F.sum("cnt"))
+            .alias(f"dup_{tag}_frac"),
+            (1.0 - F.sum(F.length("u"))
+             / F.sum(F.length("u") * F.col("cnt")))
+            .alias(f"dup_{tag}_char_frac"))
+
+    line_stats = _dup_stats("\n", "line")
+    para_stats = _dup_stats(r"\n\s*\n", "para")
 
     words = F.filter(F.split(t, r"\s+"), lambda x: x != "")
     base = df.select(did.alias("_id"), words.alias("w"),
@@ -384,9 +393,11 @@ def gopher_repetition(df: DataFrame, text_col: str = "text",
         tops = top if tops is None else tops.join(top, "_id", "left")
     out = (df.select(did.alias("_id"), "*")
            .join(line_stats, "_id", "left")
+           .join(para_stats, "_id", "left")
            .join(tops, "_id", "left")
            .drop("_id"))
-    for c in ("dup_line_frac", "dup_line_char_frac"):
+    for c in ("dup_line_frac", "dup_line_char_frac",
+              "dup_para_frac", "dup_para_char_frac"):
         out = out.withColumn(c, F.coalesce(F.col(c), F.lit(0.0)))
     for n in (2, 3, 4):
         c = f"top_{n}gram_char_frac"

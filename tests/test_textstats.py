@@ -189,6 +189,14 @@ def test_gopher_repetition(spark):
     assert out[1].dup_line_char_frac > 0.20
     assert out[2].top_2gram_char_frac > 0.20 and out[2].rep_keep is False
     assert out[3].rep_keep is True                      # nothing repeats
+    # paragraph duplicates (blank-line-separated blocks)
+    from auctus_spark.operators.textstats import gopher_repetition as gr
+    pdoc = [(7, "para one is here\n\npara one is here\n\n"
+                "para one is here\n\nunique closing paragraph")]
+    r7 = gr(spark.createDataFrame(
+        pdoc, "doc_id long, text string")).collect()[0]
+    assert r7.dup_para_frac == pytest.approx(1 - 2 / 4)
+    assert r7.dup_para_char_frac > 0.20 and r7.rep_keep is False
     # exact formula check on doc 1's duplicate lines: 9 lines, 2
     # distinct → dup_line_frac = 1 - 2/9
     assert out[1].dup_line_frac == 1 - 2 / 9
