@@ -1427,7 +1427,8 @@ WITH w AS (
     list_filter(regexp_split_to_array(text, '\n'),
                 x -> trim(x) <> '') AS lines,
     length(text) - length(replace(text, '#', '')) AS n_hash,
-    (length(text) - length(replace(text, '...', ''))) / 3 AS n_ell
+    (length(text) - length(replace(text, '...', ''))) / 3
+      + (length(text) - length(replace(text, '…', ''))) AS n_ell
   FROM documents),
 m AS (
   SELECT doc_id, len(words) AS nw,
@@ -1437,7 +1438,8 @@ m AS (
     n_hash, n_ell,
     len(list_filter(lines, x -> regexp_matches(trim(x), '^[-*•]')))
       / (greatest(len(lines), 1) * 1.0) AS bullet,
-    len(list_filter(lines, x -> regexp_matches(trim(x), '\.\.\.$')))
+    len(list_filter(lines,
+                    x -> regexp_matches(trim(x), '(\.\.\.|…)$')))
       / (greatest(len(lines), 1) * 1.0) AS ell_end,
     len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))
       / (greatest(len(words), 1) * 1.0) AS alpha,
@@ -1448,13 +1450,14 @@ m AS (
 SELECT doc_id, CAST(nw AS BIGINT) AS n_words,
   nw >= 50 AND nw <= 100000 AS r_word_count,
   mwl >= 3.0 AND mwl <= 10.0 AS r_mean_word_len,
-  (n_hash + n_ell) / nw1 <= 0.1 AS r_symbol_ratio,
+  n_hash / nw1 <= 0.1 AND n_ell / nw1 <= 0.1 AS r_symbol_ratio,
   bullet <= 0.9 AS r_bullet_lines,
   ell_end <= 0.3 AS r_ellipsis_lines,
   alpha >= 0.8 AS r_alpha_words,
   stops >= 2 AS r_stopwords,
   (nw >= 50 AND nw <= 100000) AND (mwl >= 3.0 AND mwl <= 10.0)
-    AND ((n_hash + n_ell) / nw1 <= 0.1) AND (bullet <= 0.9)
+    AND (n_hash / nw1 <= 0.1 AND n_ell / nw1 <= 0.1)
+    AND (bullet <= 0.9)
     AND (ell_end <= 0.3) AND (alpha >= 0.8) AND (stops >= 2)
     AS gopher_keep
 FROM m

@@ -264,10 +264,12 @@ def gopher_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     - ``r_word_count``: 50 <= words <= 100,000
     - ``r_mean_word_len``: mean word length in [3, 10]
-    - ``r_symbol_ratio``: (#'#' chars + '...' occurrences) / words
-      <= 0.1
+    - ``r_symbol_ratio``: BOTH #'#' chars / words <= 0.1 AND
+      ellipsis occurrences ('...' or U+2026) / words <= 0.1 — the
+      paper tests each symbol's ratio separately ("for either the
+      hash symbol or the ellipsis"), not their sum
     - ``r_bullet_lines``: <= 90% of lines start with a bullet
-    - ``r_ellipsis_lines``: <= 30% of lines end with '...'
+    - ``r_ellipsis_lines``: <= 30% of lines end with '...' or U+2026
     - ``r_alpha_words``: >= 80% of words contain a letter
     - ``r_stopwords``: >= 2 distinct Gopher stop words present
     - ``gopher_keep``: AND of all rules
@@ -283,15 +285,18 @@ def gopher_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
                            lambda acc, x: acc + F.length(x))
                / n_words1)
     n_hash = F.length(t) - F.length(F.regexp_replace(t, "#", ""))
-    n_ellipsis = ((F.length(t)
-                   - F.length(F.replace(t, F.lit("..."), F.lit(""))))
-                  / F.lit(3))
+    n_ellipsis = (((F.length(t)
+                    - F.length(F.replace(t, F.lit("..."),
+                                         F.lit("")))) / F.lit(3))
+                  + (F.length(t)
+                     - F.length(F.replace(t, F.lit("…"),
+                                          F.lit("")))))
     lines = F.filter(F.split(t, "\n"), lambda x: F.trim(x) != "")
     n_lines1 = F.greatest(F.size(lines), F.lit(1)).cast("double")
     bullet = F.size(F.filter(
         lines, lambda x: F.trim(x).rlike(r"^[-*•]"))) / n_lines1
     ellipsis_end = F.size(F.filter(
-        lines, lambda x: F.trim(x).rlike(r"\.\.\.$"))) / n_lines1
+        lines, lambda x: F.trim(x).rlike(r"(\.\.\.|…)$"))) / n_lines1
     alpha = F.size(F.filter(
         words, lambda x: x.rlike("[A-Za-z]"))) / n_words1
     stops = F.size(F.array_intersect(
@@ -304,7 +309,8 @@ def gopher_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
            .withColumn("r_mean_word_len",
                        (mean_wl >= 3.0) & (mean_wl <= 10.0))
            .withColumn("r_symbol_ratio",
-                       ((n_hash + n_ellipsis) / n_words1) <= 0.1)
+                       ((n_hash / n_words1) <= 0.1)
+                       & ((n_ellipsis / n_words1) <= 0.1))
            .withColumn("r_bullet_lines", bullet <= 0.9)
            .withColumn("r_ellipsis_lines", ellipsis_end <= 0.3)
            .withColumn("r_alpha_words", alpha >= 0.8)

@@ -169,6 +169,33 @@ def test_gopher_rules(spark):
         assert out[d]["gopher_keep"] is False, d
 
 
+def test_gopher_symbol_ratio_independent(spark):
+    """Rae et al. 2021 App. A tests hash/words and ellipsis/words
+    against 0.1 EACH (not their sum), and U+2026 counts as an
+    ellipsis.  100 words with 6 hashes and 6 '...' → each ratio 0.06,
+    keep; 100 words with 11 U+2026 → ellipsis ratio 0.11, drop."""
+    from auctus_spark.operators.textstats import gopher_rules
+    base = ["the", "be", "to", "of", "and", "that", "have", "with"]
+    words = (base * 13)[:94]                     # 94 clean words
+    both_ok = " ".join(words + ["#"] * 3 + ["..."] * 3)   # 100 words
+    # hash 3/100=0.03, ellipsis 3/100=0.03; combined-sum would be
+    # 0.06 <= 0.1 too, so also add the 0.06+0.06 case:
+    w88 = (base * 11)[:88]
+    sum_over = " ".join(w88 + ["#"] * 6 + ["..."] * 6)    # 100 words
+    uni_over = " ".join((base * 12)[:89] + ["…"] * 11)    # 100 words
+    uni_end = "\n".join(["line one ends here…"] * 5
+                        + ["clean line of text"] * 5)
+    docs = [(0, both_ok), (1, sum_over), (2, uni_over), (3, uni_end)]
+    out = {r["doc_id"]: r.asDict() for r in gopher_rules(
+        spark.createDataFrame(docs, "doc_id long, text string"))
+        .collect()}
+    assert out[0]["r_symbol_ratio"] is True
+    # 0.06 hash + 0.06 ellipsis: each ratio passes independently
+    assert out[1]["r_symbol_ratio"] is True
+    assert out[2]["r_symbol_ratio"] is False      # U+2026 counted
+    assert out[3]["r_ellipsis_lines"] is False    # 50% end with …
+
+
 def test_gopher_repetition(spark):
     """Repetition half of the Gopher battery: duplicate-line fractions
     and top n-gram char fractions with the published thresholds."""
