@@ -590,8 +590,9 @@ def _q_bm25_phrase_sloppy(spark, sf_dir):
     algorithm — oracle.lucene_sloppy_freq runs in BOTH the engine
     buckets and the pytest oracle, bit-identical scores;
     tests/test_rank_identity.py::test_sloppy_phrase_matches_oracle).
-    Rows-only driver check: the window accumulation is not
-    SQL-expressible."""
+    Full oracle gate: the two-term case runs the exact two-cursor
+    window algorithm as a DuckDB recursive CTE
+    (:func:`_phrase_sloppy2_sql`)."""
     from auctus_spark.query.bm25 import PhraseEngine
     _q_bm25_phrase(spark, sf_dir)        # ensure the index exists
     import hashlib as _h
@@ -643,6 +644,89 @@ FROM occ JOIN dl USING (doc_id) CROSS JOIN stats s
 ORDER BY ({idf_terms})
          * (occ.freq / (occ.freq + 1.2 *
             (0.25 + 0.75 * dl.dl / s.avgdl))) DESC, occ.doc_id ASC
+LIMIT {k}
+"""
+
+
+def _phrase_sloppy2_sql(t0: str, t1: str, slop: int,
+                        k: int = 50) -> str:
+    """DuckDB oracle for TWO-TERM sloppy phrase: runs the exact Lucene
+    SloppyPhraseScorer two-cursor window algorithm
+    (:func:`auctus_spark.oracle.lucene_sloppy_freq`) as a RECURSIVE
+    CTE — one state row per candidate doc, one cursor advance per
+    recursion level (state = cursors i/j, window end, match_length,
+    accumulated freq).  Offset-adjusted positions: slot 0 = pos, slot
+    1 = pos − 1; initial pop tie-breaks to slot 0 like the heap's
+    (pos, slot) ordering.  Matches the engine's float64 accumulation
+    order exactly because the recursion adds the same 1/(1+ml) terms
+    in the same sequence."""
+    idf_terms = " + ".join(
+        f"(SELECT ln(1 + (s.n_docs - df + 0.5) / (df + 0.5)) FROM df "
+        f"CROSS JOIN stats s WHERE term = '{t}')" for t in (t0, t1))
+    # CAST to DOUBLE: bare 1.0/… is DECIMAL division in DuckDB and
+    # silently truncates (1/3 → 0.3)
+    contrib = (f"CASE WHEN ml <= {slop} THEN "
+               "CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + ml) "
+               "ELSE CAST(0.0 AS DOUBLE) END")
+    return f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text),
+                     '{SPLIT_PATTERN}'), x -> x <> '') AS l
+  FROM documents),
+tok AS (
+  SELECT doc_id, l[i] AS term, i AS pos
+  FROM toks, LATERAL (SELECT unnest(range(1, len(l) + 1)) AS i)),
+dl AS (SELECT doc_id, len(l) AS dl FROM toks),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT sum(len(l)) FROM toks) * 1.0
+           / (SELECT count(*) FROM documents) AS avgdl),
+df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tok
+  WHERE term IN ('{t0}', '{t1}') GROUP BY term),
+pa AS (SELECT doc_id, list(pos ORDER BY pos) AS a
+       FROM tok WHERE term = '{t0}' GROUP BY doc_id),
+pb AS (SELECT doc_id, list(pos - 1 ORDER BY pos) AS b
+       FROM tok WHERE term = '{t1}' GROUP BY doc_id),
+plist AS (
+  SELECT doc_id, a, b, len(a) AS na, len(b) AS nb
+  FROM pa JOIN pb USING (doc_id)),
+st AS (
+  SELECT doc_id, a, b, na, nb, 1 AS i, 1 AS j,
+         greatest(a[1], b[1]) AS e,
+         CASE WHEN a[1] <= b[1] THEN 0 ELSE 1 END AS s,
+         greatest(a[1], b[1]) - least(a[1], b[1]) AS ml,
+         CAST(0.0 AS DOUBLE) AS freq, false AS done
+  FROM plist
+  UNION ALL
+  SELECT doc_id, a, b, na, nb,
+         CASE WHEN s = 0 THEN i + 1 ELSE i END AS i,
+         CASE WHEN s = 1 THEN j + 1 ELSE j END AS j,
+         CASE WHEN ex THEN e ELSE greatest(e, p2) END AS e,
+         CASE WHEN ex THEN s
+              WHEN p2 > q THEN 1 - s ELSE s END AS s,
+         CASE WHEN ex THEN ml
+              WHEN p2 > q THEN greatest(e, p2) - q
+              ELSE least(ml, greatest(e, p2) - p2) END AS ml,
+         freq + CASE WHEN ex OR p2 > q THEN {contrib}
+                     ELSE 0.0 END AS freq,
+         ex AS done
+  FROM (
+    SELECT *,
+      CASE WHEN s = 0 THEN i + 1 > na ELSE j + 1 > nb END AS ex,
+      CASE WHEN s = 0 THEN a[i + 1] ELSE b[j + 1] END AS p2,
+      CASE WHEN s = 0 THEN b[j] ELSE a[i] END AS q
+    FROM st WHERE NOT done) t),
+fin AS (SELECT doc_id, freq FROM st WHERE done AND freq > 0)
+SELECT fin.doc_id,
+       round(({idf_terms})
+             * (fin.freq / (fin.freq + 1.2 *
+                (0.25 + 0.75 * dl.dl / s.avgdl))), 6) AS score
+FROM fin JOIN dl USING (doc_id) CROSS JOIN stats s
+ORDER BY ({idf_terms})
+         * (fin.freq / (fin.freq + 1.2 *
+            (0.25 + 0.75 * dl.dl / s.avgdl))) DESC, fin.doc_id ASC
 LIMIT {k}
 """
 
@@ -1936,6 +2020,7 @@ def _oracle_sql_static() -> dict[str, str]:
             + ") UNION ALL SELECT 'qb' AS query_id, * FROM ("
             + _bm25_sql(["merge", "batch"], k=20) + ")"),
         "bm25_phrase": _phrase_sql(["table", "value"]),
+        "bm25_phrase_sloppy": _phrase_sloppy2_sql("table", "value", 2),
         "bm25_phrase_batched": (
             "SELECT 'qa' AS query_id, * FROM ("
             + _phrase_sql(["table", "value"], 20)
