@@ -1284,6 +1284,48 @@ def _q_gopher_dup_ngrams(spark, sf_dir):
     return out.select("doc_id", *cols, "dup_ngram_keep")
 
 
+def _q_image_stats(spark, sf_dir):
+    """Multimodal decode end-to-end with the from-spec stdlib PNG
+    codec (operators/png.py): synthesize REAL PNG payloads (mixed
+    per-scanline filters) for doc_id < 200, decode them in executors
+    via mapInPandas, and emit per-image stats.  Pixel values are a
+    closed-form function of media_id (deterministic_image), so the
+    DuckDB oracle recomputes the exact stats without any codec."""
+    from auctus_spark.operators.multimodal import (image_stats,
+                                                   synthesize_png_media)
+    _ensure_workers_can_import(spark)
+    ids = (_docs(spark, sf_dir).select(F.col("doc_id")
+                                       .alias("media_id"))
+           .filter(F.col("media_id") < 200))
+    media = synthesize_png_media(spark, ids)
+    out = image_stats(media)
+    return out.select("media_id", "width", "height", "channels",
+                      F.round("px_mean", 6).alias("px_mean"),
+                      "px_min", "px_max")
+
+
+_IMAGE_STATS_SQL = """
+WITH ids AS (
+  SELECT doc_id AS media_id,
+         8 + doc_id % 17 AS w, 8 + doc_id % 13 AS h,
+         CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS ch
+  FROM documents WHERE doc_id < 200),
+px AS (
+  SELECT media_id, w, h, ch,
+         (media_id * 7 + r * 3 + c * 5 + k * 11) % 256 AS v
+  FROM ids,
+  LATERAL (SELECT unnest(range(0, h)) AS r),
+  LATERAL (SELECT unnest(range(0, w)) AS c),
+  LATERAL (SELECT unnest(range(0, ch)) AS k))
+SELECT media_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(ch AS INT) AS channels,
+       round(avg(CAST(v AS DOUBLE)), 6) AS px_mean,
+       CAST(min(v) AS BIGINT) AS px_min,
+       CAST(max(v) AS BIGINT) AS px_max
+FROM px GROUP BY media_id, w, h, ch
+"""
+
+
 def _q_column_types(spark, sf_dir):
     """Structural-type detection battery (reference
     profile_types.py:82-126): single-pass regex voting over
@@ -1467,6 +1509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_repetition": _q_gopher_repetition,
         "gopher_dup_ngrams": _q_gopher_dup_ngrams,
         "c4_rules": _q_c4_rules,
+        "image_stats": _q_image_stats,
         "function_score_boost": _q_function_score_boost,
         "temporal_histogram": _q_temporal_histogram,
         "word_histogram": _q_word_histogram,
@@ -2114,6 +2157,7 @@ def _oracle_sql_static() -> dict[str, str]:
         "gopher_rules": _gopher_rules_sql(),
         "gopher_repetition": _gopher_repetition_sql(),
         "gopher_dup_ngrams": _gopher_dup_ngrams_sql(),
+        "image_stats": _IMAGE_STATS_SQL,
         "c4_rules": """
             WITH l AS (
               SELECT doc_id, text,
