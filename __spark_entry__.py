@@ -1326,6 +1326,45 @@ FROM px GROUP BY media_id, w, h, ch
 """
 
 
+def _q_admin_resolve(spark, sf_dir):
+    """Offline admin-area resolution (reference spatial.py:333-403 +
+    profile_types.py:264-275): gazetteer built from region (level 0)
+    / nation (level 1) with closed-form bounding boxes, broadcast-
+    joined against the nation-name column, disambiguated with the
+    reference's level/common-parent rule."""
+    from auctus_spark.operators.gazetteer import (build_gazetteer,
+                                                  resolve_admin_areas)
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    gaz = build_gazetteer(nation, region)
+    out = resolve_admin_areas(nation, gaz, "n_name")
+    return out.select(
+        "name", "area_id", "level",
+        F.round("min_lat", 6).alias("min_lat"),
+        F.round("max_lat", 6).alias("max_lat"),
+        F.round("min_lon", 6).alias("min_lon"),
+        F.round("max_lon", 6).alias("max_lon"))
+
+
+# all 25 nation names resolve (100%>70%); every candidate is level 1,
+# the only option clearing max(3, 0.9*25) votes is (level 1, no
+# common parent) -> each name maps to its nation box
+_ADMIN_RESOLVE_SQL = """
+SELECT lower(n_name) AS name,
+       CAST(100 + n_nationkey AS BIGINT) AS area_id,
+       1 AS level,
+       round(10.0 * n_regionkey - 60 + 4.0 * (n_nationkey // 5), 6)
+         AS min_lat,
+       round(10.0 * n_regionkey - 60 + 4.0 * (n_nationkey // 5) + 4.0,
+             6) AS max_lat,
+       round(20.0 * n_regionkey - 150 + 8.0 * (n_nationkey // 5), 6)
+         AS min_lon,
+       round(20.0 * n_regionkey - 150 + 8.0 * (n_nationkey // 5) + 8.0,
+             6) AS max_lon
+FROM nation
+"""
+
+
 def _q_column_types(spark, sf_dir):
     """Structural-type detection battery (reference
     profile_types.py:82-126): single-pass regex voting over
@@ -1510,6 +1549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_dup_ngrams": _q_gopher_dup_ngrams,
         "c4_rules": _q_c4_rules,
         "image_stats": _q_image_stats,
+        "admin_resolve": _q_admin_resolve,
         "function_score_boost": _q_function_score_boost,
         "temporal_histogram": _q_temporal_histogram,
         "word_histogram": _q_word_histogram,
@@ -2158,6 +2198,7 @@ def _oracle_sql_static() -> dict[str, str]:
         "gopher_repetition": _gopher_repetition_sql(),
         "gopher_dup_ngrams": _gopher_dup_ngrams_sql(),
         "image_stats": _IMAGE_STATS_SQL,
+        "admin_resolve": _ADMIN_RESOLVE_SQL,
         "c4_rules": """
             WITH l AS (
               SELECT doc_id, text,
