@@ -255,6 +255,45 @@ def _q_embedding_cosine_topk(spark, sf_dir):
             .orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(20))
 
 
+def _q_ann_ivf(spark, sf_dir):
+    """IVF-KMeans ANN (similarity.IVFKMeans): deterministic maxmin
+    init + fixed Lloyd iterations recover the planted clusters of a
+    closed-form corpus (planted_embeddings — rebuildable in SQL), so
+    nprobe=2 probed-list search returns EXACTLY the brute-force
+    cosine top-k and the gate is fully oracle-checked.  Random
+    vectors have no cluster structure for IVF to exploit; the planted
+    corpus is what makes an exact-recall contract honest."""
+    from auctus_spark.operators.similarity import (IVFKMeans,
+                                                   planted_embeddings)
+    _ensure_workers_can_import(spark)
+    ids = _t(spark, sf_dir, "embeddings").select("vec_id")
+    emb = planted_embeddings(ids)
+    ivf = IVFKMeans(n_lists=16).fit(emb)
+    q = emb.filter(F.col("vec_id") == 1).collect()[0]["embedding"]
+    assigned = ivf.assign(emb).filter(F.col("vec_id") != 1)
+    out = ivf.search(assigned, q, k=20, nprobe=2)
+    return out.select("vec_id", F.round("cos_sim", 6).alias("cos_sim"))
+
+
+_ANN_IVF_SQL = """
+WITH v AS (
+  SELECT vec_id,
+         list_transform(range(0, 16), d ->
+           CASE WHEN d = vec_id % 16 THEN 1.0 ELSE 0.0 END
+           + CAST((vec_id * 31 + d * 17) % 97 - 48 AS DOUBLE)
+             / 480.0) AS e
+  FROM embeddings),
+q AS (SELECT e AS qe FROM v WHERE vec_id = 1)
+SELECT vec_id,
+       round(list_cosine_similarity(e::DOUBLE[], qe::DOUBLE[]), 6)
+         AS cos_sim
+FROM v, q WHERE vec_id <> 1
+ORDER BY list_cosine_similarity(e::DOUBLE[], qe::DOUBLE[]) DESC,
+         vec_id
+LIMIT 20
+"""
+
+
 def _q_ngram_jaccard_dups(spark, sf_dir):
     from auctus_spark.operators.dedup import ngram_jaccard_pairs
     d = _docs(spark, sf_dir)
@@ -1506,6 +1545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_by_name": _q_union_by_name,
         "interval_overlap_join": _q_interval_overlap_join,
         "embedding_cosine_topk": _q_embedding_cosine_topk,
+        "ann_ivf": _q_ann_ivf,
         "ngram_jaccard_dups": _q_ngram_jaccard_dups,
         "minhash_dedup": _q_minhash_dedup,
         "simhash": _q_simhash,
@@ -2199,6 +2239,7 @@ def _oracle_sql_static() -> dict[str, str]:
         "gopher_dup_ngrams": _gopher_dup_ngrams_sql(),
         "image_stats": _IMAGE_STATS_SQL,
         "admin_resolve": _ADMIN_RESOLVE_SQL,
+        "ann_ivf": _ANN_IVF_SQL,
         "c4_rules": """
             WITH l AS (
               SELECT doc_id, text,

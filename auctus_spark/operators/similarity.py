@@ -162,5 +162,112 @@ class HyperplaneLSH:
                            vec_col, id_col, n_probe_bits)
 
 
+def planted_embeddings(ids: DataFrame, dim: int = 16,
+                       n_clusters: int = 16, id_col: str = "vec_id"
+                       ) -> DataFrame:
+    """Deterministic clustered corpus, closed-form in the id so an
+    external SQL oracle can rebuild it:
+    ``v[d] = 1[d == id % n_clusters] + ((id*31 + d*17) % 97 − 48)/480``
+    — one-hot cluster centers plus a small arithmetic perturbation.
+    JVM-side (transform over sequence), no UDF."""
+    i = F.col(id_col)
+    return ids.select(
+        id_col,
+        F.transform(F.sequence(F.lit(0), F.lit(dim - 1)),
+                    lambda dd: (F.when(dd == i % n_clusters, F.lit(1.0))
+                                .otherwise(F.lit(0.0))
+                                + ((i * 31 + dd * 17) % 97 - 48)
+                                / F.lit(480.0))).alias("embedding"))
+
+
+class IVFKMeans:
+    """IVF with a seeded KMeans coarse quantizer — the second ANN
+    option next to :class:`HyperplaneLSH`, same partitioned-table
+    layout: train centroids on a deterministic sample (driver-side,
+    sample-capped like the profiling sketches), assign each vector to
+    its max-cosine centroid in a vectorized pandas UDF, write
+    hive-partitioned by ``list_id``; a query probes only its
+    ``nprobe`` nearest lists (partition pruning at scale).
+
+    Deterministic end-to-end: the init is farthest-point (maxmin)
+    from the first sample vector — no RNG — and Lloyd iterations are
+    fixed-count, so the same input always yields the same centroids.
+    """
+
+    def __init__(self, n_lists: int = 16, n_iter: int = 10,
+                 sample_cap: int = 4096):
+        self.n_lists = n_lists
+        self.n_iter = n_iter
+        self.sample_cap = sample_cap
+        self.centroids: np.ndarray | None = None
+
+    def fit(self, emb: DataFrame, vec_col: str = "embedding",
+            id_col: str = "vec_id") -> "IVFKMeans":
+        rows = (emb.select(id_col, F.col(vec_col)
+                           .cast("array<double>").alias("v"))
+                .orderBy(id_col).limit(self.sample_cap).collect())
+        m = np.stack([np.asarray(r["v"], dtype=np.float64)
+                      for r in rows])
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        seeds = [0]
+        mind = 1.0 - mn @ mn[0]
+        for _ in range(self.n_lists - 1):
+            nxt = int(np.argmax(mind))
+            seeds.append(nxt)
+            mind = np.minimum(mind, 1.0 - mn @ mn[nxt])
+        c = mn[seeds].copy()
+        for _ in range(self.n_iter):
+            a = (mn @ c.T).argmax(axis=1)
+            c = np.vstack([mn[a == j].mean(axis=0) if (a == j).any()
+                           else c[j] for j in range(self.n_lists)])
+            c = c / np.linalg.norm(c, axis=1, keepdims=True)
+        self.centroids = c
+        return self
+
+    def assign(self, emb: DataFrame, vec_col: str = "embedding"
+               ) -> DataFrame:
+        cents = self.centroids
+
+        @F.pandas_udf(LongType())
+        def list_of(v: pd.Series) -> pd.Series:
+            m = np.stack(v.to_numpy()).astype(np.float64)
+            m = m / np.linalg.norm(m, axis=1, keepdims=True)
+            return pd.Series((m @ cents.T).argmax(axis=1)
+                             .astype(np.int64))
+        return emb.withColumn(
+            "list_id", list_of(F.col(vec_col).cast("array<double>")))
+
+    def probe_lists(self, query_vec: np.ndarray, nprobe: int = 2
+                    ) -> list[int]:
+        q = np.asarray(query_vec, dtype=np.float64)
+        q = q / np.linalg.norm(q)
+        order = np.argsort(-(self.centroids @ q), kind="stable")
+        return [int(x) for x in order[:nprobe]]
+
+    def search(self, assigned: DataFrame, query_vec: list[float],
+               k: int = 10, vec_col: str = "embedding",
+               id_col: str = "vec_id", nprobe: int = 2) -> DataFrame:
+        """ANN top-k: exact cosine inside the probed lists only."""
+        probes = self.probe_lists(np.asarray(query_vec), nprobe)
+        cand = assigned.filter(F.col("list_id").isin(probes))
+        return cosine_topk(cand, query_vec, k, vec_col, id_col)
+
+    def partition_table(self, emb: DataFrame, path: str,
+                        vec_col: str = "embedding") -> None:
+        (self.assign(emb, vec_col)
+         .repartition("list_id")
+         .write.mode("overwrite").partitionBy("list_id").parquet(path))
+
+    def search_partitioned(self, spark, path: str,
+                           query_vec: list[float], k: int = 10,
+                           vec_col: str = "embedding",
+                           id_col: str = "vec_id",
+                           nprobe: int = 2) -> DataFrame:
+        """The list_id isin-filter folds into partition pruning: only
+        the probed lists' files are read."""
+        return self.search(spark.read.parquet(path), query_vec, k,
+                           vec_col, id_col, nprobe)
+
+
 def ann_recall(exact: list[int], approx: list[int]) -> float:
     return len(set(exact) & set(approx)) / max(len(exact), 1)

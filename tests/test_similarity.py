@@ -96,3 +96,72 @@ def test_lsh_partition_table_pruning(spark, vectors, tmp_path):
             ._jdf.queryExecution().executedPlan().toString())
     assert "PartitionFilters: [" in plan and "bucket" in plan.split(
         "PartitionFilters")[1][:200]
+
+
+def test_ivf_planted_recovers_clusters(spark):
+    """Deterministic maxmin-init KMeans recovers the planted one-hot
+    clusters exactly (pure lists, one per cluster)."""
+    from auctus_spark.operators.similarity import (IVFKMeans,
+                                                   planted_embeddings)
+    ids = spark.range(0, 400, 1, 4).withColumnRenamed("id", "vec_id")
+    emb = planted_embeddings(ids)
+    ivf = IVFKMeans(n_lists=16).fit(emb)
+    assigned = ivf.assign(emb).select("vec_id", "list_id").collect()
+    by_list = {}
+    for r in assigned:
+        by_list.setdefault(r.list_id, set()).add(r.vec_id % 16)
+    assert len(by_list) == 16
+    assert all(len(v) == 1 for v in by_list.values())
+
+
+def test_ivf_search_exact_on_planted(spark):
+    """nprobe=2 IVF top-k equals exact brute-force top-k on the
+    planted corpus (the ann_ivf gate's contract)."""
+    from auctus_spark.operators.similarity import (IVFKMeans,
+                                                   planted_embeddings)
+    ids = spark.range(0, 400, 1, 4).withColumnRenamed("id", "vec_id")
+    emb = planted_embeddings(ids)
+    rows = {r.vec_id: r.embedding for r in emb.collect()}
+    ivf = IVFKMeans(n_lists=16).fit(emb)
+    assigned = ivf.assign(emb)
+    q = rows[1]
+    got = [r.vec_id for r in
+           ivf.search(assigned.filter("vec_id <> 1"), q, k=15,
+                      nprobe=2).collect()]
+    mat = np.array([rows[i] for i in range(400)])
+    want = [i for i in _exact_np(mat, np.array(q), 16) if i != 1][:15]
+    assert got == want
+
+
+def test_ivf_recall_on_random(spark, vectors):
+    """On non-planted (4 gaussian clusters) data IVF still reaches
+    recall 1.0 probing 4/8 lists that match the generator."""
+    from auctus_spark.operators.similarity import IVFKMeans, ann_recall
+    rows, mat = vectors
+    emb = spark.createDataFrame(rows,
+                                "vec_id long, embedding array<double>")
+    ivf = IVFKMeans(n_lists=8, n_iter=10).fit(emb)
+    assigned = ivf.assign(emb)
+    q = mat[7]
+    got = [r.vec_id for r in
+           ivf.search(assigned, q.tolist(), k=10, nprobe=4).collect()]
+    assert ann_recall(_exact_np(mat, q, 10), got) >= 0.9
+
+
+def test_ivf_partitioned_pruned_scan(spark, tmp_path):
+    """search_partitioned over the IVF layout: zero Exchange, probed
+    list_id partitions only (partition pruning)."""
+    from auctus_spark.operators.similarity import (IVFKMeans,
+                                                   planted_embeddings)
+    ids = spark.range(0, 300, 1, 4).withColumnRenamed("id", "vec_id")
+    emb = planted_embeddings(ids)
+    q = emb.filter("vec_id = 3").collect()[0].embedding
+    ivf = IVFKMeans(n_lists=16).fit(emb)
+    path = str(tmp_path / "ivfp")
+    ivf.partition_table(emb, path)
+    df = ivf.search_partitioned(spark, path, q, k=5, nprobe=2)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in phys, phys
+    assert "TakeOrderedAndProject" in phys
+    assert "PartitionFilters" in phys
+    assert "list_id" in phys.split("PartitionFilters", 1)[1][:300]
