@@ -56,6 +56,7 @@ commit lineage last).
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 from dataclasses import dataclass
@@ -89,10 +90,11 @@ def check_not_compacting(index_dir: str) -> None:
     if os.path.exists(marker):
         raise CompactionInProgressError(
             f"index {index_dir} has an unfinished compaction "
-            "(_COMPACTING marker present). If 'segments_old' exists, "
-            "the pre-compaction segments are intact there: restore it "
-            "over 'segments', delete the marker and re-run compact(). "
-            "Otherwise rebuild from the corpus.")
+            "(_COMPACTING marker present). Run "
+            "rollback_compaction(spark, index_dir) to restore the "
+            "pre-compaction segments, stats, tombstones and "
+            "removed_docs as one unit, then re-run compact(). If the "
+            "'*_old' snapshot dirs are gone, rebuild from the corpus.")
 
 
 def read_format(index_dir: str) -> int | None:
@@ -995,8 +997,14 @@ def _pack_partial_row(doc_ids, tfs, dls, pos_groups=None) -> dict:
     return row
 
 
+class SimulatedCompactionCrash(RuntimeError):
+    """Raised by compact(_crash_after=...) — test-only fault
+    injection for the crash-recovery windows."""
+
+
 def compact(spark: SparkSession, index_dir: str,
-            term_buckets: int = DEFAULT_TERM_BUCKETS) -> dict:
+            term_buckets: int = DEFAULT_TERM_BUCKETS,
+            _crash_after: str | None = None) -> dict:
     """Remove tombstoned documents physically.
 
     Pass 1 collects (deleted doc, dl) pairs from the postings (to fix
@@ -1019,6 +1027,17 @@ def compact(spark: SparkSession, index_dir: str,
     from .codec import varbyte_decode
     paths = IndexPaths(index_dir)
     check_not_compacting(index_dir)
+
+    def _crash(step: str) -> None:
+        if _crash_after == step:
+            raise SimulatedCompactionCrash(step)
+
+    # A crash BEFORE the marker leaves only snapshot/tmp leftovers
+    # (never mutated state) — clean them so a retry starts fresh.
+    for stale in (paths.segments + "_old", paths.stats + "_old",
+                  os.path.join(paths.base, "tombstones_old"),
+                  paths.removed + "_old", paths.segments + "_compacting"):
+        shutil.rmtree(stale, ignore_errors=True)
     tomb = load_tombstones(spark, index_dir)
     if tomb.size == 0:
         return {"removed_docs": 0}
@@ -1147,28 +1166,48 @@ def compact(spark: SparkSession, index_dir: str,
         .write.mode("overwrite").partitionBy("term_bucket").parquet(tmp))
     # Read the pre-compaction stats BEFORE any swap step.
     old = spark.read.parquet(paths.stats).collect()[0]
-    # Crash-safe swap: marker first (every open fails loudly until the
-    # new segments AND new stats are both committed), then rename the
-    # old segments ASIDE (never a window with no segments on disk),
-    # then delete them last.
+    # Crash-safe swap.  Everything the remaining steps mutate is
+    # snapshotted ALONGSIDE the old segments — stats are decremented,
+    # tombstones cleared and removed_docs appended below, so restoring
+    # segments alone would resurrect postings against already-
+    # decremented stats (double-decrement on the re-run) or drop the
+    # tombstones that still mask them.  rollback_compaction() restores
+    # segments/stats/tombstones/removed_docs as ONE unit.  Order:
+    # snapshots first (non-destructive), then the marker (every open
+    # fails loudly from here), then the renames.
+    old_dir = paths.segments + "_old"
+    stats_old = paths.stats + "_old"
+    tomb_dir = os.path.join(paths.base, "tombstones")
+    tomb_old = os.path.join(paths.base, "tombstones_old")
+    removed_old = paths.removed + "_old"
+    shutil.copytree(paths.stats, stats_old)
+    shutil.copytree(tomb_dir, tomb_old)
+    had_removed = os.path.isdir(paths.removed)
+    if had_removed:
+        shutil.copytree(paths.removed, removed_old)
     marker = os.path.join(paths.base, "_COMPACTING")
     with open(marker, "w") as f:
-        f.write("compaction in progress; see check_not_compacting\n")
-    old_dir = paths.segments + "_old"
+        json.dump({"note": "compaction in progress; see "
+                           "check_not_compacting / rollback_compaction",
+                   "had_removed_docs": had_removed}, f)
     os.rename(paths.segments, old_dir)
     os.rename(tmp, paths.segments)
+    _crash("swap")
 
     # Record the docIDs removed THIS compaction before tombstones are
-    # cleared: if we crash between here and the tombstone delete, a
-    # re-run sees the same tombstones but (a) postings no longer carry
-    # them (found = 0) and (b) prior_removed masks the dense-existence
-    # test, so n_removed = 0 and stats are not double-decremented.
+    # cleared (liveness record for idempotent re-deletes).  Crash
+    # recovery does NOT rely on this file: any crash between the
+    # marker and the final cleanup is recovered by
+    # rollback_compaction(), which restores segments/stats/tombstones
+    # /removed_docs together from the *_old snapshots and re-runs
+    # compact() from scratch.
     newly = np.union1d(found, tomb[existed_empty])
     if newly.size:
         os.makedirs(paths.removed, exist_ok=True)
         seq = len(os.listdir(paths.removed))
         pq.write_table(pa.table({"doc_id": pa.array(newly, pa.int64())}),
                        os.path.join(paths.removed, f"r{seq:05d}.parquet"))
+    _crash("removed_docs")
 
     # refresh stats: N/avgdl over LIVE docs; term_stats from segments
     n_docs = int(old["n_docs"]) - n_removed
@@ -1180,13 +1219,72 @@ def compact(spark: SparkSession, index_dir: str,
                           pa.float64()),
         "total_tokens": pa.array([total], pa.int64())}),
         os.path.join(paths.stats, "stats.parquet"))
+    _crash("stats")
     segs2 = spark.read.parquet(paths.segments)
     (segs2.groupBy("term", "term_bucket")
         .agg(F.sum("n_docs").alias("df"), F.sum("tf_sum").alias("cf"))
         .write.mode("overwrite").partitionBy("term_bucket")
         .parquet(paths.term_stats))
-    shutil.rmtree(os.path.join(paths.base, "tombstones"),
-                  ignore_errors=True)
+    _crash("term_stats")
+    shutil.rmtree(tomb_dir, ignore_errors=True)
+    _crash("tombstones_cleared")
     shutil.rmtree(old_dir)
+    shutil.rmtree(stats_old)
+    shutil.rmtree(tomb_old)
+    if had_removed:
+        shutil.rmtree(removed_old)
     os.remove(marker)
     return {"removed_docs": n_removed, "removed_tokens": tok_removed}
+
+
+def rollback_compaction(spark: SparkSession, index_dir: str) -> None:
+    """Restore the pre-compaction state after a crash mid-compact().
+
+    Rolls back segments, stats, tombstones and removed_docs as ONE
+    unit from the ``*_old`` snapshots the compaction took before its
+    first destructive step, so no recovery path can pair restored
+    postings with already-decremented stats (double-decrement) or
+    resurrect deleted docs without the tombstones that mask them.
+    term_stats is derived data — recomputed from the restored
+    segments (the crashed run may have overwritten it) before the
+    marker is cleared, so a crash inside rollback itself stays
+    loudly recoverable.  After rollback, re-running compact() from
+    the still-present tombstones completes the original operation.
+    """
+    paths = IndexPaths(index_dir)
+    marker = os.path.join(paths.base, "_COMPACTING")
+    if not os.path.exists(marker):
+        raise ValueError(
+            f"no _COMPACTING marker in {index_dir}; nothing to "
+            "roll back")
+    try:
+        with open(marker) as f:
+            meta = json.load(f)
+    except (json.JSONDecodeError, OSError):
+        meta = {}
+    old_dir = paths.segments + "_old"
+    stats_old = paths.stats + "_old"
+    tomb_dir = os.path.join(paths.base, "tombstones")
+    tomb_old = os.path.join(paths.base, "tombstones_old")
+    removed_old = paths.removed + "_old"
+    had_removed = meta.get("had_removed_docs",
+                           os.path.isdir(removed_old))
+    for snap, live in ((old_dir, paths.segments),
+                       (stats_old, paths.stats),
+                       (tomb_old, tomb_dir)):
+        if os.path.isdir(snap):
+            shutil.rmtree(live, ignore_errors=True)
+            os.rename(snap, live)
+    if had_removed:
+        if os.path.isdir(removed_old):
+            shutil.rmtree(paths.removed, ignore_errors=True)
+            os.rename(removed_old, paths.removed)
+    else:
+        # the crashed run created removed_docs; pre-compaction had none
+        shutil.rmtree(paths.removed, ignore_errors=True)
+    segs = spark.read.parquet(paths.segments)
+    (segs.groupBy("term", "term_bucket")
+        .agg(F.sum("n_docs").alias("df"), F.sum("tf_sum").alias("cf"))
+        .write.mode("overwrite").partitionBy("term_bucket")
+        .parquet(paths.term_stats))
+    os.remove(marker)

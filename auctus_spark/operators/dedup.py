@@ -18,12 +18,16 @@ engines (DuckDB oracle) and sessions — never Python's salted hash().
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..analysis import SPLIT_PATTERN
+
+logger = logging.getLogger(__name__)
 
 MERSENNE_P = (1 << 61) - 1
 
@@ -98,10 +102,9 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     where exact recall is audited).  Set sizes are computed after the
     cap, so the Jaccard is exact over the capped shingle universe.
     """
-    sh = token_shingles(df, text_col, id_col, n)
+    sh = token_shingles(df, text_col, id_col, n).cache()
     if max_shingle_df is not None:
         sh = frequent_shingle_cap(sh, max_shingle_df)
-    sh = sh.cache()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
@@ -122,13 +125,36 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     return out
 
 
-def frequent_shingle_cap(sh: DataFrame, max_df: int) -> DataFrame:
+def frequent_shingle_cap(sh: DataFrame, max_df: int,
+                         surface: bool = True) -> DataFrame:
     """Drop shingles appearing in more than ``max_df`` docs before the
     self-join — the skew guard for web-scale dedup (a stop-shingle
-    joins N² pairs otherwise)."""
+    joins N² pairs otherwise).
+
+    When the cap actually fires it is SURFACED, not silent: a WARNING
+    log with the dropped-shingle count, also recorded on
+    ``frequent_shingle_cap.last_dropped`` for programmatic checks —
+    exact-recall users on corpora with hot shingles need to know the
+    scores are over the capped shingle universe.  Counting the hot
+    shingles is one aggregate over ``sh`` (callers cache ``sh`` first,
+    so the extra job reuses the cached shingles); ``surface=False``
+    skips it."""
     hot = (sh.groupBy("shingle").agg(F.count("*").alias("df"))
            .filter(F.col("df") > max_df).select("shingle"))
+    if surface:
+        n_hot = hot.count()
+        frequent_shingle_cap.last_dropped = n_hot
+        if n_hot:
+            logger.warning(
+                "shingle-df cap fired: %d shingle(s) with df > %d "
+                "dropped; similarity/containment scores are computed "
+                "over the capped shingle universe (pass "
+                "max_shingle_df=None for exact recall on small "
+                "corpora)", n_hot, max_df)
     return sh.join(hot, "shingle", "left_anti")
+
+
+frequent_shingle_cap.last_dropped = 0
 
 
 # ---------------------------------------------------------------------
@@ -259,10 +285,9 @@ def containment_pairs(df: DataFrame, text_col: str = "text",
     symmetric-Jaccard band curve — like Lazo itself, a sketch with
     false negatives for very asymmetric pairs).
     """
-    sh = token_shingles(df, text_col, id_col)
+    sh = token_shingles(df, text_col, id_col).cache()
     if max_shingle_df is not None:
         sh = frequent_shingle_cap(sh, max_shingle_df)
-    sh = sh.cache()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.select(F.col("doc_id").alias("id_a"),
                   F.col("shingle").alias("sh_a"))

@@ -262,3 +262,33 @@ def test_ngram_jaccard_hot_shingle_cap_default(spark):
                 for r in ngram_jaccard_pairs(
                     small, threshold=0.05, max_shingle_df=None).collect()}
     assert capped == uncapped and capped
+
+
+def test_shingle_cap_surfaced_when_fired(spark, caplog):
+    """ADVICE parity: when the df cap actually drops shingles, callers
+    get a WARNING log and frequent_shingle_cap.last_dropped > 0 —
+    capped scores are never silent."""
+    import logging
+
+    from auctus_spark.operators.dedup import (frequent_shingle_cap,
+                                              ngram_jaccard_pairs,
+                                              token_shingles)
+    docs = spark.range(40).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("common common common stop phrase here x"),
+                 F.col("id").cast("string")).alias("text"))
+    frequent_shingle_cap.last_dropped = 0
+    with caplog.at_level(logging.WARNING,
+                         logger="auctus_spark.operators.dedup"):
+        ngram_jaccard_pairs(docs, threshold=0.1,
+                            max_shingle_df=30).count()
+    assert frequent_shingle_cap.last_dropped > 0
+    assert any("cap fired" in r.message for r in caplog.records)
+    # and stays silent when nothing is dropped
+    caplog.clear()
+    sh = token_shingles(docs)
+    with caplog.at_level(logging.WARNING,
+                         logger="auctus_spark.operators.dedup"):
+        frequent_shingle_cap(sh, 10_000).count()
+    assert frequent_shingle_cap.last_dropped == 0
+    assert not any("cap fired" in r.message for r in caplog.records)

@@ -603,3 +603,74 @@ def test_export_metrics_tables(spark, tmp_path):
     assert spark.table("auctus_m_lineage").count() == 2
     for t in tables:
         spark.sql(f"DROP TABLE {t}")
+
+
+def test_compaction_crash_rollback_all_windows(spark, tmp_path):
+    """Fault-inject a crash after EVERY mutating compaction step;
+    rollback_compaction() must restore the exact pre-compaction state
+    (stats not double-decremented, tombstones still masking, search
+    identical), and a re-run compact() must then match a fresh build
+    of the live corpus — the ADVICE double-decrement scenario."""
+    import pytest
+
+    from auctus_spark.index.build import (SimulatedCompactionCrash,
+                                          compact, delete_docs,
+                                          rollback_compaction)
+    from auctus_spark.oracle import OracleIndex
+    from auctus_spark.query.bm25 import SearchEngine
+
+    pdf = generate_corpus(300, min_tokens=10, max_tokens=50,
+                          vocab_size=400)
+    dead = [2, 5, 50, 51, 299]
+    live_pdf = pdf[~pdf.doc_id.isin(dead)]
+    full_oracle = OracleIndex.build(
+        [(int(r.doc_id), r.content)
+         for r in pdf.itertuples(index=False)])
+    live_oracle = OracleIndex.build(
+        [(int(r.doc_id), r.content)
+         for r in live_pdf.itertuples(index=False)])
+
+    for step in ["swap", "removed_docs", "stats", "term_stats",
+                 "tombstones_cleared"]:
+        d = str(tmp_path / f"crash_{step}")
+        IndexBuilder(spark, d, doc_bucket=64, chunk_docs=150,
+                     term_buckets=2).build(spark.createDataFrame(pdf))
+        delete_docs(spark, d, dead)
+        with pytest.raises(SimulatedCompactionCrash):
+            compact(spark, d, term_buckets=2, _crash_after=step)
+        # marker blocks every open
+        with pytest.raises(Exception):
+            SearchEngine(spark, d, term_buckets=2)
+        rollback_compaction(spark, d)
+        # restored: tombstones still mask the deletes, stats are the
+        # ORIGINAL ones (deleted docs still count until compaction)
+        eng = SearchEngine(spark, d, term_buckets=2)
+        assert eng.n_docs == full_oracle.n_docs, step
+        assert abs(eng.avgdl - full_oracle.avgdl) < 1e-9, step
+        got = [(int(r.doc_id), float(r.score))
+               for r in eng.search("import", k=50).collect()]
+        want = [(i, s) for i, s in full_oracle.search("import", k=200)
+                if i not in dead][:50]
+        assert [i for i, _ in got] == [i for i, _ in want], step
+        # re-run completes the original compaction, exactly once
+        res = compact(spark, d, term_buckets=2)
+        assert res["removed_docs"] == len(dead), step
+        eng2 = SearchEngine(spark, d, term_buckets=2)
+        assert eng2.n_docs == live_oracle.n_docs, step
+        assert abs(eng2.avgdl - live_oracle.avgdl) < 1e-9, step
+        for q in ["import", "def return", "the"]:
+            got = [(int(r.doc_id), float(r.score))
+                   for r in eng2.search_wand(q, k=50).collect()]
+            assert got == live_oracle.search(q, k=50), (step, q)
+
+
+def test_rollback_without_marker_refuses(spark, tmp_path):
+    from auctus_spark.index.build import rollback_compaction
+    import pytest
+    pdf = generate_corpus(50, min_tokens=10, max_tokens=20,
+                          vocab_size=100)
+    d = str(tmp_path / "nm")
+    IndexBuilder(spark, d, doc_bucket=64, chunk_docs=50,
+                 term_buckets=2).build(spark.createDataFrame(pdf))
+    with pytest.raises(ValueError):
+        rollback_compaction(spark, d)
