@@ -166,17 +166,17 @@ def _run_suite() -> dict:
              "embedding_cosine_topk", "dedup_exact", "text_quality"]
     qs = entry.queries()
     for name in heads:
-        # min of 2 timed runs per query: the steady-state latency a
-        # warm service observes, robust to this host's bursty
-        # background interference (documented above); each run is a
-        # complete plan+execute.
-        best = None
-        for _ in range(2):
+        # median of 3 timed runs per query: robust to a single
+        # interference-window outlier in either direction (a min
+        # hides a real regression, a single run records noise —
+        # round-4 forensics: one window put 2.22s on a 0.49s query);
+        # each run is a complete plan+execute.
+        times = []
+        for _ in range(3):
             t0 = time.time()
             qs[name](spark, SF_DIR).collect()
-            dt = time.time() - t0
-            best = dt if best is None or dt < best else best
-        results[f"q_{name}"] = round(best, 3)
+            times.append(time.time() - t0)
+        results[f"q_{name}"] = round(sorted(times)[1], 3)
 
     total = sum(v for v in results.values())
     return {"metric": "auctus_spark_headline_suite_sec",
