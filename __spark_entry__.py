@@ -1408,17 +1408,15 @@ def _q_column_types(spark, sf_dir):
     """Structural-type detection battery (reference
     profile_types.py:82-126): single-pass regex voting over
     string-cast columns, 2% tolerance, 10% categorical ratio."""
-    from auctus_spark.operators.profiling import (classify_column,
-                                                  infer_structural_types,
-                                                  semantic_flags)
-    c = _t(spark, sf_dir, "customer")
-    rows = []
-    for col in ["c_custkey", "c_name", "c_mktsegment", "c_acctbal"]:
-        r = infer_structural_types(
-            c.select(F.col(col).cast("string").alias(col)),
-            col).collect()[0].asDict()
-        rows.append((col, classify_column(r),
-                     "CATEGORICAL" in semantic_flags(r)))
+    from auctus_spark.operators.profiling import (
+        classify_column, infer_structural_types_multi, semantic_flags)
+    cols = ["c_custkey", "c_name", "c_mktsegment", "c_acctbal"]
+    c = _t(spark, sf_dir, "customer").select(
+        *[F.col(col).cast("string").alias(col) for col in cols])
+    ratios = infer_structural_types_multi(c, cols)   # ONE scan/job
+    rows = [(col, classify_column(r),
+             "CATEGORICAL" in semantic_flags(r))
+            for col, r in ratios.items()]
     return spark.createDataFrame(
         rows, "col string, kind string, categorical boolean")
 

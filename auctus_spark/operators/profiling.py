@@ -144,26 +144,51 @@ _URL_RE = r"^https?://"
 _GEO_POINT_RE = r"^\s*POINT\s*\(-?[0-9.]+ -?[0-9.]+\)\s*$"
 
 
+def _structural_aggs(col: str, prefix: str = "") -> list:
+    """The full voting battery for one column as aggregate
+    expressions (optionally name-prefixed so many columns share one
+    agg)."""
+    c = F.col(col)
+    nonempty = F.count(F.when(c.isNotNull() & (c != ""), 1))
+    return [
+        nonempty.alias(f"{prefix}n"),
+        (F.count(F.when(c.rlike(_INT_RE), 1)) / nonempty)
+        .alias(f"{prefix}int_ratio"),
+        (F.count(F.when(c.rlike(_FLOAT_RE), 1)) / nonempty)
+        .alias(f"{prefix}float_ratio"),
+        (F.count(F.when(c.rlike(_BOOL_RE), 1)) / nonempty)
+        .alias(f"{prefix}bool_ratio"),
+        (F.count(F.when(c.rlike(_URL_RE), 1)) / nonempty)
+        .alias(f"{prefix}url_ratio"),
+        (F.count(F.when(c.rlike(_GEO_POINT_RE), 1)) / nonempty)
+        .alias(f"{prefix}point_ratio"),
+        (F.count_distinct(c) / nonempty).alias(f"{prefix}distinct_ratio"),
+        (F.count(F.when(F.size(F.split(c, r"\s+")) >=
+                        FREE_TEXT_MIN_WORDS, 1)) / nonempty)
+        .alias(f"{prefix}free_text_ratio"),
+    ]
+
+
 def infer_structural_types(df: DataFrame, col: str) -> DataFrame:
     """Single-pass regex voting (one scan computes all counters, like
     profile_types.py:95-126).  Returns one row of match ratios; the
     caller applies MAX_UNCLEAN (2%) tolerance."""
-    c = F.col(col)
-    nonempty = F.count(F.when(c.isNotNull() & (c != ""), 1))
-    return df.agg(
-        nonempty.alias("n"),
-        (F.count(F.when(c.rlike(_INT_RE), 1)) / nonempty).alias("int_ratio"),
-        (F.count(F.when(c.rlike(_FLOAT_RE), 1)) / nonempty)
-        .alias("float_ratio"),
-        (F.count(F.when(c.rlike(_BOOL_RE), 1)) / nonempty)
-        .alias("bool_ratio"),
-        (F.count(F.when(c.rlike(_URL_RE), 1)) / nonempty).alias("url_ratio"),
-        (F.count(F.when(c.rlike(_GEO_POINT_RE), 1)) / nonempty)
-        .alias("point_ratio"),
-        (F.count_distinct(c) / nonempty).alias("distinct_ratio"),
-        (F.count(F.when(F.size(F.split(c, r"\s+")) >=
-                        FREE_TEXT_MIN_WORDS, 1)) / nonempty)
-        .alias("free_text_ratio"))
+    return df.agg(*_structural_aggs(col))
+
+
+def infer_structural_types_multi(df: DataFrame, cols: list[str]
+                                 ) -> dict[str, dict]:
+    """The voting battery for MANY columns in ONE scan/one job (the
+    operators' own aggregate-once discipline — a per-column loop of
+    agg jobs re-reads the table len(cols) times).  Returns
+    {col: ratios-dict} ready for classify_column/semantic_flags."""
+    aggs = []
+    for i, col in enumerate(cols):
+        aggs.extend(_structural_aggs(col, prefix=f"c{i}_"))
+    row = df.agg(*aggs).collect()[0].asDict()
+    return {col: {k[len(f"c{i}_"):]: v for k, v in row.items()
+                  if k.startswith(f"c{i}_")}
+            for i, col in enumerate(cols)}
 
 
 def classify_column(ratios: dict) -> str:

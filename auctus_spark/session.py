@@ -24,11 +24,30 @@ def _export_package_path() -> None:
             pkg_root + (os.pathsep + existing if existing else ""))
 
 
+# Object-store wiring (reference objectstore.py:1-201 — S3/GCS/minio
+# buckets): with Spark this is pure Hadoop-FS configuration, not code.
+# Every path argument in this engine (corpus, index_dir, snapshots,
+# ANN partition tables) passes straight through to the Hadoop
+# filesystem layer, so ``s3a://bucket/index`` works wherever a local
+# path does once the cluster has hadoop-aws on the classpath and
+# credentials configured.  Pass the standard configs via
+# ``extra_confs``, e.g.::
+#
+#     get_spark(extra_confs={
+#         "spark.hadoop.fs.s3a.endpoint": "http://minio:9000",
+#         "spark.hadoop.fs.s3a.access.key": "...",
+#         "spark.hadoop.fs.s3a.secret.key": "...",
+#         "spark.hadoop.fs.s3a.path.style.access": "true",
+#     })
+#
+# (This sandbox has no object store or hadoop-aws jar, so the option
+# is config plumbing, exercised by test_session_extra_confs.)
 def get_spark(app: str = "auctus_spark", cores: int | None = None,
               shuffle_partitions: int | None = None,
               submit_mode: bool = False,
               iceberg_catalog: str | None = None,
-              iceberg_warehouse: str | None = None) -> SparkSession:
+              iceberg_warehouse: str | None = None,
+              extra_confs: dict[str, str] | None = None) -> SparkSession:
     """``submit_mode=True`` is the spark-submit path: the master (and
     the package, via ``--py-files auctus_spark.zip``) come from the
     spark-submit invocation — only the engine's tuning configs are
@@ -69,6 +88,8 @@ def get_spark(app: str = "auctus_spark", cores: int | None = None,
             builder = builder.config(
                 f"spark.sql.catalog.{iceberg_catalog}.warehouse",
                 iceberg_warehouse)
+    for k, v in (extra_confs or {}).items():
+        builder = builder.config(k, v)
     return (
         builder
         .appName(app)
