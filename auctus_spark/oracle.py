@@ -41,16 +41,30 @@ def bm25_tf_norm(tf: float, doc_len: float, avgdl: float,
     return tf / (tf + k1 * (1.0 - b + b * doc_len / avgdl))
 
 
-def lucene_sloppy_freq(pos_lists, slop: int) -> float:
-    """Lucene SloppyPhraseScorer.phraseFreq for phrases WITHOUT
-    repeated terms: ``pos_lists[i]`` is slot i's sorted OFFSET-ADJUSTED
-    positions (token position − phrase offset).  A priority queue of
-    per-slot cursors advances the minimum; every time the minimal
-    window closes, ``1 / (1 + matchLength)`` accrues if the window
-    width (= slop consumed) is within ``slop``.  Same algorithm runs
-    in the oracle and inside the engine's bucket scorer, so scores are
-    bit-identical by construction (float64 throughout — Lucene
-    accumulates in float32; documented divergence)."""
+def lucene_sloppy_freq(pos_lists, slop: int,
+                       terms: list[str] | None = None) -> float:
+    """Lucene SloppyPhraseScorer.phraseFreq: ``pos_lists[i]`` is slot
+    i's sorted OFFSET-ADJUSTED positions (token position − phrase
+    offset).  A priority queue of per-slot cursors advances the
+    minimum; every time the minimal window closes, ``1 / (1 +
+    matchLength)`` accrues if the window width (= slop consumed) is
+    within ``slop``.  Same algorithm runs in the oracle and inside
+    the engine's bucket scorer, so scores are bit-identical by
+    construction (float64 throughout — Lucene accumulates in float32;
+    documented divergence).
+
+    ``terms`` enables REPEATED phrase terms ("keep it simple simple"):
+    slots sharing a term must match DISTINCT token positions, with
+    offset-ordered displacement on collision (the lower-offset slot
+    keeps the earlier position — see :func:`_sloppy_freq_repeats`).
+    This rule guarantees exact-phrase hits remain sloppy hits and is
+    the repo-wide contract (engine ≡ oracle bit-exact); real Lucene's
+    repeat machinery (advanceRpts + bit matrices for synonym-sharing
+    groups) can resolve exotic collision orders differently —
+    documented divergence, as with float width.
+    """
+    if terms is not None and len(set(terms)) != len(terms):
+        return _sloppy_freq_repeats(pos_lists, slop, terms)
     import heapq
     n = len(pos_lists)
     cursors = [0] * n
@@ -87,6 +101,78 @@ def lucene_sloppy_freq(pos_lists, slop: int) -> float:
             ml2 = end - pos
             if ml2 < match_length:
                 match_length = ml2
+    if match_length <= slop:
+        freq += 1.0 / (1.0 + match_length)
+    return freq
+
+
+def _sloppy_freq_repeats(pos_lists, slop: int,
+                         terms: list[str]) -> float:
+    """Repeats-aware sloppy freq (see :func:`lucene_sloppy_freq`).
+
+    Same minimal-window accumulation as the base algorithm, plus the
+    distinct-position rule with OFFSET-ORDERED displacement: when two
+    same-term slots land on one token position, the lower-offset slot
+    keeps the earlier position and the higher-offset slot advances
+    (cascading).  Displacement — rather than the advancing slot
+    skipping ahead — preserves the invariant that an exact phrase
+    occurrence is always reachable as a zero-width window, so
+    sloppy-hit docs are a superset of exact-hit docs (property-tested
+    against the exact matcher).  Slot count is tiny, so min/end are
+    recomputed per step instead of kept in a heap.  Clarity over
+    speed — repeated-term phrases are rare."""
+    n = len(pos_lists)
+    plists = [[int(x) for x in p] for p in pos_lists]
+    cur = [0] * n
+
+    def absp(i):                      # absolute token position
+        return plists[i][cur[i]] + i
+
+    def adj(i):                       # offset-adjusted position
+        return plists[i][cur[i]]
+
+    def resolve(i):
+        """Slot i just moved: displace higher-offset same-term slots
+        off its position, cascading; False when a displacement
+        exhausts a list (no further full match is possible)."""
+        while True:
+            hit = next((j for j in range(n)
+                        if j != i and terms[j] == terms[i]
+                        and absp(j) == absp(i)), None)
+            if hit is None:
+                return True
+            loser = max(i, hit)       # lower offset keeps the spot
+            cur[loser] += 1
+            if cur[loser] >= len(plists[loser]):
+                return False
+            i = loser
+    # init: place slots in offset order; collisions push the later
+    # (higher-offset) slot forward — the canonical left-to-right
+    # assignment
+    for i in range(n):
+        if not plists[i]:
+            return 0.0
+        if not resolve(i):
+            return 0.0
+    end = max(adj(i) for i in range(n))
+    off = min(range(n), key=lambda i: (adj(i), i))
+    match_length = end - adj(off)
+    freq = 0.0
+    while True:
+        cur[off] += 1
+        if cur[off] >= len(plists[off]) or not resolve(off):
+            break
+        end = max(end, max(adj(i) for i in range(n)))
+        pos = adj(off)
+        nxt = min(adj(j) for j in range(n) if j != off)
+        if pos > nxt:
+            if match_length <= slop:
+                freq += 1.0 / (1.0 + match_length)
+            off = min(range(n), key=lambda i: (adj(i), i))
+            pos = adj(off)
+            match_length = end - pos
+        else:
+            match_length = min(match_length, end - pos)
     if match_length <= slop:
         freq += 1.0 / (1.0 + match_length)
     return freq
@@ -330,15 +416,13 @@ class PositionalOracleIndex:
         tf (exact adjacency count at slop=0; :func:`lucene_sloppy_freq`
         accumulation for slop>0), weight = SUM of the terms' idfs —
         score(d) = (sum_i idf(t_i)) * tf_norm(phrase_freq, dl, avgdl).
-        Duplicate query terms are KEPT at slop=0 (order matters);
-        slop>0 with repeated terms is rejected (Lucene's repeats
-        machinery is out of scope)."""
+        Duplicate query terms are KEPT at slop=0 (order matters) AND
+        at slop>0 (distinct-position repeats rule — see
+        :func:`lucene_sloppy_freq`); idf_sum counts each phrase
+        position like Lucene's PhraseWeight."""
         terms = [t for t in tokenize(query, stem=self.stem)]
         if not terms:
             return []
-        if slop and len(set(terms)) != len(terms):
-            raise ValueError("slop > 0 with repeated phrase terms is "
-                             "not supported")
         plists = []
         for t in terms:
             p = self.postings.get(t)
@@ -356,7 +440,7 @@ class PositionalOracleIndex:
             if slop:
                 freq = lucene_sloppy_freq(
                     [[x - i for x in p[d]]
-                     for i, p in enumerate(plists)], slop)
+                     for i, p in enumerate(plists)], slop, terms=terms)
             else:
                 occ = set(plists[0][d])
                 for i, p in enumerate(plists[1:], start=1):

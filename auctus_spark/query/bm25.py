@@ -996,6 +996,105 @@ class MultiFieldEngine:
         return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
+    # -------- explain (ES _explain analog, multifield paths) --------
+    def explain_doc(self, query: str, doc_id: int,
+                    mode: str = "most_fields") -> dict | None:
+        """ES ``_explain``-shaped tree for ONE doc on the multifield
+        paths.  ``most_fields``: per term, sum over fields of
+        boost_f · idf_f(t) · tf_norm_f (the :meth:`search` scoring);
+        ``cross_fields``: per term, DisjunctionMax over fields of
+        boost_f · idf(N_f, min(df_blend, N_f)) · tf_norm_f with
+        df_blend = max over fields of the global df
+        (:meth:`search_cross_fields` / BlendedTermQuery).  The tree
+        total reproduces the search score bit-exactly (same float64
+        accumulation order as the bucket scorers).  Returns None when
+        no query term matches; ``matched`` is False when the
+        conjunctive AND fails (any term absent from every field)."""
+        if mode not in ("most_fields", "cross_fields"):
+            raise ValueError(f"unknown explain mode {mode!r}")
+        fields = list(self.boosts)
+        terms = analyze_query(query, stem=self.stem)
+        if not terms:
+            return None
+        stats = {f: self.engines[f].term_stats(terms) for f in fields}
+        rows: dict[tuple[str, str], dict] = {}
+        for f in fields:
+            live = [t for t in terms if t in stats[f]]
+            if not live:
+                continue
+            for r in (self.engines[f]._flat_postings(live)
+                      .filter(F.col("doc_id") == doc_id).collect()):
+                rows[(f, r["term"])] = {"tf": int(r["tf"]),
+                                        "dl": int(r["dl"])}
+        if not rows:
+            return None
+        blend = {t: max((stats[f][t] for f in fields
+                         if t in stats[f]), default=0) for t in terms}
+        details = []
+        total = 0.0
+        n_matched_terms = 0
+        for t in terms:
+            fdetails = []
+            term_sum, term_max = 0.0, 0.0
+            for f in fields:
+                r = rows.get((f, t))
+                if r is None:
+                    continue
+                eng = self.engines[f]
+                if mode == "most_fields":
+                    idf_t = bm25_idf(eng.n_docs, stats[f][t])
+                    idf_desc = (f"idf from n={stats[f][t]}, "
+                                f"N={eng.n_docs}")
+                else:
+                    df_b = min(blend[t], eng.n_docs)
+                    idf_t = bm25_idf(eng.n_docs, df_b)
+                    idf_desc = (f"idf from blended n={df_b} "
+                                f"(df_blend={blend[t]}), "
+                                f"N={eng.n_docs}")
+                tfn = _tf_norm(float(r["tf"]), float(r["dl"]),
+                               eng.avgdl)
+                w = self.boosts[f] * idf_t
+                contrib = w * tfn
+                term_sum += contrib
+                term_max = max(term_max, contrib)
+                if mode == "most_fields":
+                    total += contrib       # engine's flat (t,f) order
+                fdetails.append({
+                    "value": contrib,
+                    "description": (f"weight({f}:{t} in {doc_id}) "
+                                    "[BM25Similarity], result of:"),
+                    "details": [
+                        {"value": self.boosts[f],
+                         "description": f"boost({f})", "details": []},
+                        {"value": idf_t, "description": idf_desc,
+                         "details": []},
+                        {"value": tfn,
+                         "description": (f"tf from freq={r['tf']}, "
+                                         f"dl={r['dl']}, "
+                                         f"avgdl={eng.avgdl}"),
+                         "details": []},
+                    ]})
+            if not fdetails:
+                continue
+            n_matched_terms += 1
+            tval = term_sum if mode == "most_fields" else term_max
+            if mode == "cross_fields":
+                total += tval              # engine's per-term dismax
+            details.append({
+                "value": tval,
+                "description": (f"sum of field weights for '{t}':"
+                                if mode == "most_fields" else
+                                f"max of field weights for '{t}' "
+                                "(tie_breaker 0.0):"),
+                "details": fdetails})
+        matched = n_matched_terms == len(terms)
+        return {"value": total if matched else 0.0,
+                "matched": matched,
+                "description": ("sum of:" if matched else
+                                "failure to match (conjunctive AND)"),
+                "details": details}
+
+
 def build_field_indexes(spark: SparkSession, docs: DataFrame,
                         base_dir: str, fields: list[str],
                         id_col: str = "doc_id",
@@ -1149,7 +1248,8 @@ def _phrase_sloppy_docs(per_term: dict, cand: np.ndarray,
     for ci in range(cand.size):
         if any(ci not in m for m in slot_maps):
             continue
-        f = lucene_sloppy_freq([m[ci] for m in slot_maps], slop)
+        f = lucene_sloppy_freq([m[ci] for m in slot_maps], slop,
+                               terms=terms)
         if f > 0.0:
             docs_out.append(int(cand[ci]))
             freqs.append(f)
@@ -1196,7 +1296,9 @@ class PhraseEngine(SearchEngine):
         SAME function the oracle scores with, so ranks and scores stay
         bit-identical): phrase freq accumulates 1/(1+window) over
         minimal windows within the edit budget; repeated terms with
-        slop>0 are rejected (Lucene repeats machinery out of scope)."""
+        slop>0 use the distinct-position repeats rule (same-term
+        slots never share a token position — documented greedy
+        variant of Lucene's repeats machinery)."""
         from ..analysis import tokenize as _tok
         terms = _tok(query, stem=self.stem)
         if not terms:
@@ -1244,9 +1346,6 @@ class PhraseEngine(SearchEngine):
         """Bucket-parallel sloppy phrase: candidate docs (conjunctive
         posting intersection, rarest-first) then the Lucene window
         algorithm per candidate over offset-adjusted positions."""
-        if len(set(terms)) != len(terms):
-            raise ValueError("slop > 0 with repeated phrase terms is "
-                             "not supported")
         stats = self.term_stats(terms)
         if any(t not in stats for t in terms):
             return self._empty()
@@ -1491,22 +1590,16 @@ def search_many_phrase(engine: "PhraseEngine", queries: dict[str, str],
     the segment scan covers the union of query terms, decoded partials
     (postings AND position streams) are shared across queries inside
     each bucket, output is (query_id, doc_id, score) with per-query
-    top-k.  ``slop`` applies to every query (Lucene sloppy matcher,
-    repeated-term phrases rejected when slop > 0).  Scores are
-    bit-exact with per-query ``search_phrase``."""
+    top-k.  ``slop`` applies to every query (Lucene sloppy matcher;
+    repeated-term phrases use the distinct-position repeats rule —
+    see oracle.lucene_sloppy_freq).  Scores are bit-exact with
+    per-query ``search_phrase``."""
     from pyspark.sql.window import Window
 
     from ..analysis import tokenize as _tok
     qterms = {qid: _tok(q, stem=engine.stem)
               for qid, q in queries.items()}
     qterms = {qid: ts for qid, ts in qterms.items() if ts}
-    if slop:
-        bad = sorted(qid for qid, ts in qterms.items()
-                     if len(set(ts)) != len(ts))
-        if bad:
-            raise ValueError(
-                f"slop > 0 with repeated phrase terms is not "
-                f"supported (queries {bad})")
     empty = engine.spark.createDataFrame(
         [], "query_id string, doc_id long, score double")
     uterms = sorted({t for ts in qterms.values() for t in ts})

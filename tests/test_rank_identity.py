@@ -311,6 +311,32 @@ def test_multifield_index_matches_oracle(spark, built, tmp_path_factory):
         f"MultiFieldEngine.search launched {after - before} driver-side "
         "jobs while building the plan — stats must ride the broadcast")
     assert plan.collect() is not None
+    # ---- explain on both multifield paths: the tree total must
+    # reproduce the search score bit-exactly (same accumulation
+    # order as the bucket scorers) and factors must be consistent
+    for q in ["import", "src file_11 import", "file_7 py"]:
+        for mode, searcher in (("most_fields", eng.search),
+                               ("cross_fields",
+                                eng.search_cross_fields)):
+            top = [(int(r.doc_id), float(r.score))
+                   for r in searcher(q, k=5).collect()]
+            for d, score in top:
+                tree = eng.explain_doc(q, d, mode=mode)
+                assert tree is not None and tree["matched"], (q, mode)
+                assert tree["value"] == score, (q, mode, d)
+                for term_node in tree["details"]:
+                    vals = [f["value"] for f in term_node["details"]]
+                    if mode == "most_fields":
+                        assert abs(sum(vals) - term_node["value"])                             < 1e-12
+                    else:
+                        assert max(vals) == term_node["value"]
+                    for fnode in term_node["details"]:
+                        boost, idf, tfn = [x["value"]
+                                           for x in fnode["details"]]
+                        assert fnode["value"] == boost * idf * tfn
+    # unmatched doc: AND failure reported, value zero
+    miss = eng.explain_doc("zz_missing import", 0, mode="most_fields")
+    assert miss is None or miss["matched"] is False
 
 
 @pytest.fixture(scope="module")
@@ -401,7 +427,10 @@ def test_sloppy_freq_unit():
 @pytest.mark.parametrize("q,slop", [
     ("import def", 1), ("import def", 2), ("def import", 2),
     ("the import", 3), ("import return", 2),
-    ("import def return", 2), ("no_such_token import", 1)])
+    ("import def return", 2), ("no_such_token import", 1),
+    # repeated-term phrases (distinct-position repeats rule)
+    ("import import", 2), ("the the", 1), ("the import the", 2),
+    ("def def def", 3)])
 def test_sloppy_phrase_matches_oracle(spark, built_positional, q, slop):
     """match_phrase with slop — bit-exact vs the positional oracle
     (both run oracle.lucene_sloppy_freq; superset of slop=0 hits)."""
@@ -416,16 +445,14 @@ def test_sloppy_phrase_matches_oracle(spark, built_positional, q, slop):
     assert exact <= sloppy
 
 
-def test_sloppy_phrase_repeats_rejected(spark, built_positional):
-    import pytest as _pt
-
-    from auctus_spark.query.bm25 import PhraseEngine
+def test_sloppy_phrase_repeats_subset_of_tf(spark, built_positional):
+    """Repeated-term sloppy hits need >= 2 distinct occurrences: every
+    "t t"~s hit doc has tf(t) >= 2 in the oracle postings."""
     out, oracle, _ = built_positional
-    eng = PhraseEngine(spark, out, term_buckets=8)
-    with _pt.raises(ValueError, match="repeated"):
-        eng.search_phrase("import import", slop=1)
-    with _pt.raises(ValueError, match="repeated"):
-        oracle.search_phrase("import import", slop=1)
+    hits = oracle.search_phrase("import import", k=600, slop=2)
+    assert hits, "corpus should contain docs with repeated 'import'"
+    for d, _s in hits:
+        assert len(oracle.postings["import"][d]) >= 2
 
 
 def test_positional_index_still_answers_bm25(spark, built_positional):
@@ -594,12 +621,13 @@ def test_explain_breakdown(spark, built):
 def test_search_many_phrase_batched(spark, built_positional, slop):
     """Batched phrase msearch: one job, per-query results bit-exact
     with per-query search_phrase; queries with globally-missing terms
-    drop out; repeated-term queries rejected at slop>0."""
+    drop out; repeated-term queries ride the repeats rule at slop>0."""
     from auctus_spark.query.bm25 import PhraseEngine, search_many_phrase
     out, oracle, _ = built_positional
     eng = PhraseEngine(spark, out, term_buckets=8)
     queries = {"qa": "import def", "qb": "def return",
-               "qc": "no_such_token import", "qd": "the import"}
+               "qc": "no_such_token import", "qd": "the import",
+               "qe": "import import"}
     got = search_many_phrase(eng, queries, k=20, slop=slop).collect()
     by_q = {}
     for r in got:
@@ -613,6 +641,73 @@ def test_search_many_phrase_batched(spark, built_positional, slop):
                 eng.search_phrase(q, k=20, slop=slop).collect()]
         assert sorted(by_q.get(qid, []),
                       key=lambda t: (-t[1], t[0])) == want, (qid, slop)
-    if slop:
-        with pytest.raises(ValueError, match="repeated"):
-            search_many_phrase(eng, {"qx": "import import"}, slop=slop)
+
+
+
+def test_sloppy_freq_repeats_unit():
+    """Repeated-term sloppy phrases (distinct-position rule): each
+    same-term slot consumes its own token position; hand-computed
+    expectations for the documented greedy collision resolution."""
+    from auctus_spark.oracle import lucene_sloppy_freq as sf
+    # "a a" over doc "a a": abs positions [0,1]; slot1 adjusted [-1,0]
+    # init: slot0@abs0, slot1 cleared to abs1 → both adjusted 0 → one
+    # exact window (ml=0) → 1.0 at any slop
+    assert sf([[0, 1], [-1, 0]], 1, terms=["a", "a"]) == 1.0
+    # "a a" over "a": slot1 cannot clear the collision → no match
+    assert sf([[0], [-1]], 3, terms=["a", "a"]) == 0.0
+    # "a a" over "a a a" slop=1: first window exact (1.0); greedy
+    # resolution leaves the tail window at ml=2 > slop (documented)
+    assert sf([[0, 1, 2], [-1, 0, 1]], 1, terms=["a", "a"]) == 1.0
+    # "a b a" over "a b a": slots a@[0,2], b adj [0], a2 adj [-2,0];
+    # init clears a2 to abs2 (adj 0) → exact triple → 1.0
+    assert sf([[0, 2], [0], [-2, 0]], 2,
+              terms=["a", "b", "a"]) == 1.0
+    # "a b a" over "a b x a" slop budget: a=[0,3] b=[1]; adjusted
+    # slots: a1=[0,3], b=[0], a2=[-2,1]; init a2→abs3(adj1);
+    # window [0,0,1] → ml=1 → 1/2 at slop>=1, 0 at slop 0
+    assert sf([[0, 3], [0], [-2, 1]], 0,
+              terms=["a", "b", "a"]) == 0.0
+    assert sf([[0, 3], [0], [-2, 1]], 1,
+              terms=["a", "b", "a"]) == 0.5
+    # no repeats + terms given → identical to the fast path
+    assert sf([[0], [1]], 1, terms=["a", "b"]) == sf([[0], [1]], 1)
+
+
+def test_sloppy_freq_repeats_never_shares_positions():
+    """Property: with R repeated slots and fewer than R occurrences,
+    freq is always 0 (distinct positions are impossible)."""
+    from auctus_spark.oracle import lucene_sloppy_freq as sf
+    for occ in ([5], [5, 9]):
+        adj = [[x - i for x in occ] for i in range(3)]
+        assert sf(adj, 10, terms=["t", "t", "t"]) == 0.0
+
+
+def test_sloppy_repeats_exact_subset_property():
+    """Property (5k random cases): any doc with an exact occurrence
+    of a repeated-term pattern gets sloppy freq > 0 at every slop —
+    the guarantee the offset-ordered displacement rule provides."""
+    import random
+
+    from auctus_spark.oracle import lucene_sloppy_freq
+
+    def exact_freq(occ, pattern):
+        possets = {t: set(v) for t, v in occ.items()}
+        lo = min(min(v) for v in possets.values())
+        hi = max(max(v) for v in possets.values())
+        return sum(
+            1 for p in range(lo - len(pattern), hi + 1)
+            if all(p + i in possets[t]
+                   for i, t in enumerate(pattern)))
+
+    rng = random.Random(3)
+    for _ in range(5000):
+        terms = rng.choice([["a", "a"], ["a", "b", "a"],
+                            ["a", "a", "a"], ["a", "b", "b"],
+                            ["a", "b", "a", "b"]])
+        occ = {"a": sorted(rng.sample(range(14), rng.randint(1, 6))),
+               "b": sorted(rng.sample(range(14), rng.randint(1, 6)))}
+        slop = rng.randint(0, 4)
+        adj = [[x - i for x in occ[t]] for i, t in enumerate(terms)]
+        sf = lucene_sloppy_freq(adj, slop, terms=terms)
+        if exact_freq(occ, terms) > 0:
+            assert sf > 0.0, (terms, occ, slop)
