@@ -7,9 +7,9 @@ chunks with CRC32, IHDR geometry, zlib-compressed IDAT scanlines with
 per-row filter bytes (None/Sub/Up/Average/Paeth).
 
 Scope: non-interlaced, bit depth 8, color types 0 (grayscale),
-2 (RGB), 4 (gray+alpha), 6 (RGBA).  Palette (3), 16-bit and Adam7
-raise ``NotImplementedError`` — sniffed up front, never silently
-wrong.  Encoding filters are fully vectorized (they read only
+2 (RGB), 3 (palette, expanded to RGB/RGBA via PLTE + optional tRNS),
+4 (gray+alpha), 6 (RGBA).  16-bit and Adam7 raise
+``NotImplementedError`` — sniffed up front, never silently wrong.  Encoding filters are fully vectorized (they read only
 original neighbor values); decoding Sub/Average/Paeth is inherently
 sequential per scanline (each pixel depends on the reconstructed
 left neighbor) and runs as a per-byte loop — appropriate for the
@@ -28,8 +28,9 @@ import numpy as np
 
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
-# color type -> channels (depth 8 only)
-_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+# color type -> channels in the FILTERED stream (depth 8 only);
+# palette (3) carries 1 index byte per pixel, expanded after unfilter
+_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 _CTYPE_FOR = {1: 0, 2: 4, 3: 2, 4: 6}
 
 
@@ -82,6 +83,28 @@ def encode_png(arr: np.ndarray, filters: str = "mixed") -> bytes:
             + _chunk(b"IEND", b""))
 
 
+def encode_png_palette(indices: np.ndarray, palette: np.ndarray,
+                       trns: np.ndarray | None = None,
+                       filters: str = "mixed") -> bytes:
+    """(H,W) uint8 index grid + (P,3) palette (+ optional per-entry
+    alpha) → color-type-3 PNG.  Filters apply to the index bytes,
+    exactly as the spec prescribes for palette images."""
+    indices = np.ascontiguousarray(indices, dtype=np.uint8)
+    palette = np.ascontiguousarray(palette, dtype=np.uint8)
+    body = encode_png(indices, filters=filters)
+    # rewrite the gray IHDR as palette and splice PLTE (+tRNS) in
+    ihdr_start = 8
+    ihdr_len = 13
+    h, w = indices.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    rest = body[ihdr_start + 12 + ihdr_len:]     # IDAT onward
+    extra = _chunk(b"PLTE", palette.tobytes())
+    if trns is not None:
+        extra += _chunk(b"tRNS",
+                        np.ascontiguousarray(trns, np.uint8).tobytes())
+    return PNG_SIG + _chunk(b"IHDR", ihdr) + extra + rest
+
+
 def decode_png(data: bytes) -> np.ndarray:
     """PNG bytes → numpy uint8 array, (H,W) for grayscale else
     (H,W,C).  Non-interlaced depth-8 only (see module docstring)."""
@@ -89,6 +112,7 @@ def decode_png(data: bytes) -> np.ndarray:
         raise ValueError("not a PNG (bad signature)")
     pos, idat = 8, []
     w = h = depth = ctype = interlace = None
+    plte = trns = None
     while pos + 8 <= len(data):
         (ln,) = struct.unpack(">I", data[pos:pos + 4])
         typ = data[pos + 4:pos + 8]
@@ -97,6 +121,10 @@ def decode_png(data: bytes) -> np.ndarray:
         if typ == b"IHDR":
             w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
                 ">IIBBBBB", body)
+        elif typ == b"PLTE":
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif typ == b"tRNS":
+            trns = np.frombuffer(body, dtype=np.uint8)
         elif typ == b"IDAT":
             idat.append(body)
         elif typ == b"IEND":
@@ -106,7 +134,10 @@ def decode_png(data: bytes) -> np.ndarray:
     if depth != 8 or interlace or ctype not in _CHANNELS:
         raise NotImplementedError(
             f"PNG depth={depth} ctype={ctype} interlace={interlace} "
-            "unsupported (depth-8 non-interlaced gray/RGB/GA/RGBA only)")
+            "unsupported (depth-8 non-interlaced "
+            "gray/palette/GA/RGB/RGBA only)")
+    if ctype == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE chunk")
     channels = _CHANNELS[ctype]
     raw = zlib.decompress(b"".join(idat))
     stride = w * channels
@@ -146,4 +177,14 @@ def decode_png(data: bytes) -> np.ndarray:
         out[r] = cur.astype(np.uint8)
         prev = out[r].astype(np.int32)
     img = out.reshape(h, w, channels)
+    if ctype == 3:
+        idx = img[:, :, 0]
+        if idx.max() >= plte.shape[0]:
+            raise ValueError("palette index out of range")
+        rgb = plte[idx]                      # (H,W,3)
+        if trns is None:
+            return rgb
+        alpha = np.full(plte.shape[0], 255, dtype=np.uint8)
+        alpha[:trns.size] = trns
+        return np.dstack([rgb, alpha[idx]])  # (H,W,4)
     return img[:, :, 0] if channels == 1 else img

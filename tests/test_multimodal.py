@@ -168,3 +168,41 @@ def test_resize_plumbing(spark):
     media = synthesize_media(spark, 3)
     out = resize_plumbing(media, 32, 16).collect()
     assert all(r.width == 32 and r.height == 16 for r in out)
+
+
+def test_png_palette_roundtrip():
+    """Color-type-3 (palette) decode: PLTE expansion to RGB, tRNS to
+    RGBA; filters run on index bytes per spec."""
+    from auctus_spark.operators.png import (decode_png,
+                                            encode_png_palette)
+    rng = np.random.RandomState(9)
+    pal = rng.randint(0, 256, size=(16, 3)).astype(np.uint8)
+    idx = rng.randint(0, 16, size=(9, 7)).astype(np.uint8)
+    out = decode_png(encode_png_palette(idx, pal))
+    assert out.shape == (9, 7, 3)
+    assert np.array_equal(out, pal[idx])
+    # tRNS: entries 0-3 translucent, rest default opaque 255
+    trns = np.array([0, 50, 100, 150], dtype=np.uint8)
+    out4 = decode_png(encode_png_palette(idx, pal, trns=trns))
+    assert out4.shape == (9, 7, 4)
+    assert np.array_equal(out4[:, :, :3], pal[idx])
+    alpha = np.full(16, 255, np.uint8)
+    alpha[:4] = trns
+    assert np.array_equal(out4[:, :, 3], alpha[idx])
+    # missing PLTE must raise, out-of-range index must raise
+    import pytest as _pt
+    from auctus_spark.operators.png import PNG_SIG
+    bad = encode_png_palette(idx, pal)
+    # strip the PLTE chunk
+    import struct as _st
+    pos, chunks = 8, []
+    while pos + 8 <= len(bad):
+        (ln,) = _st.unpack(">I", bad[pos:pos + 4])
+        typ = bad[pos + 4:pos + 8]
+        if typ != b"PLTE":
+            chunks.append(bad[pos:pos + 12 + ln])
+        pos += 12 + ln
+    with _pt.raises(ValueError, match="PLTE"):
+        decode_png(PNG_SIG + b"".join(chunks))
+    with _pt.raises(ValueError, match="range"):
+        decode_png(encode_png_palette(idx, pal[:8]))
