@@ -492,6 +492,34 @@ def _q_bm25_index_path(spark, sf_dir):
     return out.select("doc_id", F.round("score", 6).alias("score"))
 
 
+def _q_bm25_prefix(spark, sf_dir):
+    """ES prefix query with the constant_score multi-term rewrite
+    (every doc containing any term starting with the prefix scores
+    exactly the boost; doc_id order) on the segment index."""
+    from auctus_spark.query.bm25 import SearchEngine
+    _q_bm25_index_path(spark, sf_dir)    # ensure the index exists
+    import hashlib as _h
+    tag = _h.md5(sf_dir.encode()).hexdigest()[:10]
+    eng = SearchEngine(spark, f"/tmp/auctus_entry_index_{tag}",
+                       term_buckets=16)
+    out = eng.search_prefix("val", k=100)
+    return out.select("doc_id", F.round("score", 6).alias("score"))
+
+
+def _bm25_prefix_sql(prefix: str, k: int = 100) -> str:
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(text),
+                '{SPLIT_PATTERN}')) AS term
+  FROM documents),
+m AS (SELECT DISTINCT doc_id FROM tok
+      WHERE term LIKE '{prefix}%' AND term <> '')
+SELECT doc_id, CAST(1.0 AS DOUBLE) AS score
+FROM m ORDER BY doc_id LIMIT {k}
+"""
+
+
 def _q_bm25_min_should_match(spark, sf_dir):
     """Disjunctive index search with ES minimum_should_match=2 (the
     reference's textual-join body sets minimum_should_match,
@@ -1561,6 +1589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "numeric_histogram": _q_numeric_histogram,
         "bm25_or": _q_bm25_or,
         "bm25_min_should_match": _q_bm25_min_should_match,
+        "bm25_prefix": _q_bm25_prefix,
         "bm25_index_path": _q_bm25_index_path,
         "bm25_batched": _q_bm25_batched,
         "bm25_multifield": _q_bm25_multifield,
@@ -2134,6 +2163,7 @@ def _oracle_sql_static() -> dict[str, str]:
         "bm25_or": _bm25_or_sql(["join", "zzz_not_a_token", "merge"]),
         "bm25_min_should_match": _bm25_or_sql(
             ["data", "join", "merge"], min_should_match=2),
+        "bm25_prefix": _bm25_prefix_sql("val"),
         "bm25_index_path": _bm25_sql(["data", "join"]),
         "bm25_batched": (
             "SELECT 'qa' AS query_id, * FROM ("

@@ -234,6 +234,18 @@ class OracleIndex:
         scored.sort(key=lambda x: (-x[1], x[0]))
         return scored[:k]
 
+    def search_prefix(self, prefix: str, k: int = TOP_K_SIZE,
+                      boost: float = 1.0) -> list[tuple[int, float]]:
+        """ES prefix query, constant_score rewrite: every doc with an
+        index term starting with ``prefix`` scores ``boost``; doc_id
+        order (see SearchEngine.search_prefix)."""
+        p = prefix.lower().strip()
+        if not p:
+            return []
+        docs = sorted({d for t, post in self.postings.items()
+                       if t.startswith(p) for d in post})
+        return [(d, float(boost)) for d in docs[:k]]
+
     def search_or(self, query: str, k: int = TOP_K_SIZE,
                   k1: float = K1, b: float = B,
                   min_should_match: int = 1) -> list[tuple[int, float]]:

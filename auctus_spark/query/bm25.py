@@ -115,6 +115,52 @@ class SearchEngine:
     def _empty(self) -> DataFrame:
         return self.spark.createDataFrame([], "doc_id long, score double")
 
+    # ---------------- prefix query (multi-term rewrite) ---------------
+    def search_prefix(self, prefix: str, k: int = TOP_K_SIZE,
+                      boost: float = 1.0) -> DataFrame:
+        """ES ``prefix`` query with its default multi-term rewrite,
+        ``constant_score``: every doc containing ANY index term that
+        starts with ``prefix`` scores exactly ``boost`` (no per-term
+        weighting — ES builds one bit-set over the expanded term set).
+        Ties (i.e. everything) order by doc_id asc, ES's internal-
+        doc-order analog.
+
+        Matching runs against INDEX terms (post-analysis: lowercased,
+        stemmed if the index stems); the prefix itself is lowercased.
+        Plan note: hash term_buckets cannot prune a prefix predicate
+        (that is the documented trade of hash bucketing vs a sorted
+        term dictionary), but the ``StartsWith`` filter pushes down to
+        the parquet scan where term-column min/max row-group stats
+        skip non-matching segments; postings of matching terms are
+        decoded in Arrow batches, then one distinct + TakeOrdered."""
+        p = prefix.lower().strip()
+        if not p:
+            return self._empty()
+        segs = (self._seg_df
+                .filter(F.col("term").startswith(p))
+                .select("docs_blob", "doc_id_min", "doc_id_max"))
+        tomb = self.tombstones
+
+        def decode(batches):
+            for pdf in batches:
+                outs = []
+                for r in pdf.itertuples(index=False):
+                    ids = delta_decode(varbyte_decode(r.docs_blob))
+                    if tomb.size:
+                        pos = np.searchsorted(tomb, ids)
+                        pos_c = np.minimum(pos, tomb.size - 1)
+                        ids = ids[tomb[pos_c] != ids]
+                    if ids.size:
+                        outs.append(ids)
+                yield pd.DataFrame({
+                    "doc_id": (np.concatenate(outs) if outs
+                               else np.array([], dtype=np.int64))})
+        docs = segs.mapInPandas(decode, schema="doc_id long")
+        return (docs.distinct()
+                .orderBy(F.asc("doc_id")).limit(k)
+                .select("doc_id",
+                        F.lit(float(boost)).alias("score")))
+
     # ---------------- exhaustive DataFrame plan -----------------------
     def _flat_postings(self, terms: list[str]) -> DataFrame:
         """Decode the query terms' postings to flat (term, doc_id, tf,

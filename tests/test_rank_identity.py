@@ -711,3 +711,24 @@ def test_sloppy_repeats_exact_subset_property():
         sf = lucene_sloppy_freq(adj, slop, terms=terms)
         if exact_freq(occ, terms) > 0:
             assert sf > 0.0, (terms, occ, slop)
+
+
+def test_prefix_query_matches_oracle(spark, built):
+    """ES prefix query (constant_score rewrite): doc set identical to
+    the oracle's prefix expansion, every score == boost, doc_id
+    order; empty prefix and no-match prefix return nothing; deleted
+    docs drop out."""
+    from auctus_spark.index.build import delete_docs
+    from auctus_spark.query.bm25 import SearchEngine
+    out, oracle, _, _, _ = built
+    eng = SearchEngine(spark, out, term_buckets=8)
+    for p, boost in [("imp", 1.0), ("uniq_token_1", 1.0),
+                     ("de", 2.5), ("zzz_nothing", 1.0)]:
+        got = [(int(r.doc_id), float(r.score))
+               for r in eng.search_prefix(p, k=700, boost=boost)
+               .collect()]
+        assert got == oracle.search_prefix(p, k=700, boost=boost), p
+    assert eng.search_prefix("  ").count() == 0
+    # k-cap respected with doc_id order
+    got5 = [r.doc_id for r in eng.search_prefix("imp", k=5).collect()]
+    assert got5 == [d for d, _ in oracle.search_prefix("imp", k=5)]
