@@ -520,6 +520,55 @@ FROM m ORDER BY doc_id LIMIT {k}
 """
 
 
+def _q_bm25_fuzzy(spark, sf_dir):
+    """ES fuzzy full-text query on the segment index (simplified
+    blended rewrite: dictionary expansion by plain Levenshtein —
+    Spark and DuckDB share it; ES uses Damerau, documented — best 50
+    by (distance, df desc, term), scored as one SynonymQuery slot)."""
+    from auctus_spark.query.bm25 import SearchEngine
+    _q_bm25_index_path(spark, sf_dir)    # ensure the index exists
+    import hashlib as _h
+    tag = _h.md5(sf_dir.encode()).hexdigest()[:10]
+    eng = SearchEngine(spark, f"/tmp/auctus_entry_index_{tag}",
+                       term_buckets=16)
+    out = eng.search_fuzzy("valu", k=50, fuzziness=1)
+    return out.select("doc_id", F.round("score", 6).alias("score"))
+
+
+def _bm25_fuzzy_sql(term: str, fuzziness: int = 1, max_exp: int = 50,
+                    k: int = 50) -> str:
+    return f"""
+WITH tok2 AS (
+  SELECT doc_id, term FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text),
+           '{SPLIT_PATTERN}')) AS term FROM documents)
+  WHERE term <> ''),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok2 GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT count(*) FROM tok2) * 1.0
+           / (SELECT count(*) FROM documents) AS avgdl),
+dict AS (SELECT term, count(DISTINCT doc_id) AS df
+         FROM tok2 GROUP BY term),
+exp AS (SELECT term FROM dict
+        WHERE levenshtein(term, '{term}') <= {fuzziness}
+        ORDER BY levenshtein(term, '{term}') ASC, df DESC, term ASC
+        LIMIT {max_exp}),
+sd AS (SELECT max(df) AS sdf FROM dict JOIN exp USING (term)),
+tf AS (SELECT doc_id, count(*) AS tf
+       FROM tok2 JOIN exp USING (term) GROUP BY doc_id)
+SELECT tf.doc_id,
+       round(ln(1 + (s.n_docs - d.sdf + 0.5) / (d.sdf + 0.5))
+             * (tf.tf / (tf.tf + 1.2 *
+                (0.25 + 0.75 * dl.dl / s.avgdl))), 6) AS score
+FROM tf JOIN dl USING (doc_id) CROSS JOIN stats s CROSS JOIN sd d
+ORDER BY ln(1 + (s.n_docs - d.sdf + 0.5) / (d.sdf + 0.5))
+         * (tf.tf / (tf.tf + 1.2 *
+            (0.25 + 0.75 * dl.dl / s.avgdl))) DESC, tf.doc_id ASC
+LIMIT {k}
+"""
+
+
 def _q_bm25_min_should_match(spark, sf_dir):
     """Disjunctive index search with ES minimum_should_match=2 (the
     reference's textual-join body sets minimum_should_match,
@@ -1590,6 +1639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_or": _q_bm25_or,
         "bm25_min_should_match": _q_bm25_min_should_match,
         "bm25_prefix": _q_bm25_prefix,
+        "bm25_fuzzy": _q_bm25_fuzzy,
         "bm25_index_path": _q_bm25_index_path,
         "bm25_batched": _q_bm25_batched,
         "bm25_multifield": _q_bm25_multifield,
@@ -2164,6 +2214,7 @@ def _oracle_sql_static() -> dict[str, str]:
         "bm25_min_should_match": _bm25_or_sql(
             ["data", "join", "merge"], min_should_match=2),
         "bm25_prefix": _bm25_prefix_sql("val"),
+        "bm25_fuzzy": _bm25_fuzzy_sql("valu"),
         "bm25_index_path": _bm25_sql(["data", "join"]),
         "bm25_batched": (
             "SELECT 'qa' AS query_id, * FROM ("

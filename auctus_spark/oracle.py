@@ -533,3 +533,57 @@ def _search_synonyms(self, query: str, synonyms: dict,
 
 
 OracleIndex.search_synonyms = _search_synonyms
+
+
+def _levenshtein(a: str, b: str) -> int:
+    """Plain Levenshtein (no transpositions — the Spark/DuckDB shared
+    definition)."""
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def _search_fuzzy(self, term: str, k: int = TOP_K_SIZE,
+                  fuzziness: int = 1, max_expansions: int = 50,
+                  prefix_length: int = 0) -> list[tuple[int, float]]:
+    """ES fuzzy query, simplified blended rewrite (see
+    SearchEngine.search_fuzzy): dictionary expansion by plain
+    Levenshtein, best ``max_expansions`` by (distance, df desc,
+    term), scored as one SynonymQuery slot."""
+    t = term.lower().strip()
+    if not t:
+        return []
+    cands = []
+    for w, post in self.postings.items():
+        if prefix_length and not w.startswith(t[:prefix_length]):
+            continue
+        d = _levenshtein(w, t)
+        if d <= fuzziness:
+            cands.append((d, -len(post), w))
+    cands.sort()
+    exp = [w for _, _, w in cands[:max_expansions]]
+    if not exp:
+        return []
+    merged: dict[int, int] = {}
+    df = 0
+    for w in exp:
+        p = self.postings[w]
+        df = max(df, len(p))
+        for d_, tf in p.items():
+            merged[d_] = merged.get(d_, 0) + tf
+    idf = bm25_idf(self.n_docs, df)
+    scored = [(d_, idf * bm25_tf_norm(tf, self.doc_len[d_],
+                                      self.avgdl))
+              for d_, tf in merged.items()]
+    scored.sort(key=lambda x: (-x[1], x[0]))
+    return scored[:k]
+
+
+OracleIndex.search_fuzzy = _search_fuzzy

@@ -413,6 +413,42 @@ class SearchEngine:
         """
         from ..oracle import _analyze_slots
         slots = _analyze_slots(query, synonyms, stem=self.stem)
+        return self._search_slots(slots, k)
+
+    def search_fuzzy(self, term: str, k: int = TOP_K_SIZE,
+                     fuzziness: int = 1, max_expansions: int = 50,
+                     prefix_length: int = 0) -> DataFrame:
+        """ES ``fuzzy`` full-text query on the segment index: expand
+        the term over the index dictionary to terms within
+        ``fuzziness`` Levenshtein edits (plain Levenshtein — Spark and
+        the DuckDB oracle share it; ES defaults to Damerau
+        transpositions, a documented divergence), keep the best
+        ``max_expansions`` by (distance asc, df desc, term asc), and
+        score the expansion set as ONE SynonymQuery slot (tf = sum of
+        member tfs, df = max of member dfs) — a simplified
+        blended-freqs rewrite, engine ≡ oracle bit-exact.
+        ``prefix_length`` requires that many leading chars to match
+        exactly (the ES knob that keeps the dictionary scan cheap)."""
+        t = term.lower().strip()
+        if not t:
+            return self._empty()
+        cand = self._ts_df.select("term", "df")
+        if prefix_length > 0:
+            cand = cand.filter(
+                F.col("term").startswith(t[:prefix_length]))
+        dist = F.levenshtein(F.col("term"), F.lit(t))
+        rows = (cand.withColumn("dist", dist)
+                .filter(F.col("dist") <= fuzziness)
+                .orderBy(F.asc("dist"), F.desc("df"), F.asc("term"))
+                .limit(max_expansions).collect())
+        if not rows:
+            return self._empty()
+        return self._search_slots([[r["term"] for r in rows]], k)
+
+    def _search_slots(self, slots: list[list[str]], k: int
+                      ) -> DataFrame:
+        """Shared SynonymQuery-slot scorer (see
+        :meth:`search_synonyms` for plan + semantics)."""
         if not slots:
             return self._empty()
         members = sorted({t for alts in slots for t in alts})

@@ -732,3 +732,23 @@ def test_prefix_query_matches_oracle(spark, built):
     # k-cap respected with doc_id order
     got5 = [r.doc_id for r in eng.search_prefix("imp", k=5).collect()]
     assert got5 == [d for d, _ in oracle.search_prefix("imp", k=5)]
+
+
+def test_fuzzy_query_matches_oracle(spark, built):
+    """ES fuzzy query (simplified blended rewrite): expansion set,
+    slot scoring and ranks bit-exact vs the oracle; prefix_length
+    and max_expansions knobs honored."""
+    from auctus_spark.query.bm25 import SearchEngine
+    out, oracle, _, _, _ = built
+    eng = SearchEngine(spark, out, term_buckets=8)
+    for term, fz, pl, mx in [("import", 1, 0, 50), ("imprt", 1, 0, 50),
+                             ("retur", 1, 0, 50), ("the", 1, 0, 50),
+                             ("import", 2, 2, 50), ("import", 1, 0, 3),
+                             ("zzzzzzz", 1, 0, 50)]:
+        got = [(int(r.doc_id), float(r.score))
+               for r in eng.search_fuzzy(term, k=50, fuzziness=fz,
+                                         max_expansions=mx,
+                                         prefix_length=pl).collect()]
+        want = oracle.search_fuzzy(term, k=50, fuzziness=fz,
+                                   max_expansions=mx, prefix_length=pl)
+        assert got == want, (term, fz, pl, mx)
