@@ -520,6 +520,34 @@ FROM m ORDER BY doc_id LIMIT {k}
 """
 
 
+def _q_bm25_wildcard(spark, sf_dir):
+    """ES wildcard query (* / ?) with the constant_score rewrite on
+    the segment index; whole-term anchored like ES."""
+    from auctus_spark.query.bm25 import SearchEngine
+    _q_bm25_index_path(spark, sf_dir)    # ensure the index exists
+    import hashlib as _h
+    tag = _h.md5(sf_dir.encode()).hexdigest()[:10]
+    eng = SearchEngine(spark, f"/tmp/auctus_entry_index_{tag}",
+                       term_buckets=16)
+    out = eng.search_wildcard("v?l*", k=100)
+    return out.select("doc_id", F.round("score", 6).alias("score"))
+
+
+def _bm25_wildcard_sql(like_pattern: str, k: int = 100) -> str:
+    """Oracle via SQL LIKE (% = *, _ = ?)."""
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(text),
+                '{SPLIT_PATTERN}')) AS term
+  FROM documents),
+m AS (SELECT DISTINCT doc_id FROM tok
+      WHERE term LIKE '{like_pattern}' AND term <> '')
+SELECT doc_id, CAST(1.0 AS DOUBLE) AS score
+FROM m ORDER BY doc_id LIMIT {k}
+"""
+
+
 def _q_bm25_fuzzy(spark, sf_dir):
     """ES fuzzy full-text query on the segment index (simplified
     blended rewrite: dictionary expansion by plain Levenshtein —
@@ -1640,6 +1668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_min_should_match": _q_bm25_min_should_match,
         "bm25_prefix": _q_bm25_prefix,
         "bm25_fuzzy": _q_bm25_fuzzy,
+        "bm25_wildcard": _q_bm25_wildcard,
         "bm25_index_path": _q_bm25_index_path,
         "bm25_batched": _q_bm25_batched,
         "bm25_multifield": _q_bm25_multifield,
@@ -2215,6 +2244,7 @@ def _oracle_sql_static() -> dict[str, str]:
             ["data", "join", "merge"], min_should_match=2),
         "bm25_prefix": _bm25_prefix_sql("val"),
         "bm25_fuzzy": _bm25_fuzzy_sql("valu"),
+        "bm25_wildcard": _bm25_wildcard_sql("v_l%"),
         "bm25_index_path": _bm25_sql(["data", "join"]),
         "bm25_batched": (
             "SELECT 'qa' AS query_id, * FROM ("

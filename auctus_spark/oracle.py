@@ -246,6 +246,21 @@ class OracleIndex:
                        if t.startswith(p) for d in post})
         return [(d, float(boost)) for d in docs[:k]]
 
+    def search_wildcard(self, pattern: str, k: int = TOP_K_SIZE,
+                        boost: float = 1.0) -> list[tuple[int, float]]:
+        """ES wildcard query, constant_score rewrite (see
+        SearchEngine.search_wildcard)."""
+        import re
+        p = pattern.lower().strip()
+        if not p:
+            return []
+        rx = re.compile("^" + "".join(
+            ".*" if c == "*" else "." if c == "?" else re.escape(c)
+            for c in p) + "$")
+        docs = sorted({d for t, post in self.postings.items()
+                       if rx.match(t) for d in post})
+        return [(d, float(boost)) for d in docs[:k]]
+
     def search_or(self, query: str, k: int = TOP_K_SIZE,
                   k1: float = K1, b: float = B,
                   min_should_match: int = 1) -> list[tuple[int, float]]:

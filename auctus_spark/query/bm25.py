@@ -136,8 +136,31 @@ class SearchEngine:
         p = prefix.lower().strip()
         if not p:
             return self._empty()
+        return self._constant_score_terms(
+            F.col("term").startswith(p), k, boost)
+
+    def search_wildcard(self, pattern: str, k: int = TOP_K_SIZE,
+                        boost: float = 1.0) -> DataFrame:
+        """ES ``wildcard`` query (``*`` = any run, ``?`` = one char),
+        constant_score rewrite like :meth:`search_prefix`.  The
+        pattern anchors both ends (whole-term match, ES semantics);
+        regex metacharacters in the pattern are escaped."""
+        import re as _re
+        p = pattern.lower().strip()
+        if not p:
+            return self._empty()
+        rx = "^" + "".join(
+            ".*" if c == "*" else "." if c == "?" else _re.escape(c)
+            for c in p) + "$"
+        return self._constant_score_terms(
+            F.col("term").rlike(rx), k, boost)
+
+    def _constant_score_terms(self, term_pred, k: int, boost: float
+                              ) -> DataFrame:
+        """Shared constant_score multi-term rewrite: docs containing
+        ANY term matching ``term_pred`` score exactly ``boost``."""
         segs = (self._seg_df
-                .filter(F.col("term").startswith(p))
+                .filter(term_pred)
                 .select("docs_blob", "doc_id_min", "doc_id_max"))
         tomb = self.tombstones
 

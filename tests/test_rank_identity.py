@@ -752,3 +752,16 @@ def test_fuzzy_query_matches_oracle(spark, built):
         want = oracle.search_fuzzy(term, k=50, fuzziness=fz,
                                    max_expansions=mx, prefix_length=pl)
         assert got == want, (term, fz, pl, mx)
+
+
+def test_wildcard_query_matches_oracle(spark, built):
+    """ES wildcard query (constant_score rewrite): * and ? patterns,
+    whole-term anchoring, regex metachars escaped."""
+    from auctus_spark.query.bm25 import SearchEngine
+    out, oracle, _, _, _ = built
+    eng = SearchEngine(spark, out, term_buckets=8)
+    for pat in ["imp*", "*turn", "u?iq_token_1*", "d?f", "*", "z*q",
+                "uniq_token_7"]:
+        got = [(int(r.doc_id), float(r.score))
+               for r in eng.search_wildcard(pat, k=700).collect()]
+        assert got == oracle.search_wildcard(pat, k=700), pat
