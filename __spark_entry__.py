@@ -875,6 +875,68 @@ LIMIT {k}
 """
 
 
+def _q_bm25_phrase_prefix(spark, sf_dir):
+    """ES match_phrase_prefix on the positional index: exact phrase
+    head + last-token prefix expanded over the dictionary (first 50
+    in term order), last slot = union of expansion positions,
+    slot idf = idf(max expansion df) — SynonymQuery discipline."""
+    from auctus_spark.query.bm25 import PhraseEngine
+    _q_bm25_phrase(spark, sf_dir)        # ensure the index exists
+    import hashlib as _h
+    tag = _h.md5(sf_dir.encode()).hexdigest()[:10]
+    eng = PhraseEngine(spark, f"/tmp/auctus_entry_index_pos_{tag}",
+                       term_buckets=16)
+    out = eng.search_phrase_prefix("table val", k=50)
+    return out.select("doc_id", F.round("score", 6).alias("score"))
+
+
+def _phrase_prefix_sql(exact: str, prefix: str, k: int = 50,
+                       max_exp: int = 50) -> str:
+    """DuckDB oracle for a 2-slot match_phrase_prefix (one exact term
+    + one prefix slot)."""
+    idf = ("ln(1 + (s.n_docs - {d} + 0.5) / ({d} + 0.5))")
+    idf_sum = (idf.format(d="(SELECT df FROM dfx)") + " + "
+               + idf.format(d="(SELECT sdf FROM sd)"))
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text),
+                     '{SPLIT_PATTERN}'), x -> x <> '') AS l
+  FROM documents),
+tok AS (
+  SELECT doc_id, l[i] AS term, i AS pos
+  FROM toks, LATERAL (SELECT unnest(range(1, len(l) + 1)) AS i)),
+dl AS (SELECT doc_id, len(l) AS dl FROM toks),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT sum(len(l)) FROM toks) * 1.0
+           / (SELECT count(*) FROM documents) AS avgdl),
+exp AS (SELECT DISTINCT term FROM tok
+        WHERE term LIKE '{prefix}%' ORDER BY term LIMIT {max_exp}),
+dfx AS (SELECT count(DISTINCT doc_id) AS df FROM tok
+        WHERE term = '{exact}'),
+sd AS (SELECT max(df) AS sdf FROM (
+         SELECT t.term, count(DISTINCT t.doc_id) AS df
+         FROM tok t JOIN exp USING (term) GROUP BY t.term)),
+occ AS (
+  SELECT a0.doc_id, count(*) AS freq
+  FROM tok a0
+  JOIN tok a1 ON a1.doc_id = a0.doc_id AND a1.pos = a0.pos + 1
+  JOIN exp ON a1.term = exp.term
+  WHERE a0.term = '{exact}'
+  GROUP BY a0.doc_id)
+SELECT occ.doc_id,
+       round(({idf_sum})
+             * (occ.freq / (occ.freq + 1.2 *
+                (0.25 + 0.75 * dl.dl / s.avgdl))), 6) AS score
+FROM occ JOIN dl USING (doc_id) CROSS JOIN stats s
+ORDER BY ({idf_sum})
+         * (occ.freq / (occ.freq + 1.2 *
+            (0.25 + 0.75 * dl.dl / s.avgdl))) DESC, occ.doc_id ASC
+LIMIT {k}
+"""
+
+
 def _q_bm25_synonyms(spark, sf_dir):
     """Search-time synonym expansion (reference elasticsearch.yml:16-24
     applies synonym_graph on every search): query token 'join' expands
@@ -1669,6 +1731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_prefix": _q_bm25_prefix,
         "bm25_fuzzy": _q_bm25_fuzzy,
         "bm25_wildcard": _q_bm25_wildcard,
+        "bm25_phrase_prefix": _q_bm25_phrase_prefix,
         "bm25_index_path": _q_bm25_index_path,
         "bm25_batched": _q_bm25_batched,
         "bm25_multifield": _q_bm25_multifield,
@@ -2245,6 +2308,7 @@ def _oracle_sql_static() -> dict[str, str]:
         "bm25_prefix": _bm25_prefix_sql("val"),
         "bm25_fuzzy": _bm25_fuzzy_sql("valu"),
         "bm25_wildcard": _bm25_wildcard_sql("v_l%"),
+        "bm25_phrase_prefix": _phrase_prefix_sql("table", "val"),
         "bm25_index_path": _bm25_sql(["data", "join"]),
         "bm25_batched": (
             "SELECT 'qa' AS query_id, * FROM ("

@@ -484,6 +484,60 @@ class PositionalOracleIndex:
         return scored[:k]
 
 
+def _search_phrase_prefix(self, query: str, k: int = TOP_K_SIZE,
+                          max_expansions: int = 50
+                          ) -> list[tuple[int, float]]:
+    """ES match_phrase_prefix (see
+    PhraseEngine.search_phrase_prefix): last token expands to the
+    first ``max_expansions`` dictionary terms in term order; the last
+    phrase slot is the union of the expansions' positions; idf_sum
+    adds one SynonymQuery-style slot idf (max expansion df)."""
+    terms = tokenize(query, stem=self.stem)
+    if not terms:
+        return []
+    prefix, exact = terms[-1], terms[:-1]
+    exp = sorted(t for t in self.postings
+                 if t.startswith(prefix))[:max_expansions]
+    if not exp:
+        return []
+    for t in exact:
+        if t not in self.postings:
+            return []
+    slot_df = max(len(self.postings[t]) for t in exp)
+    idf_sum = 0.0
+    for t in exact:
+        idf_sum += bm25_idf(self.n_docs, len(self.postings[t]))
+    idf_sum += bm25_idf(self.n_docs, slot_df)
+    n = len(terms)
+    cands: set[int] | None = None
+    for t in exact:
+        cands = (set(self.postings[t]) if cands is None
+                 else cands & set(self.postings[t]))
+    exp_docs = {d for t in exp for d in self.postings[t]}
+    cands = exp_docs if cands is None else cands & exp_docs
+    scored: list[tuple[int, float]] = []
+    for d in cands:
+        occ: set[int] | None = None
+        for i, t in enumerate(exact):
+            pos_i = {x - i for x in self.postings[t].get(d, [])}
+            occ = pos_i if occ is None else occ & pos_i
+            if not occ:
+                break
+        last = {x - (n - 1) for t in exp
+                for x in self.postings[t].get(d, [])}
+        occ = last if occ is None else (occ & last if occ else occ)
+        if not occ:
+            continue
+        freq = len(occ)
+        s = idf_sum * bm25_tf_norm(freq, self.doc_len[d], self.avgdl)
+        scored.append((d, s))
+    scored.sort(key=lambda x: (-x[1], x[0]))
+    return scored[:k]
+
+
+PositionalOracleIndex.search_phrase_prefix = _search_phrase_prefix
+
+
 def _analyze_slots(query: str, synonyms: dict, stem: bool = False
                    ) -> list[list[str]]:
     """Search-time synonym_graph analysis (reference applies the

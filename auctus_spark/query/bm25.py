@@ -1485,6 +1485,100 @@ class PhraseEngine(SearchEngine):
         return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
+    def search_phrase_prefix(self, query: str, k: int = TOP_K_SIZE,
+                             max_expansions: int = 50) -> DataFrame:
+        """ES ``match_phrase_prefix`` (autocomplete): the last query
+        token is a PREFIX, expanded over the index dictionary to the
+        first ``max_expansions`` terms in term order (ES picks from
+        index-dictionary order); phrase matching then treats the last
+        slot as the UNION of the expansions' positions
+        (MultiPhraseQuery, slop=0).  Scoring: idf_sum = Σ idf(exact
+        terms) + idf(slot df) with slot df = max over expansion dfs —
+        the SynonymQuery-style pseudo-term this engine uses for every
+        expansion slot (Lucene's MultiPhraseQuery sums idf over ALL
+        expanded terms, which explodes with wide prefixes; documented
+        divergence, engine ≡ oracle bit-exact)."""
+        from ..analysis import tokenize as _tok
+        terms = _tok(query, stem=self.stem)
+        if not terms:
+            return self._empty()
+        prefix, exact = terms[-1], terms[:-1]
+        exp_rows = (self._ts_df
+                    .filter(F.col("term").startswith(prefix))
+                    .select("term", "df").orderBy("term")
+                    .limit(max_expansions).collect())
+        if not exp_rows:
+            return self._empty()
+        expansions = [r["term"] for r in exp_rows]
+        slot_df = max(int(r["df"]) for r in exp_rows)
+        uexact = list(dict.fromkeys(exact))
+        stats = self.term_stats(uexact) if uexact else {}
+        if any(t not in stats for t in uexact):
+            return self._empty()
+        idf_sum = 0.0
+        for t in exact:   # duplicates contribute twice, query order
+            idf_sum += bm25_idf(self.n_docs, stats[t])
+        idf_sum += bm25_idf(self.n_docs, slot_df)
+        needed = list(dict.fromkeys(exact + expansions))
+        segs = self._segments_for(needed).select(*self._POS_COLS)
+        avgdl = self.avgdl
+        tomb = self.tombstones
+        shift = self.POS_SHIFT
+        n = len(terms)
+        ex, exps, kk = list(exact), list(expansions), k
+
+        def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+            per_term = _group_partials_pos(pdf)
+            if any(t not in per_term for t in ex):
+                return _empty_pdf()
+            have_exp = [t for t in exps if t in per_term]
+            if not have_exp:
+                return _empty_pdf()
+            if ex:
+                cand = _phrase_cand(per_term, ex, tomb)
+                if cand is None:
+                    return _empty_pdf()
+            else:
+                ids = np.unique(np.concatenate(
+                    [_decode_full_term(per_term[t])
+                     for t in have_exp]))
+                cand = _mask_tombstones(ids, tomb)
+                if cand.size == 0:
+                    return _empty_pdf()
+            running = None
+            for i, t in enumerate(ex):
+                keys = np.unique(np.concatenate(
+                    [_phrase_keys(seg, cand, shift, i)
+                     for seg in per_term[t]]))
+                running = keys if running is None else \
+                    running[np.isin(running, keys, assume_unique=True)]
+                if running.size == 0:
+                    return _empty_pdf()
+            last = np.unique(np.concatenate(
+                [_phrase_keys(seg, cand, shift, n - 1)
+                 for t in have_exp for seg in per_term[t]]))
+            running = last if running is None else \
+                running[np.isin(running, last, assume_unique=True)]
+            if running.size == 0:
+                return _empty_pdf()
+            cidx = (running >> np.int64(shift)).astype(np.int64)
+            uniq, freq = np.unique(cidx, return_counts=True)
+            docs = cand[uniq]
+            f = freq.astype(np.float64)
+            dl_parts = (per_term[ex[0]] if ex else
+                        [s for t in have_exp for s in per_term[t]])
+            dl = _dl_for(dl_parts, docs)
+            score = idf_sum * (f / (f + K1 * (1.0 - B + B * dl / avgdl)))
+            d2, s2 = _topk_local(docs, score, kk)
+            return pd.DataFrame({"doc_id": d2.astype(np.int64),
+                                 "score": s2})
+
+        local = (segs.groupBy("bucket")
+                 .applyInPandas(score_bucket,
+                                schema="doc_id long, score double"))
+        return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
 _PARTIAL_FIELDS_POS = _PARTIAL_FIELDS + ("pos_blob", "pos_off")
 
 

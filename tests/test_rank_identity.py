@@ -765,3 +765,21 @@ def test_wildcard_query_matches_oracle(spark, built):
         got = [(int(r.doc_id), float(r.score))
                for r in eng.search_wildcard(pat, k=700).collect()]
         assert got == oracle.search_wildcard(pat, k=700), pat
+
+
+def test_phrase_prefix_matches_oracle(spark, built_positional):
+    """ES match_phrase_prefix (autocomplete): expansion-union last
+    slot, SynonymQuery-style slot idf — bit-exact vs the positional
+    oracle across multi-term, single-token and no-match prefixes."""
+    from auctus_spark.query.bm25 import PhraseEngine
+    out, oracle, _ = built_positional
+    eng = PhraseEngine(spark, out, term_buckets=8)
+    for q, mx in [("import d", 50), ("def retur", 50), ("the imp", 50),
+                  ("uniq", 50), ("import def", 50), ("import d", 3),
+                  ("import zzzz", 50)]:
+        got = [(int(r.doc_id), float(r.score))
+               for r in eng.search_phrase_prefix(q, k=50,
+                                                 max_expansions=mx)
+               .collect()]
+        want = oracle.search_phrase_prefix(q, k=50, max_expansions=mx)
+        _assert_rank_identical(got, want)
