@@ -1228,12 +1228,23 @@ def compact(spark: SparkSession, index_dir: str,
     _crash("term_stats")
     shutil.rmtree(tomb_dir, ignore_errors=True)
     _crash("tombstones_cleared")
+    # Commit point.  Everything the compaction mutates is in its
+    # final state, so the marker comes off FIRST: a crash anywhere
+    # in the snapshot cleanup below leaves a fully-committed index
+    # plus stale ``*_old`` dirs that the pre-marker sweep at the top
+    # of the next compact() removes.  (Deleting snapshots while the
+    # marker is still up would let rollback_compaction() pair the
+    # surviving snapshot pieces with committed state — e.g. restore
+    # pre-compaction stats against already-compacted segments.)
+    os.remove(marker)
+    _crash("marker_removed")
     shutil.rmtree(old_dir)
+    _crash("segments_old_gone")
     shutil.rmtree(stats_old)
+    _crash("stats_old_gone")
     shutil.rmtree(tomb_old)
     if had_removed:
         shutil.rmtree(removed_old)
-    os.remove(marker)
     return {"removed_docs": n_removed, "removed_tokens": tok_removed}
 
 

@@ -45,11 +45,19 @@ def _sha256_file(path: str) -> str:
     return h.hexdigest()
 
 
+_SWAP_SUFFIXES = ("_old", "_restoring", "_replaced", "_compacting")
+
+
 def _walk_files(root: str) -> list[str]:
     """Relative paths of every regular file under ``root``, sorted
-    (deterministic manifest), skipping Spark _SUCCESS/.crc noise."""
+    (deterministic manifest), skipping Spark _SUCCESS/.crc noise and
+    crash-recovery leftovers (``*_old`` compaction snapshots,
+    ``*_restoring``/``*_replaced`` restore staging) — those are
+    transient swap state, never part of a consistent index."""
     out = []
-    for dirpath, _dirs, files in os.walk(root):
+    for dirpath, dirs, files in os.walk(root):
+        dirs[:] = [d for d in dirs
+                   if not d.endswith(_SWAP_SUFFIXES)]
         for name in files:
             if name == "_SUCCESS" or name.endswith(".crc"):
                 continue
@@ -113,7 +121,17 @@ def restore_index(snap_dir: str, index_dir: str,
     byte-identical to the snapshotted index (same shas), so every
     query answers bit-identically.  Refuses a non-empty target unless
     ``overwrite=True`` (then replaces it atomically-enough: builds a
-    sibling tmp tree first, swaps last)."""
+    sibling tmp tree first, swaps last).
+
+    Swap discipline (mirrors the compaction swap: never a window
+    with no live index): the verified tmp tree is built first, the
+    existing index is renamed ASIDE (``*_replaced``) — not deleted —
+    then tmp is renamed into place, and the aside copy is removed
+    LAST.  A crash between the two renames leaves the old index
+    recoverable at ``*_replaced``; a crash before the aside-rename
+    leaves the old index untouched.  Stale ``*_restoring`` /
+    ``*_replaced`` leftovers from a crashed earlier restore are
+    swept at entry."""
     manifest = verify_snapshot(snap_dir)
     if os.path.exists(index_dir) and os.listdir(index_dir):
         if not overwrite:
@@ -121,7 +139,9 @@ def restore_index(snap_dir: str, index_dir: str,
                 f"restore target {index_dir} is not empty "
                 "(pass overwrite=True)")
     tmp = index_dir.rstrip("/") + "_restoring"
+    aside = index_dir.rstrip("/") + "_replaced"
     shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(aside, ignore_errors=True)
     os.makedirs(tmp)
     for rel, want in manifest.items():
         src = os.path.join(snap_dir, rel)
@@ -134,6 +154,7 @@ def restore_index(snap_dir: str, index_dir: str,
             raise SnapshotIntegrityError(
                 f"{rel}: sha mismatch after copy")
     if os.path.exists(index_dir):
-        shutil.rmtree(index_dir)
+        os.rename(index_dir, aside)
     os.rename(tmp, index_dir)
+    shutil.rmtree(aside, ignore_errors=True)
     return manifest

@@ -126,25 +126,28 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
 
 
 def frequent_shingle_cap(sh: DataFrame, max_df: int,
-                         surface: bool = True) -> DataFrame:
+                         surface: bool = True,
+                         dropped_out: dict | None = None) -> DataFrame:
     """Drop shingles appearing in more than ``max_df`` docs before the
     self-join — the skew guard for web-scale dedup (a stop-shingle
     joins N² pairs otherwise).
 
     When the cap actually fires it is SURFACED, not silent: a WARNING
-    log with the dropped-shingle count, also recorded on
-    ``frequent_shingle_cap.last_dropped`` for programmatic checks —
-    exact-recall users on corpora with hot shingles need to know the
-    scores are over the capped shingle universe.  Counting the hot
-    shingles is one aggregate over ``sh`` (callers cache ``sh`` first,
-    so the extra job reuses the cached shingles); ``surface=False``
-    skips it."""
+    log with the dropped-shingle count.  Callers that need the count
+    programmatically pass ``dropped_out={}`` and read
+    ``dropped_out["dropped"]`` after the call — an out-param, NOT
+    process-global state, so concurrent pipelines in one driver never
+    read each other's value.  Counting the hot shingles is one
+    aggregate over ``sh`` (callers cache ``sh`` first, so the extra
+    job reuses the cached shingles); ``surface=False`` with no
+    ``dropped_out`` skips it entirely."""
     hot = (sh.groupBy("shingle").agg(F.count("*").alias("df"))
            .filter(F.col("df") > max_df).select("shingle"))
-    if surface:
+    if surface or dropped_out is not None:
         n_hot = hot.count()
-        frequent_shingle_cap.last_dropped = n_hot
-        if n_hot:
+        if dropped_out is not None:
+            dropped_out["dropped"] = n_hot
+        if surface and n_hot:
             logger.warning(
                 "shingle-df cap fired: %d shingle(s) with df > %d "
                 "dropped; similarity/containment scores are computed "
@@ -152,9 +155,6 @@ def frequent_shingle_cap(sh: DataFrame, max_df: int,
                 "max_shingle_df=None for exact recall on small "
                 "corpora)", n_hot, max_df)
     return sh.join(hot, "shingle", "left_anti")
-
-
-frequent_shingle_cap.last_dropped = 0
 
 
 # ---------------------------------------------------------------------

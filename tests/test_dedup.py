@@ -266,8 +266,10 @@ def test_ngram_jaccard_hot_shingle_cap_default(spark):
 
 def test_shingle_cap_surfaced_when_fired(spark, caplog):
     """ADVICE parity: when the df cap actually drops shingles, callers
-    get a WARNING log and frequent_shingle_cap.last_dropped > 0 —
-    capped scores are never silent."""
+    get a WARNING log, and the dropped count comes back via the
+    ``dropped_out`` out-param (no process-global state, so concurrent
+    pipelines can't clobber each other) — capped scores are never
+    silent."""
     import logging
 
     from auctus_spark.operators.dedup import (frequent_shingle_cap,
@@ -277,18 +279,23 @@ def test_shingle_cap_surfaced_when_fired(spark, caplog):
         F.col("id").alias("doc_id"),
         F.concat(F.lit("common common common stop phrase here x"),
                  F.col("id").cast("string")).alias("text"))
-    frequent_shingle_cap.last_dropped = 0
     with caplog.at_level(logging.WARNING,
                          logger="auctus_spark.operators.dedup"):
         ngram_jaccard_pairs(docs, threshold=0.1,
                             max_shingle_df=30).count()
-    assert frequent_shingle_cap.last_dropped > 0
     assert any("cap fired" in r.message for r in caplog.records)
+    # out-param reports the count; no module-global mutable state left
+    out = {}
+    frequent_shingle_cap(token_shingles(docs), 30,
+                         dropped_out=out).count()
+    assert out["dropped"] > 0
+    assert not hasattr(frequent_shingle_cap, "last_dropped")
     # and stays silent when nothing is dropped
     caplog.clear()
     sh = token_shingles(docs)
+    out2 = {}
     with caplog.at_level(logging.WARNING,
                          logger="auctus_spark.operators.dedup"):
-        frequent_shingle_cap(sh, 10_000).count()
-    assert frequent_shingle_cap.last_dropped == 0
+        frequent_shingle_cap(sh, 10_000, dropped_out=out2).count()
+    assert out2["dropped"] == 0
     assert not any("cap fired" in r.message for r in caplog.records)

@@ -716,9 +716,7 @@ def test_sloppy_repeats_exact_subset_property():
 def test_prefix_query_matches_oracle(spark, built):
     """ES prefix query (constant_score rewrite): doc set identical to
     the oracle's prefix expansion, every score == boost, doc_id
-    order; empty prefix and no-match prefix return nothing; deleted
-    docs drop out."""
-    from auctus_spark.index.build import delete_docs
+    order; empty prefix and no-match prefix return nothing."""
     from auctus_spark.query.bm25 import SearchEngine
     out, oracle, _, _, _ = built
     eng = SearchEngine(spark, out, term_buckets=8)
@@ -732,6 +730,40 @@ def test_prefix_query_matches_oracle(spark, built):
     # k-cap respected with doc_id order
     got5 = [r.doc_id for r in eng.search_prefix("imp", k=5).collect()]
     assert got5 == [d for d, _ in oracle.search_prefix("imp", k=5)]
+
+
+def test_constant_score_masks_tombstones(spark, built, tmp_path):
+    """Deleted docs drop out of prefix AND wildcard results — the
+    tombstone branch of _constant_score_terms (np.searchsorted mask)
+    on a COPY of the built index, so sibling fixtures stay clean."""
+    import shutil
+
+    from auctus_spark.index.build import delete_docs
+    from auctus_spark.query.bm25 import SearchEngine
+    out, oracle, _, _, _ = built
+    copy = str(tmp_path / "index_copy")
+    shutil.copytree(out, copy)
+    base_prefix = [int(r.doc_id) for r in
+                   SearchEngine(spark, copy, term_buckets=8)
+                   .search_prefix("imp", k=700).collect()]
+    base_wild = [int(r.doc_id) for r in
+                 SearchEngine(spark, copy, term_buckets=8)
+                 .search_wildcard("*turn", k=700).collect()]
+    assert base_prefix and base_wild
+    dead = sorted(set(base_prefix[:3]) | set(base_wild[:3]))
+    delete_docs(spark, copy, dead)
+    eng = SearchEngine(spark, copy, term_buckets=8)
+    got_prefix = [int(r.doc_id) for r in
+                  eng.search_prefix("imp", k=700).collect()]
+    got_wild = [int(r.doc_id) for r in
+                eng.search_wildcard("*turn", k=700).collect()]
+    assert got_prefix == [d for d in base_prefix if d not in dead]
+    assert got_wild == [d for d in base_wild if d not in dead]
+    # the original (uncopied) index is untouched
+    still = [int(r.doc_id) for r in
+             SearchEngine(spark, out, term_buckets=8)
+             .search_prefix("imp", k=700).collect()]
+    assert still == base_prefix
 
 
 def test_fuzzy_query_matches_oracle(spark, built):

@@ -664,6 +664,57 @@ def test_compaction_crash_rollback_all_windows(spark, tmp_path):
             assert got == live_oracle.search(q, k=50), (step, q)
 
 
+def test_compaction_crash_in_cleanup_is_committed(spark, tmp_path):
+    """Crash windows INSIDE the post-commit cleanup (ADVICE r5): the
+    marker comes off before any snapshot deletion, so a crash while
+    deleting the *_old snapshots leaves a fully-committed index —
+    rollback refuses (no marker), queries answer the LIVE corpus with
+    correct stats, and the next compact()'s entry sweep removes the
+    stale snapshot dirs."""
+    import pytest
+
+    from auctus_spark.index.build import (SimulatedCompactionCrash,
+                                          compact, delete_docs,
+                                          rollback_compaction)
+    from auctus_spark.oracle import OracleIndex
+    from auctus_spark.query.bm25 import SearchEngine
+
+    pdf = generate_corpus(300, min_tokens=10, max_tokens=50,
+                          vocab_size=400)
+    dead = [2, 5, 50, 51, 299]
+    live_pdf = pdf[~pdf.doc_id.isin(dead)]
+    live_oracle = OracleIndex.build(
+        [(int(r.doc_id), r.content)
+         for r in live_pdf.itertuples(index=False)])
+
+    for step in ["marker_removed", "segments_old_gone",
+                 "stats_old_gone"]:
+        d = str(tmp_path / f"cleanup_{step}")
+        IndexBuilder(spark, d, doc_bucket=64, chunk_docs=150,
+                     term_buckets=2).build(spark.createDataFrame(pdf))
+        delete_docs(spark, d, dead)
+        with pytest.raises(SimulatedCompactionCrash):
+            compact(spark, d, term_buckets=2, _crash_after=step)
+        # committed: no marker, so rollback refuses…
+        with pytest.raises(ValueError):
+            rollback_compaction(spark, d)
+        # …and the index already answers for the LIVE corpus with
+        # correct (single-decrement) stats despite leftover snapshots
+        eng = SearchEngine(spark, d, term_buckets=2)
+        assert eng.n_docs == live_oracle.n_docs, step
+        assert abs(eng.avgdl - live_oracle.avgdl) < 1e-9, step
+        for q in ["import", "def return"]:
+            got = [(int(r.doc_id), float(r.score))
+                   for r in eng.search_wand(q, k=50).collect()]
+            assert got == live_oracle.search(q, k=50), (step, q)
+        # a later compact() sweeps the stale *_old leftovers (no-op
+        # compaction: no tombstones left)
+        assert compact(spark, d, term_buckets=2) == {"removed_docs": 0}
+        import os
+        leftovers = [p for p in os.listdir(d) if p.endswith("_old")]
+        assert leftovers == [], (step, leftovers)
+
+
 def test_rollback_without_marker_refuses(spark, tmp_path):
     from auctus_spark.index.build import rollback_compaction
     import pytest

@@ -44,9 +44,40 @@ def test_snapshot_restore_bit_identical(spark, tmp_path):
     restore_index(snap, r)
     assert _topk(spark, r, queries) == before
 
-    # restore OVER the mutated original too
+    # restore OVER the mutated original too — swap discipline leaves
+    # no *_restoring/*_replaced staging behind (ADVICE r5: the old
+    # index is renamed aside, never a window with no live index)
     restore_index(snap, d, overwrite=True)
     assert _topk(spark, d, queries) == before
+    import os
+    siblings = os.listdir(os.path.dirname(d))
+    assert not any(s.endswith(("_restoring", "_replaced"))
+                   for s in siblings), siblings
+
+
+def test_snapshot_skips_swap_leftovers(spark, tmp_path):
+    """A crash in compaction's post-commit cleanup can leave *_old
+    snapshot dirs with no marker; snapshot_index must not capture
+    that transient swap state."""
+    import os
+
+    pdf = generate_corpus(60, min_tokens=10, max_tokens=20,
+                          vocab_size=120)
+    d = str(tmp_path / "idx4")
+    IndexBuilder(spark, d, doc_bucket=64, chunk_docs=60,
+                 term_buckets=2).build(spark.createDataFrame(pdf))
+    os.makedirs(os.path.join(d, "segments_old"))
+    with open(os.path.join(d, "segments_old", "junk.parquet"),
+              "wb") as f:
+        f.write(b"stale")
+    snap = str(tmp_path / "snap4")
+    manifest = snapshot_index(d, snap)
+    assert not any("segments_old" in rel for rel in manifest)
+    r = str(tmp_path / "r4")
+    restore_index(snap, r)
+    assert not os.path.exists(os.path.join(r, "segments_old"))
+    q = ["import", "the"]
+    assert _topk(spark, r, q) == _topk(spark, d, q)
 
 
 def test_snapshot_detects_corruption(spark, tmp_path):
