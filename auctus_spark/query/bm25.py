@@ -41,6 +41,26 @@ from ..index.codec import decode_blocks, delta_decode, varbyte_decode
 from ..oracle import bm25_idf
 
 
+_GRAM_N = 2
+
+
+def _term_bigrams(s: str) -> set[str]:
+    """Distinct character bigrams of a term (no padding)."""
+    return {s[i:i + _GRAM_N] for i in range(len(s) - _GRAM_N + 1)}
+
+
+def _gram_threshold(q: str, fuzziness: int) -> int:
+    """q-gram count-filter lower bound (Gravano et al., VLDB'01,
+    distinct-set form): any term within ``fuzziness`` edits of ``q``
+    shares at least ``|bigrams(q)| - fuzziness*n`` distinct bigrams
+    with it — each single edit destroys at most ``n`` gram
+    occurrences, hence removes at most ``n`` distinct grams from the
+    intersection.  A bound <= 0 means the filter is vacuous (short
+    query) and the caller must fall back to the length-window-only
+    scan."""
+    return len(_term_bigrams(q)) - fuzziness * _GRAM_N
+
+
 class SearchEngine:
     def __init__(self, spark: SparkSession, index_dir: str,
                  term_buckets: int = 64):
@@ -71,6 +91,33 @@ class SearchEngine:
         # per-docID literals in the plan).
         self.tombstones = load_tombstones(spark, index_dir)
         self._tomb_df = tombstones_df(spark, index_dir)
+        self._gram_df_cache: DataFrame | None = None
+
+    @property
+    def gram_index(self) -> DataFrame:
+        """Lazily-built, executor-cached (term, gram) bigram inverted
+        index over the term dictionary — the scale-clean analog of
+        Lucene's per-segment FST automaton intersection for multi-term
+        queries.  Fuzzy and wildcard expansion pre-filter candidates
+        through this table, so the expensive comparator (levenshtein /
+        anchored regex) runs on a gram-bounded candidate set instead
+        of every dictionary term.  Derived purely from the engine's
+        own term_stats snapshot (``_ts_df``), so it can never disagree
+        with the dictionary it prunes; one build per engine instance,
+        reused across queries from executor memory (long-lived search
+        services amortize it exactly as ES amortizes its FSTs)."""
+        if self._gram_df_cache is None:
+            grams = F.when(
+                F.length("term") >= _GRAM_N,
+                F.array_distinct(F.expr(
+                    f"transform(sequence(1, length(term) - {_GRAM_N - 1}),"
+                    f" i -> substring(term, i, {_GRAM_N}))"))
+            ).otherwise(F.array().cast("array<string>"))
+            self._gram_df_cache = (
+                self._ts_df.select("term",
+                                   F.explode(grams).alias("gram"))
+                .persist())
+        return self._gram_df_cache
 
     # ------------------------------------------------------------------
     def _term_buckets_for(self, terms: list[str]) -> dict[str, int]:
@@ -139,12 +186,29 @@ class SearchEngine:
         return self._constant_score_terms(
             F.col("term").startswith(p), k, boost)
 
+    # terms collected from a dictionary cut above this count fall back
+    # to the predicate path (an isin literal list this long would
+    # bloat the plan more than the full scan costs)
+    _MAX_TERM_ISIN = 4096
+
     def search_wildcard(self, pattern: str, k: int = TOP_K_SIZE,
                         boost: float = 1.0) -> DataFrame:
         """ES ``wildcard`` query (``*`` = any run, ``?`` = one char),
         constant_score rewrite like :meth:`search_prefix`.  The
         pattern anchors both ends (whole-term match, ES semantics);
-        regex metacharacters in the pattern are escaped."""
+        regex metacharacters in the pattern are escaped.
+
+        Dictionary cut (the FST-intersection analog): every literal
+        run of the pattern with >= 2 chars must appear as a substring
+        of a matching term, so all its bigrams must be in the term's
+        gram set — matching terms are resolved against
+        :attr:`gram_index` (all required grams present, leading
+        literal as a ``startswith``, anchored regex as the final
+        confirm), then the SEGMENT scan is ``term_bucket``-pruned +
+        ``isin`` on the resolved terms instead of running the regex
+        over every posting row.  Patterns with no usable literal
+        (``*``, ``?x``) keep the full-scan predicate path — the
+        documented fallback, semantically identical."""
         import re as _re
         p = pattern.lower().strip()
         if not p:
@@ -152,8 +216,34 @@ class SearchEngine:
         rx = "^" + "".join(
             ".*" if c == "*" else "." if c == "?" else _re.escape(c)
             for c in p) + "$"
-        return self._constant_score_terms(
-            F.col("term").rlike(rx), k, boost)
+        runs = [r for r in _re.split(r"[*?]", p) if len(r) >= _GRAM_N]
+        req = sorted({g for r in runs for g in _term_bigrams(r)})
+        lead = _re.split(r"[*?]", p, maxsplit=1)[0]
+        if not req and not lead:
+            return self._constant_score_terms(
+                F.col("term").rlike(rx), k, boost)
+        if req:
+            cand = (self.gram_index
+                    .filter(F.col("gram").isin(req))
+                    .groupBy("term")
+                    .agg(F.count("*").alias("ng"))
+                    .filter(F.col("ng") >= len(req))
+                    .select("term"))
+        else:
+            cand = self._ts_df.select("term")
+        if lead:
+            cand = cand.filter(F.col("term").startswith(lead))
+        terms = [r["term"]
+                 for r in cand.filter(F.col("term").rlike(rx)).collect()]
+        if not terms:
+            return self._empty()
+        if len(terms) > self._MAX_TERM_ISIN:
+            return self._constant_score_terms(
+                F.col("term").rlike(rx), k, boost)
+        tb = self._term_buckets_for(terms)
+        pred = (F.col("term_bucket").isin(list(set(tb.values())))
+                & F.col("term").isin(terms))
+        return self._constant_score_terms(pred, k, boost)
 
     def _constant_score_terms(self, term_pred, k: int, boost: float
                               ) -> DataFrame:
@@ -451,22 +541,71 @@ class SearchEngine:
         member tfs, df = max of member dfs) — a simplified
         blended-freqs rewrite, engine ≡ oracle bit-exact.
         ``prefix_length`` requires that many leading chars to match
-        exactly (the ES knob that keeps the dictionary scan cheap)."""
+        exactly (the ES knob that keeps the dictionary scan cheap).
+
+        Dictionary cut (the Levenshtein-automaton analog): candidates
+        are pre-filtered through :attr:`gram_index` with the q-gram
+        count bound (:func:`_gram_threshold` — never drops a term
+        within ``fuzziness`` edits) plus a ±``fuzziness`` length
+        window, so the levenshtein comparator runs on the gram-bounded
+        candidate set, not the whole dictionary; short queries where
+        the bound is vacuous keep the length-window-only scan."""
         t = term.lower().strip()
         if not t:
             return self._empty()
-        cand = self._ts_df.select("term", "df")
+        rows = self._fuzzy_candidates(t, fuzziness,
+                                      prefix_length).collect()
+        if not rows:
+            return self._empty()
+        # (distance asc, df desc, term asc) cap, df from the live
+        # partition-pruned stats scan — identical ordering to the
+        # pre-cut full-dictionary plan
+        stats = self.term_stats([r["term"] for r in rows])
+        ranked = sorted((int(r["dist"]), -stats[r["term"]], r["term"])
+                        for r in rows if r["term"] in stats)
+        exp = [term_ for _, _, term_ in ranked[:max_expansions]]
+        if not exp:
+            return self._empty()
+        return self._search_slots([exp], k)
+
+    def _fuzzy_candidates(self, t: str, fuzziness: int,
+                          prefix_length: int) -> DataFrame:
+        """(term, dist) rows of every dictionary term within
+        ``fuzziness`` Levenshtein edits of ``t`` — gram-bounded
+        pre-filter, then exact levenshtein confirm.  Split out so the
+        tests can assert both the no-false-drop property (result ==
+        full-scan result) and the cut (rows reaching the comparator
+        << dictionary size)."""
+        cand = self._fuzzy_prefilter(t, fuzziness, prefix_length)
+        dist = F.levenshtein(F.col("term"), F.lit(t))
+        return (cand.withColumn("dist", dist)
+                .filter(F.col("dist") <= fuzziness)
+                .select("term", "dist"))
+
+    def _fuzzy_prefilter(self, t: str, fuzziness: int,
+                         prefix_length: int) -> DataFrame:
+        """Candidate terms BEFORE the levenshtein confirm: gram count
+        bound (when non-vacuous) + ±fuzziness length window +
+        prefix_length anchor.  Guaranteed superset of the true
+        expansion set (each filter only removes terms provably beyond
+        ``fuzziness`` edits)."""
+        thresh = _gram_threshold(t, fuzziness)
+        if thresh >= 1:
+            grams = sorted(_term_bigrams(t))
+            cand = (self.gram_index
+                    .filter(F.col("gram").isin(grams))
+                    .groupBy("term")
+                    .agg(F.count("*").alias("ng"))
+                    .filter(F.col("ng") >= thresh)
+                    .select("term"))
+        else:
+            cand = self._ts_df.select("term")
+        cand = cand.filter(
+            F.abs(F.length("term") - F.lit(len(t))) <= fuzziness)
         if prefix_length > 0:
             cand = cand.filter(
                 F.col("term").startswith(t[:prefix_length]))
-        dist = F.levenshtein(F.col("term"), F.lit(t))
-        rows = (cand.withColumn("dist", dist)
-                .filter(F.col("dist") <= fuzziness)
-                .orderBy(F.asc("dist"), F.desc("df"), F.asc("term"))
-                .limit(max_expansions).collect())
-        if not rows:
-            return self._empty()
-        return self._search_slots([[r["term"] for r in rows]], k)
+        return cand
 
     def _search_slots(self, slots: list[list[str]], k: int
                       ) -> DataFrame:

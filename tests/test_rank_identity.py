@@ -786,6 +786,87 @@ def test_fuzzy_query_matches_oracle(spark, built):
         assert got == want, (term, fz, pl, mx)
 
 
+def test_gram_prefilter_never_drops_true_candidate():
+    """Property (pure python, 20k cases): for any query q and any term
+    t within d Levenshtein edits, the q-gram count bound keeps t
+    whenever it is non-vacuous — the dictionary cut can only ever
+    remove FALSE candidates."""
+    import random
+
+    from auctus_spark.query.bm25 import (_gram_threshold,
+                                         _term_bigrams)
+
+    alphabet = "abcdef_0123"
+    rng = random.Random(7)
+    for _ in range(20_000):
+        q = "".join(rng.choice(alphabet)
+                    for _ in range(rng.randint(1, 12)))
+        d = rng.randint(1, 2)
+        t = list(q)
+        for _ in range(rng.randint(0, d)):
+            op = rng.choice(["sub", "ins", "del"])
+            if op == "sub" and t:
+                t[rng.randrange(len(t))] = rng.choice(alphabet)
+            elif op == "ins":
+                t.insert(rng.randint(0, len(t)), rng.choice(alphabet))
+            elif op == "del" and t:
+                del t[rng.randrange(len(t))]
+        t = "".join(t)
+        thresh = _gram_threshold(q, d)
+        if thresh >= 1:
+            common = len(_term_bigrams(q) & _term_bigrams(t))
+            assert common >= thresh, (q, t, d, common, thresh)
+
+
+def test_fuzzy_dictionary_cut(spark, built):
+    """The gram pre-filter is exact (candidate set == full-dictionary
+    levenshtein scan) AND a real cut (rows reaching the comparator a
+    fraction of the dictionary); the gram index is executor-cached."""
+    from pyspark.sql import functions as F
+
+    from auctus_spark.query.bm25 import SearchEngine
+    out, _, _, _, _ = built
+    eng = SearchEngine(spark, out, term_buckets=8)
+    dict_n = eng._ts_df.count()
+    for term, fz in [("import", 1), ("retur", 2),
+                     ("uniq_token_1", 1), ("the", 1)]:
+        got = {(r["term"], int(r["dist"]))
+               for r in eng._fuzzy_candidates(term, fz, 0).collect()}
+        full = {(r["term"], int(r["dist"])) for r in
+                eng._ts_df.withColumn(
+                    "dist", F.levenshtein("term", F.lit(term)))
+                .filter(F.col("dist") <= fz)
+                .select("term", "dist").collect()}
+        assert got == full, (term, fz)
+        pre = eng._fuzzy_prefilter(term, fz, 0).count()
+        if len(term) > 4:      # non-vacuous bound → real pruning
+            assert pre < dict_n / 5, (term, fz, pre, dict_n)
+    assert eng.gram_index.storageLevel.useMemory
+
+
+def test_wildcard_dictionary_cut_plan(spark, built):
+    """Patterns with a usable literal resolve terms via the gram
+    index and scan segments term_bucket-pruned (isin), not with a
+    full-index rlike; literal-free patterns keep the fallback path.
+    Results identical to the oracle either way (covered by
+    test_wildcard_query_matches_oracle)."""
+    from auctus_spark.query.bm25 import SearchEngine
+    out, oracle, _, _, _ = built
+    eng = SearchEngine(spark, out, term_buckets=8)
+
+    def plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    cut = eng.search_wildcard("*turn", k=700)
+    assert "term_bucket" in plan(cut)          # partition-pruned isin
+    assert "RLike" not in plan(cut)            # regex never hits segments
+    got = [(int(r.doc_id), float(r.score)) for r in cut.collect()]
+    assert got == oracle.search_wildcard("*turn", k=700)
+
+    fallback = eng.search_wildcard("*", k=50)
+    assert "RLike" in plan(fallback) or ".*" in plan(fallback)
+
+
 def test_wildcard_query_matches_oracle(spark, built):
     """ES wildcard query (constant_score rewrite): * and ? patterns,
     whole-term anchoring, regex metachars escaped."""
