@@ -63,9 +63,16 @@ def synthesize_media(spark, n: int, kind: str = "image",
 def decode_image(payload: bytes) -> np.ndarray:
     """Decode an image blob to a numpy uint8 array ((H,W) grayscale or
     (H,W,C)).  PNG is decoded for real by the from-spec stdlib codec
-    (:mod:`.png` — zlib IDAT + per-scanline filters); other formats
-    (JPEG etc.) need native codecs the container doesn't ship and
-    raise by contract."""
+    (:mod:`.png` — zlib IDAT + per-scanline filters, numpy-vectorized
+    unfiltering); other formats (JPEG etc.) need native codecs the
+    container doesn't ship and raise by contract.
+
+    NATIVE-CODEC PLUG-POINT: this function is the single seam where a
+    production deployment swaps in a native decoder (Pillow/OpenCV/
+    libvips) — dispatch on the magic bytes here and return the same
+    uint8 (H,W[,C]) contract.  Everything Spark-side (mapInPandas
+    batching, MEDIA_SCHEMA, the [image_stats] aggregation plan) is
+    codec-agnostic and unchanged by the swap."""
     from .png import PNG_SIG, decode_png
     if payload[:8] == PNG_SIG:
         return decode_png(payload)

@@ -156,22 +156,34 @@ def decode_png(data: bytes) -> np.ndarray:
             cur = (line + prev) & 0xFF
         elif f == 1:                              # Sub: per-channel cumsum
             cur = line.reshape(w, bpp).cumsum(axis=0).reshape(stride) & 0xFF
-        elif f == 3:                              # Average (sequential)
-            cur = line
-            for i in range(stride):
-                a = cur[i - bpp] if i >= bpp else 0
-                cur[i] = (cur[i] + ((int(a) + int(prev[i])) >> 1)) & 0xFF
-        elif f == 4:                              # Paeth (sequential)
-            cur = line
-            for i in range(stride):
-                a = int(cur[i - bpp]) if i >= bpp else 0
-                b = int(prev[i])
-                c = int(prev[i - bpp]) if i >= bpp else 0
+        elif f == 3:                              # Average (scan dep)
+            # byte-to-byte scan dependency can't vectorize exactly
+            # (floor division inside the recurrence), but plain
+            # Python lists beat numpy per-element indexing ~5x here
+            cl = line.tolist()
+            pl = prev.tolist()
+            for i in range(bpp):
+                cl[i] = (cl[i] + (pl[i] >> 1)) & 0xFF
+            for i in range(bpp, stride):
+                cl[i] = (cl[i] + ((cl[i - bpp] + pl[i]) >> 1)) & 0xFF
+            cur = np.asarray(cl, dtype=np.int32)
+        elif f == 4:                              # Paeth (scan dep)
+            cl = line.tolist()
+            pl = prev.tolist()
+            for i in range(bpp):
+                cl[i] = (cl[i] + pl[i]) & 0xFF    # a=c=0 → pred=b
+            for i in range(bpp, stride):
+                a = cl[i - bpp]
+                b = pl[i]
+                c = pl[i - bpp]
                 p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pa = p - a if p >= a else a - p
+                pb = p - b if p >= b else b - p
+                pc = p - c if p >= c else c - p
                 pred = a if (pa <= pb and pa <= pc) else (
                     b if pb <= pc else c)
-                cur[i] = (cur[i] + pred) & 0xFF
+                cl[i] = (cl[i] + pred) & 0xFF
+            cur = np.asarray(cl, dtype=np.int32)
         else:
             raise ValueError(f"PNG filter type {f} invalid")
         out[r] = cur.astype(np.uint8)
