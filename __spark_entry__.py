@@ -1681,6 +1681,142 @@ def _q_profile_dataset(spark, sf_dir):
               "semantic_types string, num_distinct_values long")
 
 
+# ---------------------------------------------------------------------
+# end-to-end Auctus-parity gates (reference tests/test_integ.py:149-205:
+# profile fixtures -> assert the documents -> search them)
+# ---------------------------------------------------------------------
+
+_E2E_DESCRIPTIONS = {
+    "nation": "reference list of nations with region codes",
+    "customer": "customer accounts with market segment and account "
+                "balance",
+    "orders": "customer orders with total price order date and priority",
+}
+
+# static schema spec for the oracle: (column, dtype-kind); the ORACLE
+# recomputes every data-dependent field from the base tables — only
+# schema-static facts (dtype branch, column list) are literals
+_E2E_SPEC = {
+    "nation": [("n_nationkey", "int"), ("n_name", "text"),
+               ("n_regionkey", "int")],
+    "customer": [("c_custkey", "int"), ("c_name", "text"),
+                 ("c_nationkey", "int"), ("c_acctbal", "float"),
+                 ("c_mktsegment", "text")],
+    "orders": [("o_orderkey", "int"), ("o_custkey", "int"),
+               ("o_orderstatus", "text"), ("o_totalprice", "float"),
+               ("o_orderdate", "ts"), ("o_orderpriority", "text")],
+}
+
+# expected attribute-keyword expansion (the id-splitting CONTRACT,
+# golden like the reference's fixture docs in test_integ.py — the
+# engine DERIVES these via expand_identifier; a derivation bug breaks
+# the match)
+_E2E_KEYWORDS = {
+    t: " ".join(w for c, _ in cols
+                for w in ([c] + c.split("_")))
+    for t, cols in _E2E_SPEC.items()
+}
+
+_E2E_QUERIES = ["customer", "order price"]
+_E2E_RANGE = (500.0, 3000.0)
+
+
+def _e2e_catalog(spark, sf_dir, tables):
+    from auctus_spark.query.catalog import MetadataCatalog
+    cat = MetadataCatalog(spark)
+    for t in tables:
+        cat.add_dataset(t, _t(spark, sf_dir, t),
+                        description=_E2E_DESCRIPTIONS.get(t, ""))
+    return cat
+
+
+def _q_auctus_e2e(spark, sf_dir):
+    """End-to-end apiserver chain (reference test_integ.py:149-205):
+    profile nation/customer/orders -> dataset + column + coverage
+    document tables -> keyword search (conjunctive BM25 over
+    id/name/description/attribute_keywords) + joinable search
+    (interval-overlap coverage scoring).  Long format (section,
+    dataset, item, sval, dval); the oracle recomputes every
+    data-dependent value from the base tables."""
+    cat = _e2e_catalog(spark, sf_dir, list(_E2E_SPEC))
+    rows = []
+    for r in cat.datasets_table().collect():
+        ds = r["dataset_id"]
+        rows.append(("dataset", ds, "nb_rows", None, float(r["nb_rows"])))
+        rows.append(("dataset", ds, "nb_columns", None,
+                     float(r["nb_columns"])))
+        for k in ("numerical", "categorical", "spatial", "temporal"):
+            rows.append(("dataset", ds, f"nb_{k}_columns", None,
+                         float(r[f"nb_{k}_columns"])))
+        rows.append(("dataset", ds, "types", r["types"], None))
+        rows.append(("dataset", ds, "attribute_keywords",
+                     r["attribute_keywords"], None))
+    for r in cat.columns_table().collect():
+        ds, c = r["dataset_id"], r["column"]
+        rows.append(("column", ds, c + ".structural",
+                     r["structural_type"], None))
+        rows.append(("column", ds, c + ".semantic",
+                     r["semantic_types"], None))
+        rows.append(("column", ds, c + ".distinct", None,
+                     float(r["num_distinct_values"])))
+        if r["mean"] is not None:
+            rows.append(("column", ds, c + ".mean", None,
+                         round(r["mean"], 6)))
+            rows.append(("column", ds, c + ".stddev", None,
+                         round(r["stddev"], 6)))
+    for r in cat.coverage_table().collect():
+        ds, c = r["dataset_id"], r["column"]
+        if r["kind"] == "numerical":
+            rows.append(("coverage", ds, c + ".gte", None,
+                         round(r["gte"], 6)))
+            rows.append(("coverage", ds, c + ".lte", None,
+                         round(r["lte"], 6)))
+        else:
+            rows.append(("coverage", ds, c + ".gte", r["gte_s"], None))
+            rows.append(("coverage", ds, c + ".lte", r["lte_s"], None))
+    for q in _E2E_QUERIES:
+        for r in cat.keyword_search(q).collect():
+            rows.append(("keyword", r["dataset_id"], q, None,
+                         round(r["score"], 6)))
+    for r in cat.join_search(*_E2E_RANGE).collect():
+        rows.append(("join", r["dataset_id"], r["column"], None,
+                     round(r["score"], 6)))
+    return spark.createDataFrame(
+        rows, "section string, dataset string, item string, "
+              "sval string, dval double")
+
+
+_UNION_E2E_TABLES = ["customer", "supplier", "nation", "orders", "part"]
+
+_UNION_E2E_SPEC = {
+    "customer": [("c_custkey", "INTEGER"), ("c_name", "TEXT"),
+                 ("c_nationkey", "INTEGER"), ("c_acctbal", "FLOAT"),
+                 ("c_mktsegment", "TEXT")],
+    "supplier": [("s_suppkey", "INTEGER"), ("s_name", "TEXT"),
+                 ("s_nationkey", "INTEGER"), ("s_acctbal", "FLOAT")],
+    "nation": [("n_nationkey", "INTEGER"), ("n_name", "TEXT"),
+               ("n_regionkey", "INTEGER")],
+    "orders": [("o_orderkey", "INTEGER"), ("o_custkey", "INTEGER"),
+               ("o_orderstatus", "TEXT"), ("o_totalprice", "FLOAT"),
+               ("o_orderdate", "DATETIME"), ("o_orderpriority", "TEXT")],
+    "part": [("p_partkey", "INTEGER"), ("p_name", "TEXT"),
+             ("p_brand", "TEXT"), ("p_type", "TEXT"),
+             ("p_size", "INTEGER"), ("p_retailprice", "FLOAT")],
+}
+
+
+def _q_union_search_e2e(spark, sf_dir):
+    """Union-candidate search over REAL profiled columns (reference
+    union.py:58-241): profile 5 tables through the catalog (types via
+    the regex-voting profiler, not the schema), pair same-type columns
+    by 3-gram name similarity, greedy best-pair matching with the
+    >= 2-pairs rule, union score = sum(sims)/n_left.  The oracle
+    re-runs the greedy matching as a recursive CTE over the same
+    similarity table."""
+    cat = _e2e_catalog(spark, sf_dir, _UNION_E2E_TABLES)
+    return cat.union_search("customer")
+
+
 def _q_geohash_sketch(spark, sf_dir):
     """Quadtree (base-4 geohash) histogram sketch (reference
     spatial.py:406-508, 511-631) over deterministic synthetic points;
@@ -1768,6 +1904,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_sketch": _q_range_sketch,
         "spatial_ranges": _q_spatial_ranges,
         "profile_dataset": _q_profile_dataset,
+        "auctus_e2e": _q_auctus_e2e,
+        "union_search_e2e": _q_union_search_e2e,
     }
 
 
@@ -2090,6 +2228,192 @@ _GRAMS = ("CASE WHEN length({c}) < 3 THEN [{c}] ELSE "
           "i -> substring({c}, i, 3)) END")
 
 
+def _auctus_e2e_sql() -> str:
+    """Generated UNION ALL recomputing every [auctus_e2e] row from the
+    base tables: per-column classification (regex voting with the 2%
+    tolerance for VARCHAR columns; the dtype branch is schema-static),
+    distinct/mean/stddev, min/max coverage spans, conjunctive BM25
+    over the literal metadata documents, and interval-overlap join
+    scores."""
+    int_re = "^[+-]?[0-9]+$"
+    float_re = (r"^[+-]?([0-9]+\.?[0-9]*|\.[0-9]+)"
+                r"([eE][+-]?[0-9]+)?$")
+    parts = []
+    kind_counts = {}
+    for t, cols in _E2E_SPEC.items():
+        kinds = {"numerical": 0, "categorical": 0, "spatial": 0,
+                 "temporal": 0}
+        for c, k in cols:
+            if k in ("int", "float"):
+                kinds["numerical"] += 1
+            elif k == "ts":
+                kinds["temporal"] += 1
+            else:
+                kinds["categorical"] += 1
+        kind_counts[t] = kinds
+    S = parts.append
+    for t, cols in _E2E_SPEC.items():
+        kw = _E2E_KEYWORDS[t]
+        types = ",".join(sorted(k for k, v in kind_counts[t].items()
+                                if v > 0))
+        S(f"SELECT 'dataset' AS section, '{t}' AS dataset, "
+          f"'nb_rows' AS item, NULL::VARCHAR AS sval, "
+          f"CAST(count(*) AS DOUBLE) AS dval FROM {t}")
+        S(f"SELECT 'dataset','{t}','nb_columns',NULL,"
+          f"{float(len(cols))}")
+        for k, v in kind_counts[t].items():
+            S(f"SELECT 'dataset','{t}','nb_{k}_columns',NULL,"
+              f"{float(v)}")
+        S(f"SELECT 'dataset','{t}','types','{types}',NULL")
+        S(f"SELECT 'dataset','{t}','attribute_keywords','{kw}',NULL")
+        for c, k in cols:
+            S(f"SELECT 'column','{t}','{c}.distinct',NULL,"
+              f"CAST(count(DISTINCT {c}) AS DOUBLE) FROM {t}")
+            if k in ("int", "float"):
+                st = "INTEGER" if k == "int" else "FLOAT"
+                S(f"SELECT 'column','{t}','{c}.structural','{st}',NULL")
+                S(f"SELECT 'column','{t}','{c}.semantic','',NULL")
+                S(f"SELECT 'column','{t}','{c}.mean',NULL,"
+                  f"round(avg(CAST({c} AS DOUBLE)),6) FROM {t}")
+                S(f"SELECT 'column','{t}','{c}.stddev',NULL,"
+                  f"round(coalesce(stddev_pop(CAST({c} AS DOUBLE)),0)"
+                  f",6) FROM {t}")
+                S(f"SELECT 'coverage','{t}','{c}.gte',NULL,"
+                  f"round(min(CAST({c} AS DOUBLE)),6) FROM {t}")
+                S(f"SELECT 'coverage','{t}','{c}.lte',NULL,"
+                  f"round(max(CAST({c} AS DOUBLE)),6) FROM {t}")
+            elif k == "ts":
+                S(f"SELECT 'column','{t}','{c}.structural','TEXT',NULL")
+                S(f"SELECT 'column','{t}','{c}.semantic',"
+                  f"'DATE_TIME',NULL")
+                S(f"SELECT 'coverage','{t}','{c}.gte',"
+                  f"CAST(min({c}) AS VARCHAR),NULL FROM {t}")
+                S(f"SELECT 'coverage','{t}','{c}.lte',"
+                  f"CAST(max({c}) AS VARCHAR),NULL FROM {t}")
+            else:
+                n = (f"count_if({c} IS NOT NULL AND "
+                     f"CAST({c} AS VARCHAR) <> '')")
+                S(f"SELECT 'column','{t}','{c}.structural',"
+                  f"CASE WHEN count_if(regexp_matches(CAST({c} AS "
+                  f"VARCHAR), '{int_re}')) >= 0.98*{n} THEN 'INTEGER' "
+                  f"WHEN count_if(regexp_matches(CAST({c} AS VARCHAR),"
+                  f" '{float_re}')) >= 0.98*{n} THEN 'FLOAT' "
+                  f"ELSE 'TEXT' END,NULL FROM {t}")
+                S(f"SELECT 'column','{t}','{c}.semantic',"
+                  f"CASE WHEN count_if(array_length("
+                  f"regexp_split_to_array(CAST({c} AS VARCHAR),"
+                  f" '\\s+')) >= 4) >= 0.5*{n} THEN 'TEXT' "
+                  f"WHEN count(DISTINCT {c})*1.0/{n} <= 0.10 "
+                  f"THEN 'CATEGORICAL' ELSE '' END,NULL FROM {t}")
+    # keyword search: BM25 over the three literal metadata documents
+    docs_vals = ", ".join(
+        "('{0}', '{0} {0} {1} {2}')".format(
+            t, _E2E_DESCRIPTIONS[t], _E2E_KEYWORDS[t])
+        for t in _E2E_SPEC)
+    for q in _E2E_QUERIES:
+        terms = [w for w in q.lower().split() if w]
+        tlist = ", ".join(f"'{w}'" for w in terms)
+        S(f"""SELECT 'keyword', doc_id, '{q}', NULL, score FROM (
+WITH docs(doc_id, text) AS (VALUES {docs_vals}),
+tok AS (SELECT doc_id, unnest(regexp_split_to_array(lower(text),
+        '{SPLIT_PATTERN}')) AS term FROM docs),
+tok2 AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok2 GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM docs) AS n_docs,
+       (SELECT count(*) FROM tok2) * 1.0
+         / (SELECT count(*) FROM docs) AS avgdl),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok2
+       WHERE term IN ({tlist}) GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (SELECT tf.doc_id,
+       sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+           * (tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))))
+         AS raw, count(*) AS nt
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+  CROSS JOIN stats s GROUP BY tf.doc_id)
+SELECT doc_id, round(raw, 6) AS score FROM scored
+WHERE nt = {len(terms)})""")
+    # join search: overlap of the query range with each numeric span
+    q_gte, q_lte = _E2E_RANGE
+    total = q_lte - q_gte + 1
+    for t, cols in _E2E_SPEC.items():
+        for c, k in cols:
+            if k in ("int", "float"):
+                S(f"SELECT 'join','{t}','{c}',NULL,"
+                  f"round((least(max(CAST({c} AS DOUBLE)), {q_lte}) - "
+                  f"greatest(min(CAST({c} AS DOUBLE)), {q_gte}) + 1)"
+                  f" / {total}, 6) FROM {t} "
+                  f"HAVING min(CAST({c} AS DOUBLE)) <= {q_lte} "
+                  f"AND max(CAST({c} AS DOUBLE)) >= {q_gte}")
+    body = "\nUNION ALL\n".join(parts)
+    return (f"SELECT section, dataset, item, sval, dval FROM ("
+            f"{body}) ORDER BY section, dataset, item")
+
+
+def _union_search_e2e_sql() -> str:
+    """Recomputes [union_search_e2e]: same-type column pairs (VALUES
+    of the schema-static match keys), 3-gram multiset-Jaccard
+    similarity, then the GREEDY matching itself as a recursive CTE —
+    each recursion step appends, per candidate, the best remaining
+    pair whose left and right columns are both untaken (ordering
+    similarity desc, left asc, right asc — the engine's pinned tie
+    order)."""
+    vals = ", ".join(
+        f"('{t}', '{c}', '{k}')"
+        for t, cols in _UNION_E2E_SPEC.items() for c, k in cols)
+    gl = _GRAMS.format(c="ln")
+    gr = _GRAMS.format(c="rn")
+    n_left = len(_UNION_E2E_SPEC["customer"])
+    return f"""
+WITH RECURSIVE
+cols(tbl, col, k) AS (VALUES {vals}),
+pairs0 AS (
+  SELECT c2.tbl AS cand, lower(c1.col) AS ln, lower(c2.col) AS rn
+  FROM cols c1 JOIN cols c2 ON c1.k = c2.k
+  WHERE c1.tbl = 'customer' AND c2.tbl <> 'customer'),
+gl AS (SELECT cand, ln, rn, unnest({gl}) AS gram FROM pairs0),
+gr AS (SELECT cand, ln, rn, unnest({gr}) AS gram FROM pairs0),
+cl AS (SELECT cand, ln, rn, gram, count(*) AS c FROM gl GROUP BY ALL),
+cr AS (SELECT cand, ln, rn, gram, count(*) AS c FROM gr GROUP BY ALL),
+m AS (SELECT coalesce(cl.cand, cr.cand) AS cand,
+             coalesce(cl.ln, cr.ln) AS ln,
+             coalesce(cl.rn, cr.rn) AS rn,
+             coalesce(cl.c, 0) AS c_l, coalesce(cr.c, 0) AS c_r
+      FROM cl FULL OUTER JOIN cr
+        ON cl.cand = cr.cand AND cl.ln = cr.ln AND cl.rn = cr.rn
+       AND cl.gram = cr.gram),
+sims AS (SELECT cand, ln, rn,
+                sum(least(c_l, c_r)) * 1.0 /
+                sum(greatest(c_l, c_r)) AS sim
+         FROM m GROUP BY cand, ln, rn
+         HAVING sum(least(c_l, c_r)) > 0),
+greedy AS (
+  SELECT cand, CAST([] AS VARCHAR[]) AS ls, CAST([] AS VARCHAR[]) AS rs,
+         CAST(NULL AS VARCHAR) AS ln, CAST(NULL AS VARCHAR) AS rn,
+         CAST(NULL AS DOUBLE) AS sim
+  FROM (SELECT DISTINCT cand FROM sims)
+  UNION ALL
+  SELECT cand, list_append(ls, ln), list_append(rs, rn), ln, rn, sim
+  FROM (
+    SELECT g.cand AS cand, g.ls AS ls, g.rs AS rs,
+           s.ln AS ln, s.rn AS rn, s.sim AS sim,
+           row_number() OVER (PARTITION BY g.cand
+                              ORDER BY s.sim DESC, s.ln, s.rn) AS rk
+    FROM greedy g JOIN sims s ON s.cand = g.cand
+     AND NOT list_contains(g.ls, s.ln)
+     AND NOT list_contains(g.rs, s.rn))
+  WHERE rk = 1),
+picked AS (SELECT cand, ln, rn, sim FROM greedy WHERE ln IS NOT NULL),
+kept AS (SELECT cand, count(*) AS n_pairs, sum(sim) AS ssum
+         FROM picked GROUP BY cand HAVING count(*) >= 2)
+SELECT p.cand AS cand_id, p.ln AS left_name, p.rn AS right_name,
+       round(p.sim, 6) AS similarity, k.n_pairs AS n_pairs,
+       round(k.ssum / {n_left}, 6) AS score
+FROM picked p JOIN kept k USING (cand)
+ORDER BY score DESC, cand_id, left_name
+"""
+
+
 def _name_similarity_sql() -> str:
     gl = _GRAMS.format(c="left_name")
     gr = _GRAMS.format(c="right_name")
@@ -2277,6 +2601,8 @@ def _oracle_sql_static() -> dict[str, str]:
             WHERE levenshtein(lower(n_name), 'nation_5') <= 2
             ORDER BY n_nationkey""",
         "name_similarity": _name_similarity_sql(),
+        "auctus_e2e": _auctus_e2e_sql(),
+        "union_search_e2e": _union_search_e2e_sql(),
         # page 2 of size 10 → LIMIT 10 OFFSET 10
         "bm25_page2": _bm25_sql(["join", "merge"], k=10) + " OFFSET 10",
         "unpivot_part": """

@@ -70,11 +70,19 @@ def name_similarity_df(pairs: DataFrame, left_col: str = "left_name",
 def greedy_best_pairs(sims: pd.DataFrame) -> list[tuple[str, str, float]]:
     """Greedy max-similarity column pairing (reference
     ``union.py:169-189``): sort pairs sim-desc, take pairs whose left
-    AND right columns are both unseen; require >= 2 matches upstream."""
+    AND right columns are both unseen; require >= 2 matches upstream.
+
+    Tie order is (similarity desc, left asc, right asc) — the
+    reference inherits ES result order for ties, which is
+    deployment-dependent; pinning a total order makes the pairing
+    deterministic regardless of upstream DataFrame row order (Spark
+    ``toPandas`` order is not a contract) and lets an external oracle
+    reproduce it."""
     taken_l: set[str] = set()
     taken_r: set[str] = set()
     out = []
-    for r in sims.sort_values(["similarity"], ascending=False,
+    for r in sims.sort_values(["similarity", "left_name", "right_name"],
+                              ascending=[False, True, True],
                               kind="stable").itertuples(index=False):
         if r.left_name not in taken_l and r.right_name not in taken_r:
             taken_l.add(r.left_name)
