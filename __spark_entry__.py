@@ -1830,6 +1830,45 @@ def _q_geohash_sketch(spark, sf_dir):
     return geohash_sketch(pts, "lat", "lon", base=4, max_precision=8)
 
 
+def _q_dup_spans(spark, sf_dir):
+    """Cross-document duplicate n-gram-span stats (Lee et al. 2021
+    exact-substring dedup at word-5-gram granularity): per doc, how
+    many of its windows already occurred earlier in the corpus."""
+    from auctus_spark.operators.dedup import duplicate_spans
+    d = _docs(spark, sf_dir)
+    return duplicate_spans(d, n=5).orderBy("doc_id")
+
+
+def _q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (GPT-3 appendix C recipe at 4-gram
+    granularity): corpus docs sharing any word 4-gram with the
+    held-out benchmark subset (doc_id % 41 == 0)."""
+    from auctus_spark.operators.dedup import decontaminate
+    d = _docs(spark, sf_dir)
+    bench = d.filter(F.col("doc_id") % 41 == 0)
+    corpus = d.filter(F.col("doc_id") % 41 != 0)
+    return decontaminate(corpus, bench, n=4).orderBy("doc_id")
+
+
+def _q_percentile_profile(spark, sf_dir):
+    """Exact interpolated percentiles (PERCENTILE_CONT contract) of
+    l_extendedprice per returnflag — the profiling-layer quantile
+    sketch in its exact form."""
+    from auctus_spark.operators.profiling import percentile_profile
+    li = _t(spark, sf_dir, "lineitem")
+    return (percentile_profile(li, "l_extendedprice", by="l_returnflag")
+            .orderBy("l_returnflag", "p"))
+
+
+def _q_significant_terms(spark, sf_dir):
+    """ES significant_terms aggregation analog (JLH heuristic):
+    terms over-represented in the lang='de' foreground vs the whole
+    documents corpus."""
+    from auctus_spark.operators.profiling import significant_terms
+    d = _docs(spark, sf_dir)
+    return significant_terms(d, F.col("lang") == "de", k=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk_hot": _q_bm25_hot,
@@ -1906,6 +1945,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_dataset": _q_profile_dataset,
         "auctus_e2e": _q_auctus_e2e,
         "union_search_e2e": _q_union_search_e2e,
+        "dup_spans": _q_dup_spans,
+        "decontaminate": _q_decontaminate,
+        "percentile_profile": _q_percentile_profile,
+        "significant_terms": _q_significant_terms,
     }
 
 
@@ -2448,6 +2491,56 @@ def oracle_sql() -> dict[str, str]:
     return out
 
 
+def _span_occ_sql(n: int) -> str:
+    """(doc_id, pos, span) word n-gram occurrences — the engine's
+    `_word_ngram_occurrences` contract (lowercase \\W+ tokens, empties
+    dropped, 0-based window start)."""
+    return f"""
+      SELECT doc_id, i - 1 AS pos,
+             array_to_string(list_slice(toks, i, i + {n} - 1), ' ')
+               AS span
+      FROM (SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text),
+                                                     '{SPLIT_PATTERN}'),
+                               x -> x <> '') AS toks
+            FROM documents),
+           LATERAL (SELECT unnest(generate_series(
+                      1, len(toks) - {n} + 1)) AS i) u
+      WHERE len(toks) >= {n}"""
+
+
+def _spans_sql(n: int) -> str:
+    """[dup_spans] oracle: all-but-first occurrences (global order
+    (doc_id, pos)) of each span text are duplicates."""
+    return f"""
+      WITH occ AS ({_span_occ_sql(n)}),
+      marked AS (
+        SELECT doc_id, pos,
+               row_number() OVER (PARTITION BY span
+                                  ORDER BY doc_id, pos) AS rn
+        FROM occ)
+      SELECT doc_id, count(*) AS n_spans,
+             sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)::BIGINT
+               AS n_dup_spans,
+             round(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)
+                   / count(*), 6) AS dup_ratio
+      FROM marked GROUP BY doc_id ORDER BY doc_id"""
+
+
+def _decontaminate_sql(n: int) -> str:
+    """[decontaminate] oracle: benchmark = doc_id %% 41 == 0; corpus
+    docs sharing >= 1 distinct n-gram with it, with the distinct-hit
+    count."""
+    return f"""
+      WITH occ AS (
+        SELECT DISTINCT doc_id, span FROM ({_span_occ_sql(n)})),
+      bs AS (SELECT DISTINCT span FROM occ WHERE doc_id % 41 = 0)
+      SELECT o.doc_id, count(*) AS n_hits
+      FROM (SELECT * FROM occ WHERE doc_id % 41 <> 0) o
+      JOIN bs USING (span)
+      GROUP BY o.doc_id ORDER BY o.doc_id"""
+
+
 def _oracle_sql_static() -> dict[str, str]:
     return {
         "embedding_near_pairs": """
@@ -2603,6 +2696,38 @@ def _oracle_sql_static() -> dict[str, str]:
         "name_similarity": _name_similarity_sql(),
         "auctus_e2e": _auctus_e2e_sql(),
         "union_search_e2e": _union_search_e2e_sql(),
+        "dup_spans": _spans_sql(5),
+        "decontaminate": _decontaminate_sql(4),
+        "percentile_profile": """
+            WITH q AS (
+              SELECT l_returnflag,
+                     quantile_cont(l_extendedprice,
+                                   [0.05, 0.25, 0.5, 0.75, 0.95]) AS qs
+              FROM lineitem GROUP BY l_returnflag)
+            SELECT l_returnflag, p, round(v, 6) AS value
+            FROM q, LATERAL (SELECT unnest([0.05, 0.25, 0.5, 0.75, 0.95])
+                                      AS p,
+                                    unnest(qs) AS v) u
+            ORDER BY l_returnflag, p""",
+        "significant_terms": f"""
+            WITH d AS (
+              SELECT doc_id, (lang = 'de')::INT AS fg,
+                     list_distinct(list_filter(
+                       regexp_split_to_array(lower(text),
+                                             '{SPLIT_PATTERN}'),
+                       x -> x <> '')) AS terms
+              FROM documents),
+            tot AS (SELECT sum(fg) AS n_fg, count(*) AS n_bg FROM d),
+            ex AS (SELECT fg, unnest(terms) AS term FROM d),
+            pt AS (SELECT term, sum(fg)::BIGINT AS df_fg,
+                          count(*)::BIGINT AS df_bg
+                   FROM ex GROUP BY term)
+            SELECT term, df_fg, df_bg,
+                   round((df_fg / n_fg - df_bg / n_bg)
+                         * (df_fg / n_fg) / (df_bg / n_bg), 6) AS jlh
+            FROM pt, tot
+            WHERE df_fg >= 3 AND df_fg / n_fg > df_bg / n_bg
+            ORDER BY jlh DESC, term ASC LIMIT 10""",
         # page 2 of size 10 → LIMIT 10 OFFSET 10
         "bm25_page2": _bm25_sql(["join", "merge"], k=10) + " OFFSET 10",
         "unpivot_part": """

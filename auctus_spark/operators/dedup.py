@@ -468,3 +468,109 @@ def embedding_near_pairs(emb: DataFrame, vec_col: str = "embedding",
             .withColumn("cos", dot / (nrm(F.col("va")) * nrm(F.col("vb"))))
             .filter(F.col("cos") >= threshold)
             .select("id_a", "id_b", F.col("cos").alias("cosine")))
+
+
+# ---------------------------------------------------------------------
+# Cross-document span-level exact dedup + benchmark decontamination
+# ---------------------------------------------------------------------
+
+def _word_ngram_occurrences(df: DataFrame, n: int,
+                            text_col: str = "text",
+                            id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, pos, span) for every word ``n``-gram window.
+
+    Tokenization matches the engine contract (lowercase, \\W+ split,
+    empties dropped); ``pos`` is the 0-based window start in the
+    filtered token stream.  Docs shorter than ``n`` tokens emit no
+    rows.  Pure JVM expressions — the explode fans out L-n+1 rows per
+    doc (linear in corpus tokens, never quadratic)."""
+    toks = F.filter(F.split(F.lower(F.col(text_col)), SPLIT_PATTERN),
+                    lambda x: x != "")
+    d = df.select(F.col(id_col).alias("doc_id"), toks.alias("_toks"))
+    spans = F.when(
+        F.size("_toks") >= n,
+        F.transform(F.sequence(F.lit(0), F.size("_toks") - n),
+                    lambda i: F.array_join(
+                        F.slice("_toks", i + 1, n), " "))
+    ).otherwise(F.array().cast("array<string>"))
+    return d.select("doc_id", F.posexplode(spans).alias("pos", "span"))
+
+
+def duplicate_spans(df: DataFrame, n: int = 10,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Cross-document duplicate n-gram-span statistics per document.
+
+    The span-granularity analog of exact-substring train-set dedup
+    (Lee et al. 2021, "Deduplicating Training Data Makes Language
+    Models Better"): every word ``n``-gram window is an occurrence;
+    the globally FIRST occurrence (min (doc_id, pos)) is canonical
+    and every later occurrence of the same span text is a duplicate.
+    Returns, per document with >= 1 span::
+
+        (doc_id, n_spans, n_dup_spans, dup_ratio)
+
+    where ``dup_ratio = n_dup_spans / n_spans`` — the fraction of the
+    doc's windows already seen elsewhere (the kill-criterion column
+    for a filter stage).
+
+    Scale shape: occurrences are linear in corpus tokens; spans are
+    reduced to a 64-bit md5-derived key before the shuffle (span
+    STRINGS never shuffle); one groupBy(span_h) aggregate finds the
+    canonical occurrence + count, one hash join back (fan-out linear
+    in occurrences even for degenerate hot spans — no pair blowup),
+    one groupBy(doc_id) rollup.  The reference has no cross-doc span
+    dedup (its Lazo store is column-set granularity); this is the
+    training-data-pipeline extension.
+    """
+    occ = _word_ngram_occurrences(df, n, text_col, id_col)
+    occ = occ.withColumn(
+        "_h", F.conv(F.substring(F.md5("span"), 1, 15), 16, 10)
+               .cast("long")).drop("span")
+    firsts = occ.groupBy("_h").agg(
+        F.min(F.struct("doc_id", "pos")).alias("_first"),
+        F.count("*").alias("_cnt"))
+    j = occ.join(firsts, "_h")
+    is_dup = ~((F.col("doc_id") == F.col("_first.doc_id"))
+               & (F.col("pos") == F.col("_first.pos")))
+    return (j.groupBy("doc_id")
+            .agg(F.count("*").alias("n_spans"),
+                 F.sum(is_dup.cast("long")).alias("n_dup_spans"))
+            .withColumn("dup_ratio",
+                        F.round(F.col("n_dup_spans") / F.col("n_spans"),
+                                6)))
+
+
+def decontaminate(df: DataFrame, benchmark: DataFrame, n: int = 8,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  bench_text_col: str | None = None) -> DataFrame:
+    """Benchmark decontamination flags: docs sharing any word
+    ``n``-gram with a held-out benchmark set.
+
+    The published train-set decontamination recipe (GPT-3 appendix C /
+    Llama: drop training docs with >= 1 colliding 13-gram against an
+    eval benchmark; ``n`` configurable because short synthetic docs
+    need smaller windows).  Returns one row per CONTAMINATED corpus
+    doc::
+
+        (doc_id, n_hits)
+
+    with ``n_hits`` = number of distinct benchmark span texts present
+    in the doc.  Non-contaminated docs are absent (the common case at
+    scale — keep the result small and anti-join it against the corpus
+    to clean).
+
+    Scale shape: the benchmark side (eval sets — tiny vs the corpus)
+    is reduced to DISTINCT spans and broadcast; the corpus side
+    streams its occurrences through the broadcast hash join with no
+    shuffle of corpus data; one groupBy(doc_id) rollup on the
+    surviving (rare) hits.
+    """
+    bt = bench_text_col or text_col
+    bench_spans = (_word_ngram_occurrences(benchmark, n, bt, id_col)
+                   .select("span").distinct())
+    occ = (_word_ngram_occurrences(df, n, text_col, id_col)
+           .select("doc_id", "span").distinct())
+    hits = occ.join(F.broadcast(bench_spans), "span")
+    return (hits.groupBy("doc_id")
+            .agg(F.count("*").alias("n_hits")))

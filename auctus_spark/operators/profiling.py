@@ -22,6 +22,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..analysis import SPLIT_PATTERN
+
 MAX_UNCLEAN = 0.02          # profile_types.py:82
 CATEGORICAL_RATIO = 0.10    # profile_types.py:92
 FREE_TEXT_MIN_WORDS = 4     # profile_types.py:87-88
@@ -398,3 +400,82 @@ def range_sketch(df: DataFrame, col: str, sample_cap: int = 100_000,
         vals = vals.sample(fraction=frac, seed=seed)
     arr = np.array([r["v"] for r in vals.collect()], dtype=np.float64)
     return range_sketch_pdf(arr)
+
+
+def percentile_profile(df: DataFrame, col: str,
+                       ps: list[float] | None = None,
+                       by: str | None = None) -> DataFrame:
+    """EXACT percentiles (linear interpolation, the ANSI
+    PERCENTILE_CONT contract) of ``col``, optionally grouped by
+    ``by``.  One row per (group, p): (``by``?, p, value).
+
+    Spark's ``percentile`` aggregate is exact (sort-based within the
+    aggregation — not the t-digest ``approx_percentile``); DuckDB's
+    ``quantile_cont`` computes the identical interpolated statistic,
+    which is what makes this oracle-gateable bit-for-bit.  At 100 TB
+    the exact form is still one shuffle (map-side partial sort
+    buffers); swap in ``approx_percentile`` only when the per-group
+    cardinality makes exact memory-infeasible — same output shape.
+    """
+    ps = ps or [0.05, 0.25, 0.5, 0.75, 0.95]
+    pcol = F.percentile(F.col(col), F.array(*[F.lit(p) for p in ps]))
+    keys = [by] if by else []
+    agg = (df.groupBy(*keys) if keys else df.groupBy()) \
+        .agg(pcol.alias("_q"))
+    pairs = F.arrays_zip(F.array(*[F.lit(p) for p in ps]).alias("p"),
+                         F.col("_q").alias("value"))
+    out = agg.select(*keys, F.explode(pairs).alias("_e")) \
+        .select(*keys, F.col("_e.p").alias("p"),
+                F.round(F.col("_e.value"), 6).alias("value"))
+    return out
+
+
+def significant_terms(df: DataFrame, fg_filter,
+                      text_col: str = "text",
+                      id_col: str = "doc_id",
+                      k: int = 10,
+                      min_doc_count: int = 3) -> DataFrame:
+    """ES ``significant_terms`` aggregation analog: terms
+    over-represented in a foreground subset vs the whole corpus,
+    scored with ES's JLH heuristic.
+
+    ``fg_filter`` is a boolean Column selecting the foreground docs
+    (ES: the query scope; here e.g. ``F.col("lang") == "de"``).  For
+    each term (engine tokenization, document frequency = docs
+    containing it):
+
+        fg_pct = df_fg / n_fg          bg_pct = df_bg / n_bg
+        jlh    = (fg_pct - bg_pct) * (fg_pct / bg_pct)
+
+    keeping terms with ``df_fg >= min_doc_count`` and fg_pct > bg_pct
+    (positively significant only, as ES).  Returns top-``k`` by
+    (jlh DESC, term ASC): (term, df_fg, df_bg, jlh).
+
+    Scale shape: one scan computes per-doc distinct terms with the
+    fg flag; one groupBy(term) builds both counts via conditional
+    aggregation (no second pass over the corpus, no join); the
+    corpus-level n_fg/n_bg scalars ride a 2-row broadcast.  This is
+    the background_is_superset=true ES default — bg counts include
+    the foreground.
+    """
+    toks = F.filter(F.split(F.lower(F.col(text_col)), SPLIT_PATTERN),
+                    lambda x: x != "")
+    d = df.select(F.col(id_col).alias("doc_id"),
+                  fg_filter.cast("int").alias("_fg"),
+                  F.array_distinct(toks).alias("_terms"))
+    totals = d.agg(F.sum("_fg").alias("n_fg"),
+                   F.count("*").alias("n_bg"))
+    per_term = (d.select("_fg", F.explode("_terms").alias("term"))
+                .groupBy("term")
+                .agg(F.sum("_fg").alias("df_fg"),
+                     F.count("*").alias("df_bg")))
+    j = per_term.crossJoin(F.broadcast(totals))
+    fg_pct = F.col("df_fg") / F.col("n_fg")
+    bg_pct = F.col("df_bg") / F.col("n_bg")
+    jlh = (fg_pct - bg_pct) * (fg_pct / bg_pct)
+    return (j.filter((F.col("df_fg") >= min_doc_count)
+                     & (fg_pct > bg_pct))
+            .select("term", "df_fg", "df_bg",
+                    F.round(jlh, 6).alias("jlh"))
+            .orderBy(F.col("jlh").desc(), F.col("term").asc())
+            .limit(k))

@@ -260,8 +260,71 @@ def scaling():
                                for k, v in out.items()}}))
 
 
+def sf1():
+    """sf1-scale bench: 2M-doc build + query latency, recorded.
+
+    Promotes the BASELINE.md round-5 prose row (2M docs, local[32])
+    into a recorded JSON artifact with the same interference
+    discipline as the headline suite: build + warm single-query WAND
+    p95 + the batched ``search_many`` per-query rate — the documented
+    offline-eval/throughput surface (README "Query throughput").
+    Single-query p95 at this scale is job-overhead-floor dominated
+    (one Spark job per query); the batched path amortizes that floor
+    across the whole query set in ONE job, which is why both numbers
+    are recorded side by side.
+    """
+    _disable_thp()
+    n_docs = int(os.environ.get("BENCH_SF1_DOCS", "2000000"))
+    work = os.environ.get("BENCH_WORK_DIR", "/tmp/auctus_bench")
+    os.makedirs(work, exist_ok=True)
+    r = _build_once(CPUS, work, n_docs)
+    spark, idx_dir = r["spark"], r["idx_dir"]
+
+    from auctus_spark.query.bm25 import SearchEngine, search_many
+    eng = SearchEngine(spark, idx_dir, term_buckets=64)
+    for q in QUERY_SET:                       # warm (untimed) pass
+        eng.search_wand(q, k=50).collect()
+    lat: list[float] = []
+    for _ in range(3):
+        for q in QUERY_SET:
+            t0 = time.time()
+            eng.search_wand(q, k=50).collect()
+            lat.append(time.time() - t0)
+    lat.sort()
+    single_p95 = lat[int(len(lat) * 0.95) - 1]
+    single_mean = sum(lat) / len(lat)
+
+    # batched: the full query set answered in ONE Spark job; per-query
+    # rate = wall / n_queries.  3 timed reps, median.
+    qmap = {f"q{i}": q for i, q in enumerate(QUERY_SET)}
+    search_many(eng, qmap, k=50).collect()    # warm
+    batched = []
+    for _ in range(3):
+        t0 = time.time()
+        search_many(eng, qmap, k=50).collect()
+        batched.append(time.time() - t0)
+    batched_wall = sorted(batched)[1]
+
+    print(json.dumps({
+        "metric": "auctus_spark_sf1_bench",
+        "value": round(r["build_sec"], 3), "unit": "sec",
+        "corpus_docs": n_docs, "cores": CPUS,
+        "queries": {
+            "build": round(r["build_sec"], 3),
+            "files_per_sec": round(r["files_per_sec"], 1),
+            "q_wand_p95": round(single_p95, 3),
+            "q_wand_mean": round(single_mean, 3),
+            "q_batched_wall": round(batched_wall, 3),
+            "q_batched_per_query": round(batched_wall / len(qmap), 3),
+        },
+        "n_queries_batched": len(qmap),
+        "sf": 1}))
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         scaling()
+    elif "--sf1" in sys.argv:
+        sf1()
     else:
         main()

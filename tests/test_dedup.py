@@ -299,3 +299,71 @@ def test_shingle_cap_surfaced_when_fired(spark, caplog):
         frequent_shingle_cap(sh, 10_000, dropped_out=out2).count()
     assert out2["dropped"] == 0
     assert not any("cap fired" in r.message for r in caplog.records)
+
+
+# ---------------------------------------------------------------------
+# cross-doc span dedup + decontamination
+# ---------------------------------------------------------------------
+
+def test_duplicate_spans_planted(spark):
+    """Hand-computable corpus: doc 1 repeats doc 0's opening 5-gram;
+    doc 2 shares nothing; doc 3 is too short to emit any span."""
+    from auctus_spark.operators.dedup import duplicate_spans
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta"),      # 2 spans
+        (1, "alpha beta gamma delta epsilon omega"),     # 2 spans, 1st dup
+        (2, "one two three four five six"),              # 2 spans, unique
+        (3, "too short"),                                # no span
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in duplicate_spans(df, n=5).collect()}
+    assert set(out) == {0, 1, 2}          # doc 3 emits nothing
+    assert out[0].n_spans == 2 and out[0].n_dup_spans == 0
+    # doc 1's window at pos 0 == doc 0's pos-0 window -> 1 duplicate
+    assert out[1].n_spans == 2 and out[1].n_dup_spans == 1
+    assert out[1].dup_ratio == 0.5
+    assert out[2].n_dup_spans == 0
+
+
+def test_duplicate_spans_within_doc(spark):
+    """Self-repetition inside one doc also counts (all-but-first)."""
+    from auctus_spark.operators.dedup import duplicate_spans
+    df = spark.createDataFrame(
+        [(7, "a b c a b c a b c")], "doc_id long, text string")
+    out = duplicate_spans(df, n=3).collect()[0]
+    # windows: abc bca cab abc bca cab abc -> 7 spans, 4 dups
+    assert out.n_spans == 7
+    assert out.n_dup_spans == 4
+
+
+def test_decontaminate_planted(spark):
+    from auctus_spark.operators.dedup import decontaminate
+    bench = spark.createDataFrame(
+        [(100, "the capital of france is paris obviously")],
+        "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [(0, "trivia quiz the capital of france is paris end"),
+         (1, "unrelated document about spark partitions"),
+         (2, "capital of france is nice in summer")],  # 4-gram? no
+        "doc_id long, text string")
+    hits = {r.doc_id: r.n_hits
+            for r in decontaminate(corpus, bench, n=5).collect()}
+    # doc 0 contains 2 of the benchmark's 5-gram windows:
+    # "the capital of france is" and "capital of france is paris"
+    assert hits == {0: 2}
+    # smaller n=4: doc 2's "capital of france is" window now collides
+    hits4 = {r.doc_id: r.n_hits
+             for r in decontaminate(corpus, bench, n=4).collect()}
+    assert 2 in hits4 and 0 in hits4 and 1 not in hits4
+
+
+def test_decontaminate_counts_distinct_spans_once(spark):
+    """A corpus doc repeating the same contaminated n-gram twice still
+    counts it once (distinct semantics both sides)."""
+    from auctus_spark.operators.dedup import decontaminate
+    bench = spark.createDataFrame(
+        [(9, "w x y z")], "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [(0, "w x y z and again w x y z")], "doc_id long, text string")
+    out = decontaminate(corpus, bench, n=4).collect()
+    assert len(out) == 1 and out[0].n_hits == 1

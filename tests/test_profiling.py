@@ -102,3 +102,50 @@ def test_range_sketch():
     # degenerate
     assert range_sketch_pdf(np.array([5.0])) == [{"gte": 5.0, "lte": 5.0}]
     assert range_sketch_pdf(np.array([])) == []
+
+
+# ---------------------------------------------------------------------
+# exact percentiles + significant_terms
+# ---------------------------------------------------------------------
+
+def test_percentile_profile_exact(spark):
+    """PERCENTILE_CONT contract on a hand-checkable series: 1..5,
+    p=0.5 -> 3.0, p=0.25 -> 2.0 (linear interpolation on (n-1)p)."""
+    from auctus_spark.operators.profiling import percentile_profile
+    df = spark.createDataFrame([(float(i),) for i in range(1, 6)],
+                               "v double")
+    out = {r.p: r.value
+           for r in percentile_profile(df, "v",
+                                       ps=[0.25, 0.5, 0.9]).collect()}
+    assert out[0.5] == 3.0
+    assert out[0.25] == 2.0
+    assert abs(out[0.9] - 4.6) < 1e-9   # 1 + 0.9*4 = 4.6
+
+
+def test_percentile_profile_grouped(spark):
+    from auctus_spark.operators.profiling import percentile_profile
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("b", 10.0), ("b", 30.0)],
+        "g string, v double")
+    out = {(r.g, r.p): r.value
+           for r in percentile_profile(df, "v", ps=[0.5],
+                                       by="g").collect()}
+    assert out[("a", 0.5)] == 2.0 and out[("b", 0.5)] == 20.0
+
+
+def test_significant_terms_jlh(spark):
+    """Term exclusive to the foreground scores highest; a term with
+    identical fg/bg rates is filtered (not positively significant)."""
+    from auctus_spark.operators.profiling import significant_terms
+    rows = ([(i, "special marker common", "fg") for i in range(4)]
+            + [(10 + i, "plain filler common", "bg") for i in range(8)])
+    df = spark.createDataFrame(rows, "doc_id long, text string, grp string")
+    out = significant_terms(df, F.col("grp") == "fg", k=5,
+                            min_doc_count=2).collect()
+    terms = [r.term for r in out]
+    assert terms[0] in ("special", "marker")    # fg-exclusive, tied
+    assert "common" not in terms                # fg_pct == bg_pct
+    by = {r.term: r for r in out}
+    # fg-exclusive: fg_pct=1, bg_pct=4/12 -> jlh = (1-1/3)*3 = 2.0
+    assert abs(by["special"].jlh - 2.0) < 1e-6
+    assert by["special"].df_fg == 4 and by["special"].df_bg == 4
