@@ -1869,6 +1869,73 @@ def _q_significant_terms(spark, sf_dir):
     return significant_terms(d, F.col("lang") == "de", k=10)
 
 
+def _q_bm25_mlt(spark, sf_dir):
+    """ES more_like_this (artificial document = doc 0's text): Lucene
+    MLT tf-idf term selection (top 25, tie-break term ASC) + the
+    disjunctive BM25 engine with minimum_should_match=30% on the
+    segment index."""
+    from auctus_spark.query.bm25 import SearchEngine
+    _q_bm25_index_path(spark, sf_dir)    # ensure the index exists
+    import hashlib as _h
+    tag = _h.md5(sf_dir.encode()).hexdigest()[:10]
+    eng = SearchEngine(spark, f"/tmp/auctus_entry_index_{tag}",
+                       term_buckets=16)
+    like = (_docs(spark, sf_dir).filter(F.col("doc_id") == 0)
+            .collect()[0].text)
+    out = eng.more_like_this(like, k=50)
+    return out.select("doc_id", F.round("score", 6).alias("score"))
+
+
+def _bm25_mlt_sql(src_doc: int = 0, k: int = 50,
+                  max_terms: int = 25, msm_pct: float = 0.3) -> str:
+    """[bm25_mlt] oracle: replicate MLT selection (tf * (ln(n/(df+1))
+    + 1), top max_terms by score DESC term ASC) from the source doc's
+    text, then the disjunctive BM25 with nt >= floor(pct * n_sel)."""
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(text), '{SPLIT_PATTERN}'))
+           AS term
+  FROM documents
+), tok2 AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok2 GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT count(*) FROM tok2) * 1.0
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+src AS (SELECT term, count(*) AS tf FROM tok2
+        WHERE doc_id = {src_doc} GROUP BY term),
+dfall AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok2
+          GROUP BY term),
+mlt AS (
+  SELECT s.term
+  FROM src s JOIN dfall d USING (term) CROSS JOIN stats st
+  ORDER BY s.tf * (ln(st.n_docs / (d.df + 1.0)) + 1.0) DESC,
+           s.term ASC
+  LIMIT {max_terms}),
+msm AS (SELECT greatest(1, floor({msm_pct} * count(*))::INT) AS m
+        FROM mlt),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok2
+  WHERE term IN (SELECT term FROM mlt) GROUP BY doc_id, term
+),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * (tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))))
+           AS raw_score,
+         count(*) AS nt
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(raw_score, 6) AS score
+FROM scored, msm WHERE nt >= msm.m
+ORDER BY raw_score DESC, doc_id ASC LIMIT {k}
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk_hot": _q_bm25_hot,
@@ -1949,6 +2016,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _q_decontaminate,
         "percentile_profile": _q_percentile_profile,
         "significant_terms": _q_significant_terms,
+        "bm25_mlt": _q_bm25_mlt,
     }
 
 
@@ -2696,6 +2764,7 @@ def _oracle_sql_static() -> dict[str, str]:
         "name_similarity": _name_similarity_sql(),
         "auctus_e2e": _auctus_e2e_sql(),
         "union_search_e2e": _union_search_e2e_sql(),
+        "bm25_mlt": _bm25_mlt_sql(),
         "dup_spans": _spans_sql(5),
         "decontaminate": _decontaminate_sql(4),
         "percentile_profile": """

@@ -699,6 +699,14 @@ class SearchEngine:
         bound for the k-th QUALIFYING doc, so MaxScore pruning is
         disabled (every term decoded) — correctness over pruning."""
         terms = analyze_query(query, stem=self.stem)
+        return self.search_or_terms(terms, k, min_should_match)
+
+    def search_or_terms(self, terms: list[str], k: int = TOP_K_SIZE,
+                        min_should_match: int = 1) -> DataFrame:
+        """:meth:`search_or` on PRE-ANALYZED terms (no re-tokenization
+        / re-stemming — stemming is not idempotent, so callers that
+        already hold index-vocabulary terms, e.g.
+        :meth:`more_like_this`, must use this entry)."""
         if not terms:
             return self._empty()
         if min_should_match > 1:
@@ -761,6 +769,64 @@ class SearchEngine:
                  .applyInPandas(score_bucket,
                                 schema="doc_id long, score double"))
         return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def more_like_this(self, like_text: str, k: int = TOP_K_SIZE,
+                       max_query_terms: int = 25,
+                       min_term_freq: int = 1,
+                       min_doc_freq: int = 1,
+                       max_doc_freq: int | None = None,
+                       minimum_should_match: float = 0.3) -> DataFrame:
+        """ES ``more_like_this`` with an artificial document (the
+        ``like: "text"`` form; ES docs "more-like-this query").
+
+        Term selection is the Lucene MoreLikeThis contract: analyze
+        the text, keep terms with text-tf >= ``min_term_freq`` and
+        index df in [``min_doc_freq``, ``max_doc_freq``], score each
+        by classic MLT tf-idf::
+
+            tf * (ln(n_docs / (df + 1)) + 1)
+
+        take the top ``max_query_terms`` by (score DESC, term ASC —
+        deterministic tie-break), then run the disjunctive BM25
+        engine with ``minimum_should_match`` as an ES percentage
+        (floor(pct * n_selected), min 1).
+
+        Scale shape: selection needs only the term-stats table pruned
+        to the text's vocabulary (one tiny driver-side lookup, the
+        same df fetch ES performs), then ONE :meth:`search_or_terms`
+        job.  ES defaults are min_term_freq=2 / min_doc_freq=5; here
+        both default to 1 because short corpus docs rarely repeat
+        terms — pass ES's values for web-scale text.
+        """
+        from collections import Counter
+
+        from ..analysis import tokenize
+        toks = list(tokenize(like_text))
+        if self.stem:
+            from ..stem import stem as _stem
+            toks = [_stem(t) for t in toks]
+        tf = Counter(toks)
+        cand = sorted(t for t, c in tf.items() if c >= min_term_freq)
+        if not cand:
+            return self._empty()
+        stats = {r["term"]: int(r["df"])
+                 for r in self._ts_for(cand).collect()}
+        import math
+        scored = []
+        for t in cand:
+            df_ = stats.get(t)
+            if df_ is None or df_ < min_doc_freq:
+                continue
+            if max_doc_freq is not None and df_ > max_doc_freq:
+                continue
+            s = tf[t] * (math.log(self.n_docs / (df_ + 1.0)) + 1.0)
+            scored.append((-s, t))
+        scored.sort()
+        sel = [t for _, t in scored[:max_query_terms]]
+        if not sel:
+            return self._empty()
+        msm = max(1, int(minimum_should_match * len(sel)))
+        return self.search_or_terms(sel, k, msm)
 
     def _search_or_msm(self, terms: list[str], k: int,
                        m: int) -> DataFrame:

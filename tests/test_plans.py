@@ -178,3 +178,50 @@ def test_ann_partitioned_search_single_scan(spark, tmp_path):
     phys = _plan(df)
     assert "Exchange" not in phys, phys
     assert "TakeOrderedAndProject" in phys
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    """The benchmark (eval-set) side must ride a broadcast hash join —
+    the corpus side streams through with no shuffle of its spans."""
+    from auctus_spark.operators.dedup import decontaminate
+    corpus = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon") for i in range(20)],
+        "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(99, "alpha beta gamma delta")], "doc_id long, text string")
+    plan = _plan(decontaminate(corpus, bench, n=4))
+    assert "BroadcastHashJoin" in plan
+    # corpus side must not hit a sort-merge join (that would shuffle
+    # every corpus span on the join key)
+    assert "SortMergeJoin" not in plan
+
+
+def test_duplicate_spans_single_exchange_chain(spark):
+    """duplicate_spans: occurrences aggregate on the 64-bit span key,
+    join back, roll up by doc — no span STRINGS in any Exchange (the
+    hash is projected before the shuffle)."""
+    from auctus_spark.operators.dedup import duplicate_spans
+    df = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta") for i in range(10)],
+        "doc_id long, text string")
+    plan = _plan(duplicate_spans(df, n=5))
+    import re
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "span" not in m.group(1), m.group(0)
+
+
+def test_significant_terms_single_scan(spark):
+    """significant_terms computes fg and bg doc frequencies in ONE
+    conditional aggregation — the documents relation is scanned once,
+    and the corpus totals join is a broadcast."""
+    from auctus_spark.operators.profiling import significant_terms
+    df = spark.createDataFrame(
+        [(i, "alpha beta gamma", "fg" if i % 2 else "bg")
+         for i in range(10)],
+        "doc_id long, text string, grp string")
+    d = significant_terms(df, F.col("grp") == "fg", k=5, min_doc_count=1)
+    plan = _plan(d)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # the in-memory relation appears once per scan; localtable scans
+    # show up as LocalTableScan in local mode
+    assert plan.count("LocalTableScan") <= 2  # df + (maybe) totals reuse

@@ -896,3 +896,46 @@ def test_phrase_prefix_matches_oracle(spark, built_positional):
                .collect()]
         want = oracle.search_phrase_prefix(q, k=50, max_expansions=mx)
         _assert_rank_identical(got, want)
+
+
+# ---------------------------------------------------------------------
+# more_like_this
+# ---------------------------------------------------------------------
+
+def test_more_like_this_matches_oracle(spark, built):
+    """MLT = Lucene tf-idf term selection + the disjunctive engine:
+    re-derive the selection in pure Python against the oracle's
+    postings, then assert the engine's result is bit-exact with
+    oracle.search_or on exactly those terms."""
+    import collections
+
+    from auctus_spark.analysis import tokenize
+    out, oracle, stats, corpus, _ = built
+    eng = SearchEngine(spark, out, term_buckets=8)
+    like = corpus.filter("doc_id = 3").collect()[0].content
+
+    tf = collections.Counter(tokenize(like))
+    n_docs = stats["n_docs"]
+    scored = sorted(
+        (-(c * (math.log(n_docs / (len(oracle.postings[t]) + 1.0)) + 1.0)),
+         t)
+        for t, c in tf.items() if t in oracle.postings)
+    sel = [t for _, t in scored[:25]]
+    msm = max(1, int(0.3 * len(sel)))
+    want = oracle.search_or(" ".join(sel), min_should_match=msm)
+    got = [(int(r.doc_id), float(r.score))
+           for r in eng.more_like_this(like, k=50).collect()]
+    _assert_rank_identical(got, want)
+    # the source doc itself must rank #1 (it matches every selected term)
+    assert got[0][0] == 3
+
+
+def test_more_like_this_filters(spark, built):
+    """min_term_freq / max_doc_freq prune the selection; an
+    impossible filter combination yields the empty result."""
+    out, oracle, stats, corpus, _ = built
+    eng = SearchEngine(spark, out, term_buckets=8)
+    like = corpus.filter("doc_id = 3").collect()[0].content
+    assert eng.more_like_this(like, min_term_freq=10**6).count() == 0
+    # max_doc_freq=0 excludes every indexed term
+    assert eng.more_like_this(like, max_doc_freq=0).count() == 0
