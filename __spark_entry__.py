@@ -548,6 +548,36 @@ FROM m ORDER BY doc_id LIMIT {k}
 """
 
 
+def _q_bm25_regexp(spark, sf_dir):
+    """ES regexp query (whole-term anchored, constant_score rewrite)
+    on the segment index; dictionary cut via required-literal-run
+    bigrams (Cox trigram-index trick), anchored regex final confirm."""
+    from auctus_spark.query.bm25 import SearchEngine
+    _q_bm25_index_path(spark, sf_dir)    # ensure the index exists
+    import hashlib as _h
+    tag = _h.md5(sf_dir.encode()).hexdigest()[:10]
+    eng = SearchEngine(spark, f"/tmp/auctus_entry_index_{tag}",
+                       term_buckets=16)
+    out = eng.search_regexp("v.l.*", k=100)
+    return out.select("doc_id", F.round("score", 6).alias("score"))
+
+
+def _bm25_regexp_sql(pattern: str, k: int = 100) -> str:
+    """Oracle via RE2 regexp_full_match (pattern chosen inside the
+    Java-regex ∩ RE2 common subset)."""
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(text),
+                '{SPLIT_PATTERN}')) AS term
+  FROM documents),
+m AS (SELECT DISTINCT doc_id FROM tok
+      WHERE regexp_full_match(term, '{pattern}') AND term <> '')
+SELECT doc_id, CAST(1.0 AS DOUBLE) AS score
+FROM m ORDER BY doc_id LIMIT {k}
+"""
+
+
 def _q_bm25_fuzzy(spark, sf_dir):
     """ES fuzzy full-text query on the segment index (simplified
     blended rewrite: dictionary expansion by plain Levenshtein —
@@ -1973,6 +2003,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_prefix": _q_bm25_prefix,
         "bm25_fuzzy": _q_bm25_fuzzy,
         "bm25_wildcard": _q_bm25_wildcard,
+        "bm25_regexp": _q_bm25_regexp,
         "bm25_phrase_prefix": _q_bm25_phrase_prefix,
         "bm25_index_path": _q_bm25_index_path,
         "bm25_batched": _q_bm25_batched,
@@ -2828,6 +2859,7 @@ def _oracle_sql_static() -> dict[str, str]:
         "bm25_prefix": _bm25_prefix_sql("val"),
         "bm25_fuzzy": _bm25_fuzzy_sql("valu"),
         "bm25_wildcard": _bm25_wildcard_sql("v_l%"),
+        "bm25_regexp": _bm25_regexp_sql("v.l.*"),
         "bm25_phrase_prefix": _phrase_prefix_sql("table", "val"),
         "bm25_index_path": _bm25_sql(["data", "join"]),
         "bm25_batched": (

@@ -261,6 +261,20 @@ class OracleIndex:
                        if rx.match(t) for d in post})
         return [(d, float(boost)) for d in docs[:k]]
 
+    def search_regexp(self, pattern: str, k: int = TOP_K_SIZE,
+                      boost: float = 1.0) -> list[tuple[int, float]]:
+        """ES regexp query, constant_score rewrite (see
+        SearchEngine.search_regexp): whole-term anchored regex over
+        the term dictionary, matched verbatim (not analyzed)."""
+        import re
+        p = pattern.strip()
+        if not p:
+            return []
+        rx = re.compile("^(?:" + p + ")$")
+        docs = sorted({d for t, post in self.postings.items()
+                       if rx.match(t) for d in post})
+        return [(d, float(boost)) for d in docs[:k]]
+
     def search_or(self, query: str, k: int = TOP_K_SIZE,
                   k1: float = K1, b: float = B,
                   min_should_match: int = 1) -> list[tuple[int, float]]:

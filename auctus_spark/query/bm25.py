@@ -49,6 +49,78 @@ def _term_bigrams(s: str) -> set[str]:
     return {s[i:i + _GRAM_N] for i in range(len(s) - _GRAM_N + 1)}
 
 
+def _regex_literal_runs(pattern: str) -> list[str] | None:
+    """Conservative literal-run extraction from a regex — the
+    trigram-index trick (Cox, "Regular Expression Matching with a
+    Trigram Index", 2012): every maximal run of plain literal
+    characters that MUST appear in any matching string.  Walks the
+    pattern left to right; a literal char extends the current run; a
+    metacharacter ends it, and a quantifier (``? * {``) additionally
+    drops the run's last char (it may vanish or repeat — ``+`` keeps
+    the char, required at least once, but still breaks adjacency).
+    Character classes ``[...]`` contribute nothing.  Patterns with
+    alternation, groups, anchors or escapes (``| ( ) ^ $ \\``) return
+    ``None`` — a group under a quantifier would make its interior
+    runs optional and a branch of an alternation is never required,
+    so the caller must use the full-dictionary-scan path (semantics
+    identical, just unpruned)."""
+    if any(c in pattern for c in "|()^$\\"):
+        return None
+    runs: list[str] = []
+    cur: list[str] = []
+    i, n = 0, len(pattern)
+    while i < n:
+        c = pattern[i]
+        if c == "[":
+            j = pattern.find("]", i + 1)
+            if j < 0:
+                return None  # malformed — let the regex engine error
+            if cur:
+                runs.append("".join(cur))
+                cur = []
+            i = j + 1
+            # a quantifier after the class quantifies the class only
+            if i < n and pattern[i] in "?*+{":
+                if pattern[i] == "{":
+                    j = pattern.find("}", i)
+                    if j < 0:
+                        return None
+                    i = j + 1
+                else:
+                    i += 1
+        elif c in "?*{":
+            if cur:
+                cur.pop()  # the quantified char may vanish/repeat
+            if cur:
+                runs.append("".join(cur))
+            cur = []
+            if c == "{":
+                j = pattern.find("}", i)
+                if j < 0:
+                    return None
+                i = j + 1
+            else:
+                i += 1
+        elif c == "+":
+            # char required (>=1) but repetition breaks adjacency to
+            # whatever follows: close the run INCLUDING the char
+            if cur:
+                runs.append("".join(cur))
+            cur = []
+            i += 1
+        elif c == ".":
+            if cur:
+                runs.append("".join(cur))
+            cur = []
+            i += 1
+        else:
+            cur.append(c)
+            i += 1
+    if cur:
+        runs.append("".join(cur))
+    return runs
+
+
 def _gram_threshold(q: str, fuzziness: int) -> int:
     """q-gram count-filter lower bound (Gravano et al., VLDB'01,
     distinct-set form): any term within ``fuzziness`` edits of ``q``
@@ -222,6 +294,72 @@ class SearchEngine:
         if not req and not lead:
             return self._constant_score_terms(
                 F.col("term").rlike(rx), k, boost)
+        if req:
+            cand = (self.gram_index
+                    .filter(F.col("gram").isin(req))
+                    .groupBy("term")
+                    .agg(F.count("*").alias("ng"))
+                    .filter(F.col("ng") >= len(req))
+                    .select("term"))
+        else:
+            cand = self._ts_df.select("term")
+        if lead:
+            cand = cand.filter(F.col("term").startswith(lead))
+        terms = [r["term"]
+                 for r in cand.filter(F.col("term").rlike(rx)).collect()]
+        if not terms:
+            return self._empty()
+        if len(terms) > self._MAX_TERM_ISIN:
+            return self._constant_score_terms(
+                F.col("term").rlike(rx), k, boost)
+        tb = self._term_buckets_for(terms)
+        pred = (F.col("term_bucket").isin(list(set(tb.values())))
+                & F.col("term").isin(terms))
+        return self._constant_score_terms(pred, k, boost)
+
+    def search_regexp(self, pattern: str, k: int = TOP_K_SIZE,
+                      boost: float = 1.0) -> DataFrame:
+        """ES ``regexp`` query: whole-term anchored regular expression
+        over the index term dictionary, constant_score rewrite like
+        :meth:`search_prefix` (ES default rewrite for multi-term
+        queries).  Matching runs against INDEX terms (post-analysis);
+        like ES, the pattern is NOT analyzed — it is matched verbatim
+        (callers should lowercase it to match this index's analyzer).
+
+        Syntax note: evaluated by Spark's ``rlike`` (Java regex).  ES
+        uses Lucene's own regex dialect; for the shared operator set
+        (literals, ``. ? + * {m,n} [...]``) the semantics coincide,
+        and that subset is also the one the dictionary cut
+        understands.  Documented divergence: Lucene extras (``~ @ # &
+        <>``) are not supported.
+
+        Dictionary cut (the FST-intersection analog, same shape as
+        :meth:`search_wildcard`): required literal runs are extracted
+        with :func:`_regex_literal_runs`; every run of >= 2 chars
+        contributes mandatory bigrams resolved against
+        :attr:`gram_index`, a plain-literal pattern prefix adds a
+        ``startswith`` cut, and the anchored regex is the final
+        confirm — so the segment scan is term_bucket-pruned + ``isin``
+        on the resolved terms.  Patterns the extractor cannot prune
+        (alternation/groups/no literal run) take the full-scan
+        ``rlike`` predicate path — semantically identical."""
+        import re as _re
+        p = pattern.strip()
+        if not p:
+            return self._empty()
+        rx = "^(?:" + p + ")$"
+        runs = _regex_literal_runs(p)
+        # longest plain-literal prefix of the pattern (minus a final
+        # quantified char) → startswith cut on the dictionary
+        m = _re.match(r"[a-z0-9_]+", p)
+        lead = m.group(0) if m else ""
+        if lead and len(lead) < len(p) and p[len(lead)] in "?*{":
+            lead = lead[:-1]
+        if runs is None or (not lead
+                            and not any(len(r) >= _GRAM_N for r in runs)):
+            return self._constant_score_terms(
+                F.col("term").rlike(rx), k, boost)
+        req = sorted({g for r in runs for g in _term_bigrams(r)})
         if req:
             cand = (self.gram_index
                     .filter(F.col("gram").isin(req))

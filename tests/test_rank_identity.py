@@ -880,6 +880,95 @@ def test_wildcard_query_matches_oracle(spark, built):
         assert got == oracle.search_wildcard(pat, k=700), pat
 
 
+def test_regexp_query_matches_oracle(spark, built):
+    """ES regexp query (constant_score rewrite): whole-term anchored
+    regex over the term dictionary — pruned and fallback paths both
+    identical to the oracle; tombstoned docs drop out."""
+    import shutil
+
+    from auctus_spark.index.build import delete_docs
+    from auctus_spark.query.bm25 import SearchEngine
+    out, oracle, _, _, _ = built
+    eng = SearchEngine(spark, out, term_buckets=8)
+    pats = ["imp.*", ".*turn", "uniq_token_[0-9]", "d.f",
+            "im?port", "re(turn)?", "def|import",     # group/alt → fallback
+            "u.iq_token_.*", "zzz.*", "[a-z]+_token_1"]
+    for pat in pats:
+        got = [(int(r.doc_id), float(r.score))
+               for r in eng.search_regexp(pat, k=700, boost=2.0)
+               .collect()]
+        assert got == oracle.search_regexp(pat, k=700, boost=2.0), pat
+    assert eng.search_regexp("  ").count() == 0
+    # tombstone masking on a copy
+    base = [int(r.doc_id) for r in
+            eng.search_regexp("imp.*", k=700).collect()]
+    assert base
+    copy = out + "_rxcopy"
+    shutil.rmtree(copy, ignore_errors=True)
+    shutil.copytree(out, copy)
+    delete_docs(spark, copy, base[:3])
+    got = [int(r.doc_id) for r in
+           SearchEngine(spark, copy, term_buckets=8)
+           .search_regexp("imp.*", k=700).collect()]
+    assert got == base[3:]
+    shutil.rmtree(copy, ignore_errors=True)
+
+
+def test_regexp_dictionary_cut_plan(spark, built):
+    """Patterns with required literal runs resolve candidates via the
+    gram index and scan segments term_bucket-pruned; the regex never
+    reaches the posting scan. Alternation/group patterns fall back to
+    the full-scan rlike path."""
+    from auctus_spark.query.bm25 import SearchEngine
+    out, oracle, _, _, _ = built
+    eng = SearchEngine(spark, out, term_buckets=8)
+
+    def plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    cut = eng.search_regexp("imp.*", k=700)
+    assert "term_bucket" in plan(cut)
+    assert "RLIKE" not in plan(cut)    # regex never hits segments
+    got = [(int(r.doc_id), float(r.score)) for r in cut.collect()]
+    assert got == oracle.search_regexp("imp.*", k=700)
+
+    fallback = eng.search_regexp("def|import", k=50)
+    assert "RLIKE" in plan(fallback)
+
+
+def test_regex_literal_runs_never_drop_candidates():
+    """Property: every string matching the anchored regex contains
+    ALL extracted literal runs as substrings — the dictionary cut is
+    sound (never prunes a true match)."""
+    import random
+    import re
+
+    from auctus_spark.query.bm25 import _regex_literal_runs
+
+    rng = random.Random(7)
+    vocab = ["import", "imports", "imported", "def", "dif", "dof",
+             "return", "returns", "data", "date", "dataset", "a",
+             "ab", "abc", "abbc", "abbbc", "ac", "xyz", "x1z"]
+    pieces = ["a", "b", "c", "im", "port", "def", "ret", ".", "[a-c]",
+              "a?", "b*", "b+", "c{1,2}", "[xy]?", ".*"]
+    for _ in range(3000):
+        pat = "".join(rng.choice(pieces)
+                      for _ in range(rng.randint(1, 5)))
+        runs = _regex_literal_runs(pat)
+        assert runs is not None  # no |()^$\ in the piece set
+        try:
+            rx = re.compile("^(?:" + pat + ")$")
+        except re.error:
+            continue
+        for w in vocab:
+            if rx.match(w):
+                for r in runs:
+                    assert r in w, (pat, w, runs)
+    # explicit fallbacks
+    for p in ["a|b", "(ab)c", "a\\d", "^ab", "ab$"]:
+        assert _regex_literal_runs(p) is None, p
+
+
 def test_phrase_prefix_matches_oracle(spark, built_positional):
     """ES match_phrase_prefix (autocomplete): expansion-union last
     slot, SynonymQuery-style slot idf — bit-exact vs the positional
