@@ -1464,6 +1464,134 @@ def _q_function_score_boost(spark, sf_dir):
     return out.select("doc_id", F.round("score", 6).alias("score"))
 
 
+def _q_dis_max(spark, sf_dir):
+    """ES dis_max over two match clauses, tie_breaker 0.3: best
+    clause + 0.3 * the rest (Lucene DisjunctionMaxQuery), one scan."""
+    out = pipeline.dis_max_topk(_docs(spark, sf_dir),
+                                ["data join", "filter scan"],
+                                k=50, tie_breaker=0.3, round_to=6)
+    return out
+
+
+def _dis_max_sql(clauses: list[list[str]], tie_breaker: float,
+                 k: int = 50) -> str:
+    all_terms = sorted({t for c in clauses for t in c})
+    tlist = ", ".join(f"'{t}'" for t in all_terms)
+    cl_ctes = ",\n".join(
+        f"c{i} AS (SELECT doc_id, sum(c) AS s FROM contrib "
+        f"WHERE term IN ({', '.join(repr(t) for t in c)}) "
+        f"GROUP BY doc_id)" for i, c in enumerate(clauses))
+    joins = " ".join(f"LEFT JOIN c{i} USING (doc_id)"
+                     for i in range(len(clauses)))
+    s_cols = [f"coalesce(c{i}.s, 0.0)" for i in range(len(clauses))]
+    total = " + ".join(s_cols)
+    mx = f"greatest({', '.join(s_cols)})"
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(text), '{SPLIT_PATTERN}')) AS term
+  FROM documents
+), tok2 AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok2 GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT count(*) FROM tok2) * 1.0
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok2
+  WHERE term IN ({tlist}) GROUP BY doc_id, term
+),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+contrib AS (
+  SELECT tf.doc_id, tf.term,
+         ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+           * (tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)))
+           AS c
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+),
+{cl_ctes},
+docs AS (SELECT DISTINCT doc_id FROM contrib),
+scored AS (
+  SELECT docs.doc_id,
+         {mx} + {tie_breaker} * (({total}) - {mx}) AS raw_score
+  FROM docs {joins}
+)
+SELECT doc_id, round(raw_score, 6) AS score
+FROM scored ORDER BY raw_score DESC, doc_id ASC LIMIT {k}
+"""
+
+
+def _q_boosting(spark, sf_dir):
+    """ES boosting query: positive match scores normally; docs also
+    matching the negative clause are demoted (score * 0.3), never
+    excluded."""
+    out = pipeline.boosting_topk(_docs(spark, sf_dir),
+                                 positive="data join",
+                                 negative="slow error",
+                                 negative_boost=0.3, k=50, round_to=6)
+    return out
+
+
+def _boosting_sql(pos: list[str], neg: list[str],
+                  negative_boost: float, k: int = 50) -> str:
+    nlist = ", ".join(f"'{t}'" for t in neg)
+    base = _bm25_or_sql(pos, k)
+    demoted = (f"s.raw_score * CASE WHEN n.doc_id IS NOT NULL "
+               f"THEN {negative_boost} ELSE 1.0 END")
+    return base.replace(
+        "SELECT doc_id, round(raw_score, 6) AS score\nFROM scored",
+        f"""SELECT s.doc_id, round({demoted}, 6) AS score
+FROM scored s LEFT JOIN (SELECT DISTINCT doc_id FROM tok2
+                         WHERE term IN ({nlist})) n USING (doc_id)"""
+    ).replace("ORDER BY raw_score DESC", f"ORDER BY {demoted} DESC")
+
+
+def _q_decay_gauss(spark, sf_dir):
+    """ES function_score gauss decay on n_chars (boost_mode
+    multiply): BM25(match) * exp(ln(decay) * dist^2 / scale^2)."""
+    out = pipeline.function_score_decay(
+        _docs(spark, sf_dir), "data join", field="n_chars",
+        origin=500.0, scale=300.0, offset=50.0, decay=0.5,
+        kind="gauss", k=50, round_to=6)
+    return out
+
+
+def _decay_gauss_sql(terms: list[str], origin: float, scale: float,
+                     offset: float, decay: float, k: int = 50) -> str:
+    import math
+    base = _bm25_or_sql(terms, k)
+    mult = (f"exp({math.log(decay)!r} * "
+            f"pow(greatest(0.0, abs(d.n_chars - {origin}) - {offset}), 2)"
+            f" / {scale * scale})")
+    return base.replace(
+        "SELECT doc_id, round(raw_score, 6) AS score\nFROM scored",
+        f"""SELECT s.doc_id, round(s.raw_score * {mult}, 6) AS score
+FROM scored s JOIN documents d ON d.doc_id = s.doc_id""").replace(
+        "ORDER BY raw_score DESC, doc_id ASC",
+        f"ORDER BY s.raw_score * {mult} DESC, s.doc_id ASC")
+
+
+def _q_field_value_factor(spark, sf_dir):
+    """ES function_score field_value_factor log1p on n_chars:
+    BM25(match) * ln(1 + 0.1 * n_chars)."""
+    out = pipeline.field_value_factor_topk(
+        _docs(spark, sf_dir), "data join", field="n_chars",
+        factor=0.1, modifier="log1p", k=50, round_to=6)
+    return out
+
+
+def _fvf_sql(terms: list[str], factor: float, k: int = 50) -> str:
+    base = _bm25_or_sql(terms, k)
+    mult = f"ln(1.0 + {factor} * d.n_chars)"
+    return base.replace(
+        "SELECT doc_id, round(raw_score, 6) AS score\nFROM scored",
+        f"""SELECT s.doc_id, round(s.raw_score * {mult}, 6) AS score
+FROM scored s JOIN documents d ON d.doc_id = s.doc_id""").replace(
+        "ORDER BY raw_score DESC, doc_id ASC",
+        f"ORDER BY s.raw_score * {mult} DESC, s.doc_id ASC")
+
+
 def _q_temporal_histogram(spark, sf_dir):
     """10-bin temporal histogram over unix seconds (reference
     core.py:380-399)."""
@@ -2033,6 +2161,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_stats": _q_image_stats,
         "admin_resolve": _q_admin_resolve,
         "function_score_boost": _q_function_score_boost,
+        "dis_max": _q_dis_max,
+        "boosting_query": _q_boosting,
+        "decay_gauss": _q_decay_gauss,
+        "field_value_factor": _q_field_value_factor,
         "temporal_histogram": _q_temporal_histogram,
         "word_histogram": _q_word_histogram,
         "numeric_profile": _q_numeric_profile,
@@ -2997,6 +3129,15 @@ def _oracle_sql_static() -> dict[str, str]:
             "lang IN ('en', 'fr') AND source IN ('src0', 'src1', "
             "'src2', 'src3', 'src4', 'src5', 'src6', 'src7') AND "
             "doc_id NOT IN (1, 2, 3, 5, 8)"),
+        "dis_max": _dis_max_sql([["data", "join"], ["filter", "scan"]],
+                                tie_breaker=0.3),
+        "boosting_query": _boosting_sql(["data", "join"],
+                                        ["slow", "error"],
+                                        negative_boost=0.3),
+        "decay_gauss": _decay_gauss_sql(["data", "join"], origin=500.0,
+                                        scale=300.0, offset=50.0,
+                                        decay=0.5),
+        "field_value_factor": _fvf_sql(["data", "join"], factor=0.1),
         "function_score_boost": f"""
             WITH tok2 AS (SELECT * FROM ({_TOK2}) WHERE term <> ''),
             hits AS (

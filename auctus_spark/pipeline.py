@@ -191,6 +191,211 @@ def bm25_or_topk(docs: DataFrame, query: str, k: int = TOP_K_SIZE,
             .limit(k))
 
 
+def dis_max_topk(docs: DataFrame, queries: list[str],
+                 k: int = TOP_K_SIZE, tie_breaker: float = 0.0,
+                 id_col: str = "doc_id", text_col: str = "text",
+                 round_to: int | None = None) -> DataFrame:
+    """ES ``dis_max`` query over match (should) clauses: each clause
+    scores as a disjunctive BM25 sum; the doc's score is the best
+    clause plus ``tie_breaker`` times the rest —
+    ``max(s_i) + tie_breaker * (sum(s_i) - max(s_i))`` (Lucene
+    DisjunctionMaxQuery).  A doc qualifies if ANY clause matches.
+
+    ONE scan: every distinct term across clauses gets a tf column in
+    a single projection; clause scores, the max and the blend are all
+    scan-level expressions (whole-stage codegen, no shuffle before
+    the final TakeOrdered)."""
+    spark = docs.sparkSession
+    clause_terms = [analyze_query(q) for q in queries]
+    all_terms = sorted({t for ts in clause_terms for t in ts})
+    empty = spark.createDataFrame([], f"{id_col} long, score double")
+    if not all_terms:
+        return empty
+    n_docs, avgdl, dfs = _query_stats(docs, all_terms, text_col)
+    if n_docs == 0 or all(d == 0 for d in dfs):
+        return empty
+    idx = {t: i for i, t in enumerate(all_terms)}
+    idfs = [bm25_idf(n_docs, d) for d in dfs]
+
+    qarr = F.array(*[F.lit(t) for t in all_terms])
+    cond = F.arrays_overlap(_toks(F.col(text_col)), qarr)
+    per_doc = (docs.filter(cond)
+               .select(F.col(id_col).alias("doc_id"),
+                       _toks(F.col(text_col)).alias("_toks"))
+               .select("doc_id", F.size("_toks").alias("_dl"),
+                       *[_tf(i, t) for i, t in enumerate(all_terms)]))
+    norm = F.lit(K1) * (F.lit(1.0 - B) +
+                        F.lit(B) * F.col("_dl") / F.lit(avgdl))
+    clause_scores = []
+    for terms in clause_terms:
+        s = F.lit(0.0)
+        for t in terms:  # query-term order, left-associative
+            tf = F.col(f"_tf{idx[t]}")
+            s = s + F.lit(idfs[idx[t]]) * (tf / (tf + norm))
+        clause_scores.append(s)
+    per_doc = per_doc.select(
+        "doc_id", *[cs_i.alias(f"_cs{i}")
+                    for i, cs_i in enumerate(clause_scores)])
+    cs = [F.col(f"_cs{i}") for i in range(len(queries))]
+    mx = cs[0] if len(cs) == 1 else F.greatest(*cs)
+    total = cs[0]
+    for c in cs[1:]:
+        total = total + c
+    score = mx + F.lit(float(tie_breaker)) * (total - mx)
+    if round_to is not None:
+        score = F.round(score, round_to)
+    return (per_doc
+            .select(F.col("doc_id").alias(id_col), score.alias("score"))
+            .orderBy(F.desc("score"), F.asc(id_col))
+            .limit(k))
+
+
+def boosting_topk(docs: DataFrame, positive: str, negative: str,
+                  negative_boost: float = 0.5, k: int = TOP_K_SIZE,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  round_to: int | None = None) -> DataFrame:
+    """ES ``boosting`` query: the ``positive`` clause (disjunctive
+    BM25 match) scores normally; docs ALSO matching the ``negative``
+    clause keep their rank slot but score multiplied by
+    ``negative_boost`` (demotion, not exclusion — unlike must_not).
+    One scan; the negative clause is a term-overlap predicate column,
+    never a second pass."""
+    spark = docs.sparkSession
+    terms = analyze_query(positive)
+    neg_terms = analyze_query(negative)
+    empty = spark.createDataFrame([], f"{id_col} long, score double")
+    if not terms:
+        return empty
+    n_docs, avgdl, dfs = _query_stats(docs, terms, text_col)
+    if n_docs == 0 or all(d == 0 for d in dfs):
+        return empty
+    idfs = [bm25_idf(n_docs, d) for d in dfs]
+    qarr = F.array(*[F.lit(t) for t in terms])
+    cond = F.arrays_overlap(_toks(F.col(text_col)), qarr)
+    neg_col = (F.arrays_overlap(
+        F.col("_toks"), F.array(*[F.lit(t) for t in neg_terms]))
+        if neg_terms else F.lit(False))
+    per_doc = (docs.filter(cond)
+               .select(F.col(id_col).alias("doc_id"),
+                       _toks(F.col(text_col)).alias("_toks"))
+               .select("doc_id", F.size("_toks").alias("_dl"),
+                       neg_col.alias("_neg"),
+                       *[_tf(i, t) for i, t in enumerate(terms)]))
+    score = _score_expr(terms, idfs, avgdl)
+    score = F.when(F.col("_neg"),
+                   score * F.lit(float(negative_boost))).otherwise(score)
+    if round_to is not None:
+        score = F.round(score, round_to)
+    return (per_doc
+            .select(F.col("doc_id").alias(id_col), score.alias("score"))
+            .orderBy(F.desc("score"), F.asc(id_col))
+            .limit(k))
+
+
+def function_score_decay(docs: DataFrame, query: str, field: str,
+                         origin: float, scale: float,
+                         offset: float = 0.0, decay: float = 0.5,
+                         kind: str = "gauss", k: int = TOP_K_SIZE,
+                         id_col: str = "doc_id", text_col: str = "text",
+                         round_to: int | None = None) -> DataFrame:
+    """ES ``function_score`` with a decay function on a numeric field
+    (boost_mode multiply): score = BM25(match) * decay(field).  The
+    published ES formulas, with dist = max(0, |v - origin| - offset):
+
+    - ``gauss``:  exp(ln(decay) * dist^2 / scale^2)
+    - ``exp``:    exp(ln(decay) * dist   / scale)
+    - ``linear``: max(0, (s - dist) / s) with s = scale / (1 - decay)
+
+    (each is the unique member of its family with multiplier 1 at
+    dist=0 and ``decay`` at dist=scale).  One scan — the decay is a
+    scan-level expression on the already-read field column."""
+    if kind not in ("gauss", "exp", "linear"):
+        raise ValueError(f"unknown decay kind {kind!r}")
+    spark = docs.sparkSession
+    terms = analyze_query(query)
+    empty = spark.createDataFrame([], f"{id_col} long, score double")
+    if not terms:
+        return empty
+    n_docs, avgdl, dfs = _query_stats(docs, terms, text_col)
+    if n_docs == 0 or all(d == 0 for d in dfs):
+        return empty
+    idfs = [bm25_idf(n_docs, d) for d in dfs]
+    qarr = F.array(*[F.lit(t) for t in terms])
+    cond = F.arrays_overlap(_toks(F.col(text_col)), qarr)
+    per_doc = (docs.filter(cond)
+               .select(F.col(id_col).alias("doc_id"),
+                       F.col(field).cast("double").alias("_v"),
+                       _toks(F.col(text_col)).alias("_toks"))
+               .select("doc_id", "_v", F.size("_toks").alias("_dl"),
+                       *[_tf(i, t) for i, t in enumerate(terms)]))
+    import math
+    dist = F.greatest(F.lit(0.0),
+                      F.abs(F.col("_v") - F.lit(float(origin)))
+                      - F.lit(float(offset)))
+    if kind == "gauss":
+        mult = F.exp(F.lit(math.log(decay)) * dist * dist
+                     / F.lit(float(scale) ** 2))
+    elif kind == "exp":
+        mult = F.exp(F.lit(math.log(decay)) * dist / F.lit(float(scale)))
+    else:
+        s = float(scale) / (1.0 - float(decay))
+        mult = F.greatest(F.lit(0.0), (F.lit(s) - dist) / F.lit(s))
+    score = _score_expr(terms, idfs, avgdl) * mult
+    if round_to is not None:
+        score = F.round(score, round_to)
+    return (per_doc
+            .select(F.col("doc_id").alias(id_col), score.alias("score"))
+            .orderBy(F.desc("score"), F.asc(id_col))
+            .limit(k))
+
+
+def field_value_factor_topk(docs: DataFrame, query: str, field: str,
+                            factor: float = 1.0,
+                            modifier: str = "log1p",
+                            missing: float = 1.0, k: int = TOP_K_SIZE,
+                            id_col: str = "doc_id",
+                            text_col: str = "text",
+                            round_to: int | None = None) -> DataFrame:
+    """ES ``function_score`` field_value_factor (boost_mode multiply):
+    score = BM25(match) * modifier(factor * field).  Supported
+    modifiers (the ES set that is defined for our data): ``none``,
+    ``log1p`` (ln(1 + fv)), ``sqrt``, ``square``, ``reciprocal``.
+    Null field values use ``missing`` (pre-modifier, ES semantics)."""
+    mods = {"none": lambda c: c,
+            "log1p": lambda c: F.log1p(c),
+            "sqrt": lambda c: F.sqrt(c),
+            "square": lambda c: c * c,
+            "reciprocal": lambda c: F.lit(1.0) / c}
+    if modifier not in mods:
+        raise ValueError(f"unknown modifier {modifier!r}")
+    spark = docs.sparkSession
+    terms = analyze_query(query)
+    empty = spark.createDataFrame([], f"{id_col} long, score double")
+    if not terms:
+        return empty
+    n_docs, avgdl, dfs = _query_stats(docs, terms, text_col)
+    if n_docs == 0 or all(d == 0 for d in dfs):
+        return empty
+    idfs = [bm25_idf(n_docs, d) for d in dfs]
+    qarr = F.array(*[F.lit(t) for t in terms])
+    cond = F.arrays_overlap(_toks(F.col(text_col)), qarr)
+    fv = F.coalesce(F.col(field).cast("double"),
+                    F.lit(float(missing))) * F.lit(float(factor))
+    per_doc = (docs.filter(cond)
+               .select(F.col(id_col).alias("doc_id"),
+                       mods[modifier](fv).alias("_m"),
+                       _toks(F.col(text_col)).alias("_toks"))
+               .select("doc_id", "_m", F.size("_toks").alias("_dl"),
+                       *[_tf(i, t) for i, t in enumerate(terms)]))
+    score = _score_expr(terms, idfs, avgdl) * F.col("_m")
+    if round_to is not None:
+        score = F.round(score, round_to)
+    return (per_doc
+            .select(F.col("doc_id").alias(id_col), score.alias("score"))
+            .orderBy(F.desc("score"), F.asc(id_col))
+            .limit(k))
+
+
 def term_stats_df(docs: DataFrame, terms: list[str],
                   id_col: str = "doc_id", text_col: str = "text"
                   ) -> DataFrame:

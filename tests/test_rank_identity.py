@@ -202,6 +202,105 @@ def test_pipeline_disj_matches_oracle(spark, built, q):
     _assert_rank_identical(got, oracle.search_or(q, k=50))
 
 
+def test_dis_max_matches_clause_algebra(spark, built):
+    """ES dis_max: tie_breaker 0 → per-doc best clause; tie_breaker
+    t → max + t*(sum-max) — bit-exact against clause scores derived
+    from the oracle's disjunctive scorer (clauses share no terms, so
+    each clause score IS oracle.search_or of that clause)."""
+    from auctus_spark import pipeline
+    _, oracle, _, corpus, _ = built
+    c1, c2 = "import data", "def return"
+    s1 = dict(oracle.search_or(c1, k=10**9))
+    s2 = dict(oracle.search_or(c2, k=10**9))
+    for tie in (0.0, 0.3, 1.0):
+        got = {int(r.doc_id): float(r.score)
+               for r in pipeline.dis_max_topk(
+                   corpus, [c1, c2], k=10**9, tie_breaker=tie,
+                   text_col="content").collect()}
+        assert set(got) == set(s1) | set(s2)
+        for d, s in got.items():
+            a, b = s1.get(d, 0.0), s2.get(d, 0.0)
+            mx = max(a, b)
+            assert s == mx + tie * ((a + b) - mx), (d, tie)
+    # empty clauses → empty result
+    assert pipeline.dis_max_topk(corpus, ["", "  "],
+                                 text_col="content").count() == 0
+
+
+def test_boosting_query_demotes_not_excludes(spark, built):
+    """ES boosting query: positive hits keep their score unless they
+    also match the negative clause, in which case score*negative_boost
+    — demoted docs stay in the result set (unlike must_not)."""
+    from auctus_spark import pipeline
+    _, oracle, _, corpus, _ = built
+    pos, neg, nb = "import data", "def", 0.25
+    base = dict(oracle.search_or(pos, k=10**9))
+    neg_docs = {d for d, _ in oracle.search_or(neg, k=10**9)}
+    got = {int(r.doc_id): float(r.score)
+           for r in pipeline.boosting_topk(
+               corpus, pos, neg, negative_boost=nb, k=10**9,
+               text_col="content").collect()}
+    assert set(got) == set(base)          # nothing excluded
+    assert any(d in neg_docs for d in got)  # demotion actually fires
+    for d, s in got.items():
+        want = base[d] * nb if d in neg_docs else base[d]
+        assert s == want, d
+
+
+def test_function_score_decay_and_fvf(spark, built):
+    """ES function_score decay (gauss/exp/linear) and
+    field_value_factor (log1p): multiplier exactly 1 at dist 0,
+    exactly `decay` at dist scale; fvf = bm25 * ln(1+factor*v)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from auctus_spark import pipeline
+    _, oracle, _, corpus, _ = built
+    docs = corpus.withColumn("n_chars", F.length("content"))
+    nchars = {int(r.doc_id): int(r.n_chars)
+              for r in docs.select("doc_id", "n_chars").collect()}
+    q = "import"
+    base = dict(oracle.search_or(q, k=10**9))
+    origin, scale, offset, decay = 600.0, 250.0, 30.0, 0.5
+    for kind in ("gauss", "exp", "linear"):
+        got = {int(r.doc_id): float(r.score)
+               for r in pipeline.function_score_decay(
+                   docs, q, "n_chars", origin, scale, offset=offset,
+                   decay=decay, kind=kind, k=10**9,
+                   text_col="content").collect()}
+        assert set(got) == set(base)
+        for d, s in got.items():
+            dist = max(0.0, abs(nchars[d] - origin) - offset)
+            if kind == "gauss":
+                m = math.exp(math.log(decay) * dist * dist
+                             / (scale * scale))
+            elif kind == "exp":
+                m = math.exp(math.log(decay) * dist / scale)
+            else:
+                ls = scale / (1.0 - decay)
+                m = max(0.0, (ls - dist) / ls)
+            if kind == "linear":     # pure arithmetic: bit-exact
+                assert s == base[d] * m, (kind, d)
+            else:                    # JVM Math.exp vs libm: ±1 ulp
+                assert s == pytest.approx(base[d] * m,
+                                          rel=1e-12), (kind, d)
+    with pytest.raises(ValueError):
+        pipeline.function_score_decay(docs, q, "n_chars", 0, 1,
+                                      kind="nope")
+    got = {int(r.doc_id): float(r.score)
+           for r in pipeline.field_value_factor_topk(
+               docs, q, "n_chars", factor=0.01, modifier="log1p",
+               k=10**9, text_col="content").collect()}
+    for d, s in got.items():
+        # JVM Math.log1p vs libm: ±1 ulp
+        assert s == pytest.approx(
+            base[d] * math.log1p(0.01 * nchars[d]), rel=1e-12), d
+    with pytest.raises(ValueError):
+        pipeline.field_value_factor_topk(docs, q, "n_chars",
+                                         modifier="cube")
+
+
 STEM_QUERIES = ["imports", "importing defined returns", "the",
                 "meetings", "abilities imports", "zz_missing imports"]
 
