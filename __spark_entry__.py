@@ -1592,6 +1592,94 @@ FROM scored s JOIN documents d ON d.doc_id = s.doc_id""").replace(
         f"ORDER BY s.raw_score * {mult} DESC, s.doc_id ASC")
 
 
+def _q_term_suggest(spark, sf_dir):
+    """ES term suggester ("did you mean") on the segment index:
+    per missing token, dictionary terms within 2 edits ranked
+    (dist asc, df desc, term asc), top 5."""
+    from auctus_spark.query.bm25 import SearchEngine
+    _q_bm25_index_path(spark, sf_dir)    # ensure the index exists
+    import hashlib as _h
+    tag = _h.md5(sf_dir.encode()).hexdigest()[:10]
+    eng = SearchEngine(spark, f"/tmp/auctus_entry_index_{tag}",
+                       term_buckets=16)
+    return eng.suggest_terms("dta joinn", size=5, max_edits=2,
+                             prefix_length=1)
+
+
+def _term_suggest_sql(tokens: list[str], size: int = 5,
+                      max_edits: int = 2) -> str:
+    cands = "\nUNION ALL\n".join(f"""
+  SELECT '{t}' AS token, term AS suggestion,
+         levenshtein(term, '{t}') AS dist, df
+  FROM dict
+  WHERE substr(term, 1, 1) = '{t[0]}'
+    AND levenshtein(term, '{t}') <= {max_edits} AND term <> '{t}'
+    AND NOT EXISTS (SELECT 1 FROM dict d2 WHERE d2.term = '{t}')"""
+        for t in tokens)
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(text), '{SPLIT_PATTERN}')) AS term
+  FROM documents),
+tok2 AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+dict AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok2
+         GROUP BY term),
+cand AS ({cands}),
+ranked AS (
+  SELECT token, suggestion, CAST(dist AS INTEGER) AS dist,
+         CAST(df AS BIGINT) AS df,
+         CAST(row_number() OVER (PARTITION BY token
+              ORDER BY dist ASC, df DESC, suggestion ASC) AS INTEGER)
+           AS rank
+  FROM cand)
+SELECT * FROM ranked WHERE rank <= {size}
+"""
+
+
+def _q_cardinality_hll(spark, sf_dir):
+    """ES cardinality aggregation analog: deterministic HyperLogLog
+    (md5-based 60-bit hash, p=12) — registers and estimate are
+    re-derivable in ANSI SQL, so this is a FULL-oracle approximate
+    sketch (the oracle recomputes the identical sketch, not the
+    exact count)."""
+    from auctus_spark.operators.profiling import hll_cardinality
+    out = hll_cardinality(_t(spark, sf_dir, "lineitem"), "l_orderkey")
+    return out.select(F.round("estimate", 6).alias("estimate"),
+                      "registers_used", "exact_small")
+
+
+def _cardinality_hll_sql(col: str, table: str, p: int = 12) -> str:
+    from auctus_spark.operators.profiling import hll_alpha
+    m = 1 << p
+    k_max = 60 - p + 1
+    suf_mod = 1 << (60 - p)
+    num = repr(hll_alpha(m) * m * m * float(1 << k_max))
+    raw = f"{num} / CAST(s_total AS DOUBLE)"
+    small = f"({raw} <= {2.5 * m!r} AND zeros > 0)"
+    return f"""
+WITH h AS (
+  SELECT ('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 15))::BIGINT
+           AS v
+  FROM {table}),
+r AS (SELECT v // {suf_mod} AS reg,
+             CASE WHEN v % {suf_mod} = 0 THEN {k_max}
+                  ELSE {k_max} - length(bin(v % {suf_mod})) END AS rho
+      FROM h),
+regs AS (SELECT reg, max(rho) AS mx FROM r GROUP BY reg),
+a AS (SELECT coalesce(sum(1::BIGINT << ({k_max} - mx)), 0) AS s,
+             count(*) AS n
+      FROM regs),
+f AS (SELECT s + ({m} - n) * (1::BIGINT << {k_max}) AS s_total,
+             {m} - n AS zeros, n FROM a)
+SELECT round(CASE WHEN {small}
+             THEN {float(m)!r} * ln({float(m)!r} / CAST(zeros AS DOUBLE))
+             ELSE {raw} END, 6) AS estimate,
+       CAST(n AS BIGINT) AS registers_used,
+       {small} AS exact_small
+FROM f
+"""
+
+
 def _q_temporal_histogram(spark, sf_dir):
     """10-bin temporal histogram over unix seconds (reference
     core.py:380-399)."""
@@ -2165,6 +2253,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boosting_query": _q_boosting,
         "decay_gauss": _q_decay_gauss,
         "field_value_factor": _q_field_value_factor,
+        "cardinality_hll": _q_cardinality_hll,
+        "term_suggest": _q_term_suggest,
         "temporal_histogram": _q_temporal_histogram,
         "word_histogram": _q_word_histogram,
         "numeric_profile": _q_numeric_profile,
@@ -3138,6 +3228,9 @@ def _oracle_sql_static() -> dict[str, str]:
                                         scale=300.0, offset=50.0,
                                         decay=0.5),
         "field_value_factor": _fvf_sql(["data", "join"], factor=0.1),
+        "cardinality_hll": _cardinality_hll_sql("l_orderkey",
+                                                "lineitem"),
+        "term_suggest": _term_suggest_sql(["dta", "joinn"]),
         "function_score_boost": f"""
             WITH tok2 AS (SELECT * FROM ({_TOK2}) WHERE term <> ''),
             hits AS (

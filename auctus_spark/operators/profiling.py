@@ -479,3 +479,77 @@ def significant_terms(df: DataFrame, fg_filter,
                     F.round(jlh, 6).alias("jlh"))
             .orderBy(F.col("jlh").desc(), F.col("term").asc())
             .limit(k))
+
+
+def hll_alpha(m: int) -> float:
+    """Bias-correction constant from the published HLL paper
+    (Flajolet, Fusy, Gandouet, Meunier 2007, §4); m >= 128 branch."""
+    if m >= 128:
+        return 0.7213 / (1.0 + 1.079 / m)
+    return {16: 0.673, 32: 0.697, 64: 0.709}[m]
+
+
+def hll_cardinality(df: DataFrame, col: str, p: int = 12) -> DataFrame:
+    """ES ``cardinality`` aggregation analog: a HyperLogLog distinct
+    count (Flajolet et al. 2007) that is DETERMINISTIC and
+    cross-engine reproducible — unlike ``approx_count_distinct``
+    (whose HLL++ hash/merge is Spark-internal), this sketch is fully
+    re-derivable in ANSI SQL, so the DuckDB oracle recomputes the
+    identical registers and estimate bit-for-bit.
+
+    Hash: first 60 bits of md5(value::string); register = top ``p``
+    bits, rho = leading-zero count of the remaining ``60-p`` bits + 1
+    (all integer arithmetic — no float bit-twiddling).  Estimate:
+    alpha_m * m^2 / sum(2^-M_j), with the paper's small-range
+    linear-counting correction (E <= 2.5m and empty registers
+    present -> m*ln(m/V)).  The 32-bit large-range correction is
+    unnecessary at a 60-bit hash and is omitted (documented
+    divergence from the 2007 paper's 32-bit setup).
+
+    Scale shape: one scan -> partial max per register (map-side
+    combine), a shuffle of at most m=2^p tiny rows, one scalar
+    reduce.  Register sums use INTEGER 2^(K-M_j) terms so the
+    reduction is order-independent (exact), not float-associative.
+
+    Returns one row: (estimate double, registers_used long,
+    exact_small boolean — true when the linear-counting branch fired).
+    """
+    if not 4 <= p <= 16:
+        raise ValueError("p must be in [4, 16]")
+    m = 1 << p
+    w = 60 - p                      # suffix width in bits
+    suf_mod = 1 << w
+    k_max = w + 1                   # rho for an all-zero suffix
+    alpha = hll_alpha(m)
+    v = F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 15),
+               16, 10).cast("long")
+    h = df.select(v.alias("_v")).select(
+        F.expr(f"_v div {suf_mod}").alias("_reg"),
+        (F.col("_v") % suf_mod).alias("_suf"))
+    rho = (F.when(F.col("_suf") == 0, F.lit(k_max))
+           .otherwise(F.lit(k_max)
+                      - F.length(F.conv(F.col("_suf"), 10, 2))))
+    regs = (h.select("_reg", rho.alias("_rho"))
+            .groupBy("_reg").agg(F.max("_rho").alias("_m")))
+    agg = regs.agg(
+        F.sum(F.expr(f"shiftleft(1L, {k_max} - _m)")).alias("_s"),
+        F.count("*").alias("_n"))
+    # s_total = sum(2^(k_max - M_j)) over ALL m registers (absent
+    # registers have M_j = 0) — exact BIGINT (max m * 2^k_max < 2^63),
+    # so the only rounding is the single final BIGINT->double cast
+    # (deterministic IEEE, identical in the SQL oracle)
+    zeros = F.lit(m) - F.coalesce(F.col("_n"), F.lit(0))
+    s_total = (F.coalesce(F.col("_s"), F.lit(0))
+               + zeros.cast("long") * F.lit(1 << k_max))
+    numerator = alpha * m * m * float(1 << k_max)  # one shared literal
+    est_raw = F.lit(numerator) / s_total.cast("double")
+    small = (est_raw <= F.lit(2.5 * m)) & (zeros > 0)
+    est = F.when(small,
+                 F.lit(float(m)) * F.log(F.lit(float(m))
+                                         / zeros.cast("double"))) \
+        .otherwise(est_raw)
+    return agg.select(
+        est.alias("estimate"),
+        F.coalesce(F.col("_n"), F.lit(0)).cast("long")
+        .alias("registers_used"),
+        small.alias("exact_small"))

@@ -745,6 +745,55 @@ class SearchEngine:
                 F.col("term").startswith(t[:prefix_length]))
         return cand
 
+    def suggest_terms(self, text: str, size: int = 5,
+                      max_edits: int = 2, prefix_length: int = 1,
+                      suggest_mode: str = "missing") -> DataFrame:
+        """ES term suggester ("did you mean"): per input token,
+        dictionary terms within ``max_edits`` Levenshtein edits
+        (plain Levenshtein — documented divergence from ES's
+        Damerau), ranked (distance asc, df desc, term asc) — ES
+        sort=score ordering with frequency tie-break — capped at
+        ``size``.  ``suggest_mode="missing"`` (the ES default) only
+        suggests for tokens ABSENT from the index; ``"always"``
+        suggests for every token.  ``prefix_length`` (ES default 1)
+        anchors the first chars, which also keeps the dictionary cut
+        cheap.
+
+        Returns (token, suggestion, dist, df, rank).  Candidate
+        generation reuses the fuzzy gram-cut
+        (:meth:`_fuzzy_candidates`, never drops a true candidate);
+        this is an interactive driver-side surface — one small
+        candidate job per missing token plus ONE stats lookup for
+        all candidates (bounded by size * tokens rows collected)."""
+        if suggest_mode not in ("missing", "always"):
+            raise ValueError(f"unknown suggest_mode {suggest_mode!r}")
+        schema = ("token string, suggestion string, dist int, "
+                  "df long, rank int")
+        tokens = analyze_query(text, stem=self.stem)
+        if not tokens:
+            return self.spark.createDataFrame([], schema)
+        present = self.term_stats(tokens)
+        targets = [t for t in tokens
+                   if suggest_mode == "always" or t not in present]
+        per_tok: dict[str, list] = {}
+        all_cands: set[str] = set()
+        for t in targets:
+            rows = [(r["term"], int(r["dist"])) for r in
+                    self._fuzzy_candidates(t, max_edits,
+                                           prefix_length).collect()
+                    if r["term"] != t]
+            per_tok[t] = rows
+            all_cands.update(term for term, _ in rows)
+        stats = self.term_stats(sorted(all_cands))
+        out = []
+        for t in targets:
+            ranked = sorted((d, -stats[term], term)
+                            for term, d in per_tok[t]
+                            if term in stats)
+            for i, (d, negdf, term) in enumerate(ranked[:size], 1):
+                out.append((t, term, d, -negdf, i))
+        return self.spark.createDataFrame(out, schema)
+
     def _search_slots(self, slots: list[list[str]], k: int
                       ) -> DataFrame:
         """Shared SynonymQuery-slot scorer (see

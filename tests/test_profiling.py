@@ -149,3 +149,36 @@ def test_significant_terms_jlh(spark):
     # fg-exclusive: fg_pct=1, bg_pct=4/12 -> jlh = (1-1/3)*3 = 2.0
     assert abs(by["special"].jlh - 2.0) < 1e-6
     assert by["special"].df_fg == 4 and by["special"].df_bg == 4
+
+
+def test_hll_cardinality(spark):
+    """Deterministic HLL: estimate within 3% of truth at 20k distinct
+    (the paper's 1.04/sqrt(4096) = 1.6% standard error), exact-small
+    linear-counting branch fires at tiny cardinalities (and is itself
+    m*ln(m/V)), duplicates don't change the sketch, p validated."""
+    import math
+
+    from auctus_spark.operators.profiling import hll_cardinality
+
+    big = spark.range(20000).select(
+        (F.col("id") * 7 + 13).alias("x"))
+    row = hll_cardinality(big, "x").collect()[0]
+    assert not row.exact_small
+    assert abs(row.estimate - 20000) / 20000 < 0.03
+    # duplicates: a value's registers are idempotent under max
+    dup = big.union(big).union(big)
+    row2 = hll_cardinality(dup, "x").collect()[0]
+    assert row2.estimate == row.estimate
+    # small range: linear counting, closed form m*ln(m/V)
+    small = spark.range(100).select(F.col("id").alias("x"))
+    r = hll_cardinality(small, "x").collect()[0]
+    assert r.exact_small
+    v = 4096 - r.registers_used
+    assert r.estimate == 4096.0 * math.log(4096.0 / v)
+    assert abs(r.estimate - 100) / 100 < 0.05
+    # empty input -> estimate 0 via the linear-counting branch
+    empty = spark.range(0).select(F.col("id").alias("x"))
+    r0 = hll_cardinality(empty, "x").collect()[0]
+    assert r0.estimate == 0.0 and r0.registers_used == 0
+    with pytest.raises(ValueError):
+        hll_cardinality(big, "x", p=3)

@@ -1068,6 +1068,56 @@ def test_regex_literal_runs_never_drop_candidates():
         assert _regex_literal_runs(p) is None, p
 
 
+def test_term_suggester_matches_oracle(spark, built):
+    """ES term suggester: per missing token, candidates within
+    max_edits ranked (dist asc, df desc, term asc), size-capped;
+    present tokens get no suggestions in mode=missing but do in
+    mode=always; prefix anchor respected."""
+    import re as _re
+
+    def leven(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
+                                         prev + (ca != cb))
+        return dp[-1]
+
+    from auctus_spark.query.bm25 import SearchEngine
+    out, oracle, _, _, _ = built
+    eng = SearchEngine(spark, out, term_buckets=8)
+
+    def py_suggest(text, size=5, max_edits=2, prefix_length=1,
+                   mode="missing"):
+        toks = [t for t in _re.split(r"\W+", text.lower()) if t]
+        rows = []
+        for t in toks:
+            if mode == "missing" and t in oracle.postings:
+                continue
+            cands = [(leven(w, t), -len(post), w)
+                     for w, post in oracle.postings.items()
+                     if w != t and w[:prefix_length] == t[:prefix_length]]
+            cands = sorted(c for c in cands if c[0] <= max_edits)
+            rows += [(t, w, d, -negdf, i)
+                     for i, (d, negdf, w) in enumerate(cands[:size], 1)]
+        return sorted(rows)
+
+    for text, kw in [("import", {}), ("import retur", {}),
+                     ("import", {}),              # present -> nothing
+                     ("import", {"mode": "always"}),
+                     ("zzz", {}),                 # prefix z: no cands
+                     ("imporz retur", {"size": 3, "max_edits": 1})]:
+        mode = kw.pop("mode", "missing")
+        got = sorted((r.token, r.suggestion, int(r.dist), int(r.df),
+                      int(r.rank))
+                     for r in eng.suggest_terms(
+                         text, suggest_mode=mode, **kw).collect())
+        assert got == py_suggest(text, mode=mode, **kw), (text, kw)
+    with pytest.raises(ValueError):
+        eng.suggest_terms("x", suggest_mode="nope")
+
+
 def test_phrase_prefix_matches_oracle(spark, built_positional):
     """ES match_phrase_prefix (autocomplete): expansion-union last
     slot, SynonymQuery-style slot idf — bit-exact vs the positional
