@@ -1726,6 +1726,126 @@ def _q_c4_rules(spark, sf_dir):
                       "has_lorem", "has_brace", "c4_keep")
 
 
+def _q_pii_redact(spark, sf_dir):
+    """Regex PII redaction (ROOTS/FineWeb stage): emails, IPv4s and
+    phone-shaped numbers -> typed placeholders + per-category counts.
+    PII is planted deterministically on 2/3 of the docs (the corpus
+    itself has none), identically in the SQL oracle."""
+    from auctus_spark.operators.textstats import pii_redact
+    d = _docs(spark, sf_dir)
+    aug = F.when(F.col("doc_id") % 3 == 0, F.col("text")).otherwise(
+        F.concat(F.col("text"), F.lit(" contact u"),
+                 F.col("doc_id").cast("string"),
+                 F.lit("@ex.com via 10.1.2."),
+                 (F.col("doc_id") % 200).cast("string"),
+                 F.lit(" tel 555-123-"),
+                 F.lpad((F.col("doc_id") % 10000).cast("string"),
+                        4, "0")))
+    out = pii_redact(d.withColumn("text", aug))
+    return out.select("doc_id", "n_email", "n_ipv4", "n_phone",
+                      "redacted")
+
+
+def _pii_redact_sql() -> str:
+    from auctus_spark.operators.textstats import PII_PATTERNS
+    pats = {name: pat for name, pat, _ in PII_PATTERNS}
+    repls = {name: repl for name, pat, repl in PII_PATTERNS}
+    red = "aug"
+    for name, _, _ in PII_PATTERNS:
+        red = (f"regexp_replace({red}, '{pats[name]}', "
+               f"'{repls[name]}', 'g')")
+    counts = ", ".join(
+        f"CAST(length(regexp_extract_all(aug, '{pats[name]}')) AS "
+        f"INTEGER) AS n_{name}" for name, _, _ in PII_PATTERNS)
+    return f"""
+WITH a AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN text
+              ELSE text || ' contact u' || CAST(doc_id AS VARCHAR)
+                   || '@ex.com via 10.1.2.'
+                   || CAST(doc_id % 200 AS VARCHAR)
+                   || ' tel 555-123-'
+                   || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         END AS aug
+  FROM documents)
+SELECT doc_id, {counts}, {red} AS redacted FROM a
+"""
+
+
+def _q_unigram_logprob(spark, sf_dir):
+    """Corpus-unigram LM quality proxy (CCNet perplexity-filter
+    analog): per-doc mean -ln p(token) with add-1 smoothing."""
+    from auctus_spark.operators.textstats import unigram_logprob
+    out = unigram_logprob(_docs(spark, sf_dir))
+    return out.select("doc_id", "n_tokens",
+                      F.round("mean_neg_logprob", 6)
+                      .alias("mean_neg_logprob"))
+
+
+_UNIGRAM_LOGPROB_SQL = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(text), '{split}')) AS term
+  FROM documents),
+tok2 AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+c AS (SELECT term, count(*) AS c FROM tok2 GROUP BY term),
+t AS (SELECT sum(c) AS T, count(*) AS V FROM c)
+SELECT tok2.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       round(sum(-ln((c.c + 1.0) / (t.T + 1.0 * t.V))) / count(*), 6)
+         AS mean_neg_logprob
+FROM tok2 JOIN c USING (term) CROSS JOIN t
+GROUP BY tok2.doc_id
+"""
+
+
+def _q_weighted_sample(spark, sf_dir):
+    """Deterministic per-source Bernoulli sampling (training-data
+    mixing): keep iff md5(doc_id)[:8] < hex threshold(weight)."""
+    from auctus_spark.operators.sampling import weighted_sample
+    out = weighted_sample(_docs(spark, sf_dir),
+                          {"src0": 1.0, "src1": 0.6, "src2": 0.25,
+                           "src3": 0.0},
+                          default_weight=0.5)
+    return out.select("doc_id", "source")
+
+
+def _weighted_sample_sql(weights: dict[str, float],
+                         default_weight: float) -> str:
+    from auctus_spark.operators.sampling import _hex_threshold
+    cases = " ".join(f"WHEN '{s}' THEN '{_hex_threshold(w)}'"
+                     for s, w in sorted(weights.items()))
+    return f"""
+SELECT doc_id, source FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+      CASE source {cases}
+           ELSE '{_hex_threshold(default_weight)}' END
+"""
+
+
+def _q_deterministic_split(spark, sf_dir):
+    """Hash-range train/val/test assignment (80/10/10), reproducible
+    across engines / cluster sizes / repartitions."""
+    from auctus_spark.operators.sampling import deterministic_split
+    out = deterministic_split(
+        _docs(spark, sf_dir),
+        {"train": 0.8, "val": 0.1, "test": 0.1})
+    return out.select("doc_id", "split")
+
+
+def _deterministic_split_sql(fractions: dict[str, float]) -> str:
+    from auctus_spark.operators.sampling import _hex_threshold
+    names = list(fractions)
+    cum, whens = 0.0, []
+    for name in names[:-1]:
+        cum += fractions[name]
+        whens.append(f"WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)"
+                     f" < '{_hex_threshold(cum)}' THEN '{name}'")
+    return f"""
+SELECT doc_id, CASE {' '.join(whens)} ELSE '{names[-1]}' END AS split
+FROM documents
+"""
+
+
 def _q_gopher_dup_ngrams(spark, sf_dir):
     """Duplicate n-gram char fractions (n=5..10, union-of-positions)
     over documents — the remaining Gopher repetition rules."""
@@ -2246,6 +2366,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_repetition": _q_gopher_repetition,
         "gopher_dup_ngrams": _q_gopher_dup_ngrams,
         "c4_rules": _q_c4_rules,
+        "pii_redact": _q_pii_redact,
+        "unigram_logprob": _q_unigram_logprob,
+        "weighted_sample": _q_weighted_sample,
+        "deterministic_split": _q_deterministic_split,
         "image_stats": _q_image_stats,
         "admin_resolve": _q_admin_resolve,
         "function_score_boost": _q_function_score_boost,
@@ -3187,6 +3311,14 @@ def _oracle_sql_static() -> dict[str, str]:
         "image_stats": _IMAGE_STATS_SQL,
         "admin_resolve": _ADMIN_RESOLVE_SQL,
         "ann_ivf": _ANN_IVF_SQL,
+        "pii_redact": _pii_redact_sql(),
+        "unigram_logprob": _UNIGRAM_LOGPROB_SQL.format(
+            split=SPLIT_PATTERN),
+        "weighted_sample": _weighted_sample_sql(
+            {"src0": 1.0, "src1": 0.6, "src2": 0.25, "src3": 0.0},
+            default_weight=0.5),
+        "deterministic_split": _deterministic_split_sql(
+            {"train": 0.8, "val": 0.1, "test": 0.1}),
         "c4_rules": """
             WITH l AS (
               SELECT doc_id, text,

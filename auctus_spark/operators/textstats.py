@@ -527,3 +527,76 @@ def gopher_dup_ngrams(df: DataFrame, text_col: str = "text",
         thr = GOPHER_DUP_NGRAM_THRESHOLDS[n]
         keep = keep & (F.col(f"dup_{n}gram_char_frac") <= thr)
     return out.withColumn("dup_ngram_keep", keep)
+
+
+# PII patterns chosen inside the Java-regex (Spark) / RE2 (DuckDB
+# oracle) COMMON SUBSET: no lookaround, no backreferences.  The
+# published LLM-pipeline precedent is the BigScience/ROOTS and
+# FineWeb regex redaction stage (emails, IPs, phone-shaped numbers).
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+     "<EMAIL>"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+]
+
+
+def pii_redact(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Regex PII redaction (the ROOTS/FineWeb pipeline stage):
+    replaces emails, IPv4 addresses and phone-shaped numbers with
+    typed placeholders and counts each category.  Patterns are
+    applied IN ``PII_PATTERNS`` ORDER (emails first, so an address's
+    user@host never half-matches as a phone).
+
+    Returns (id, n_email, n_ipv4, n_phone, redacted) — counts are
+    match counts BEFORE redaction.  Pure scan-level JVM regex
+    expressions (regexp_count + chained regexp_replace): one pass,
+    whole-stage codegen, no Python.
+    """
+    c = F.col(text_col)
+    counts = [F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0)))
+              .alias(f"n_{name}") for name, pat, _ in PII_PATTERNS]
+    red = c
+    for _, pat, repl in PII_PATTERNS:
+        red = F.regexp_replace(red, pat, repl)
+    return df.select(F.col(id_col), *counts, red.alias("redacted"))
+
+
+def unigram_logprob(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id",
+                    alpha: float = 1.0) -> DataFrame:
+    """Corpus-LM quality proxy — the unigram analog of CCNet's
+    KenLM perplexity filter (Wenzek et al. 2020 §3.3: score each
+    document by a language model over a reference corpus; here the
+    reference is the corpus itself): p(t) = (c(t) + alpha) /
+    (T + alpha*V) with add-alpha smoothing over corpus token counts,
+    and each document scores mean(-ln p(t)) over its tokens.  Low =
+    typical text, high = gibberish/outlier — threshold or bucket it
+    exactly like a perplexity filter.
+
+    Returns (id, n_tokens, mean_neg_logprob).  Scale shape: one
+    explode + one groupBy(token) builds the count table (map-side
+    partial agg); docs join it on token (the explode is linear in
+    corpus tokens, the count table is vocabulary-sized); T and V ride
+    a 1-row broadcast crossJoin.  No driver-side state.
+    """
+    toks = _tokens(text_col)
+    ex = df.select(F.col(id_col).alias("_id"),
+                   F.explode(toks).alias("_tok"))
+    counts = ex.groupBy("_tok").agg(F.count("*").alias("_c"))
+    totals = counts.agg(F.sum("_c").alias("_T"),
+                        F.count("*").alias("_V"))
+    scored = (ex.join(counts, "_tok")
+              .crossJoin(F.broadcast(totals))
+              .select("_id",
+                      (-F.log((F.col("_c") + F.lit(float(alpha)))
+                              / (F.col("_T")
+                                 + F.lit(float(alpha)) * F.col("_V"))))
+                      .alias("_nlp")))
+    return (scored.groupBy("_id")
+            .agg(F.count("*").alias("n_tokens"),
+                 (F.sum("_nlp") / F.count("*"))
+                 .alias("mean_neg_logprob"))
+            .select(F.col("_id").alias(id_col), "n_tokens",
+                    "mean_neg_logprob"))

@@ -281,3 +281,44 @@ def test_gopher_dup_ngrams(spark):
                                  "doc_id long, text string")
     r9 = gopher_dup_ngrams(over).collect()[0]
     assert r9.dup_5gram_char_frac == pytest.approx(1.0)
+
+
+def test_pii_redact(spark):
+    """Planted PII: per-category counts + exact redacted text; docs
+    without PII pass through untouched with zero counts."""
+    from auctus_spark.operators.textstats import pii_redact
+    rows = [
+        (1, "write to alice.smith+x@mail-host.co.uk or bob@ex.io now"),
+        (2, "server at 10.0.0.1 and 192.168.255.3, call 555-123-4567"),
+        (3, "clean text with numbers 123 and dots... 1.2 only"),
+        (4, "mixed a@b.com 8.8.8.8 999.888.7777"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in pii_redact(df).collect()}
+    assert (out[1].n_email, out[1].n_ipv4, out[1].n_phone) == (2, 0, 0)
+    assert out[1].redacted == "write to <EMAIL> or <EMAIL> now"
+    assert (out[2].n_email, out[2].n_ipv4, out[2].n_phone) == (0, 2, 1)
+    assert out[2].redacted == "server at <IP> and <IP>, call <PHONE>"
+    assert (out[3].n_email, out[3].n_ipv4, out[3].n_phone) == (0, 0, 0)
+    assert out[3].redacted == rows[2][1]
+    assert out[4].redacted == "mixed <EMAIL> <IP> <PHONE>"
+
+
+def test_unigram_logprob(spark):
+    """Hand-computed 2-doc corpus: p(t) = (c+1)/(T+V); rare tokens
+    score higher (more surprising) than common ones."""
+    import math
+
+    from auctus_spark.operators.textstats import unigram_logprob
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c")], "doc_id long, text string")
+    # counts: a=3, b=1, c=1; T=5, V=3 -> denom 8
+    p = {"a": 4 / 8, "b": 2 / 8, "c": 2 / 8}
+    out = {r.doc_id: r for r in unigram_logprob(df).collect()}
+    want1 = (-math.log(p["a"]) - math.log(p["a"]) - math.log(p["b"])) / 3
+    want2 = (-math.log(p["a"]) - math.log(p["c"])) / 2
+    assert out[1].n_tokens == 3 and out[2].n_tokens == 2
+    assert abs(out[1].mean_neg_logprob - want1) < 1e-12
+    assert abs(out[2].mean_neg_logprob - want2) < 1e-12
+    assert out[2].mean_neg_logprob > out[1].mean_neg_logprob * 0 \
+        and out[1].mean_neg_logprob < out[2].mean_neg_logprob
