@@ -1846,6 +1846,92 @@ FROM documents
 """
 
 
+def _q_date_histogram(spark, sf_dir):
+    """ES date_histogram (calendar day, min_doc_count=0): dense
+    calendar axis with zero-count buckets."""
+    from auctus_spark.operators.profiling import date_histogram
+    e = _t(spark, sf_dir, "events") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    return date_histogram(e, "ts", interval="day", min_doc_count=0)
+
+
+_DATE_HISTOGRAM_SQL = """
+WITH b AS (SELECT date_trunc('day', ts) AS bucket FROM events
+           WHERE ts IS NOT NULL),
+c AS (SELECT bucket, count(*) AS count FROM b GROUP BY bucket),
+mm AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM c),
+axis AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))
+           AS bucket FROM mm)
+SELECT axis.bucket AS bucket_start,
+       CAST(coalesce(c.count, 0) AS BIGINT) AS count
+FROM axis LEFT JOIN c USING (bucket) ORDER BY bucket
+"""
+
+
+def _q_highlight(spark, sf_dir):
+    """ES highlighter (number_of_fragments=0): top-k conjunctive hits
+    with every whole-word query-term occurrence wrapped in <em>."""
+    return pipeline.highlight(_docs(spark, sf_dir), "data join",
+                              k=20, round_to=6)
+
+
+def _highlight_sql(terms: list[str], k: int = 20) -> str:
+    import re as _re
+    base = _bm25_sql(terms, k)
+    pat = (r"(?i)\b(" + "|".join(
+        _re.escape(t) for t in sorted(terms, key=len, reverse=True))
+        + r")\b")
+    return base.replace(
+        "SELECT doc_id, round(raw_score, 6) AS score\nFROM scored",
+        f"""SELECT s.doc_id, round(s.raw_score, 6) AS score,
+       regexp_replace(d.text, '{pat}', '<em>\\1</em>', 'g')
+         AS highlighted
+FROM scored s JOIN documents d ON d.doc_id = s.doc_id""").replace(
+        "ORDER BY raw_score DESC, doc_id ASC",
+        "ORDER BY s.raw_score DESC, s.doc_id ASC")
+
+
+def _q_dedup_paragraphs(spark, sf_dir):
+    """Corpus-wide paragraph dedup (C4 repeated-unit rule): shared
+    header/footer paragraphs are planted on every doc (identically in
+    the oracle); only the first (doc_id, pos) occurrence survives."""
+    from auctus_spark.operators.dedup import dedup_paragraphs
+    d = _docs(spark, sf_dir)
+    aug = F.concat(F.lit("shared boilerplate header#P#"),
+                   F.col("text"),
+                   F.lit("#P#common footer paragraph"))
+    out = dedup_paragraphs(d.withColumn("text", aug), sep="#P#")
+    return out.select("doc_id", "n_kept", "n_dropped", "text_dedup")
+
+
+_DEDUP_PARAGRAPHS_SQL = """
+WITH a AS (
+  SELECT doc_id,
+         'shared boilerplate header#P#' || text
+           || '#P#common footer paragraph' AS aug
+  FROM documents),
+p0 AS (SELECT doc_id, string_split(aug, '#P#') AS parts FROM a),
+p AS (SELECT doc_id, i AS pos, trim(parts[i]) AS norm
+      FROM p0, (SELECT unnest(generate_series(1, 100)) AS i) s
+      WHERE i <= length(parts) AND trim(parts[i]) <> ''),
+k AS (SELECT doc_id, pos, norm,
+             row_number() OVER (PARTITION BY norm
+                                ORDER BY doc_id, pos) AS rn
+      FROM p),
+kept AS (SELECT doc_id, pos, norm FROM k WHERE rn = 1),
+tot AS (SELECT doc_id, count(*) AS n_total FROM p GROUP BY doc_id),
+reb AS (SELECT doc_id, count(*) AS n_kept,
+               string_agg(norm, '#P#' ORDER BY pos) AS text_dedup
+        FROM kept GROUP BY doc_id)
+SELECT tot.doc_id,
+       CAST(coalesce(reb.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(tot.n_total - coalesce(reb.n_kept, 0) AS BIGINT)
+         AS n_dropped,
+       coalesce(reb.text_dedup, '') AS text_dedup
+FROM tot LEFT JOIN reb USING (doc_id)
+"""
+
+
 def _q_gopher_dup_ngrams(spark, sf_dir):
     """Duplicate n-gram char fractions (n=5..10, union-of-positions)
     over documents — the remaining Gopher repetition rules."""
@@ -2367,6 +2453,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_dup_ngrams": _q_gopher_dup_ngrams,
         "c4_rules": _q_c4_rules,
         "pii_redact": _q_pii_redact,
+        "date_histogram": _q_date_histogram,
+        "highlight": _q_highlight,
+        "dedup_paragraphs": _q_dedup_paragraphs,
         "unigram_logprob": _q_unigram_logprob,
         "weighted_sample": _q_weighted_sample,
         "deterministic_split": _q_deterministic_split,
@@ -3312,6 +3401,9 @@ def _oracle_sql_static() -> dict[str, str]:
         "admin_resolve": _ADMIN_RESOLVE_SQL,
         "ann_ivf": _ANN_IVF_SQL,
         "pii_redact": _pii_redact_sql(),
+        "date_histogram": _DATE_HISTOGRAM_SQL,
+        "highlight": _highlight_sql(["data", "join"]),
+        "dedup_paragraphs": _DEDUP_PARAGRAPHS_SQL,
         "unigram_logprob": _UNIGRAM_LOGPROB_SQL.format(
             split=SPLIT_PATTERN),
         "weighted_sample": _weighted_sample_sql(

@@ -574,3 +574,59 @@ def decontaminate(df: DataFrame, benchmark: DataFrame, n: int = 8,
     hits = occ.join(F.broadcast(bench_spans), "span")
     return (hits.groupBy("doc_id")
             .agg(F.count("*").alias("n_hits")))
+
+
+def dedup_paragraphs(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id",
+                     sep: str = "\n\n") -> DataFrame:
+    """Corpus-wide paragraph-level exact dedup — the C4 repeated-unit
+    rule (Raffel et al. 2020 §2.2 drop repeated three-sentence spans;
+    the deployed unit in most pipelines is the paragraph): every
+    distinct (trimmed) paragraph survives ONLY at its first
+    occurrence, first = lexicographic min of (doc id, position in
+    doc) — later copies are dropped both across documents and within
+    one.  Documents are rebuilt from their surviving paragraphs in
+    original order.
+
+    Returns (id, n_kept, n_dropped, text_dedup); a document whose
+    every paragraph was seen earlier comes back with n_kept=0 and
+    empty text (kept in the output — the caller decides whether an
+    emptied doc is removed).
+
+    Scale shape: one explode (linear in paragraphs), one
+    groupBy(paragraph) min-struct to elect winners, one join back on
+    the paragraph key, one groupBy(doc) rebuild with an array_sort —
+    no windows over the full corpus, no driver state.  Hot boilerplate
+    paragraphs concentrate on single keys like hot shingles; the
+    groupBy is an aggregation (combiner-friendly), not a join fanout,
+    so skew cost is bounded by the aggregation, and the join back is
+    paragraph-key-to-winner (1 row per distinct paragraph).
+    """
+    import re as _re
+    ex = (df.select(F.col(id_col).alias("_id"),
+                    F.posexplode(F.split(F.col(text_col),
+                                         _re.escape(sep), -1))
+                    .alias("_pos", "_para"))
+          .select("_id", "_pos", F.trim(F.col("_para")).alias("_norm"))
+          .filter(F.col("_norm") != ""))
+    winners = ex.groupBy("_norm").agg(
+        F.min(F.struct("_id", "_pos")).alias("_w"))
+    kept = (ex.join(winners, "_norm")
+            .filter((F.col("_id") == F.col("_w._id"))
+                    & (F.col("_pos") == F.col("_w._pos")))
+            .select("_id", "_pos", "_norm"))
+    totals = ex.groupBy("_id").agg(F.count("*").alias("_n_total"))
+    rebuilt = kept.groupBy("_id").agg(
+        F.count("*").alias("n_kept"),
+        F.concat_ws(sep, F.transform(
+            F.array_sort(F.collect_list(F.struct("_pos", "_norm"))),
+            lambda s: s["_norm"])).alias("text_dedup"))
+    return (totals.join(rebuilt, "_id", "left")
+            .select(F.col("_id").alias(id_col),
+                    F.coalesce(F.col("n_kept"), F.lit(0)).cast("long")
+                    .alias("n_kept"),
+                    (F.col("_n_total")
+                     - F.coalesce(F.col("n_kept"), F.lit(0)))
+                    .cast("long").alias("n_dropped"),
+                    F.coalesce(F.col("text_dedup"), F.lit(""))
+                    .alias("text_dedup")))

@@ -553,3 +553,46 @@ def hll_cardinality(df: DataFrame, col: str, p: int = 12) -> DataFrame:
         F.coalesce(F.col("_n"), F.lit(0)).cast("long")
         .alias("registers_used"),
         small.alias("exact_small"))
+
+
+def date_histogram(df: DataFrame, col: str,
+                   interval: str = "month",
+                   min_doc_count: int = 1) -> DataFrame:
+    """ES ``date_histogram`` aggregation with a calendar interval
+    (``year``/``quarter``/``month``/``week``/``day``/``hour``):
+    buckets are calendar-aligned via ``date_trunc`` (weeks start
+    Monday, the ES default), counted per bucket.  With
+    ``min_doc_count=0`` the bucket axis is DENSE like ES: every
+    calendar step between the corpus min and max appears, zeros
+    included — materialized with ``sequence()`` over the truncated
+    bounds (a few thousand rows at worst, broadcast side).
+
+    Returns (bucket_start timestamp, count long) ordered by bucket.
+    One scan + partial agg; the dense axis joins the tiny aggregated
+    table, never the raw scan."""
+    if interval not in ("year", "quarter", "month", "week", "day",
+                        "hour"):
+        raise ValueError(f"unsupported calendar interval {interval!r}")
+    b = df.select(F.date_trunc(interval, F.col(col)).alias("bucket"))
+    counts = (b.filter(F.col("bucket").isNotNull())
+              .groupBy("bucket").agg(F.count("*").alias("count")))
+    if min_doc_count <= 0:
+        step = {"year": "interval 1 year",
+                "quarter": "interval 3 month",
+                "month": "interval 1 month",
+                "week": "interval 7 day",
+                "day": "interval 1 day",
+                "hour": "interval 1 hour"}[interval]
+        bounds = counts.agg(F.min("bucket").alias("lo"),
+                            F.max("bucket").alias("hi"))
+        axis = bounds.select(F.explode(F.expr(
+            f"sequence(lo, hi, {step})")).alias("bucket"))
+        counts = (axis.join(counts, "bucket", "left")
+                  .select("bucket",
+                          F.coalesce(F.col("count"), F.lit(0))
+                          .alias("count")))
+    else:
+        counts = counts.filter(F.col("count") >= min_doc_count)
+    return (counts.select(F.col("bucket").alias("bucket_start"),
+                          F.col("count").cast("long").alias("count"))
+            .orderBy("bucket_start"))

@@ -396,6 +396,40 @@ def field_value_factor_topk(docs: DataFrame, query: str, field: str,
             .limit(k))
 
 
+def highlight(docs: DataFrame, query: str, k: int = TOP_K_SIZE,
+              pre_tag: str = "<em>", post_tag: str = "</em>",
+              id_col: str = "doc_id", text_col: str = "text",
+              round_to: int | None = None) -> DataFrame:
+    """ES highlighter in ``number_of_fragments: 0`` mode: the top-k
+    conjunctive BM25 hits come back with the WHOLE field highlighted
+    — every case-insensitive whole-word occurrence of an analyzed
+    query term wrapped in ``pre_tag``/``post_tag`` (ES default
+    ``<em>``).  Fragmenting (best-window extraction) is not
+    implemented — documented divergence; 0-fragments mode is the ES
+    option real UIs use for short fields.
+
+    Returns (doc_id, score, highlighted).  One regexp_replace over
+    the k hit rows only: the hits (tiny) broadcast-join back to the
+    doc table, the regex never runs over non-hits."""
+    import re as _re
+    terms = analyze_query(query)
+    spark = docs.sparkSession
+    if not terms:
+        return spark.createDataFrame(
+            [], f"{id_col} long, score double, highlighted string")
+    hits = bm25_topk(docs, query, k, id_col, text_col, round_to)
+    pat = (r"(?i)\b(" + "|".join(
+        _re.escape(t) for t in sorted(terms, key=len, reverse=True))
+        + r")\b")
+    return (docs.select(id_col, text_col)
+            .join(F.broadcast(hits), id_col)
+            .select(id_col, "score",
+                    F.regexp_replace(
+                        F.col(text_col), pat,
+                        f"{pre_tag}$1{post_tag}").alias("highlighted"))
+            .orderBy(F.desc("score"), F.asc(id_col)))
+
+
 def term_stats_df(docs: DataFrame, terms: list[str],
                   id_col: str = "doc_id", text_col: str = "text"
                   ) -> DataFrame:

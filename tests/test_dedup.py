@@ -367,3 +367,43 @@ def test_decontaminate_counts_distinct_spans_once(spark):
         [(0, "w x y z and again w x y z")], "doc_id long, text string")
     out = decontaminate(corpus, bench, n=4).collect()
     assert len(out) == 1 and out[0].n_hits == 1
+
+
+def test_dedup_paragraphs(spark):
+    """First-occurrence-wins across docs AND within a doc; fully
+    duplicated docs come back emptied, nothing disappears from the
+    output; rebuild preserves original paragraph order."""
+    from auctus_spark.operators.dedup import dedup_paragraphs
+    rows = [
+        (1, "alpha\n\nshared para\n\nbeta"),
+        (2, "shared para\n\ngamma\n\ngamma"),   # cross-doc + in-doc dup
+        (3, "shared para"),                      # fully duplicated
+        (4, "  alpha  \n\ndelta"),               # trim-normalized dup
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in dedup_paragraphs(df).collect()}
+    assert len(out) == 4
+    assert out[1].text_dedup == "alpha\n\nshared para\n\nbeta"
+    assert (out[1].n_kept, out[1].n_dropped) == (3, 0)
+    assert out[2].text_dedup == "gamma"
+    assert (out[2].n_kept, out[2].n_dropped) == (1, 2)
+    assert (out[3].n_kept, out[3].text_dedup) == (0, "")
+    assert out[4].text_dedup == "delta"
+
+
+def test_highlight(spark):
+    """ES 0-fragments highlighter: whole-word, case-insensitive,
+    every occurrence; partial-word matches never tagged; only
+    conjunctive hits returned."""
+    from auctus_spark import pipeline
+    rows = [(1, "Data join and DATA joins with database"),
+            (2, "join only here"),
+            (3, "data data join")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.highlighted
+           for r in pipeline.highlight(df, "data join", k=10).collect()}
+    assert set(out) == {1, 3}      # doc 2 lacks 'data' (conjunctive)
+    assert out[1] == ("<em>Data</em> <em>join</em> and <em>DATA</em> "
+                      "joins with database")   # no partial 'joins'/'database'
+    assert out[3] == "<em>data</em> <em>data</em> <em>join</em>"
+    assert pipeline.highlight(df, "", k=10).count() == 0

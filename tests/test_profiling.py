@@ -182,3 +182,21 @@ def test_hll_cardinality(spark):
     assert r0.estimate == 0.0 and r0.registers_used == 0
     with pytest.raises(ValueError):
         hll_cardinality(big, "x", p=3)
+
+
+def test_date_histogram(spark):
+    """Calendar-aligned buckets; dense axis includes zero-count days;
+    min_doc_count filters sparse buckets; bad interval rejected."""
+    import datetime as dt
+
+    from auctus_spark.operators.profiling import date_histogram
+    rows = [(dt.datetime(2024, 1, 1, 5), ), (dt.datetime(2024, 1, 1, 9),),
+            (dt.datetime(2024, 1, 4, 0),)]
+    df = spark.createDataFrame(rows, "ts timestamp")
+    dense = date_histogram(df, "ts", "day", min_doc_count=0).collect()
+    assert [(r.bucket_start.day, r["count"]) for r in dense] \
+        == [(1, 2), (2, 0), (3, 0), (4, 1)]
+    sparse = date_histogram(df, "ts", "day", min_doc_count=2).collect()
+    assert [(r.bucket_start.day, r["count"]) for r in sparse] == [(1, 2)]
+    with pytest.raises(ValueError):
+        date_histogram(df, "ts", "fortnight")
