@@ -1932,6 +1932,138 @@ FROM tot LEFT JOIN reb USING (doc_id)
 """
 
 
+def _q_composite_agg(spark, sf_dir):
+    """ES composite aggregation page 2: buckets of (o_orderpriority,
+    o_orderstatus) strictly after the cursor, tuple-ordered."""
+    from auctus_spark.operators.profiling import composite_agg
+    return composite_agg(_t(spark, sf_dir, "orders"),
+                         ["o_orderpriority", "o_orderstatus"], size=5,
+                         after={"o_orderpriority": "2-HIGH",
+                                "o_orderstatus": "F"})
+
+
+_COMPOSITE_AGG_SQL = """
+SELECT o_orderpriority, o_orderstatus,
+       CAST(count(*) AS BIGINT) AS doc_count
+FROM orders
+WHERE (o_orderpriority > '2-HIGH')
+   OR (o_orderpriority = '2-HIGH' AND o_orderstatus > 'F')
+GROUP BY o_orderpriority, o_orderstatus
+ORDER BY o_orderpriority, o_orderstatus
+LIMIT 5
+"""
+
+
+def _q_rare_terms(spark, sf_dir):
+    """ES rare_terms aggregation: the df long tail (df <= 60 — this
+    synthetic corpus has a uniform vocabulary, min df 25)."""
+    from auctus_spark.operators.profiling import rare_terms
+    return rare_terms(_docs(spark, sf_dir), max_doc_count=60, k=50)
+
+
+def _rare_terms_sql(max_doc_count: int, k: int) -> str:
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(text), '{SPLIT_PATTERN}')) AS term
+  FROM documents),
+tok2 AS (SELECT DISTINCT doc_id, term FROM tok WHERE term <> ''),
+d AS (SELECT term, count(*) AS doc_count FROM tok2 GROUP BY term)
+SELECT term, CAST(doc_count AS BIGINT) AS doc_count
+FROM d WHERE doc_count <= {max_doc_count}
+ORDER BY doc_count ASC, term ASC LIMIT {k}
+"""
+
+
+def _q_pipeline_aggs(spark, sf_dir):
+    """ES pipeline aggregations (cumulative_sum, derivative,
+    moving_fn avg window 3) over the daily date_histogram."""
+    from auctus_spark.operators.profiling import (bucket_pipeline,
+                                                  date_histogram)
+    e = _t(spark, sf_dir, "events") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    buckets = date_histogram(e, "ts", interval="day", min_doc_count=0)
+    out = bucket_pipeline(buckets, "count", "bucket_start", window=3)
+    return out.select("bucket_start", "count", "cumulative_sum",
+                      "derivative",
+                      F.round("moving_avg_3", 6).alias("moving_avg_3"))
+
+
+_PIPELINE_AGGS_SQL = """
+WITH b AS (SELECT date_trunc('day', ts) AS bucket FROM events
+           WHERE ts IS NOT NULL),
+c AS (SELECT bucket, count(*) AS count FROM b GROUP BY bucket),
+mm AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM c),
+axis AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))
+           AS bucket FROM mm),
+h AS (SELECT axis.bucket AS bucket_start,
+             CAST(coalesce(c.count, 0) AS BIGINT) AS count
+      FROM axis LEFT JOIN c USING (bucket))
+SELECT bucket_start, count,
+       CAST(sum(count) OVER (ORDER BY bucket_start
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cumulative_sum,
+       CAST(count - lag(count, 1) OVER (ORDER BY bucket_start)
+            AS BIGINT) AS derivative,
+       round(avg(count) OVER (ORDER BY bucket_start
+                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+             6) AS moving_avg_3
+FROM h
+"""
+
+
+def _q_chunk_documents(spark, sf_dir):
+    """Overlapping token-window chunking (size 40, stride 20): the
+    RAG/context-length prep step."""
+    from auctus_spark.operators.chunking import chunk_documents
+    return chunk_documents(_docs(spark, sf_dir), size=40, stride=20)
+
+
+def _chunk_documents_sql(size: int, stride: int) -> str:
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text),
+                     '{SPLIT_PATTERN}'), x -> x <> '') AS toks
+  FROM documents),
+p AS (SELECT doc_id, i - 1 AS pos, toks[i] AS tok
+      FROM t, (SELECT unnest(generate_series(1, 4096)) AS i) s
+      WHERE i <= length(toks)),
+c AS (SELECT doc_id, pos, tok,
+             unnest(generate_series(
+               greatest(0, CAST(ceil((pos - {size - 1})
+                                     / {float(stride)}) AS BIGINT)),
+               pos // {stride})) AS chunk_id
+      FROM p)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       string_agg(tok, ' ' ORDER BY pos) AS chunk_text
+FROM c GROUP BY doc_id, chunk_id
+"""
+
+
+def _q_pack_documents(spark, sf_dir):
+    """Whole-doc sequence packing: per-source streams cut into
+    500-token training sequences by start offset."""
+    from auctus_spark.operators.chunking import pack_documents
+    return pack_documents(_docs(spark, sf_dir), budget=500)
+
+
+def _pack_documents_sql(budget: int) -> str:
+    return f"""
+WITH n AS (
+  SELECT doc_id, source,
+         CAST(length(list_filter(regexp_split_to_array(lower(text),
+              '{SPLIT_PATTERN}'), x -> x <> '')) AS BIGINT) AS n_tokens
+  FROM documents)
+SELECT doc_id, source, n_tokens,
+       CAST((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tokens)
+            // {budget} AS BIGINT) AS seq_id
+FROM n
+"""
+
+
 def _q_gopher_dup_ngrams(spark, sf_dir):
     """Duplicate n-gram char fractions (n=5..10, union-of-positions)
     over documents — the remaining Gopher repetition rules."""
@@ -2456,6 +2588,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_histogram": _q_date_histogram,
         "highlight": _q_highlight,
         "dedup_paragraphs": _q_dedup_paragraphs,
+        "composite_agg": _q_composite_agg,
+        "rare_terms": _q_rare_terms,
+        "pipeline_aggs": _q_pipeline_aggs,
+        "chunk_documents": _q_chunk_documents,
+        "pack_documents": _q_pack_documents,
         "unigram_logprob": _q_unigram_logprob,
         "weighted_sample": _q_weighted_sample,
         "deterministic_split": _q_deterministic_split,
@@ -3404,6 +3541,11 @@ def _oracle_sql_static() -> dict[str, str]:
         "date_histogram": _DATE_HISTOGRAM_SQL,
         "highlight": _highlight_sql(["data", "join"]),
         "dedup_paragraphs": _DEDUP_PARAGRAPHS_SQL,
+        "composite_agg": _COMPOSITE_AGG_SQL,
+        "rare_terms": _rare_terms_sql(60, 50),
+        "pipeline_aggs": _PIPELINE_AGGS_SQL,
+        "chunk_documents": _chunk_documents_sql(40, 20),
+        "pack_documents": _pack_documents_sql(500),
         "unigram_logprob": _UNIGRAM_LOGPROB_SQL.format(
             split=SPLIT_PATTERN),
         "weighted_sample": _weighted_sample_sql(

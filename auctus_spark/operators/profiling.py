@@ -596,3 +596,82 @@ def date_histogram(df: DataFrame, col: str,
     return (counts.select(F.col("bucket").alias("bucket_start"),
                           F.col("count").cast("long").alias("count"))
             .orderBy("bucket_start"))
+
+
+def composite_agg(df: DataFrame, sources: list[str], size: int = 10,
+                  after: dict | None = None) -> DataFrame:
+    """ES ``composite`` aggregation: multi-source bucket counts with
+    cursor paging — buckets order by the source tuple ascending, and
+    ``after`` (the last bucket of the previous page, ES's
+    ``after_key``) resumes STRICTLY past that tuple.  This is the ES
+    way to stream ALL buckets of a high-cardinality group-by in
+    bounded pages; unlike from/size it never re-aggregates skipped
+    buckets.
+
+    Returns (sources..., doc_count) — the next ``size`` buckets.
+    Scale shape: one groupBy; the after-cursor is a scan predicate
+    (sargable tuple comparison pushed below the aggregation), so a
+    page deep in the keyspace still prunes at the scan.
+    """
+    if not sources:
+        raise ValueError("sources must be non-empty")
+    if after is not None and list(after) != sources:
+        raise ValueError("after keys must match sources")
+    d = df
+    if after is not None:
+        # lexicographic (s1, s2, ...) > (a1, a2, ...)
+        cond = None
+        eq = None
+        for s in sources:
+            gt = F.col(s) > F.lit(after[s])
+            this = gt if eq is None else eq & gt
+            cond = this if cond is None else cond | this
+            e = F.col(s) == F.lit(after[s])
+            eq = e if eq is None else eq & e
+        d = d.filter(cond)
+    return (d.groupBy(*sources)
+            .agg(F.count("*").alias("doc_count"))
+            .orderBy(*[F.asc(s) for s in sources])
+            .limit(size))
+
+
+def rare_terms(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id", max_doc_count: int = 1,
+               k: int = 100) -> DataFrame:
+    """ES ``rare_terms`` aggregation: terms appearing in at most
+    ``max_doc_count`` documents (the long tail a ``terms`` agg's
+    size-cap hides), ordered (df asc, term asc).  One scan: per-doc
+    distinct terms explode into one groupBy."""
+    toks = F.filter(F.split(F.lower(F.col(text_col)), SPLIT_PATTERN),
+                    lambda x: x != "")
+    per_doc = df.select(F.col(id_col).alias("_id"),
+                        F.explode(F.array_distinct(toks)).alias("term"))
+    return (per_doc.groupBy("term")
+            .agg(F.count("*").alias("doc_count"))
+            .filter(F.col("doc_count") <= max_doc_count)
+            .orderBy(F.asc("doc_count"), F.asc("term"))
+            .limit(k))
+
+
+def bucket_pipeline(buckets: DataFrame, value_col: str = "count",
+                    order_col: str = "bucket_start",
+                    window: int = 3) -> DataFrame:
+    """ES pipeline aggregations over a bucket table (the
+    date_histogram output shape): ``cumulative_sum``, ``derivative``
+    (ES: null for the first bucket) and ``moving_fn`` unweighted
+    average over the trailing ``window`` buckets (current included).
+
+    The window runs over the WHOLE bucket axis in one partition —
+    correct for pipeline aggs by definition (buckets are already the
+    aggregated, axis-sized table, thousands of rows at most), never
+    applied to raw data."""
+    from pyspark.sql import Window
+    w = Window.orderBy(F.asc(order_col))
+    v = F.col(value_col)
+    return buckets.select(
+        order_col, value_col,
+        F.sum(v).over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cumulative_sum"),
+        (v - F.lag(v, 1).over(w)).alias("derivative"),
+        F.avg(v).over(w.rowsBetween(-(window - 1), 0))
+        .alias(f"moving_avg_{window}"))

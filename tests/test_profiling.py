@@ -200,3 +200,49 @@ def test_date_histogram(spark):
     assert [(r.bucket_start.day, r["count"]) for r in sparse] == [(1, 2)]
     with pytest.raises(ValueError):
         date_histogram(df, "ts", "fortnight")
+
+
+def test_composite_agg_paging(spark):
+    """Cursor paging walks ALL buckets exactly once, tuple-ordered;
+    after-cursor is strict; mismatched after keys rejected."""
+    from auctus_spark.operators.profiling import composite_agg
+    rows = [(a, b) for a in "abc" for b in "xyz" for _ in range(2)]
+    df = spark.createDataFrame(rows, "k1 string, k2 string")
+    pages, after = [], None
+    while True:
+        page = composite_agg(df, ["k1", "k2"], size=4,
+                             after=after).collect()
+        if not page:
+            break
+        pages += [(r.k1, r.k2, r.doc_count) for r in page]
+        after = {"k1": page[-1].k1, "k2": page[-1].k2}
+    assert pages == [(a, b, 2) for a in "abc" for b in "xyz"]
+    with pytest.raises(ValueError):
+        composite_agg(df, ["k1", "k2"], after={"k1": "a"})
+    with pytest.raises(ValueError):
+        composite_agg(df, [])
+
+
+def test_rare_terms(spark):
+    """Terms with df <= max_doc_count, (df asc, term asc); in-doc
+    repeats count once (doc frequency, not collection frequency)."""
+    from auctus_spark.operators.profiling import rare_terms
+    df = spark.createDataFrame(
+        [(1, "common rare1 rare1 rare1"), (2, "common mid"),
+         (3, "common mid rare2")], "doc_id long, text string")
+    out = [(r.term, r.doc_count) for r in
+           rare_terms(df, max_doc_count=2).collect()]
+    assert out == [("rare1", 1), ("rare2", 1), ("mid", 2)]
+
+
+def test_bucket_pipeline(spark):
+    """cumulative_sum / derivative (null first) / trailing moving
+    average over a hand-built bucket axis."""
+    from auctus_spark.operators.profiling import bucket_pipeline
+    df = spark.createDataFrame(
+        [(1, 10), (2, 4), (3, 0), (4, 6)], "b long, count long")
+    out = bucket_pipeline(df, "count", "b", window=3).collect()
+    assert [r.cumulative_sum for r in out] == [10, 14, 14, 20]
+    assert [r.derivative for r in out] == [None, -6, -4, 6]
+    assert [round(r.moving_avg_3, 6) for r in out] \
+        == [10.0, 7.0, round(14 / 3, 6), round(10 / 3, 6)]
