@@ -729,6 +729,33 @@ def _q_bm25_multifield_idx(spark, sf_dir):
     return out.select("doc_id", F.round("score", 6).alias("score"))
 
 
+def _q_span_first(spark, sf_dir):
+    """ES/Lucene span_first on the positional index: docs with 'data'
+    among their first 5 tokens (constant_score rewrite)."""
+    import hashlib as _h
+    _q_bm25_phrase(spark, sf_dir)        # ensure the positional index
+    from auctus_spark.query.bm25 import PhraseEngine
+    tag = _h.md5(sf_dir.encode()).hexdigest()[:10]
+    eng = PhraseEngine(spark, f"/tmp/auctus_entry_index_pos_{tag}",
+                       term_buckets=16)
+    return eng.search_span_first("data", end=5, k=200)
+
+
+def _span_first_sql(term: str, end: int, k: int = 200) -> str:
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text),
+                     '{SPLIT_PATTERN}'), x -> x <> '') AS toks
+  FROM documents),
+m AS (SELECT DISTINCT doc_id
+      FROM t, (SELECT unnest(generate_series(1, {end})) AS i) s
+      WHERE i <= length(toks) AND toks[i] = '{term}')
+SELECT doc_id, CAST(1.0 AS DOUBLE) AS score
+FROM m ORDER BY doc_id LIMIT {k}
+"""
+
+
 def _q_bm25_phrase(spark, sf_dir):
     """match_phrase over the positional segment index (positions are
     per-posting delta+varbyte streams with block offsets, codec v3).
@@ -2605,6 +2632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "field_value_factor": _q_field_value_factor,
         "cardinality_hll": _q_cardinality_hll,
         "term_suggest": _q_term_suggest,
+        "span_first": _q_span_first,
         "temporal_histogram": _q_temporal_histogram,
         "word_histogram": _q_word_histogram,
         "numeric_profile": _q_numeric_profile,
@@ -3597,6 +3625,7 @@ def _oracle_sql_static() -> dict[str, str]:
         "cardinality_hll": _cardinality_hll_sql("l_orderkey",
                                                 "lineitem"),
         "term_suggest": _term_suggest_sql(["dta", "joinn"]),
+        "span_first": _span_first_sql("data", 5),
         "function_score_boost": f"""
             WITH tok2 AS (SELECT * FROM ({_TOK2}) WHERE term <> ''),
             hits AS (

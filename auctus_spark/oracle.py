@@ -450,6 +450,22 @@ class PositionalOracleIndex:
         idx.avgdl = (total / idx.n_docs) if idx.n_docs else 0.0
         return idx
 
+    def search_span_first(self, term: str, end: int,
+                          k: int = TOP_K_SIZE,
+                          boost: float = 1.0) -> list[tuple[int, float]]:
+        """span_first, constant_score rewrite (see
+        PhraseEngine.search_span_first): term occurs at a position p
+        with p + 1 <= end."""
+        if end <= 0:
+            return []
+        toks = tokenize(term, stem=self.stem)
+        if len(toks) != 1:
+            raise ValueError("span_first takes exactly one term")
+        post = self.postings.get(toks[0], {})
+        docs = sorted(d for d, ps in post.items()
+                      if any(p <= end - 1 for p in ps))
+        return [(d, float(boost)) for d in docs[:k]]
+
     def search_phrase(self, query: str, k: int = TOP_K_SIZE,
                       k1: float = K1, b: float = B, slop: int = 0
                       ) -> list[tuple[int, float]]:

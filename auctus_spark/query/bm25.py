@@ -1877,6 +1877,60 @@ class PhraseEngine(SearchEngine):
         return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
+    def search_span_first(self, term: str, end: int,
+                          k: int = TOP_K_SIZE,
+                          boost: float = 1.0) -> DataFrame:
+        """Lucene/ES ``span_first`` query: docs whose analyzed token
+        stream contains ``term`` at a position p with p + 1 <= end
+        (the one-term span ends within the first ``end`` positions —
+        the 'title-like terms at the front of the field' query).
+        Simplified constant_score rewrite like the other multi-term
+        queries here (documented divergence: Lucene scores
+        SpanFirstQuery through sloppyFreq); doc_id order, score ==
+        boost.
+
+        One bucket-parallel job over the positional index: the term's
+        postings prune to tombstone-masked candidates, positions
+        decode per bucket, and only the early-position test touches
+        them — no phrase machinery, no shuffle beyond the final
+        TakeOrdered."""
+        if end <= 0:
+            return self._empty()
+        toks = analyze_query(term, stem=self.stem)
+        if len(toks) != 1:
+            raise ValueError(
+                f"span_first takes exactly one analyzed term; "
+                f"{term!r} analyzed to {toks!r}")
+        t = toks[0]
+        if self.term_stats([t]).get(t, 0) == 0:
+            return self._empty()
+        segs = self._segments_for([t]).select(*self._POS_COLS)
+        tomb = self.tombstones
+        e = int(end)
+
+        def find_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+            per_term = _group_partials_pos(pdf)
+            if t not in per_term:
+                return _empty_pdf()
+            cand = _phrase_cand(per_term, [t], tomb)
+            if cand is None:
+                return _empty_pdf()
+            parts = [_phrase_occurrences(seg, cand, 0)
+                     for seg in per_term[t]]
+            ci = np.concatenate([x[0] for x in parts])
+            pos = np.concatenate([x[1] for x in parts])
+            hit = np.unique(ci[pos <= e - 1])
+            if hit.size == 0:
+                return _empty_pdf()
+            return pd.DataFrame({
+                "doc_id": cand[hit].astype(np.int64),
+                "score": np.full(hit.size, float(boost))})
+
+        local = (segs.groupBy("bucket")
+                 .applyInPandas(find_bucket,
+                                schema="doc_id long, score double"))
+        return local.orderBy(F.asc("doc_id")).limit(k)
+
     def search_phrase_prefix(self, query: str, k: int = TOP_K_SIZE,
                              max_expansions: int = 50) -> DataFrame:
         """ES ``match_phrase_prefix`` (autocomplete): the last query

@@ -1068,6 +1068,32 @@ def test_regex_literal_runs_never_drop_candidates():
         assert _regex_literal_runs(p) is None, p
 
 
+def test_span_first_matches_oracle(spark, built_positional):
+    """span_first (constant_score): doc set == oracle's
+    position-filtered postings across several end values; end<=0
+    empty; multi-term input rejected."""
+    from auctus_spark.query.bm25 import PhraseEngine
+    out, oracle, _ = built_positional
+    eng = PhraseEngine(spark, out, term_buckets=8)
+    for term, end in [("import", 1), ("import", 3), ("import", 50),
+                      ("the", 2), ("zzz_nothing", 5)]:
+        got = [(int(r.doc_id), float(r.score))
+               for r in eng.search_span_first(term, end, k=700,
+                                              boost=2.0).collect()]
+        assert got == oracle.search_span_first(term, end, k=700,
+                                               boost=2.0), (term, end)
+    assert eng.search_span_first("import", 0).count() == 0
+    # larger end is a superset; full-length end == all docs with term
+    small = {r.doc_id for r in
+             eng.search_span_first("import", 2, k=700).collect()}
+    big = {r.doc_id for r in
+           eng.search_span_first("import", 10**6, k=700).collect()}
+    assert small <= big
+    assert big == set(oracle.postings["import"])  # all docs with term
+    with pytest.raises(ValueError):
+        eng.search_span_first("two terms", 5)
+
+
 def test_term_suggester_matches_oracle(spark, built):
     """ES term suggester: per missing token, candidates within
     max_edits ranked (dist asc, df desc, term asc), size-capped;
