@@ -1663,6 +1663,36 @@ SELECT * FROM ranked WHERE rank <= {size}
 """
 
 
+def _q_term_vectors(spark, sf_dir):
+    """ES _termvectors (term_statistics=true) for five docs from the
+    segment index: per-doc (term, tf) + global df."""
+    from auctus_spark.query.bm25 import SearchEngine
+    _q_bm25_index_path(spark, sf_dir)    # ensure the index exists
+    import hashlib as _h
+    tag = _h.md5(sf_dir.encode()).hexdigest()[:10]
+    eng = SearchEngine(spark, f"/tmp/auctus_entry_index_{tag}",
+                       term_buckets=16)
+    return eng.term_vectors([1, 2, 3, 5, 8])
+
+
+def _term_vectors_sql(doc_ids: list[int]) -> str:
+    ids = ", ".join(str(d) for d in doc_ids)
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(text), '{SPLIT_PATTERN}')) AS term
+  FROM documents),
+tok2 AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok2
+       WHERE doc_id IN ({ids}) GROUP BY doc_id, term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok2
+       GROUP BY term)
+SELECT tf.doc_id, tf.term, CAST(tf.tf AS BIGINT) AS tf,
+       CAST(df.df AS BIGINT) AS df
+FROM tf JOIN df USING (term)
+"""
+
+
 def _q_cardinality_hll(spark, sf_dir):
     """ES cardinality aggregation analog: deterministic HyperLogLog
     (md5-based 60-bit hash, p=12) — registers and estimate are
@@ -2633,6 +2663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cardinality_hll": _q_cardinality_hll,
         "term_suggest": _q_term_suggest,
         "span_first": _q_span_first,
+        "term_vectors": _q_term_vectors,
         "temporal_histogram": _q_temporal_histogram,
         "word_histogram": _q_word_histogram,
         "numeric_profile": _q_numeric_profile,
@@ -3626,6 +3657,7 @@ def _oracle_sql_static() -> dict[str, str]:
                                                 "lineitem"),
         "term_suggest": _term_suggest_sql(["dta", "joinn"]),
         "span_first": _span_first_sql("data", 5),
+        "term_vectors": _term_vectors_sql([1, 2, 3, 5, 8]),
         "function_score_boost": f"""
             WITH tok2 AS (SELECT * FROM ({_TOK2}) WHERE term <> ''),
             hits AS (

@@ -745,6 +745,60 @@ class SearchEngine:
                 F.col("term").startswith(t[:prefix_length]))
         return cand
 
+    def term_vectors(self, doc_ids: list[int]) -> DataFrame:
+        """ES ``_termvectors`` analog (term_statistics=true): for each
+        requested live doc, its (term, tf) vector from the segment
+        index plus each term's GLOBAL df from the stats table.
+
+        Returns (doc_id, term, tf, df).  The index is term-major, so
+        per-doc extraction prunes segments by the doc_id_min/max
+        range columns (doc-bucketed layout → only partials whose doc
+        range overlaps a requested id decode; min/max also reach the
+        parquet row-group stats).  df joins from the term-stats scan
+        — no full-corpus recompute.  Tombstoned docs return nothing,
+        like ES after delete."""
+        ids = sorted({int(d) for d in doc_ids})
+        if not ids:
+            return self.spark.createDataFrame(
+                [], "doc_id long, term string, tf long, df long")
+        tomb = self.tombstones
+        if tomb.size:
+            pos = np.searchsorted(tomb, ids)
+            pos_c = np.minimum(pos, tomb.size - 1)
+            ids = [d for d, p in zip(ids, pos_c) if tomb[p] != d]
+            if not ids:
+                return self.spark.createDataFrame(
+                    [], "doc_id long, term string, tf long, df long")
+        rng = (F.col("doc_id_max") >= min(ids)) \
+            & (F.col("doc_id_min") <= max(ids))
+        segs = (self._seg_df.filter(rng)
+                .select("term", "docs_blob", "tfs_blob"))
+        want = np.array(ids, dtype=np.int64)
+
+        def decode(batches):
+            for pdf in batches:
+                outs = []
+                for r in pdf.itertuples(index=False):
+                    d = delta_decode(varbyte_decode(r.docs_blob))
+                    p = np.searchsorted(d, want)
+                    p_c = np.minimum(p, d.size - 1)
+                    hit = d[p_c] == want
+                    if not hit.any():
+                        continue
+                    tfs = varbyte_decode(r.tfs_blob)
+                    outs.append(pd.DataFrame(
+                        {"doc_id": want[hit], "term": r.term,
+                         "tf": tfs[p_c[hit]]}))
+                if outs:
+                    yield pd.concat(outs, ignore_index=True)
+
+        vecs = segs.mapInPandas(
+            decode, schema="doc_id long, term string, tf long")
+        stats = self._ts_df.select("term", "df")
+        return (vecs.join(stats, "term")
+                .select("doc_id", "term", F.col("tf").cast("long"),
+                        F.col("df").cast("long")))
+
     def suggest_terms(self, text: str, size: int = 5,
                       max_edits: int = 2, prefix_length: int = 1,
                       suggest_mode: str = "missing") -> DataFrame:

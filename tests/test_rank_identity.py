@@ -1094,6 +1094,38 @@ def test_span_first_matches_oracle(spark, built_positional):
         eng.search_span_first("two terms", 5)
 
 
+def test_term_vectors_matches_oracle(spark, built, tmp_path):
+    """_termvectors analog: per-doc (term, tf) + global df identical
+    to the oracle's postings; deleted docs return nothing; empty
+    request returns an empty typed frame."""
+    import shutil
+
+    from auctus_spark.index.build import delete_docs
+    from auctus_spark.query.bm25 import SearchEngine
+    out, oracle, _, _, _ = built
+    eng = SearchEngine(spark, out, term_buckets=8)
+    ids = [0, 3, 7, 599]
+
+    def py_vectors(idx, want):
+        rows = set()
+        for term, post in idx.postings.items():
+            for d in want:
+                if d in post:
+                    rows.add((d, term, post[d], len(post)))
+        return rows
+
+    got = {(r.doc_id, r.term, r.tf, r.df)
+           for r in eng.term_vectors(ids).collect()}
+    assert got == py_vectors(oracle, ids)
+    assert eng.term_vectors([]).count() == 0
+    copy = str(tmp_path / "tv_copy")
+    shutil.copytree(out, copy)
+    delete_docs(spark, copy, [3, 7])
+    eng2 = SearchEngine(spark, copy, term_buckets=8)
+    got2 = {r.doc_id for r in eng2.term_vectors(ids).collect()}
+    assert got2 == {0, 599}
+
+
 def test_term_suggester_matches_oracle(spark, built):
     """ES term suggester: per missing token, candidates within
     max_edits ranked (dist asc, df desc, term asc), size-capped;
