@@ -308,6 +308,33 @@ def _q_minhash_dedup(spark, sf_dir):
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def _q_dedup_clusters(spark, sf_dir):
+    """Connected components over the exact-Jaccard near-dup pair
+    graph: cluster_id = min reachable doc id (canonical-doc
+    election).  Engine: hash-min label propagation; oracle: the same
+    pairs via exact Jaccard, components via a recursive CTE."""
+    from auctus_spark.operators.dedup import (dedup_clusters,
+                                              minhash_dedup_pairs)
+    pairs = minhash_dedup_pairs(_docs(spark, sf_dir), threshold=0.8)
+    return dedup_clusters(pairs).orderBy("doc_id")
+
+
+def _dedup_clusters_sql(threshold: float) -> str:
+    return f"""
+WITH RECURSIVE pairs AS ({_jaccard_pairs_sql(threshold)}),
+e AS (SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs),
+nodes AS (SELECT DISTINCT a AS n FROM e),
+reach(n, m) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT r.n, e.b FROM reach r JOIN e ON e.a = r.m
+)
+SELECT n AS doc_id, min(m) AS cluster_id
+FROM reach GROUP BY n ORDER BY doc_id
+"""
+
+
 def _q_simhash(spark, sf_dir):
     from auctus_spark.operators.dedup import simhash
     return simhash(_docs(spark, sf_dir), bits=32)
@@ -1619,6 +1646,73 @@ FROM scored s JOIN documents d ON d.doc_id = s.doc_id""").replace(
         f"ORDER BY s.raw_score * {mult} DESC, s.doc_id ASC")
 
 
+def _q_cms_counts(spark, sf_dir):
+    """Count-min sketch point estimates over the token stream —
+    md5-hashed counters the oracle rebuilds identically (w=256
+    deliberately small so collisions and the min-rule are
+    exercised)."""
+    from auctus_spark.operators.profiling import cms_estimates
+    toks = _docs(spark, sf_dir).select(
+        F.explode(F.filter(F.split(F.lower(F.col("text")),
+                                   SPLIT_PATTERN),
+                           lambda x: x != "")).alias("tok"))
+    return cms_estimates(toks, "tok",
+                         ["data", "join", "the", "zzz_absent"],
+                         w=256, d=4)
+
+
+def _cms_counts_sql(keys: list[str], w: int, d: int) -> str:
+    kvals = ", ".join(f"('{k}')" for k in keys)
+    h = (f"('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || v), 1, 15))"
+         f"::BIGINT % {w}")
+    return f"""
+WITH tok AS (
+  SELECT unnest(regexp_split_to_array(lower(text), '{SPLIT_PATTERN}')) AS v
+  FROM documents),
+tok2 AS (SELECT v FROM tok WHERE v <> ''),
+s AS (SELECT unnest(generate_series(0, {d - 1})) AS i),
+c AS (SELECT i, {h} AS b, count(*) AS cnt
+      FROM tok2, s GROUP BY i, b),
+k AS (SELECT key, i, {h.replace("|| v", "|| key")} AS b
+      FROM (VALUES {kvals}) t(key), s)
+SELECT key, CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS estimate
+FROM k LEFT JOIN c USING (i, b) GROUP BY key
+"""
+
+
+def _q_bloom_contains(spark, sf_dir):
+    """Bloom-filter membership over the token vocabulary: present
+    tokens always true, an absent probe answers by the shared bits."""
+    from auctus_spark.operators.profiling import bloom_contains
+    toks = _docs(spark, sf_dir).select(
+        F.explode(F.filter(F.split(F.lower(F.col("text")),
+                                   SPLIT_PATTERN),
+                           lambda x: x != "")).alias("tok"))
+    return bloom_contains(toks, "tok",
+                          ["data", "join", "zzz_absent", "qq_nope"],
+                          m=4096, k=4)
+
+
+def _bloom_contains_sql(keys: list[str], m: int, k: int) -> str:
+    kvals = ", ".join(f"('{key}')" for key in keys)
+    h = (f"('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || v), 1, 15))"
+         f"::BIGINT % {m}")
+    return f"""
+WITH tok AS (
+  SELECT unnest(regexp_split_to_array(lower(text), '{SPLIT_PATTERN}')) AS v
+  FROM documents),
+tok2 AS (SELECT v FROM tok WHERE v <> ''),
+s AS (SELECT unnest(generate_series(0, {k - 1})) AS i),
+bits AS (SELECT DISTINCT {h} AS b FROM tok2, s),
+probe AS (SELECT key, i, {h.replace("|| v", "|| key")} AS b
+          FROM (VALUES {kvals}) t(key), s),
+hit AS (SELECT key, count(*) AS nh FROM probe
+        WHERE b IN (SELECT b FROM bits) GROUP BY key)
+SELECT t.key, coalesce(hit.nh, 0) = {k} AS maybe_present
+FROM (VALUES {kvals}) t(key) LEFT JOIN hit ON hit.key = t.key
+"""
+
+
 def _q_term_suggest(spark, sf_dir):
     """ES term suggester ("did you mean") on the segment index:
     per missing token, dictionary terms within 2 edits ranked
@@ -2664,6 +2758,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_suggest": _q_term_suggest,
         "span_first": _q_span_first,
         "term_vectors": _q_term_vectors,
+        "dedup_clusters": _q_dedup_clusters,
+        "cms_counts": _q_cms_counts,
+        "bloom_contains": _q_bloom_contains,
         "temporal_histogram": _q_temporal_histogram,
         "word_histogram": _q_word_histogram,
         "numeric_profile": _q_numeric_profile,
@@ -3658,6 +3755,11 @@ def _oracle_sql_static() -> dict[str, str]:
         "term_suggest": _term_suggest_sql(["dta", "joinn"]),
         "span_first": _span_first_sql("data", 5),
         "term_vectors": _term_vectors_sql([1, 2, 3, 5, 8]),
+        "dedup_clusters": _dedup_clusters_sql(0.8),
+        "cms_counts": _cms_counts_sql(
+            ["data", "join", "the", "zzz_absent"], 256, 4),
+        "bloom_contains": _bloom_contains_sql(
+            ["data", "join", "zzz_absent", "qq_nope"], 4096, 4),
         "function_score_boost": f"""
             WITH tok2 AS (SELECT * FROM ({_TOK2}) WHERE term <> ''),
             hits AS (

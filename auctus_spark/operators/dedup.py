@@ -630,3 +630,62 @@ def dedup_paragraphs(df: DataFrame, text_col: str = "text",
                     .cast("long").alias("n_dropped"),
                     F.coalesce(F.col("text_dedup"), F.lit(""))
                     .alias("text_dedup")))
+
+
+def dedup_clusters(pairs: DataFrame, left: str = "id_a",
+                   right: str = "id_b",
+                   max_iterations: int = 20) -> DataFrame:
+    """Connected components over a near-duplicate PAIR graph — the
+    step between pair generation (minhash / simhash / embedding LSH)
+    and canonical-document selection: every node gets
+    ``cluster_id = min(doc id reachable from it)``, so each duplicate
+    cluster elects its smallest id as canonical and `keep = (doc_id
+    == cluster_id)` implements keep-one-per-cluster.
+
+    Hash-min label propagation: labels start as each node's own id;
+    every iteration a node takes the min of its label and its
+    neighbors' labels.  Converges in O(graph diameter) iterations —
+    near-dup clusters are dense and shallow (diameter a handful),
+    NOT chains, so the default cap is generous; raises RuntimeError
+    if the cap is hit (pathological chain input).
+
+    Scale shape: the loop is driver-side CONTROL FLOW only — each
+    iteration is one distributed join (edges x labels) + one groupBy
+    min, and the convergence probe is a 1-row aggregate comparing
+    sum(label) (strictly decreasing until fixpoint, constant at it).
+    Labels are localCheckpoint-ed each iteration: without lineage
+    truncation an iterative DataFrame loop re-plans the whole chain
+    every step and the plan grows superlinearly — the checkpoint
+    keeps iteration i's plan O(1), the standard Spark iterative
+    pattern (GraphFrames does the same).
+
+    Returns (node, cluster_id) with ``node`` named after ``left``'s
+    element type — column names (doc_id, cluster_id).
+    """
+    e = (pairs.select(F.col(left).alias("src"),
+                      F.col(right).alias("dst"))
+         .union(pairs.select(F.col(right).alias("src"),
+                             F.col(left).alias("dst"))))
+    e = e.persist()
+    labels = (e.select(F.col("src").alias("doc_id")).distinct()
+              .withColumn("cluster_id", F.col("doc_id"))
+              .localCheckpoint())
+    prev_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
+    for _ in range(max_iterations):
+        neigh = (e.join(labels,
+                        e["dst"] == labels["doc_id"])
+                 .select(F.col("src").alias("doc_id"),
+                         F.col("cluster_id")))
+        labels = (labels.unionByName(neigh)
+                  .groupBy("doc_id")
+                  .agg(F.min("cluster_id").alias("cluster_id"))
+                  .localCheckpoint())
+        new_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
+        if new_sum == prev_sum:
+            e.unpersist()
+            return labels
+        prev_sum = new_sum
+    e.unpersist()
+    raise RuntimeError(
+        f"dedup_clusters did not converge in {max_iterations} "
+        "iterations — pathological chain graph; raise max_iterations")

@@ -675,3 +675,83 @@ def bucket_pipeline(buckets: DataFrame, value_col: str = "count",
         (v - F.lag(v, 1).over(w)).alias("derivative"),
         F.avg(v).over(w.rowsBetween(-(window - 1), 0))
         .alias(f"moving_avg_{window}"))
+
+
+def _md5_hash_expr(i: int, col, mod: int):
+    """The shared cross-engine hash: first 60 bits of
+    md5('<i>:' || value) mod ``mod`` — identical in Spark, DuckDB
+    and Python's hashlib, so sketches built on it are re-derivable
+    anywhere."""
+    return (F.conv(F.substring(
+        F.md5(F.concat(F.lit(f"{i}:"), col.cast("string"))), 1, 15),
+        16, 10).cast("long") % mod)
+
+
+def _md5_hash_py(i: int, value, mod: int) -> int:
+    import hashlib
+    h = hashlib.md5(f"{i}:{value}".encode()).hexdigest()[:15]
+    return int(h, 16) % mod
+
+
+def cms_estimates(df: DataFrame, col: str, keys: list,
+                  w: int = 1024, d: int = 4) -> DataFrame:
+    """Count-min sketch point estimates (Cormode & Muthukrishnan
+    2005): d rows of w counters, each row keyed by an independent
+    md5-derived hash; estimate(key) = min over rows of the key's
+    counter.  One-sided error — estimate >= true count ALWAYS, with
+    overshoot <= 2N/w at probability 1-2^-d.  Like
+    :func:`hll_cardinality`, the hash is engine-neutral md5, so the
+    DuckDB oracle rebuilds the identical counters and estimates.
+
+    Returns (key string, estimate long).  Scale shape: ONE scan
+    explodes each row into its d (row, bucket) pairs -> groupBy
+    (map-side combine) onto a <= w*d-row counter table; the probe
+    keys' buckets are computed driver-side (same md5) and
+    broadcast-joined.
+    """
+    if w <= 0 or d <= 0:
+        raise ValueError("w and d must be positive")
+    spark = df.sparkSession
+    pairs = df.select(F.explode(F.array(*[
+        F.struct(F.lit(i).alias("i"),
+                 _md5_hash_expr(i, F.col(col), w).alias("b"))
+        for i in range(d)])).alias("s")).select("s.i", "s.b")
+    counters = pairs.groupBy("i", "b").agg(F.count("*").alias("cnt"))
+    probe = spark.createDataFrame(
+        [(str(k), i, _md5_hash_py(i, k, w))
+         for k in keys for i in range(d)],
+        "key string, i int, b long")
+    return (probe.join(counters, ["i", "b"], "left")
+            .groupBy("key")
+            .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+                 .cast("long").alias("estimate")))
+
+
+def bloom_contains(df: DataFrame, col: str, keys: list,
+                   m: int = 4096, k: int = 4) -> DataFrame:
+    """Bloom-filter membership (Bloom 1970): k md5-derived bit
+    positions per value over an m-bit filter; a probe key is
+    maybe-present iff ALL its k bits are set.  No false negatives
+    ever; false-positive rate ~(1-e^{-kn/m})^k.  The filter is
+    materialized as its SET-BIT table (<= m rows) — engine-neutral,
+    so the oracle rebuilds it bit-for-bit.
+
+    Returns (key string, maybe_present boolean).  One scan, <= m-row
+    distinct-bit table, broadcast probe join.
+    """
+    if m <= 0 or k <= 0:
+        raise ValueError("m and k must be positive")
+    spark = df.sparkSession
+    bits = (df.select(F.explode(F.array(*[
+        _md5_hash_expr(i, F.col(col), m) for i in range(k)]))
+        .alias("b")).distinct())
+    probe = spark.createDataFrame(
+        [(str(key), i, _md5_hash_py(i, key, m))
+         for key in keys for i in range(k)],
+        "key string, i int, b long")
+    return (probe.join(bits, "b", "left_semi")
+            .groupBy("key").agg(F.count("*").alias("_hits"))
+            .join(probe.select("key").distinct(), "key", "right")
+            .select("key",
+                    (F.coalesce(F.col("_hits"), F.lit(0)) == k)
+                    .alias("maybe_present")))

@@ -407,3 +407,29 @@ def test_highlight(spark):
                       "joins with database")   # no partial 'joins'/'database'
     assert out[3] == "<em>data</em> <em>data</em> <em>join</em>"
     assert pipeline.highlight(df, "", k=10).count() == 0
+
+
+def test_dedup_clusters(spark):
+    """Hash-min components: min reachable id labels every node; two
+    disjoint components stay separate; a long chain under a tiny
+    iteration cap raises instead of returning wrong labels."""
+    import pytest as _pytest
+
+    from auctus_spark.operators.dedup import dedup_clusters
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (2, 4)],
+        "id_a long, id_b long")
+    got = {r.doc_id: r.cluster_id
+           for r in dedup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10}
+    # keep-one-per-cluster: canonical == cluster_id
+    canon = {d for d, c in got.items() if d == c}
+    assert canon == {1, 10}
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id_a long, id_b long")
+    with _pytest.raises(RuntimeError):
+        dedup_clusters(chain, max_iterations=3)
+    # a chain converges given enough iterations
+    got2 = {r.doc_id: r.cluster_id
+            for r in dedup_clusters(chain, max_iterations=15).collect()}
+    assert set(got2.values()) == {0} and len(got2) == 13

@@ -246,3 +246,44 @@ def test_bucket_pipeline(spark):
     assert [r.derivative for r in out] == [None, -6, -4, 6]
     assert [round(r.moving_avg_3, 6) for r in out] \
         == [10.0, 7.0, round(14 / 3, 6), round(10 / 3, 6)]
+
+
+def test_cms_estimates(spark):
+    """Count-min: estimate >= true count ALWAYS (one-sided), exact at
+    generous width, monotonically tighter with more hash rows."""
+    from auctus_spark.operators.profiling import cms_estimates
+    rows = [("a",)] * 100 + [("b",)] * 10 + [("c",)] * 1
+    df = spark.createDataFrame(rows, "v string")
+    truth = {"a": 100, "b": 10, "c": 1, "zz": 0}
+    wide = {r.key: r.estimate for r in
+            cms_estimates(df, "v", list(truth), w=4096, d=4).collect()}
+    assert wide == truth                       # no collisions at w=4096
+    tight = {r.key: r.estimate for r in
+             cms_estimates(df, "v", list(truth), w=4, d=4).collect()}
+    assert all(tight[k] >= truth[k] for k in truth)   # one-sided
+    d1 = {r.key: r.estimate for r in
+          cms_estimates(df, "v", list(truth), w=4, d=1).collect()}
+    assert all(tight[k] <= d1[k] for k in truth)      # min over rows
+    with pytest.raises(ValueError):
+        cms_estimates(df, "v", ["a"], w=0)
+
+
+def test_bloom_contains(spark):
+    """Bloom: NO false negatives ever; tiny filter saturates to
+    all-true (the documented failure direction); absent keys answer
+    false at sane sizing."""
+    from auctus_spark.operators.profiling import bloom_contains
+    df = spark.createDataFrame([(f"v{i}",) for i in range(50)],
+                               "v string")
+    present = [f"v{i}" for i in range(0, 50, 7)]
+    absent = ["nope1", "nope2", "nope3"]
+    got = {r.key: r.maybe_present for r in
+           bloom_contains(df, "v", present + absent,
+                          m=4096, k=4).collect()}
+    assert all(got[p] for p in present)        # no false negatives
+    assert not any(got[a] for a in absent)     # m=4096, n=50: clean
+    sat = {r.key: r.maybe_present for r in
+           bloom_contains(df, "v", absent, m=2, k=1).collect()}
+    assert all(sat.values())                   # saturated filter
+    with pytest.raises(ValueError):
+        bloom_contains(df, "v", ["a"], m=4096, k=0)
