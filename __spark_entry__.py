@@ -1997,6 +1997,110 @@ FROM documents
 """
 
 
+def _q_collapse(spark, sf_dir):
+    """ES field collapsing: best hit per lang, re-ranked."""
+    out = pipeline.collapse_topk(_docs(spark, sf_dir), "data join",
+                                 "lang", k=10, round_to=6)
+    return out
+
+
+def _collapse_sql(terms: list[str], k: int = 10) -> str:
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(text), '{SPLIT_PATTERN}')) AS term
+  FROM documents
+), tok2 AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok2 GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT count(*) FROM tok2) * 1.0
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok2
+  WHERE term IN ({tlist}) GROUP BY doc_id, term
+),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         round(sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * (tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl
+                                        / s.avgdl)))), 6) AS score,
+         count(*) AS nt
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  GROUP BY tf.doc_id
+),
+hits AS (SELECT s.doc_id, d.lang, s.score
+         FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+         WHERE s.nt = {len(terms)}),
+best AS (SELECT doc_id, lang, score,
+                row_number() OVER (PARTITION BY lang
+                  ORDER BY score DESC, doc_id ASC) AS rn
+         FROM hits)
+SELECT doc_id, lang, score FROM best WHERE rn = 1
+ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+
+
+def _q_search_after(spark, sf_dir):
+    """ES search_after deep paging: next 10 hits strictly after the
+    (0.35, 0) cursor — the skipped prefix is a predicate, not
+    materialized rows."""
+    return pipeline.search_after_topk(_docs(spark, sf_dir),
+                                      "data join", after_score=0.35,
+                                      after_id=0, k=10)
+
+
+def _search_after_sql(terms: list[str], after_score: float,
+                      after_id: int, k: int = 10) -> str:
+    base = _bm25_sql(terms, 10 ** 9)
+    return base.replace(
+        f"FROM scored WHERE nt = {len(terms)}",
+        f"""FROM scored WHERE nt = {len(terms)}
+  AND (round(raw_score, 6) < {after_score}
+       OR (round(raw_score, 6) = {after_score}
+           AND doc_id > {after_id}))""").replace(
+        "ORDER BY raw_score DESC, doc_id ASC LIMIT 1000000000",
+        f"ORDER BY round(raw_score, 6) DESC, doc_id ASC LIMIT {k}")
+
+
+def _q_geo_distance(spark, sf_dir):
+    """ES geo_distance query: customers (deterministic derived
+    coordinates) within 1500 km of (10, 20), exact haversine over a
+    bbox pre-filter."""
+    from auctus_spark.operators.geo import geo_distance_filter
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        ((F.col("c_custkey") % 80) - 40).cast("double").alias("lat"),
+        (((F.col("c_custkey") * 7) % 160) - 80).cast("double")
+        .alias("lon"))
+    out = geo_distance_filter(c, "lat", "lon", origin_lat=10.0,
+                              origin_lon=20.0, radius_km=1500.0)
+    return out.select("c_custkey", "lat", "lon",
+                      F.round("distance_km", 6).alias("distance_km"))
+
+
+_GEO_DISTANCE_SQL = """
+WITH c AS (
+  SELECT c_custkey,
+         CAST((c_custkey % 80) - 40 AS DOUBLE) AS lat,
+         CAST(((c_custkey * 7) % 160) - 80 AS DOUBLE) AS lon
+  FROM customer),
+d AS (
+  SELECT c_custkey, lat, lon,
+         2.0 * 6371.0088 * asin(sqrt(
+           sin(radians(10.0 - lat) / 2) * sin(radians(10.0 - lat) / 2)
+           + cos(radians(lat)) * cos(radians(10.0))
+             * sin(radians(20.0 - lon) / 2)
+             * sin(radians(20.0 - lon) / 2))) AS distance_km
+  FROM c)
+SELECT c_custkey, lat, lon, round(distance_km, 6) AS distance_km
+FROM d WHERE distance_km <= 1500.0
+"""
+
+
 def _q_date_histogram(spark, sf_dir):
     """ES date_histogram (calendar day, min_doc_count=0): dense
     calendar axis with zero-count buckets."""
@@ -2761,6 +2865,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,
         "cms_counts": _q_cms_counts,
         "bloom_contains": _q_bloom_contains,
+        "collapse_by_field": _q_collapse,
+        "search_after": _q_search_after,
+        "geo_distance": _q_geo_distance,
         "temporal_histogram": _q_temporal_histogram,
         "word_histogram": _q_word_histogram,
         "numeric_profile": _q_numeric_profile,
@@ -3758,6 +3865,9 @@ def _oracle_sql_static() -> dict[str, str]:
         "dedup_clusters": _dedup_clusters_sql(0.8),
         "cms_counts": _cms_counts_sql(
             ["data", "join", "the", "zzz_absent"], 256, 4),
+        "collapse_by_field": _collapse_sql(["data", "join"]),
+        "search_after": _search_after_sql(["data", "join"], 0.35, 0),
+        "geo_distance": _GEO_DISTANCE_SQL,
         "bloom_contains": _bloom_contains_sql(
             ["data", "join", "zzz_absent", "qq_nope"], 4096, 4),
         "function_score_boost": f"""

@@ -378,3 +378,47 @@ class GeohashAABSketch:
 
     def get_hashes_json(self) -> list[dict]:
         return [{"hash": h, "number": n} for h, n in self.get_hashes()]
+
+
+EARTH_RADIUS_KM = 6371.0088  # IUGG mean radius, the ES default
+
+
+def haversine_km(lat1, lon1, lat2, lon2):
+    """Great-circle distance (haversine) as a Column expression —
+    2R·asin(sqrt(sin²(Δφ/2) + cosφ1·cosφ2·sin²(Δλ/2))), all JVM-side
+    trig (whole-stage codegen; ±1-ulp vs libm, documented)."""
+    p1, p2 = F.radians(lat1), F.radians(lat2)
+    dphi = F.radians(lat2 - lat1) / 2
+    dlmb = F.radians(lon2 - lon1) / 2
+    a = (F.sin(dphi) * F.sin(dphi)
+         + F.cos(p1) * F.cos(p2) * F.sin(dlmb) * F.sin(dlmb))
+    return F.lit(2.0 * EARTH_RADIUS_KM) * F.asin(F.sqrt(a))
+
+
+def geo_distance_filter(df: DataFrame, lat_col: str, lon_col: str,
+                        origin_lat: float, origin_lon: float,
+                        radius_km: float) -> DataFrame:
+    """ES ``geo_distance`` query: rows within ``radius_km`` of the
+    origin (haversine over the ES-default mean earth radius), with
+    the distance added as ``distance_km``.
+
+    Scale shape: a cheap bounding-box PRE-FILTER (±radius in degrees,
+    longitude widened by cos(lat) — always a superset of the disc)
+    runs first so the trig only evaluates on candidates and the
+    lat/lon range predicates push down to the parquet scan; the exact
+    haversine confirms."""
+    import math
+    dlat = math.degrees(radius_km / EARTH_RADIUS_KM)
+    coslat = math.cos(math.radians(origin_lat))
+    dlon = 180.0 if coslat <= 1e-9 else min(
+        180.0, math.degrees(radius_km / (EARTH_RADIUS_KM * coslat)))
+    box = (F.col(lat_col).between(origin_lat - dlat,
+                                  origin_lat + dlat)
+           & F.col(lon_col).between(origin_lon - dlon,
+                                    origin_lon + dlon))
+    dist = haversine_km(F.col(lat_col), F.col(lon_col),
+                        F.lit(float(origin_lat)),
+                        F.lit(float(origin_lon)))
+    return (df.filter(box)
+            .withColumn("distance_km", dist)
+            .filter(F.col("distance_km") <= float(radius_km)))

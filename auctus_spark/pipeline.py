@@ -396,6 +396,101 @@ def field_value_factor_topk(docs: DataFrame, query: str, field: str,
             .limit(k))
 
 
+def collapse_topk(docs: DataFrame, query: str, collapse_col: str,
+                  k: int = TOP_K_SIZE, id_col: str = "doc_id",
+                  text_col: str = "text",
+                  round_to: int | None = None) -> DataFrame:
+    """ES field collapsing (``collapse``): the top-k hits keep only
+    the BEST document per ``collapse_col`` value (score desc, doc_id
+    asc within a group — Lucene's collapse tie-break), the result
+    re-ordered like a normal hit list.  The search-result
+    diversification primitive (one hit per repo/domain/source).
+
+    Returns (doc_id, collapse value, score).  Scale shape: the
+    conjunctive scorer's single scan, then ONE window partitioned by
+    the collapse key (distributed by key — no global window), then
+    the usual TakeOrdered."""
+    from pyspark.sql import Window
+    spark = docs.sparkSession
+    terms = analyze_query(query)
+    empty = spark.createDataFrame(
+        [], f"{id_col} long, {collapse_col} string, score double")
+    if not terms:
+        return empty
+    n_docs, avgdl, dfs = _query_stats(docs, terms, text_col)
+    if n_docs == 0 or any(d == 0 for d in dfs):
+        return empty
+    idfs = [bm25_idf(n_docs, d) for d in dfs]
+    qarr = F.array(*[F.lit(t) for t in terms])
+    cond = (F.size(F.array_intersect(_toks(F.col(text_col)), qarr))
+            == len(terms))
+    per_doc = (docs.filter(cond)
+               .select(F.col(id_col).alias("doc_id"),
+                       F.col(collapse_col),
+                       _toks(F.col(text_col)).alias("_toks"))
+               .select("doc_id", collapse_col,
+                       F.size("_toks").alias("_dl"),
+                       *[_tf(i, t) for i, t in enumerate(terms)]))
+    score = _score_expr(terms, idfs, avgdl)
+    if round_to is not None:
+        score = F.round(score, round_to)
+    scored = per_doc.select("doc_id", collapse_col,
+                            score.alias("score"))
+    w = Window.partitionBy(collapse_col).orderBy(
+        F.desc("score"), F.asc("doc_id"))
+    return (scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1).drop("_rn")
+            .select(F.col("doc_id").alias(id_col), collapse_col,
+                    "score")
+            .orderBy(F.desc("score"), F.asc(id_col))
+            .limit(k))
+
+
+def search_after_topk(docs: DataFrame, query: str,
+                      after_score: float, after_id: int,
+                      k: int = TOP_K_SIZE, id_col: str = "doc_id",
+                      text_col: str = "text",
+                      round_to: int | None = 6) -> DataFrame:
+    """ES ``search_after`` deep paging: the next k hits STRICTLY
+    after the (score, doc_id) cursor in (score desc, doc_id asc)
+    order — unlike from/size, the skipped prefix is a scan predicate,
+    not materialized-and-dropped rows, so page 1000 costs the same as
+    page 1.
+
+    The cursor compares on the ROUNDED score (``round_to``, default
+    6) — the cross-engine-stable sort key this repo's gates use;
+    pass the previous page's last (score, doc_id) back in, exactly
+    like ES's ``sort`` values."""
+    spark = docs.sparkSession
+    terms = analyze_query(query)
+    empty = spark.createDataFrame([], f"{id_col} long, score double")
+    if not terms:
+        return empty
+    n_docs, avgdl, dfs = _query_stats(docs, terms, text_col)
+    if n_docs == 0 or any(d == 0 for d in dfs):
+        return empty
+    idfs = [bm25_idf(n_docs, d) for d in dfs]
+    qarr = F.array(*[F.lit(t) for t in terms])
+    cond = (F.size(F.array_intersect(_toks(F.col(text_col)), qarr))
+            == len(terms))
+    per_doc = (docs.filter(cond)
+               .select(F.col(id_col).alias("doc_id"),
+                       _toks(F.col(text_col)).alias("_toks"))
+               .select("doc_id", F.size("_toks").alias("_dl"),
+                       *[_tf(i, t) for i, t in enumerate(terms)]))
+    score = _score_expr(terms, idfs, avgdl)
+    if round_to is not None:
+        score = F.round(score, round_to)
+    scored = per_doc.select("doc_id", score.alias("score"))
+    s, d = float(after_score), int(after_id)
+    cursor = (F.col("score") < F.lit(s)) | \
+        ((F.col("score") == F.lit(s)) & (F.col("doc_id") > F.lit(d)))
+    return (scored.filter(cursor)
+            .select(F.col("doc_id").alias(id_col), "score")
+            .orderBy(F.desc("score"), F.asc(id_col))
+            .limit(k))
+
+
 def highlight(docs: DataFrame, query: str, k: int = TOP_K_SIZE,
               pre_tag: str = "<em>", post_tag: str = "</em>",
               id_col: str = "doc_id", text_col: str = "text",

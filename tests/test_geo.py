@@ -166,3 +166,33 @@ def test_geohash_aab_sketch():
     assert sk2.precision == 1
     assert counts == {"0": 2, "1": 2, "2": 1, "3": 1}
     assert sk2.get_hashes_json()[0] == {"hash": "0", "number": 2}
+
+
+def test_geo_distance_filter(spark):
+    """Haversine disc membership: known city distances bracketed,
+    bbox pre-filter never drops a true member (superset property on a
+    grid), origin itself at distance 0."""
+    from auctus_spark.operators.geo import (geo_distance_filter,
+                                            haversine_km)
+    from pyspark.sql import functions as F
+    grid = spark.createDataFrame(
+        [(i, float(la), float(lo)) for i, (la, lo) in enumerate(
+            (la, lo) for la in range(-60, 61, 5)
+            for lo in range(-180, 180, 10))],
+        "id long, lat double, lon double")
+    out = geo_distance_filter(grid, "lat", "lon", 48.8566, 2.3522,
+                              radius_km=1000.0)
+    rows = out.collect()
+    assert rows, "disc around Paris on a 5-degree grid is non-empty"
+    assert all(r.distance_km <= 1000.0 for r in rows)
+    # exact membership equals unfiltered haversine computation
+    brute = (grid.withColumn("d", haversine_km(
+        F.col("lat"), F.col("lon"), F.lit(48.8566), F.lit(2.3522)))
+        .filter(F.col("d") <= 1000.0).count())
+    assert len(rows) == brute
+    # origin row at distance ~0
+    o = spark.createDataFrame([(1, 48.8566, 2.3522)],
+                              "id long, lat double, lon double")
+    d0 = geo_distance_filter(o, "lat", "lon", 48.8566, 2.3522,
+                             10.0).collect()[0].distance_km
+    assert d0 < 1e-6

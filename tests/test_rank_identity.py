@@ -1235,3 +1235,39 @@ def test_more_like_this_filters(spark, built):
     assert eng.more_like_this(like, min_term_freq=10**6).count() == 0
     # max_doc_freq=0 excludes every indexed term
     assert eng.more_like_this(like, max_doc_freq=0).count() == 0
+
+
+def test_collapse_and_search_after(spark, built):
+    """Field collapsing keeps exactly the best (score desc, id asc)
+    hit per group; search_after pages are disjoint, ordered, and
+    their union equals the full hit list."""
+    from pyspark.sql import functions as F
+
+    from auctus_spark import pipeline
+    _, oracle, _, corpus, _ = built
+    docs = corpus.withColumn("grp",
+                             (F.col("doc_id") % 5).cast("string"))
+    full = oracle.search("import data", k=10**9)
+    # collapse: best per group from the oracle list
+    want = {}
+    for d, s in full:  # already (score desc, id asc)
+        g = str(d % 5)
+        want.setdefault(g, (d, round(s, 6)))
+    got = {r.grp: (r.doc_id, r.score)
+           for r in pipeline.collapse_topk(
+               docs, "import data", "grp", k=100, round_to=6,
+               text_col="content").collect()}
+    assert got == want
+    # search_after: walk pages of 7, reassemble the full list
+    rounded = [(d, round(s, 6)) for d, s in full]
+    rounded.sort(key=lambda x: (-x[1], x[0]))
+    pages, cursor = [], (float("inf"), -1)
+    while True:
+        page = pipeline.search_after_topk(
+            docs, "import data", after_score=cursor[0],
+            after_id=cursor[1], k=7, text_col="content").collect()
+        if not page:
+            break
+        pages += [(r.doc_id, r.score) for r in page]
+        cursor = (page[-1].score, page[-1].doc_id)
+    assert pages == rounded
