@@ -72,7 +72,14 @@ def _regex_literal_runs(pattern: str) -> list[str] | None:
     while i < n:
         c = pattern[i]
         if c == "[":
-            j = pattern.find("]", i + 1)
+            # a ']' immediately after '[' (or '[^') is a literal
+            # class member, not the terminator (regex grammar)
+            j = i + 1
+            if j < n and pattern[j] == "^":
+                j += 1
+            if j < n and pattern[j] == "]":
+                j += 1
+            j = pattern.find("]", j)
             if j < 0:
                 return None  # malformed — let the regex engine error
             if cur:

@@ -1066,6 +1066,15 @@ def test_regex_literal_runs_never_drop_candidates():
     # explicit fallbacks
     for p in ["a|b", "(ab)c", "a\\d", "^ab", "ab$"]:
         assert _regex_literal_runs(p) is None, p
+    # ']' as first class member is a literal, not the terminator —
+    # the run extractor must not leak class innards into runs
+    for pat, match in [("[]x]ab", "]ab"), ("x[]]y", "x]y")]:
+        runs = _regex_literal_runs(pat)
+        assert runs is not None
+        for r in runs:
+            assert r in match, (pat, runs)
+    # negated classes contain '^' and take the conservative fallback
+    assert _regex_literal_runs("[^]x]ab") is None
 
 
 def test_span_first_matches_oracle(spark, built_positional):
