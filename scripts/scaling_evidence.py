@@ -35,8 +35,14 @@ print("RESULT", json.dumps(r["build_sec"]))
 """
     argv = [sys.executable, "-c", code]
     if pin_cpus:
-        argv = ["taskset", "-c", f"0-{cores - 1}" if cores > 1 else "0"
-                ] + argv
+        # SCALING_CPU_OFFSET pins the leg to cores [off, off+cores) —
+        # pinning AWAY from the low-numbered cores avoids the VM's
+        # interrupt/housekeeping threads (which Linux schedules on
+        # core 0 upward and which showed up in round 6 as a
+        # multi-core-leg-only 25-50% slowdown at offset 0)
+        off = int(os.environ.get("SCALING_CPU_OFFSET", "0"))
+        spec = (f"{off}-{off + cores - 1}" if cores > 1 else str(off))
+        argv = ["taskset", "-c", spec] + argv
     p = subprocess.run(argv, capture_output=True,
                        text=True, timeout=3600)
     for ln in p.stdout.splitlines():
