@@ -1572,7 +1572,7 @@ scored AS (
   FROM docs {joins}
 )
 SELECT doc_id, round(raw_score, 6) AS score
-FROM scored ORDER BY raw_score DESC, doc_id ASC LIMIT {k}
+FROM scored ORDER BY round(raw_score, 6) DESC, doc_id ASC LIMIT {k}
 """
 
 
@@ -1598,7 +1598,8 @@ def _boosting_sql(pos: list[str], neg: list[str],
         f"""SELECT s.doc_id, round({demoted}, 6) AS score
 FROM scored s LEFT JOIN (SELECT DISTINCT doc_id FROM tok2
                          WHERE term IN ({nlist})) n USING (doc_id)"""
-    ).replace("ORDER BY raw_score DESC", f"ORDER BY {demoted} DESC")
+    ).replace("ORDER BY raw_score DESC",
+              f"ORDER BY round({demoted}, 6) DESC")
 
 
 def _q_decay_gauss(spark, sf_dir):
@@ -1623,7 +1624,7 @@ def _decay_gauss_sql(terms: list[str], origin: float, scale: float,
         f"""SELECT s.doc_id, round(s.raw_score * {mult}, 6) AS score
 FROM scored s JOIN documents d ON d.doc_id = s.doc_id""").replace(
         "ORDER BY raw_score DESC, doc_id ASC",
-        f"ORDER BY s.raw_score * {mult} DESC, s.doc_id ASC")
+        f"ORDER BY round(s.raw_score * {mult}, 6) DESC, s.doc_id ASC")
 
 
 def _q_field_value_factor(spark, sf_dir):
@@ -1643,7 +1644,7 @@ def _fvf_sql(terms: list[str], factor: float, k: int = 50) -> str:
         f"""SELECT s.doc_id, round(s.raw_score * {mult}, 6) AS score
 FROM scored s JOIN documents d ON d.doc_id = s.doc_id""").replace(
         "ORDER BY raw_score DESC, doc_id ASC",
-        f"ORDER BY s.raw_score * {mult} DESC, s.doc_id ASC")
+        f"ORDER BY round(s.raw_score * {mult}, 6) DESC, s.doc_id ASC")
 
 
 def _q_cms_counts(spark, sf_dir):
@@ -2167,7 +2168,10 @@ WITH a AS (
   FROM documents),
 p0 AS (SELECT doc_id, string_split(aug, '#P#') AS parts FROM a),
 p AS (SELECT doc_id, i AS pos, trim(parts[i]) AS norm
-      FROM p0, (SELECT unnest(generate_series(1, 100)) AS i) s
+      -- series bound derived from the data (max paragraph count),
+      -- matching the unbounded engine operator (round-7 advice)
+      FROM p0, (SELECT unnest(generate_series(
+                  1, (SELECT max(length(parts)) FROM p0))) AS i) s
       WHERE i <= length(parts) AND trim(parts[i]) <> ''),
 k AS (SELECT doc_id, pos, norm,
              row_number() OVER (PARTITION BY norm
@@ -2282,7 +2286,10 @@ WITH t AS (
                      '{SPLIT_PATTERN}'), x -> x <> '') AS toks
   FROM documents),
 p AS (SELECT doc_id, i - 1 AS pos, toks[i] AS tok
-      FROM t, (SELECT unnest(generate_series(1, 4096)) AS i) s
+      -- series bound derived from the data (max doc token count),
+      -- matching the unbounded engine operator (round-7 advice)
+      FROM t, (SELECT unnest(generate_series(
+                 1, (SELECT max(length(toks)) FROM t))) AS i) s
       WHERE i <= length(toks)),
 c AS (SELECT doc_id, pos, tok,
              unnest(generate_series(

@@ -402,20 +402,32 @@ def geo_distance_filter(df: DataFrame, lat_col: str, lon_col: str,
     origin (haversine over the ES-default mean earth radius), with
     the distance added as ``distance_km``.
 
-    Scale shape: a cheap bounding-box PRE-FILTER (±radius in degrees,
-    longitude widened by cos(lat) — always a superset of the disc)
-    runs first so the trig only evaluates on candidates and the
-    lat/lon range predicates push down to the parquet scan; the exact
-    haversine confirms."""
+    Scale shape: a cheap bounding-box PRE-FILTER (always a superset
+    of the disc) runs first so the trig only evaluates on candidates
+    and the lat/lon range predicates push down to the parquet scan;
+    the exact haversine confirms.  The longitudinal half-extent of a
+    spherical cap is asin(sin(r/R)/cos(lat)) — NOT r/(R·cos(lat)),
+    which under-covers at high latitude — and a cap that reaches a
+    pole (sin(r/R) ≥ cos(lat)) spans all longitudes.  A box crossing
+    the antimeridian becomes an OR of two sargable ranges."""
     import math
     dlat = math.degrees(radius_km / EARTH_RADIUS_KM)
     coslat = math.cos(math.radians(origin_lat))
-    dlon = 180.0 if coslat <= 1e-9 else min(
-        180.0, math.degrees(radius_km / (EARTH_RADIUS_KM * coslat)))
-    box = (F.col(lat_col).between(origin_lat - dlat,
-                                  origin_lat + dlat)
-           & F.col(lon_col).between(origin_lon - dlon,
-                                    origin_lon + dlon))
+    sin_ratio = math.sin(min(math.pi, radius_km / EARTH_RADIUS_KM))
+    if coslat <= 1e-12 or sin_ratio >= coslat:
+        dlon = 180.0  # cap reaches (or contains) a pole
+    else:
+        dlon = math.degrees(math.asin(min(1.0, sin_ratio / coslat)))
+    box = F.col(lat_col).between(origin_lat - dlat, origin_lat + dlat)
+    if dlon < 180.0:
+        lo, hi = origin_lon - dlon, origin_lon + dlon
+        if lo < -180.0:
+            lon_pred = (F.col(lon_col) <= hi) | (F.col(lon_col) >= lo + 360.0)
+        elif hi > 180.0:
+            lon_pred = (F.col(lon_col) >= lo) | (F.col(lon_col) <= hi - 360.0)
+        else:
+            lon_pred = F.col(lon_col).between(lo, hi)
+        box = box & lon_pred
     dist = haversine_km(F.col(lat_col), F.col(lon_col),
                         F.lit(float(origin_lat)),
                         F.lit(float(origin_lon)))
