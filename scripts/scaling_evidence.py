@@ -74,19 +74,50 @@ def paired():
     os.makedirs(work, exist_ok=True)
     pin = "--no-pin" not in sys.argv
     lo, hi = base, 4 * base
-    pairs = []
-    runs = []
-    for rep in range(reps):
-        tl = run_build(lo, docs, work, pin_cpus=pin)
-        th = run_build(hi, docs, work, pin_cpus=pin)
-        eff = (docs / th) / (4 * (docs / tl))
-        pairs.append(eff)
-        runs.append({f"local[{lo}]": round(tl, 1),
-                     f"local[{hi}]": round(th, 1)})
-        print(f"rep{rep}: {lo}={tl:.1f}s {hi}={th:.1f}s "
-              f"eff={eff:.3f}", file=sys.stderr)
+
+    def one_batch() -> tuple[list[float], list[dict]]:
+        pairs, runs = [], []
+        for rep in range(reps):
+            tl = run_build(lo, docs, work, pin_cpus=pin)
+            th = run_build(hi, docs, work, pin_cpus=pin)
+            eff = (docs / th) / (4 * (docs / tl))
+            pairs.append(eff)
+            runs.append({f"local[{lo}]": round(tl, 1),
+                         f"local[{hi}]": round(th, 1)})
+            print(f"rep{rep}: {lo}={tl:.1f}s {hi}={th:.1f}s "
+                  f"eff={eff:.3f}", file=sys.stderr)
+        return pairs, runs
+
+    def hi_spread(runs: list[dict]) -> float:
+        ts = [r[f"local[{hi}]"] for r in runs]
+        return (max(ts) - min(ts)) / min(ts)
+
+    # Interference guard (round-7): a batch whose 4N-leg times spread
+    # more than SCALING_SPREAD_MAX (default 15%) was measured across a
+    # host-contention window — the per-pair ratios inside it are not
+    # comparable and the batch median is untrustworthy in BOTH
+    # directions.  Reject it, record it as rejected, and re-run (up to
+    # --max-batches, default 3).  If no batch passes, keep the one
+    # with the smallest spread and flag it.
+    spread_max = float(os.environ.get("SCALING_SPREAD_MAX", "0.15"))
+    max_batches = int(sys.argv[sys.argv.index("--max-batches") + 1]) \
+        if "--max-batches" in sys.argv else 3
+    rejected = []
+    pairs, runs = one_batch()
+    batch_n = 1
+    while hi_spread(runs) > spread_max and batch_n < max_batches:
+        print(f"batch {batch_n}: {hi}-core leg spread "
+              f"{hi_spread(runs):.0%} > {spread_max:.0%} — rejecting "
+              f"and re-running", file=sys.stderr)
+        rejected.append({"runs_sec": runs,
+                         "pair_efficiencies": [round(x, 3)
+                                               for x in pairs],
+                         "hi_leg_spread": round(hi_spread(runs), 3)})
+        pairs, runs = one_batch()
+        batch_n += 1
+
     med = sorted(pairs)[len(pairs) // 2]
-    print(json.dumps({
+    out = {
         "metric": "index_build_scaling_efficiency_paired",
         "unit": "ratio", "corpus_docs": docs, "reps": reps,
         "pair": f"local[{lo}] -> local[{hi}]",
@@ -98,12 +129,22 @@ def paired():
             f"local[{hi}]": round(docs / sorted(
                 r[f"local[{hi}]"] for r in runs)[reps // 2], 0)},
         "runs_sec": runs,
+        "hi_leg_spread": round(hi_spread(runs), 3),
+        "spread_guard": {"threshold": spread_max,
+                         "batches_run": batch_n,
+                         "rejected_batches": rejected},
         "cpu_pinning": ("taskset -c 0..N-1 per leg (JVM + python "
                         "workers confined to exactly N cores — the "
                         "faithful N-executor proxy)" if pin
                         else "none"),
         "protocol": "back-to-back (N,4N) pairs; per-pair efficiency "
-                    "ratios; median over reps"}))
+                    "ratios; median over reps; batches with >"
+                    f"{spread_max:.0%} 4N-leg spread auto-rejected "
+                    "and re-run",
+    }
+    if hi_spread(runs) > spread_max:
+        out["interference_suspected"] = True
+    print(json.dumps(out))
 
 
 def main():
