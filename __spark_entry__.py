@@ -2147,6 +2147,92 @@ FROM scored s JOIN documents d ON d.doc_id = s.doc_id""").replace(
         "ORDER BY s.raw_score DESC, s.doc_id ASC")
 
 
+def _q_highlight_fragments(spark, sf_dir):
+    """ES unified highlighter, fragmenting mode: top-20 conjunctive
+    hits, 12-token tiled windows, best 2 windows per doc by
+    (Σ count·idf DESC, window ASC), emitted in document order."""
+    return pipeline.highlight_fragments(
+        _docs(spark, sf_dir), "data join", k=20, fragment_size=12,
+        number_of_fragments=2, round_to=6)
+
+
+def _highlight_fragments_sql(terms: list[str], k: int = 20,
+                             size: int = 12, nfrags: int = 2) -> str:
+    import re as _re
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    # window score folded in query-term order, mirroring the engine
+    idf = ("ln(1 + ((SELECT n_docs FROM stats) - "
+           "(SELECT df FROM df WHERE term = '{t}') + 0.5) / "
+           "((SELECT df FROM df WHERE term = '{t}') + 0.5))")
+    fscore = " + ".join(
+        f"c{i} * {idf.format(t=t)}" for i, t in enumerate(terms))
+    cnts = ",\n         ".join(
+        f"sum(CASE WHEN tok = '{t}' THEN 1 ELSE 0 END) AS c{i}"
+        for i, t in enumerate(terms))
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(text), '{SPLIT_PATTERN}')) AS term
+  FROM documents
+), tok2 AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok2 GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT count(*) FROM tok2) * 1.0
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok2
+  WHERE term IN ({tlist}) GROUP BY doc_id, term
+),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * (tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))))
+           AS raw_score,
+         count(*) AS nt
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  GROUP BY tf.doc_id
+),
+hits AS (
+  SELECT doc_id, round(raw_score, 6) AS score
+  FROM scored WHERE nt = {len(terms)}
+  ORDER BY raw_score DESC, doc_id ASC LIMIT {k}
+),
+ht AS (
+  SELECT d.doc_id, h.score,
+         list_filter(regexp_split_to_array(lower(d.text),
+                     '{SPLIT_PATTERN}'), x -> x <> '') AS toks
+  FROM documents d JOIN hits h USING (doc_id)
+),
+p AS (SELECT doc_id, score, i - 1 AS pos, toks[i] AS tok
+      FROM ht, (SELECT unnest(generate_series(
+                  1, (SELECT max(length(toks)) FROM ht))) AS i) s
+      WHERE i <= length(toks)),
+g AS (
+  SELECT doc_id, score, pos // {size} AS w,
+         {cnts},
+         string_agg(CASE WHEN tok IN ({tlist})
+                         THEN '<em>' || tok || '</em>' ELSE tok END,
+                    ' ' ORDER BY pos) AS fragment
+  FROM p GROUP BY doc_id, score, w
+),
+sc AS (SELECT *, round({fscore}, 6) AS fragment_score FROM g),
+top AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY fragment_score DESC, w ASC)
+              AS rn
+  FROM sc WHERE fragment_score > 0
+)
+SELECT doc_id, score,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY w ASC)
+            - 1 AS BIGINT) AS fragment_ix,
+       fragment_score, fragment
+FROM top WHERE rn <= {nfrags}
+"""
+
+
 def _q_dedup_paragraphs(spark, sf_dir):
     """Corpus-wide paragraph dedup (C4 repeated-unit rule): shared
     header/footer paragraphs are planted on every doc (identically in
@@ -2849,6 +2935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": _q_pii_redact,
         "date_histogram": _q_date_histogram,
         "highlight": _q_highlight,
+        "highlight_fragments": _q_highlight_fragments,
         "dedup_paragraphs": _q_dedup_paragraphs,
         "composite_agg": _q_composite_agg,
         "rare_terms": _q_rare_terms,
@@ -3810,6 +3897,8 @@ def _oracle_sql_static() -> dict[str, str]:
         "pii_redact": _pii_redact_sql(),
         "date_histogram": _DATE_HISTOGRAM_SQL,
         "highlight": _highlight_sql(["data", "join"]),
+        "highlight_fragments": _highlight_fragments_sql(
+            ["data", "join"]),
         "dedup_paragraphs": _DEDUP_PARAGRAPHS_SQL,
         "composite_agg": _COMPOSITE_AGG_SQL,
         "rare_terms": _rare_terms_sql(60, 50),

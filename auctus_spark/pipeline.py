@@ -525,6 +525,109 @@ def highlight(docs: DataFrame, query: str, k: int = TOP_K_SIZE,
             .orderBy(F.desc("score"), F.asc(id_col)))
 
 
+def highlight_fragments(docs: DataFrame, query: str,
+                        k: int = TOP_K_SIZE, fragment_size: int = 20,
+                        number_of_fragments: int = 3,
+                        pre_tag: str = "<em>", post_tag: str = "</em>",
+                        id_col: str = "doc_id", text_col: str = "text",
+                        round_to: int | None = None) -> DataFrame:
+    """ES unified highlighter in fragmenting mode
+    (``number_of_fragments`` > 0): best-window fragment extraction
+    for the top-k conjunctive BM25 hits.
+
+    Deterministic window-selection rule (the whole contract — the
+    oracle recomputes it in SQL):
+
+    1. analyze the hit doc with the standard analyzer; token
+       positions are 0-based;
+    2. candidate fragments TILE the document in fixed windows of
+       ``fragment_size`` tokens: window w covers positions
+       [w*size, (w+1)*size) (Lucene SimpleFragmenter analog,
+       token-measured — char-offset passages are the documented
+       divergence from ES);
+    3. window score = Σ over query terms of
+       count(term in window) · idf(term), folded in query-term
+       order (the unified PassageScorer without length norm), idf
+       the corpus BM25 idf the ranking itself uses, rounded to 6 dp;
+    4. keep the ``number_of_fragments`` best windows per doc by
+       (window score DESC, window index ASC), windows with no match
+       never qualify;
+    5. emit kept fragments in DOCUMENT order (ES ``order: none``
+       default) as fragment_ix = 0..F-1, each fragment the window's
+       analyzed tokens joined by ' ' with every query-term token
+       wrapped in ``pre_tag``/``post_tag``.
+
+    Scale shape: fragments are computed for the k hit rows ONLY (the
+    tiny hit set broadcast-joins back to the doc table, so posexplode
+    never runs over non-hits); the (doc, window) aggregation
+    partial-aggregates map-side and its state per group is bounded by
+    ``fragment_size``; the per-doc top-F window ranks over ≤k docs.
+
+    Returns (doc_id, score, fragment_ix, fragment_score, fragment).
+    Reference: ES unified highlighter docs (number_of_fragments /
+    fragment_size); reference repo stores ES highlight settings in
+    its search request builder."""
+    from pyspark.sql import Window
+    terms = analyze_query(query)
+    spark = docs.sparkSession
+    empty = spark.createDataFrame(
+        [], f"{id_col} long, score double, fragment_ix long, "
+            "fragment_score double, fragment string")
+    if not terms:
+        return empty
+    n_docs, avgdl, dfs = _query_stats(docs, terms, text_col)
+    if n_docs == 0 or any(d == 0 for d in dfs):
+        return empty
+    idfs = [bm25_idf(n_docs, d) for d in dfs]
+
+    hits = bm25_topk(docs, query, k, id_col, text_col, round_to)
+    toks = (docs.select(id_col, text_col)
+            .join(F.broadcast(hits), id_col)
+            .select(id_col, "score",
+                    F.posexplode(_toks(F.col(text_col)))
+                    .alias("pos", "tok")))
+    size = int(fragment_size)
+    marked = F.when(
+        F.col("tok").isin(list(terms)),
+        F.concat(F.lit(pre_tag), F.col("tok"), F.lit(post_tag))
+    ).otherwise(F.col("tok"))
+    cnt_aggs = [
+        F.sum(F.when(F.col("tok") == F.lit(t), 1).otherwise(0))
+        .alias(f"_c{i}") for i, t in enumerate(terms)]
+    grouped = (toks
+               .withColumn("_w", F.floor(F.col("pos") / size)
+                           .cast("long"))
+               .withColumn("_m", marked)
+               .groupBy(id_col, "score", "_w")
+               .agg(*cnt_aggs,
+                    F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list(
+                                F.struct("pos",
+                                         F.col("_m").alias("m")))),
+                            lambda s: s["m"]), " ").alias("fragment")))
+    fscore = None
+    for i in range(len(terms)):
+        c = F.col(f"_c{i}").cast("double") * F.lit(idfs[i])
+        fscore = c if fscore is None else fscore + c
+    cand = (grouped
+            .withColumn("fragment_score", F.round(fscore, 6))
+            .filter(F.col("fragment_score") > 0))
+    by_score = Window.partitionBy(id_col).orderBy(
+        F.desc("fragment_score"), F.asc("_w"))
+    by_order = Window.partitionBy(id_col).orderBy(F.asc("_w"))
+    return (cand
+            .withColumn("_r", F.row_number().over(by_score))
+            .filter(F.col("_r") <= int(number_of_fragments))
+            .withColumn("fragment_ix",
+                        (F.row_number().over(by_order) - 1)
+                        .cast("long"))
+            .select(id_col, "score", "fragment_ix", "fragment_score",
+                    "fragment")
+            .orderBy(F.desc("score"), F.asc(id_col),
+                     F.asc("fragment_ix")))
+
+
 def term_stats_df(docs: DataFrame, terms: list[str],
                   id_col: str = "doc_id", text_col: str = "text"
                   ) -> DataFrame:

@@ -409,6 +409,45 @@ def test_highlight(spark):
     assert pipeline.highlight(df, "", k=10).count() == 0
 
 
+def test_highlight_fragments(spark):
+    """Unified-highlighter fragmenting mode: 4-token tiled windows,
+    best-F by (count·idf sum DESC, window ASC), emitted in document
+    order; windows without matches never returned; fragment text is
+    analyzed tokens space-joined with matches tagged."""
+    from auctus_spark import pipeline
+    rows = [
+        # windows of 4: [data x a b] [c d data data] [e f g h] [join k]
+        (1, "data x a b c d data data e f g h join k"),
+        (2, "join data join zz yy xx ww vv"),
+        (3, "nothing relevant here at all")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pipeline.highlight_fragments(
+        df, "data join", k=10, fragment_size=4,
+        number_of_fragments=2).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == {1, 2}   # doc 3: no hit (conjunctive)
+    # doc 1: window 1 (2x data) and window 3 (1x join, idf(join) >
+    # 2*idf(data)? both terms appear in 2 of 3 docs so idf equal ->
+    # window 1 wins, then window 0 vs window 3: 1x data vs 1x join,
+    # equal score -> earlier window wins; emitted in document order.
+    d1 = by_doc[1]
+    assert [r.fragment_ix for r in d1] == [0, 1]
+    assert d1[0].fragment == "<em>data</em> x a b"
+    assert d1[1].fragment == "c d <em>data</em> <em>data</em>"
+    assert d1[1].fragment_score > d1[0].fragment_score
+    # doc 2: single matching window, only one fragment comes back
+    d2 = by_doc[2]
+    assert len(d2) == 1
+    assert d2[0].fragment == "<em>join</em> <em>data</em> <em>join</em> zz"
+    # empty query -> empty frame with the contract schema
+    empty = pipeline.highlight_fragments(df, "", k=10)
+    assert empty.count() == 0
+    assert empty.columns == ["doc_id", "score", "fragment_ix",
+                             "fragment_score", "fragment"]
+
+
 def test_dedup_clusters(spark):
     """Hash-min components: min reachable id labels every node; two
     disjoint components stay separate; a long chain under a tiny
