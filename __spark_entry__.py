@@ -636,8 +636,9 @@ stats AS (
 dict AS (SELECT term, count(DISTINCT doc_id) AS df
          FROM tok2 GROUP BY term),
 exp AS (SELECT term FROM dict
-        WHERE levenshtein(term, '{term}') <= {fuzziness}
-        ORDER BY levenshtein(term, '{term}') ASC, df DESC, term ASC
+        WHERE damerau_levenshtein(term, '{term}') <= {fuzziness}
+        ORDER BY damerau_levenshtein(term, '{term}') ASC, df DESC,
+                 term ASC
         LIMIT {max_exp}),
 sd AS (SELECT max(df) AS sdf FROM dict JOIN exp USING (term)),
 tf AS (SELECT doc_id, count(*) AS tf
@@ -1732,10 +1733,11 @@ def _term_suggest_sql(tokens: list[str], size: int = 5,
                       max_edits: int = 2) -> str:
     cands = "\nUNION ALL\n".join(f"""
   SELECT '{t}' AS token, term AS suggestion,
-         levenshtein(term, '{t}') AS dist, df
+         damerau_levenshtein(term, '{t}') AS dist, df
   FROM dict
   WHERE substr(term, 1, 1) = '{t[0]}'
-    AND levenshtein(term, '{t}') <= {max_edits} AND term <> '{t}'
+    AND damerau_levenshtein(term, '{t}') <= {max_edits}
+    AND term <> '{t}'
     AND NOT EXISTS (SELECT 1 FROM dict d2 WHERE d2.term = '{t}')"""
         for t in tokens)
     return f"""

@@ -169,6 +169,11 @@ class IndexPaths:
         return os.path.join(self.base, "segments")
 
     @property
+    def term_dict(self):
+        # sorted secondary term dictionary (see write_term_dict)
+        return os.path.join(self.base, "term_dict")
+
+    @property
     def removed(self):
         # docIDs physically removed by past compactions (liveness
         # record; grows with lifetime deletes, read driver-side)
@@ -822,6 +827,7 @@ class IndexBuilder:
             .agg(F.sum("n_docs").alias("df"), F.sum("tf_sum").alias("cf"))
             .write.mode("overwrite").partitionBy("term_bucket")
             .parquet(self.paths.term_stats))
+        write_term_dict(self.spark, self.paths)
 
     # ---------------- public API --------------------------------------
 
@@ -845,6 +851,37 @@ class IndexBuilder:
             F.sum("n_docs").alias("n")).collect()[0]
         return (int(expect["s"]) == int(lin["s"])
                 and int(expect["n"]) == int(lin["n"]))
+
+
+def write_term_dict(spark: SparkSession, paths: IndexPaths,
+                    n_files: int | None = None) -> None:
+    """Sorted secondary term dictionary: (term, term_bucket, df)
+    RANGE-partitioned and sorted by ``term``.
+
+    The posting segments hash-partition on ``term_bucket``, which
+    prunes exact-term lookups but cannot prune a prefix predicate
+    (``query/bm25.py`` documents the trade).  This tiny side table —
+    one row per distinct term, ~1e-5 of index bytes — restores range
+    pruning: globally range-partitioned files with sorted row groups
+    mean a ``term LIKE 'pre%'`` / ``startswith`` cut touches only the
+    row groups whose [min,max] term range intersects the prefix (the
+    sorted-term-dictionary analog of Lucene's FST term index), so
+    prefix/wildcard/regexp candidate resolution is a range scan
+    instead of a full dictionary or gram-index pass.
+
+    Derived data (like term_stats): rewritten by every writer of
+    term_stats inside the same crash-recovery domain, so it can never
+    be newer or older than the dictionary it mirrors; the engine
+    falls back to the term_stats scan when the dir is absent or has
+    no _SUCCESS (mid-crash), so staleness is impossible and loss is
+    only a de-optimization."""
+    ts = spark.read.parquet(paths.term_stats)
+    if n_files is None:
+        n_files = max(8, min(64, spark.sparkContext.defaultParallelism))
+    (ts.select("term", "term_bucket", "df")
+        .repartitionByRange(n_files, "term")
+        .sortWithinPartitions("term")
+        .write.mode("overwrite").parquet(paths.term_dict))
 
 
 def export_metrics_tables(spark: SparkSession, index_dir: str,
@@ -1226,6 +1263,8 @@ def compact(spark: SparkSession, index_dir: str,
         .write.mode("overwrite").partitionBy("term_bucket")
         .parquet(paths.term_stats))
     _crash("term_stats")
+    write_term_dict(spark, paths)
+    _crash("term_dict")
     shutil.rmtree(tomb_dir, ignore_errors=True)
     _crash("tombstones_cleared")
     # Commit point.  Everything the compaction mutates is in its
@@ -1298,4 +1337,5 @@ def rollback_compaction(spark: SparkSession, index_dir: str) -> None:
         .agg(F.sum("n_docs").alias("df"), F.sum("tf_sum").alias("cf"))
         .write.mode("overwrite").partitionBy("term_bucket")
         .parquet(paths.term_stats))
+    write_term_dict(spark, paths)
     os.remove(marker)

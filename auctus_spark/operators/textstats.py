@@ -564,8 +564,9 @@ def pii_redact(df: DataFrame, text_col: str = "text",
 
 
 def unigram_logprob(df: DataFrame, text_col: str = "text",
-                    id_col: str = "doc_id",
-                    alpha: float = 1.0) -> DataFrame:
+                    id_col: str = "doc_id", alpha: float = 1.0,
+                    broadcast_vocab_max: int = 2_000_000,
+                    hot_k: int = 1024) -> DataFrame:
     """Corpus-LM quality proxy — the unigram analog of CCNet's
     KenLM perplexity filter (Wenzek et al. 2020 §3.3: score each
     document by a language model over a reference corpus; here the
@@ -575,25 +576,39 @@ def unigram_logprob(df: DataFrame, text_col: str = "text",
     typical text, high = gibberish/outlier — threshold or bucket it
     exactly like a perplexity filter.
 
-    Returns (id, n_tokens, mean_neg_logprob).  Scale shape: one
-    explode + one groupBy(token) builds the count table (map-side
-    partial agg); docs join it on token (the explode is linear in
-    corpus tokens, the count table is vocabulary-sized); T and V ride
-    a 1-row broadcast crossJoin.  No driver-side state.
+    Returns (id, n_tokens, mean_neg_logprob).  Scale shape (round-7
+    skew fix): the vocabulary count table is persisted and counted
+    once; when V <= ``broadcast_vocab_max`` it BROADCASTS onto the
+    token stream — no shuffle of the corpus-sized explode at all, so
+    Zipf-hot tokens ('the', 'import') can't skew a join they never
+    shuffle through.  Above the threshold, the top-``hot_k`` tokens
+    by count (which carry the skew — Zipf mass concentrates there)
+    still broadcast, and only the heavy cold tail shuffle-joins,
+    now with near-uniform keys.  T and V fold in as literals.  The
+    final per-doc aggregate shuffles on ``_id`` (unskewed).
     """
     toks = _tokens(text_col)
     ex = df.select(F.col(id_col).alias("_id"),
                    F.explode(toks).alias("_tok"))
-    counts = ex.groupBy("_tok").agg(F.count("*").alias("_c"))
-    totals = counts.agg(F.sum("_c").alias("_T"),
-                        F.count("*").alias("_V"))
-    scored = (ex.join(counts, "_tok")
-              .crossJoin(F.broadcast(totals))
-              .select("_id",
-                      (-F.log((F.col("_c") + F.lit(float(alpha)))
-                              / (F.col("_T")
-                                 + F.lit(float(alpha)) * F.col("_V"))))
-                      .alias("_nlp")))
+    counts = ex.groupBy("_tok").agg(F.count("*").alias("_c")).persist()
+    row = counts.agg(F.sum("_c").alias("_T"),
+                     F.count("*").alias("_V")).collect()[0]
+    t_total = int(row["_T"] or 0)
+    v_size = int(row["_V"])
+    nlp = -F.log((F.col("_c") + F.lit(float(alpha)))
+                 / F.lit(float(t_total) + float(alpha) * v_size))
+    if v_size <= int(broadcast_vocab_max):
+        scored = (ex.join(F.broadcast(counts), "_tok")
+                  .select("_id", nlp.alias("_nlp")))
+    else:
+        hot = F.broadcast(
+            counts.orderBy(F.desc("_c"), F.asc("_tok"))
+            .limit(int(hot_k)))
+        cold = counts.join(hot.select("_tok"), "_tok", "left_anti")
+        scored = (ex.join(hot, "_tok")
+                  .select("_id", nlp.alias("_nlp"))
+                  .unionByName(ex.join(cold, "_tok")
+                               .select("_id", nlp.alias("_nlp"))))
     return (scored.groupBy("_id")
             .agg(F.count("*").alias("n_tokens"),
                  (F.sum("_nlp") / F.count("*"))

@@ -634,28 +634,45 @@ def _search_synonyms(self, query: str, synonyms: dict,
 OracleIndex.search_synonyms = _search_synonyms
 
 
-def _levenshtein(a: str, b: str) -> int:
-    """Plain Levenshtein (no transpositions — the Spark/DuckDB shared
-    definition)."""
-    if len(a) < len(b):
-        a, b = b, a
-    prev = list(range(len(b) + 1))
-    for i, ca in enumerate(a, 1):
-        cur = [i]
-        for j, cb in enumerate(b, 1):
-            cur.append(min(prev[j] + 1, cur[-1] + 1,
-                           prev[j - 1] + (ca != cb)))
-        prev = cur
-    return prev[-1]
+def _damerau_levenshtein(a: str, b: str) -> int:
+    """Unrestricted Damerau-Levenshtein (adjacent transposition = 1
+    edit, Lowrance-Wagner) — the DuckDB-shared definition.  Written
+    INDEPENDENTLY of the engine's implementation (different matrix
+    layout) so the rank-identity tests stay double-entry."""
+    m, n = len(a), len(b)
+    big = m + n + 1
+    # rows indexed -1..m, cols -1..n (offset by 1)
+    d = [[big] * (n + 2) for _ in range(m + 2)]
+    for i in range(m + 1):
+        d[i + 1][1] = i
+    for j in range(n + 1):
+        d[1][j + 1] = j
+    last_a: dict[str, int] = {}
+    for i in range(1, m + 1):
+        last_b = 0
+        for j in range(1, n + 1):
+            i1 = last_a.get(b[j - 1], 0)
+            j1 = last_b
+            if a[i - 1] == b[j - 1]:
+                sub = d[i][j]
+                last_b = j
+            else:
+                sub = d[i][j] + 1
+            d[i + 1][j + 1] = min(
+                sub, d[i][j + 1] + 1, d[i + 1][j] + 1,
+                d[i1][j1] + (i - i1 - 1) + (j - j1 - 1) + 1)
+        last_a[a[i - 1]] = i
+    return d[m + 1][n + 1]
 
 
 def _search_fuzzy(self, term: str, k: int = TOP_K_SIZE,
                   fuzziness: int = 1, max_expansions: int = 50,
                   prefix_length: int = 0) -> list[tuple[int, float]]:
     """ES fuzzy query, simplified blended rewrite (see
-    SearchEngine.search_fuzzy): dictionary expansion by plain
-    Levenshtein, best ``max_expansions`` by (distance, df desc,
-    term), scored as one SynonymQuery slot."""
+    SearchEngine.search_fuzzy): dictionary expansion by Damerau-
+    Levenshtein (transposition = 1 edit, ES parity), best
+    ``max_expansions`` by (distance, df desc, term), scored as one
+    SynonymQuery slot."""
     t = term.lower().strip()
     if not t:
         return []
@@ -663,7 +680,7 @@ def _search_fuzzy(self, term: str, k: int = TOP_K_SIZE,
     for w, post in self.postings.items():
         if prefix_length and not w.startswith(t[:prefix_length]):
             continue
-        d = _levenshtein(w, t)
+        d = _damerau_levenshtein(w, t)
         if d <= fuzziness:
             cands.append((d, -len(post), w))
     cands.sort()

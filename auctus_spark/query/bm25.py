@@ -130,14 +130,117 @@ def _regex_literal_runs(pattern: str) -> list[str] | None:
 
 def _gram_threshold(q: str, fuzziness: int) -> int:
     """q-gram count-filter lower bound (Gravano et al., VLDB'01,
-    distinct-set form): any term within ``fuzziness`` edits of ``q``
-    shares at least ``|bigrams(q)| - fuzziness*n`` distinct bigrams
-    with it — each single edit destroys at most ``n`` gram
-    occurrences, hence removes at most ``n`` distinct grams from the
+    distinct-set form, transposition-aware): any term within
+    ``fuzziness`` Damerau edits of ``q`` shares at least
+    ``|bigrams(q)| - fuzziness*(n+1)`` distinct bigrams with it — an
+    insert/delete/substitute destroys at most ``n`` gram occurrences,
+    and an adjacent transposition spans ``n+1`` gram windows, so the
+    per-edit worst case is ``n+1`` distinct grams removed from the
     intersection.  A bound <= 0 means the filter is vacuous (short
     query) and the caller must fall back to the length-window-only
     scan."""
-    return len(_term_bigrams(q)) - fuzziness * _GRAM_N
+    return len(_term_bigrams(q)) - fuzziness * (_GRAM_N + 1)
+
+
+def damerau_levenshtein(a: str, b: str) -> int:
+    """Unrestricted Damerau-Levenshtein distance (Lowrance-Wagner):
+    insert / delete / substitute / adjacent-transposition each cost
+    1, and later edits may touch transposed characters — the
+    definition DuckDB's ``damerau_levenshtein`` shares, which is what
+    lets every fuzzy oracle stay pure SQL.  ES/Lucene parity note:
+    transpositions count 1 edit exactly as ES ``fuzziness`` with
+    default ``transpositions: true``; Lucene's automaton implements
+    the RESTRICTED variant (OSA), which differs only when another
+    edit lands inside a transposed pair (e.g. 'ca'→'abc': 2 here,
+    3 under OSA) — documented divergence, oracle-shared on our side.
+
+    Scalar reference used by tests and the python oracle; the engine
+    hot path is the vectorized :func:`_damerau_distances`."""
+    m, n = len(a), len(b)
+    inf = m + n
+    d = [[inf] * (n + 2) for _ in range(m + 2)]
+    for i in range(m + 1):
+        d[i + 1][1] = i
+    for j in range(n + 1):
+        d[1][j + 1] = j
+    da: dict[str, int] = {}
+    for i in range(1, m + 1):
+        db = 0
+        for j in range(1, n + 1):
+            k = da.get(b[j - 1], 0)
+            l = db
+            if a[i - 1] == b[j - 1]:
+                cost = 0
+                db = j
+            else:
+                cost = 1
+            d[i + 1][j + 1] = min(
+                d[i][j] + cost,
+                d[i + 1][j] + 1,
+                d[i][j + 1] + 1,
+                d[k][l] + (i - k - 1) + 1 + (j - l - 1))
+        da[a[i - 1]] = i
+    return d[m + 1][n + 1]
+
+
+def _damerau_distances(q: str, terms) -> "np.ndarray":
+    """Vectorized (across candidate terms) unrestricted Damerau-
+    Levenshtein against a fixed query ``q`` — the same Lowrance-
+    Wagner DP as :func:`damerau_levenshtein`, with every cell update
+    a numpy op over ALL candidates at once (no per-row python in the
+    executor path; the i,j loops are bounded by the query length ×
+    the longest candidate, and the length window has already capped
+    that at |q|+fuzziness)."""
+    term_list = ["" if t is None else str(t) for t in terms]
+    n_rows = len(term_list)
+    m = len(q)
+    out = np.empty(n_rows, dtype=np.int32)
+    if n_rows == 0:
+        return out
+    lens = np.fromiter((len(t) for t in term_list), dtype=np.int64,
+                       count=n_rows)
+    lmax = int(lens.max()) if n_rows else 0
+    if m == 0 or lmax == 0:
+        return np.maximum(lens, m).astype(np.int32)
+    # char-code matrix, 0-padded (0 never equals a real char)
+    codes = np.zeros((n_rows, lmax), dtype=np.int64)
+    for r, t in enumerate(term_list):
+        if t:
+            codes[r, :len(t)] = np.frombuffer(
+                t.encode("utf-32-le"), dtype=np.uint32)
+    qc = np.frombuffer(q.encode("utf-32-le"),
+                       dtype=np.uint32).astype(np.int64)
+    inf = m + lmax
+    dp = np.full((n_rows, m + 2, lmax + 2), inf, dtype=np.int32)
+    dp[:, 1, 1:] = np.arange(lmax + 1, dtype=np.int32)
+    dp[:, 1:, 1] = np.arange(m + 1, dtype=np.int32)
+    rows = np.arange(n_rows)
+    da: dict[int, int] = {}
+    for i in range(1, m + 1):
+        eq = codes == qc[i - 1]                       # [N, L]
+        # l (last matching column j' < j in this row of the DP)
+        jpos = np.where(eq, np.arange(1, lmax + 1)[None, :], 0)
+        lastm = np.maximum.accumulate(jpos, axis=1)
+        l_prev = np.concatenate(
+            [np.zeros((n_rows, 1), dtype=np.int64), lastm[:, :-1]],
+            axis=1)
+        # k (last query index whose char equals the candidate char)
+        kmat = np.zeros((n_rows, lmax), dtype=np.int64)
+        for code, i0 in da.items():
+            kmat[codes == code] = i0
+        cost = (~eq).astype(np.int32)
+        for j in range(1, lmax + 1):
+            kj = kmat[:, j - 1]
+            lj = l_prev[:, j - 1]
+            trans = (dp[rows, kj, lj]
+                     + (i - kj - 1) + 1 + (j - lj - 1)).astype(np.int32)
+            dp[:, i + 1, j + 1] = np.minimum.reduce([
+                dp[:, i, j] + cost[:, j - 1],
+                dp[:, i + 1, j] + 1,
+                dp[:, i, j + 1] + 1,
+                trans])
+        da[int(qc[i - 1])] = i
+    return dp[rows, m + 1, lens + 1].astype(np.int32)
 
 
 class SearchEngine:
@@ -171,6 +274,7 @@ class SearchEngine:
         self.tombstones = load_tombstones(spark, index_dir)
         self._tomb_df = tombstones_df(spark, index_dir)
         self._gram_df_cache: DataFrame | None = None
+        self._dict_df_cache: DataFrame | None = None
 
     @property
     def gram_index(self) -> DataFrame:
@@ -197,6 +301,27 @@ class SearchEngine:
                                    F.explode(grams).alias("gram"))
                 .persist())
         return self._gram_df_cache
+
+    @property
+    def term_dict(self) -> DataFrame:
+        """Sorted secondary term dictionary (build.write_term_dict):
+        (term, term_bucket, df) range-partitioned + sorted by term,
+        so a prefix/leading-literal predicate is a RANGE scan — only
+        the row groups whose [min,max] term range intersects the
+        prefix are read (Lucene FST term-index analog; the hash
+        ``term_bucket`` layout of the segments cannot prune these).
+        Falls back to the term_stats scan when the dir is missing or
+        lacks _SUCCESS (older index / mid-crash) — same rows, no
+        range pruning."""
+        if self._dict_df_cache is None:
+            import os
+            p = self.paths.term_dict
+            if os.path.exists(os.path.join(p, "_SUCCESS")):
+                self._dict_df_cache = self.spark.read.parquet(p)
+            else:
+                self._dict_df_cache = self._ts_df.select(
+                    "term", "term_bucket", "df")
+        return self._dict_df_cache
 
     # ------------------------------------------------------------------
     def _term_buckets_for(self, terms: list[str]) -> dict[str, int]:
@@ -253,17 +378,30 @@ class SearchEngine:
 
         Matching runs against INDEX terms (post-analysis: lowercased,
         stemmed if the index stems); the prefix itself is lowercased.
-        Plan note: hash term_buckets cannot prune a prefix predicate
-        (that is the documented trade of hash bucketing vs a sorted
-        term dictionary), but the ``StartsWith`` filter pushes down to
-        the parquet scan where term-column min/max row-group stats
-        skip non-matching segments; postings of matching terms are
-        decoded in Arrow batches, then one distinct + TakeOrdered."""
+        Plan note: candidate terms resolve on the SORTED term
+        dictionary (:attr:`term_dict`) where ``startswith`` is a
+        range scan over only the matching row groups; the segment
+        scan is then term_bucket-pruned + ``isin`` on the resolved
+        terms.  Above ``_MAX_TERM_ISIN`` expansions it falls back to
+        the full-scan ``StartsWith`` predicate path (semantically
+        identical — an isin list that long bloats the plan more than
+        the scan costs); postings of matching terms are decoded in
+        Arrow batches, then one distinct + TakeOrdered."""
         p = prefix.lower().strip()
         if not p:
             return self._empty()
-        return self._constant_score_terms(
-            F.col("term").startswith(p), k, boost)
+        terms = [r["term"] for r in
+                 (self.term_dict.filter(F.col("term").startswith(p))
+                  .select("term").collect())]
+        if not terms:
+            return self._empty()
+        if len(terms) > self._MAX_TERM_ISIN:
+            return self._constant_score_terms(
+                F.col("term").startswith(p), k, boost)
+        tb = self._term_buckets_for(terms)
+        pred = (F.col("term_bucket").isin(list(set(tb.values())))
+                & F.col("term").isin(terms))
+        return self._constant_score_terms(pred, k, boost)
 
     # terms collected from a dictionary cut above this count fall back
     # to the predicate path (an isin literal list this long would
@@ -277,14 +415,16 @@ class SearchEngine:
         pattern anchors both ends (whole-term match, ES semantics);
         regex metacharacters in the pattern are escaped.
 
-        Dictionary cut (the FST-intersection analog): every literal
-        run of the pattern with >= 2 chars must appear as a substring
-        of a matching term, so all its bigrams must be in the term's
-        gram set — matching terms are resolved against
-        :attr:`gram_index` (all required grams present, leading
-        literal as a ``startswith``, anchored regex as the final
-        confirm), then the SEGMENT scan is ``term_bucket``-pruned +
-        ``isin`` on the resolved terms instead of running the regex
+        Dictionary cut: a LEADING literal resolves candidates on the
+        sorted term dictionary (:attr:`term_dict`) — ``startswith``
+        is a range scan over only the matching row groups (the FST
+        term-index analog).  With no leading literal, every literal
+        run of >= 2 chars must appear as a substring of a matching
+        term, so all its bigrams must be in the term's gram set —
+        candidates resolve against :attr:`gram_index` (the FST-
+        intersection analog).  Either way the anchored regex is the
+        final confirm and the SEGMENT scan is ``term_bucket``-pruned
+        + ``isin`` on the resolved terms instead of running the regex
         over every posting row.  Patterns with no usable literal
         (``*``, ``?x``) keep the full-scan predicate path — the
         documented fallback, semantically identical."""
@@ -301,19 +441,18 @@ class SearchEngine:
         if not req and not lead:
             return self._constant_score_terms(
                 F.col("term").rlike(rx), k, boost)
-        if req:
+        if lead:
+            cand = self.term_dict.filter(F.col("term").startswith(lead))
+        else:
             cand = (self.gram_index
                     .filter(F.col("gram").isin(req))
                     .groupBy("term")
                     .agg(F.count("*").alias("ng"))
                     .filter(F.col("ng") >= len(req))
                     .select("term"))
-        else:
-            cand = self._ts_df.select("term")
-        if lead:
-            cand = cand.filter(F.col("term").startswith(lead))
         terms = [r["term"]
-                 for r in cand.filter(F.col("term").rlike(rx)).collect()]
+                 for r in (cand.filter(F.col("term").rlike(rx))
+                           .select("term").collect())]
         if not terms:
             return self._empty()
         if len(terms) > self._MAX_TERM_ISIN:
@@ -340,16 +479,17 @@ class SearchEngine:
         understands.  Documented divergence: Lucene extras (``~ @ # &
         <>``) are not supported.
 
-        Dictionary cut (the FST-intersection analog, same shape as
-        :meth:`search_wildcard`): required literal runs are extracted
-        with :func:`_regex_literal_runs`; every run of >= 2 chars
-        contributes mandatory bigrams resolved against
-        :attr:`gram_index`, a plain-literal pattern prefix adds a
-        ``startswith`` cut, and the anchored regex is the final
-        confirm — so the segment scan is term_bucket-pruned + ``isin``
-        on the resolved terms.  Patterns the extractor cannot prune
-        (alternation/groups/no literal run) take the full-scan
-        ``rlike`` predicate path — semantically identical."""
+        Dictionary cut (same shape as :meth:`search_wildcard`): a
+        plain-literal pattern prefix resolves candidates on the
+        sorted term dictionary (:attr:`term_dict`) as a range scan;
+        otherwise required literal runs extracted with
+        :func:`_regex_literal_runs` contribute mandatory bigrams
+        resolved against :attr:`gram_index` (the FST-intersection
+        analog); the anchored regex is the final confirm — so the
+        segment scan is term_bucket-pruned + ``isin`` on the resolved
+        terms.  Patterns the extractor cannot prune (alternation/
+        groups/no literal run) take the full-scan ``rlike`` predicate
+        path — semantically identical."""
         import re as _re
         p = pattern.strip()
         if not p:
@@ -367,7 +507,9 @@ class SearchEngine:
             return self._constant_score_terms(
                 F.col("term").rlike(rx), k, boost)
         req = sorted({g for r in runs for g in _term_bigrams(r)})
-        if req:
+        if lead:
+            cand = self.term_dict.filter(F.col("term").startswith(lead))
+        elif req:
             cand = (self.gram_index
                     .filter(F.col("gram").isin(req))
                     .groupBy("term")
@@ -376,10 +518,9 @@ class SearchEngine:
                     .select("term"))
         else:
             cand = self._ts_df.select("term")
-        if lead:
-            cand = cand.filter(F.col("term").startswith(lead))
         terms = [r["term"]
-                 for r in cand.filter(F.col("term").rlike(rx)).collect()]
+                 for r in (cand.filter(F.col("term").rlike(rx))
+                           .select("term").collect())]
         if not terms:
             return self._empty()
         if len(terms) > self._MAX_TERM_ISIN:
@@ -678,9 +819,11 @@ class SearchEngine:
                      prefix_length: int = 0) -> DataFrame:
         """ES ``fuzzy`` full-text query on the segment index: expand
         the term over the index dictionary to terms within
-        ``fuzziness`` Levenshtein edits (plain Levenshtein — Spark and
-        the DuckDB oracle share it; ES defaults to Damerau
-        transpositions, a documented divergence), keep the best
+        ``fuzziness`` Damerau-Levenshtein edits (transposition = 1
+        edit, matching ES ``transpositions: true`` and the DuckDB
+        oracle's ``damerau_levenshtein``; see
+        :func:`damerau_levenshtein` for the unrestricted-vs-OSA
+        note), keep the best
         ``max_expansions`` by (distance asc, df desc, term asc), and
         score the expansion set as ONE SynonymQuery slot (tf = sum of
         member tfs, df = max of member dfs) — a simplified
@@ -716,14 +859,23 @@ class SearchEngine:
     def _fuzzy_candidates(self, t: str, fuzziness: int,
                           prefix_length: int) -> DataFrame:
         """(term, dist) rows of every dictionary term within
-        ``fuzziness`` Levenshtein edits of ``t`` — gram-bounded
-        pre-filter, then exact levenshtein confirm.  Split out so the
-        tests can assert both the no-false-drop property (result ==
-        full-scan result) and the cut (rows reaching the comparator
-        << dictionary size)."""
+        ``fuzziness`` Damerau-Levenshtein edits of ``t`` (adjacent
+        transposition = 1 edit — ES ``transpositions: true`` parity,
+        see :func:`damerau_levenshtein` for the exact definition and
+        its DuckDB-shared/OSA note) — gram-bounded pre-filter, then
+        exact distance confirm via an Arrow-batched pandas UDF
+        vectorized across the candidate batch
+        (:func:`_damerau_distances`).  Split out so the tests can
+        assert both the no-false-drop property (result == full-scan
+        result) and the cut (rows reaching the comparator <<
+        dictionary size)."""
         cand = self._fuzzy_prefilter(t, fuzziness, prefix_length)
-        dist = F.levenshtein(F.col("term"), F.lit(t))
-        return (cand.withColumn("dist", dist)
+
+        @F.pandas_udf("int")
+        def _dl(terms: pd.Series) -> pd.Series:
+            return pd.Series(_damerau_distances(t, terms))
+
+        return (cand.withColumn("dist", _dl(F.col("term")))
                 .filter(F.col("dist") <= fuzziness)
                 .select("term", "dist"))
 
@@ -810,9 +962,9 @@ class SearchEngine:
                       max_edits: int = 2, prefix_length: int = 1,
                       suggest_mode: str = "missing") -> DataFrame:
         """ES term suggester ("did you mean"): per input token,
-        dictionary terms within ``max_edits`` Levenshtein edits
-        (plain Levenshtein — documented divergence from ES's
-        Damerau), ranked (distance asc, df desc, term asc) — ES
+        dictionary terms within ``max_edits`` Damerau-Levenshtein
+        edits (transposition = 1 edit — ES parity, oracle-shared
+        definition), ranked (distance asc, df desc, term asc) — ES
         sort=score ordering with frequency tie-break — capped at
         ``size``.  ``suggest_mode="missing"`` (the ES default) only
         suggests for tokens ABSENT from the index; ``"always"``
@@ -2010,7 +2162,7 @@ class PhraseEngine(SearchEngine):
         if not terms:
             return self._empty()
         prefix, exact = terms[-1], terms[:-1]
-        exp_rows = (self._ts_df
+        exp_rows = (self.term_dict
                     .filter(F.col("term").startswith(prefix))
                     .select("term", "df").orderBy("term")
                     .limit(max_expansions).collect())

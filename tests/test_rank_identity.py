@@ -887,9 +887,10 @@ def test_fuzzy_query_matches_oracle(spark, built):
 
 def test_gram_prefilter_never_drops_true_candidate():
     """Property (pure python, 20k cases): for any query q and any term
-    t within d Levenshtein edits, the q-gram count bound keeps t
-    whenever it is non-vacuous — the dictionary cut can only ever
-    remove FALSE candidates."""
+    t within d Damerau edits (substitution/insert/delete/adjacent
+    TRANSPOSITION), the q-gram count bound keeps t whenever it is
+    non-vacuous — the dictionary cut can only ever remove FALSE
+    candidates."""
     import random
 
     from auctus_spark.query.bm25 import (_gram_threshold,
@@ -903,13 +904,16 @@ def test_gram_prefilter_never_drops_true_candidate():
         d = rng.randint(1, 2)
         t = list(q)
         for _ in range(rng.randint(0, d)):
-            op = rng.choice(["sub", "ins", "del"])
+            op = rng.choice(["sub", "ins", "del", "swap"])
             if op == "sub" and t:
                 t[rng.randrange(len(t))] = rng.choice(alphabet)
             elif op == "ins":
                 t.insert(rng.randint(0, len(t)), rng.choice(alphabet))
             elif op == "del" and t:
                 del t[rng.randrange(len(t))]
+            elif op == "swap" and len(t) >= 2:
+                i = rng.randrange(len(t) - 1)
+                t[i], t[i + 1] = t[i + 1], t[i]
         t = "".join(t)
         thresh = _gram_threshold(q, d)
         if thresh >= 1:
@@ -917,25 +921,65 @@ def test_gram_prefilter_never_drops_true_candidate():
             assert common >= thresh, (q, t, d, common, thresh)
 
 
+def test_damerau_distance_definition():
+    """The engine's scalar + vectorized Damerau implementations, the
+    python oracle's independent one, and DuckDB's
+    ``damerau_levenshtein`` (what every fuzzy SQL oracle calls) all
+    agree on 2000 random pairs — and the distance genuinely differs
+    from plain Levenshtein on a planted-transposition corpus
+    (the round-7 divergence check: 'hte'→'the' is 1 edit, not 2)."""
+    import random
+
+    import duckdb
+
+    from auctus_spark.oracle import _damerau_levenshtein
+    from auctus_spark.query.bm25 import (_damerau_distances,
+                                         damerau_levenshtein)
+
+    con = duckdb.connect()
+    rng = random.Random(13)
+    alpha = "abcde_01"
+    pairs = [("ca", "abc"), ("the", "hte"), ("", "x"), ("ab", "ba")]
+    pairs += [("".join(rng.choice(alpha)
+                       for _ in range(rng.randint(0, 9))),
+               "".join(rng.choice(alpha)
+                       for _ in range(rng.randint(0, 9))))
+              for _ in range(2000)]
+    vec = _damerau_distances(
+        pairs[0][0], [b for _, b in pairs[:1]])  # smoke the vec path
+    assert int(vec[0]) == 2
+    for a, b in pairs:
+        want = con.execute(
+            "SELECT damerau_levenshtein(?, ?)", [a, b]).fetchone()[0]
+        assert damerau_levenshtein(a, b) == want, (a, b)
+        assert _damerau_levenshtein(a, b) == want, (a, b)
+    # planted transpositions: Damerau 1, plain Levenshtein 2
+    planted = [("the", "hte"), ("import", "improt"),
+               ("join", "jion"), ("data", "dtaa")]
+    for a, b in planted:
+        assert damerau_levenshtein(a, b) == 1, (a, b)
+        lev = con.execute(
+            "SELECT levenshtein(?, ?)", [a, b]).fetchone()[0]
+        assert lev == 2, (a, b)
+
+
 def test_fuzzy_dictionary_cut(spark, built):
     """The gram pre-filter is exact (candidate set == full-dictionary
-    levenshtein scan) AND a real cut (rows reaching the comparator a
+    Damerau scan) AND a real cut (rows reaching the comparator a
     fraction of the dictionary); the gram index is executor-cached."""
-    from pyspark.sql import functions as F
-
-    from auctus_spark.query.bm25 import SearchEngine
+    from auctus_spark.query.bm25 import (SearchEngine,
+                                         damerau_levenshtein)
     out, _, _, _, _ = built
     eng = SearchEngine(spark, out, term_buckets=8)
-    dict_n = eng._ts_df.count()
+    all_terms = [r["term"] for r in
+                 eng._ts_df.select("term").collect()]
+    dict_n = len(all_terms)
     for term, fz in [("import", 1), ("retur", 2),
                      ("uniq_token_1", 1), ("the", 1)]:
         got = {(r["term"], int(r["dist"]))
                for r in eng._fuzzy_candidates(term, fz, 0).collect()}
-        full = {(r["term"], int(r["dist"])) for r in
-                eng._ts_df.withColumn(
-                    "dist", F.levenshtein("term", F.lit(term)))
-                .filter(F.col("dist") <= fz)
-                .select("term", "dist").collect()}
+        full = {(w, damerau_levenshtein(w, term)) for w in all_terms
+                if damerau_levenshtein(w, term) <= fz}
         assert got == full, (term, fz)
         pre = eng._fuzzy_prefilter(term, fz, 0).count()
         if len(term) > 4:      # non-vacuous bound → real pruning

@@ -631,7 +631,7 @@ def test_compaction_crash_rollback_all_windows(spark, tmp_path):
          for r in live_pdf.itertuples(index=False)])
 
     for step in ["swap", "removed_docs", "stats", "term_stats",
-                 "tombstones_cleared"]:
+                 "term_dict", "tombstones_cleared"]:
         d = str(tmp_path / f"crash_{step}")
         IndexBuilder(spark, d, doc_bucket=64, chunk_docs=150,
                      term_buckets=2).build(spark.createDataFrame(pdf))

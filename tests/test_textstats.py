@@ -322,3 +322,30 @@ def test_unigram_logprob(spark):
     assert abs(out[2].mean_neg_logprob - want2) < 1e-12
     assert out[2].mean_neg_logprob > out[1].mean_neg_logprob * 0 \
         and out[1].mean_neg_logprob < out[2].mean_neg_logprob
+
+
+def test_unigram_logprob_broadcast_and_salt_paths(spark):
+    """Round-7 skew fix: at gate scale the vocab table broadcasts
+    (BroadcastHashJoin, no shuffle of the exploded token stream on
+    _tok); above the threshold the top-K hot tokens still broadcast
+    and only the cold tail shuffle-joins — and both paths produce
+    identical results."""
+    from auctus_spark.operators.textstats import unigram_logprob
+    df = spark.createDataFrame(
+        [(i, ("the the the import " if i % 2 else "zz qq ")
+          + f"tok{i} tok{i % 7}") for i in range(40)],
+        "doc_id long, text string")
+
+    bcast = unigram_logprob(df)
+    plan = bcast._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+    salted = unigram_logprob(df, broadcast_vocab_max=2, hot_k=3)
+    plan2 = salted._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan2    # the hot-token side
+    a = {r.doc_id: (r.n_tokens, round(r.mean_neg_logprob, 12))
+         for r in bcast.collect()}
+    b = {r.doc_id: (r.n_tokens, round(r.mean_neg_logprob, 12))
+         for r in salted.collect()}
+    assert a == b and len(a) == 40
