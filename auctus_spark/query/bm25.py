@@ -904,6 +904,30 @@ class SearchEngine:
                 F.col("term").startswith(t[:prefix_length]))
         return cand
 
+    # per-run OR ranges above this count fall back to the envelope
+    _MAX_DOC_RANGE_ORS = 256
+
+    def _doc_range_pred(self, ids: list[int]):
+        """Exact doc-range segment predicate for a sorted id list:
+        coalesce consecutive ids into runs, OR the per-run overlap
+        ranges (doc_id_min <= hi AND doc_id_max >= lo); envelope
+        fallback above :attr:`_MAX_DOC_RANGE_ORS` runs.  Split out so
+        the pruning test can count surviving segments directly."""
+        runs: list[list[int]] = []
+        for d in ids:
+            if runs and d == runs[-1][1] + 1:
+                runs[-1][1] = d
+            else:
+                runs.append([d, d])
+        if len(runs) > self._MAX_DOC_RANGE_ORS:
+            return (F.col("doc_id_max") >= ids[0]) \
+                & (F.col("doc_id_min") <= ids[-1])
+        pred = None
+        for lo, hi in runs:
+            p = (F.col("doc_id_min") <= hi) & (F.col("doc_id_max") >= lo)
+            pred = p if pred is None else pred | p
+        return pred
+
     def term_vectors(self, doc_ids: list[int]) -> DataFrame:
         """ES ``_termvectors`` analog (term_statistics=true): for each
         requested live doc, its (term, tf) vector from the segment
@@ -911,11 +935,17 @@ class SearchEngine:
 
         Returns (doc_id, term, tf, df).  The index is term-major, so
         per-doc extraction prunes segments by the doc_id_min/max
-        range columns (doc-bucketed layout → only partials whose doc
-        range overlaps a requested id decode; min/max also reach the
-        parquet row-group stats).  df joins from the term-stats scan
-        — no full-corpus recompute.  Tombstoned docs return nothing,
-        like ES after delete."""
+        range columns — EXACTLY (round-7 #7): requested ids coalesce
+        into maximal consecutive runs and the scan predicate is the
+        OR of per-run overlap ranges, so a partial decodes only if
+        its doc range intersects a requested id; with the old single
+        [min,max] envelope, asking for {5, 10^9} decoded every
+        doc bucket in between.  Above ``_MAX_DOC_RANGE_ORS`` runs the
+        envelope is the documented fallback (an OR chain that long
+        costs more in plan than it prunes).  The OR of range
+        conjuncts pushes to the parquet row-group stats.  df joins
+        from the term-stats scan — no full-corpus recompute.
+        Tombstoned docs return nothing, like ES after delete."""
         ids = sorted({int(d) for d in doc_ids})
         if not ids:
             return self.spark.createDataFrame(
@@ -928,9 +958,7 @@ class SearchEngine:
             if not ids:
                 return self.spark.createDataFrame(
                     [], "doc_id long, term string, tf long, df long")
-        rng = (F.col("doc_id_max") >= min(ids)) \
-            & (F.col("doc_id_min") <= max(ids))
-        segs = (self._seg_df.filter(rng)
+        segs = (self._seg_df.filter(self._doc_range_pred(ids))
                 .select("term", "docs_blob", "tfs_blob"))
         want = np.array(ids, dtype=np.int64)
 

@@ -1179,6 +1179,45 @@ def test_term_vectors_matches_oracle(spark, built, tmp_path):
     assert got2 == {0, 599}
 
 
+def test_term_vectors_exact_bucket_pruning(spark, built):
+    """Round-7 #7: the segment predicate for {low id, high id} must
+    NOT decode the doc buckets in between — the per-run OR predicate
+    keeps strictly fewer segments than the old [min,max] envelope
+    (the corpus spans 3 doc buckets of 256), results unchanged, and
+    an id list with >_MAX_DOC_RANGE_ORS runs falls back to the
+    envelope."""
+    from pyspark.sql import functions as F
+
+    from auctus_spark.query.bm25 import SearchEngine
+    out, oracle, _, _, _ = built
+    eng = SearchEngine(spark, out, term_buckets=8)
+    ids = [5, 599]                     # buckets 0 and 2; bucket 1 idle
+    exact = eng._seg_df.filter(eng._doc_range_pred(ids)).count()
+    envelope = eng._seg_df.filter(
+        (F.col("doc_id_max") >= ids[0])
+        & (F.col("doc_id_min") <= ids[-1])).count()
+    assert 0 < exact < envelope
+    # middle-bucket partials survive the envelope but not the OR
+    middle = eng._seg_df.filter(
+        (F.col("doc_id_min") >= 256) & (F.col("doc_id_max") < 512))
+    assert middle.filter(eng._doc_range_pred(ids)).count() == 0
+    assert middle.count() > 0
+    # results identical to the python oracle on the same request
+    got = {(r.doc_id, r.term, r.tf, r.df)
+           for r in eng.term_vectors(ids).collect()}
+    want = {(d, term, post[d], len(post))
+            for term, post in oracle.postings.items()
+            for d in ids if d in post}
+    assert got == want
+    # fallback path: many scattered runs → envelope predicate
+    scattered = list(range(0, 600, 2))      # 300 runs > 256
+    pred = eng._doc_range_pred(scattered)
+    assert (eng._seg_df.filter(pred).count()
+            == eng._seg_df.filter(
+                (F.col("doc_id_max") >= 0)
+                & (F.col("doc_id_min") <= 598)).count())
+
+
 def test_term_suggester_matches_oracle(spark, built):
     """ES term suggester: per missing token, candidates within
     max_edits ranked (dist asc, df desc, term asc), size-capped;
