@@ -1715,6 +1715,54 @@ FROM (VALUES {kvals}) t(key) LEFT JOIN hit ON hit.key = t.key
 """
 
 
+def _q_phrase_suggest(spark, sf_dir):
+    """ES phrase suggester: per-token top-3 Damerau candidates
+    (dist asc, df desc, term asc, self included), candidate phrases
+    ranked by the add-1 unigram LM over corpus term counts."""
+    from auctus_spark.query.bm25 import SearchEngine
+    _q_bm25_index_path(spark, sf_dir)    # ensure the index exists
+    import hashlib as _h
+    tag = _h.md5(sf_dir.encode()).hexdigest()[:10]
+    eng = SearchEngine(spark, f"/tmp/auctus_entry_index_{tag}",
+                       term_buckets=16)
+    return eng.suggest_phrases("dta joinn", size=3, per_token=3,
+                               max_edits=2, prefix_length=1)
+
+
+def _phrase_suggest_sql(tokens: list[str], size: int = 3,
+                        per_token: int = 3, max_edits: int = 2,
+                        alpha: float = 1.0) -> str:
+    cands = ",\n".join(f"""
+c{i} AS (SELECT term, cf FROM dict
+         WHERE substr(term, 1, 1) = '{t[0]}'
+           AND damerau_levenshtein(term, '{t}') <= {max_edits}
+         ORDER BY damerau_levenshtein(term, '{t}') ASC, df DESC,
+                  term ASC
+         LIMIT {per_token})""" for i, t in enumerate(tokens))
+    phrase = " || ' ' || ".join(f"c{i}.term"
+                                for i in range(len(tokens)))
+    raw = " + ".join(
+        f"ln((c{i}.cf + {float(alpha)}) / "
+        f"((SELECT t FROM tot) + {float(alpha)} * (SELECT v FROM tot)))"
+        for i in range(len(tokens)))
+    froms = ", ".join(f"c{i}" for i in range(len(tokens)))
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(text), '{SPLIT_PATTERN}')) AS term
+  FROM documents),
+tok2 AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+dict AS (SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf
+         FROM tok2 GROUP BY term),
+tot AS (SELECT (SELECT count(*) * 1.0 FROM tok2) AS t,
+               (SELECT count(*) * 1.0 FROM dict) AS v),
+{cands}
+SELECT {phrase} AS phrase, round({raw}, 6) AS score
+FROM {froms}
+ORDER BY round({raw}, 6) DESC, phrase ASC LIMIT {size}
+"""
+
+
 def _q_term_suggest(spark, sf_dir):
     """ES term suggester ("did you mean") on the segment index:
     per missing token, dictionary terms within 2 edits ranked
@@ -2794,6 +2842,111 @@ def _q_percentile_profile(spark, sf_dir):
             .orderBy("l_returnflag", "p"))
 
 
+_FILTERS_AGG_SPEC = {"data_join": ["data", "join"],
+                     "filter_scan": ["filter", "scan"],
+                     "missing_zzz": ["zzz_absent_token"]}
+
+
+def _q_filters_agg(spark, sf_dir):
+    """ES filters aggregation: named match-AND buckets counted in one
+    scan (conditional sums over the same tokenized row)."""
+    from auctus_spark.operators.profiling import filters_agg
+    return filters_agg(_docs(spark, sf_dir), _FILTERS_AGG_SPEC)
+
+
+def _filters_agg_sql(filters: dict) -> str:
+    parts = []
+    for name in sorted(filters):
+        terms = sorted(set(filters[name]))
+        tlist = ", ".join(f"'{t}'" for t in terms)
+        parts.append(f"""
+SELECT '{name}' AS bucket, CAST((
+  SELECT count(*) FROM (
+    SELECT doc_id FROM tok2 WHERE term IN ({tlist})
+    GROUP BY doc_id HAVING count(DISTINCT term) = {len(terms)})
+) AS BIGINT) AS doc_count""")
+    u = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(text), '{SPLIT_PATTERN}')) AS term
+  FROM documents),
+tok2 AS (SELECT doc_id, term FROM tok WHERE term <> '')
+{u}
+ORDER BY bucket
+"""
+
+
+_RANGE_AGG_RANGES = [(None, 50000.0), (50000.0, 150000.0),
+                     (100000.0, None)]
+
+
+def _q_range_agg(spark, sf_dir):
+    """ES range aggregation over o_totalprice: half-open [from, to)
+    buckets, deliberately overlapping (each independently counted)."""
+    from auctus_spark.operators.profiling import range_agg
+    return range_agg(_t(spark, sf_dir, "orders"), "o_totalprice",
+                     _RANGE_AGG_RANGES)
+
+
+def _range_agg_sql(ranges) -> str:
+    parts = []
+    for lo, hi in ranges:
+        key = f"{'*' if lo is None else lo}-{'*' if hi is None else hi}"
+        conds = ["o_totalprice IS NOT NULL"]
+        if lo is not None:
+            conds.append(f"o_totalprice >= {lo!r}")
+        if hi is not None:
+            conds.append(f"o_totalprice < {hi!r}")
+        lo_sql = "CAST(NULL AS DOUBLE)" if lo is None else repr(float(lo))
+        hi_sql = "CAST(NULL AS DOUBLE)" if hi is None else repr(float(hi))
+        parts.append(f"""
+SELECT '{key}' AS bucket, {lo_sql} AS range_from, {hi_sql} AS range_to,
+       CAST((SELECT count(*) FROM orders
+             WHERE {' AND '.join(conds)}) AS BIGINT) AS doc_count""")
+    return ("\nUNION ALL\n".join(parts)) + "\nORDER BY bucket\n"
+
+
+def _q_adjacency_matrix(spark, sf_dir):
+    """ES adjacency_matrix aggregation: singles + pairwise
+    intersections of named filters, one scan."""
+    from auctus_spark.operators.profiling import adjacency_matrix_agg
+    return adjacency_matrix_agg(_docs(spark, sf_dir),
+                                _FILTERS_AGG_SPEC)
+
+
+def _adjacency_matrix_sql(filters: dict) -> str:
+    names = sorted(filters)
+
+    def member(name):
+        terms = sorted(set(filters[name]))
+        tlist = ", ".join(f"'{t}'" for t in terms)
+        return (f"(SELECT doc_id FROM tok2 WHERE term IN ({tlist}) "
+                f"GROUP BY doc_id "
+                f"HAVING count(DISTINCT term) = {len(terms)})")
+    parts = []
+    for i, a in enumerate(names):
+        parts.append(f"""
+SELECT '{a}' AS bucket,
+       CAST((SELECT count(*) FROM {member(a)}) AS BIGINT) AS doc_count""")
+        for b in names[i + 1:]:
+            parts.append(f"""
+SELECT '{a}&{b}' AS bucket,
+       CAST((SELECT count(*) FROM (
+          SELECT doc_id FROM {member(a)}
+          INTERSECT SELECT doc_id FROM {member(b)})) AS BIGINT)
+         AS doc_count""")
+    u = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(text), '{SPLIT_PATTERN}')) AS term
+  FROM documents),
+tok2 AS (SELECT doc_id, term FROM tok WHERE term <> '')
+SELECT * FROM ({u}) WHERE doc_count > 0 ORDER BY bucket
+"""
+
+
 def _q_significant_terms(spark, sf_dir):
     """ES significant_terms aggregation analog (JLH heuristic):
     terms over-represented in the lang='de' foreground vs the whole
@@ -2956,6 +3109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "field_value_factor": _q_field_value_factor,
         "cardinality_hll": _q_cardinality_hll,
         "term_suggest": _q_term_suggest,
+        "phrase_suggest": _q_phrase_suggest,
         "span_first": _q_span_first,
         "term_vectors": _q_term_vectors,
         "dedup_clusters": _q_dedup_clusters,
@@ -2978,6 +3132,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _q_decontaminate,
         "percentile_profile": _q_percentile_profile,
         "significant_terms": _q_significant_terms,
+        "filters_agg": _q_filters_agg,
+        "range_agg": _q_range_agg,
+        "adjacency_matrix": _q_adjacency_matrix,
         "bm25_mlt": _q_bm25_mlt,
     }
 
@@ -3904,6 +4061,9 @@ def _oracle_sql_static() -> dict[str, str]:
         "dedup_paragraphs": _DEDUP_PARAGRAPHS_SQL,
         "composite_agg": _COMPOSITE_AGG_SQL,
         "rare_terms": _rare_terms_sql(60, 50),
+        "filters_agg": _filters_agg_sql(_FILTERS_AGG_SPEC),
+        "range_agg": _range_agg_sql(_RANGE_AGG_RANGES),
+        "adjacency_matrix": _adjacency_matrix_sql(_FILTERS_AGG_SPEC),
         "pipeline_aggs": _PIPELINE_AGGS_SQL,
         "chunk_documents": _chunk_documents_sql(40, 20),
         "pack_documents": _pack_documents_sql(500),
@@ -3958,6 +4118,7 @@ def _oracle_sql_static() -> dict[str, str]:
         "cardinality_hll": _cardinality_hll_sql("l_orderkey",
                                                 "lineitem"),
         "term_suggest": _term_suggest_sql(["dta", "joinn"]),
+        "phrase_suggest": _phrase_suggest_sql(["dta", "joinn"]),
         "span_first": _span_first_sql("data", 5),
         "term_vectors": _term_vectors_sql([1, 2, 3, 5, 8]),
         "dedup_clusters": _dedup_clusters_sql(0.8),

@@ -755,3 +755,119 @@ def bloom_contains(df: DataFrame, col: str, keys: list,
             .select("key",
                     (F.coalesce(F.col("_hits"), F.lit(0)) == k)
                     .alias("maybe_present")))
+
+
+def filters_agg(docs: DataFrame, filters: dict[str, list[str]],
+                text_col: str = "text") -> DataFrame:
+    """ES ``filters`` aggregation: named buckets, each counting the
+    docs whose analyzed text contains ALL of the bucket's terms
+    (match-AND filters — the reduction of ES's per-bucket query DSL
+    this engine's other surfaces share).
+
+    Returns (bucket, doc_count) — one row per named filter, bucket
+    order = name asc (ES returns insertion order; sorted is the
+    deterministic contract here).  Scale shape: ONE scan, every
+    bucket a conditional sum over the same tokenized row (no
+    per-filter passes, no shuffle beyond the single partial+final
+    aggregate); the unpivot runs on the 1-row aggregate output.
+
+    Reference: ES search-aggregations-bucket-filters; the reference
+    repo's faceted search uses the single-filter form
+    (lib_core search).
+    """
+    toks = F.filter(F.split(F.lower(F.col(text_col)), SPLIT_PATTERN),
+                    lambda x: x != "")
+    row = docs.select(toks.alias("_t"))
+    names = sorted(filters)
+    aggs = []
+    for i, name in enumerate(names):
+        qarr = F.array(*[F.lit(t) for t in sorted(set(filters[name]))])
+        n_req = len(set(filters[name]))
+        cond = F.size(F.array_intersect(F.col("_t"), qarr)) == n_req
+        aggs.append(F.sum(F.when(cond, 1).otherwise(0))
+                    .cast("long").alias(f"_b{i}"))
+    one = row.agg(*aggs)
+    stack = ", ".join(f"'{n}', _b{i}" for i, n in enumerate(names))
+    return (one.selectExpr(
+        f"stack({len(names)}, {stack}) AS (bucket, doc_count)")
+        .orderBy("bucket"))
+
+
+def range_agg(df: DataFrame, col: str,
+              ranges: list[tuple[float | None, float | None]]
+              ) -> DataFrame:
+    """ES ``range`` aggregation: half-open [from, to) numeric buckets
+    (ES includes ``from``, excludes ``to``; None = unbounded), each
+    independently counted — buckets may overlap, exactly like ES.
+
+    Returns (bucket, range_from, range_to, doc_count), bucket the ES
+    key ``"from-to"`` with ``*`` for unbounded.  ONE scan, one
+    conditional sum per bucket (partial agg), unpivot on the 1-row
+    output."""
+    aggs = []
+    keys = []
+    for i, (lo, hi) in enumerate(ranges):
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (F.col(col) >= float(lo))
+        if hi is not None:
+            cond = cond & (F.col(col) < float(hi))
+        keys.append((f"{'*' if lo is None else lo}-"
+                     f"{'*' if hi is None else hi}", lo, hi))
+        aggs.append(F.sum(F.when(cond & F.col(col).isNotNull(), 1)
+                          .otherwise(0)).cast("long").alias(f"_b{i}"))
+    one = df.agg(*aggs)
+    stack = ", ".join(
+        f"'{k}', CAST({'NULL' if lo is None else repr(float(lo))} "
+        f"AS DOUBLE), "
+        f"CAST({'NULL' if hi is None else repr(float(hi))} AS DOUBLE), "
+        f"_b{i}"
+        for i, (k, lo, hi) in enumerate(keys))
+    return (one.selectExpr(
+        f"stack({len(keys)}, {stack}) "
+        "AS (bucket, range_from, range_to, doc_count)")
+        .orderBy("bucket"))
+
+
+def adjacency_matrix_agg(docs: DataFrame,
+                         filters: dict[str, list[str]],
+                         text_col: str = "text") -> DataFrame:
+    """ES ``adjacency_matrix`` aggregation: for named term filters,
+    the doc counts of every filter AND every pairwise intersection
+    (key "a&b", a < b, ES's separator) — one row per non-empty cell.
+
+    ONE scan: each filter's membership evaluates once per row into a
+    boolean, singles and pairs are conditional sums over those
+    booleans (n + n(n-1)/2 counters; ES caps n at 100 for the same
+    quadratic reason — enforced here too)."""
+    names = sorted(filters)
+    if len(names) > 100:
+        raise ValueError("adjacency_matrix caps at 100 filters (ES "
+                         "max_adjacency_matrix_filters)")
+    toks = F.filter(F.split(F.lower(F.col(text_col)), SPLIT_PATTERN),
+                    lambda x: x != "")
+    flags = []
+    for name in names:
+        qarr = F.array(*[F.lit(t) for t in sorted(set(filters[name]))])
+        n_req = len(set(filters[name]))
+        flags.append((F.size(F.array_intersect(toks, qarr)) == n_req)
+                     .alias(f"_f_{name}"))
+    row = docs.select(*flags)
+    aggs = []
+    keys = []
+    for i, a in enumerate(names):
+        keys.append(a)
+        aggs.append(F.sum(F.when(F.col(f"_f_{a}"), 1).otherwise(0))
+                    .cast("long").alias(f"_c{len(keys) - 1}"))
+        for b in names[i + 1:]:
+            keys.append(f"{a}&{b}")
+            aggs.append(F.sum(F.when(F.col(f"_f_{a}")
+                                     & F.col(f"_f_{b}"), 1)
+                              .otherwise(0))
+                        .cast("long").alias(f"_c{len(keys) - 1}"))
+    one = row.agg(*aggs)
+    stack = ", ".join(f"'{k}', _c{i}" for i, k in enumerate(keys))
+    return (one.selectExpr(
+        f"stack({len(keys)}, {stack}) AS (bucket, doc_count)")
+        .filter(F.col("doc_count") > 0)
+        .orderBy("bucket"))

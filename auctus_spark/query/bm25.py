@@ -261,6 +261,9 @@ class SearchEngine:
         row = spark.read.parquet(self.paths.stats).collect()[0]
         self.n_docs = int(row["n_docs"])
         self.avgdl = float(row["avgdl"])
+        self.total_tokens = int(row["total_tokens"]) \
+            if "total_tokens" in row.__fields__ else 0
+        self._vocab_size_cache: int | None = None
         # open the index tables ONCE: spark.read.parquet lists files and
         # reads footers eagerly, so per-query re-opens dominate latency;
         # partition/row-group pruning still applies per query.
@@ -1034,6 +1037,77 @@ class SearchEngine:
             for i, (d, negdf, term) in enumerate(ranked[:size], 1):
                 out.append((t, term, d, -negdf, i))
         return self.spark.createDataFrame(out, schema)
+
+    @property
+    def vocab_size(self) -> int:
+        """Distinct index terms (one job, cached — dictionary-sized)."""
+        if self._vocab_size_cache is None:
+            self._vocab_size_cache = self._ts_df.count()
+        return self._vocab_size_cache
+
+    def suggest_phrases(self, text: str, size: int = 3,
+                        per_token: int = 3, max_edits: int = 2,
+                        prefix_length: int = 1,
+                        alpha: float = 1.0,
+                        max_tokens: int = 8) -> DataFrame:
+        """ES phrase suggester ("did you mean", whole-phrase): per
+        input token generate the best ``per_token`` dictionary
+        candidates (Damerau distance asc, df desc, term asc —
+        suggest_mode=always, token itself included at distance 0),
+        form every candidate phrase (cross product), and rank phrases
+        by a smoothed unigram LM over corpus term counts:
+        score = Σ_t ln((cf(t)+α) / (T+α·V)) with T total tokens and
+        V the dictionary size — the deterministic reduction of ES's
+        Laplace-smoothed phrase scorer (ES defaults to a bigram
+        stupid-backoff; unigram is the documented simplification, the
+        ranking rule above is the whole contract and the oracle
+        recomputes it in SQL).  A token with no dictionary candidate
+        keeps itself with cf = 0 (unseen, smoothed).  Phrases rank by
+        (round(score, 6) desc, phrase asc), top ``size``.
+
+        Interactive driver-side surface like :meth:`suggest_terms`:
+        one gram-cut candidate job per token + ONE stats lookup; the
+        cross product is bounded by ``per_token ** n_tokens`` with
+        ``max_tokens`` the guard ES implements via window cutting."""
+        import itertools
+        import math
+
+        schema = "phrase string, score double"
+        tokens = analyze_query(text, stem=self.stem)
+        if not tokens:
+            return self.spark.createDataFrame([], schema)
+        if len(tokens) > max_tokens:
+            raise ValueError(
+                f"phrase suggester caps at {max_tokens} tokens "
+                f"(got {len(tokens)}) — cut the text into windows")
+        per_tok: list[list[str]] = []
+        for t in tokens:
+            rows = [(int(r["dist"]), r["term"]) for r in
+                    self._fuzzy_candidates(t, max_edits,
+                                           prefix_length).collect()]
+            if not rows:
+                per_tok.append([t])
+                continue
+            stats = self.term_stats([term for _, term in rows])
+            ranked = sorted((d, -stats.get(term, 0), term)
+                            for d, term in rows)
+            per_tok.append([term for _, _, term
+                            in ranked[:max(1, int(per_token))]])
+        members = sorted({t for cands in per_tok for t in cands})
+        cf_rows = (self._ts_df
+                   .filter(F.col("term").isin(members))
+                   .select("term", "cf").collect())
+        cf = {r["term"]: int(r["cf"]) for r in cf_rows}
+        t_total, v_size = self.total_tokens, self.vocab_size
+        denom = float(t_total) + float(alpha) * v_size
+        out = []
+        for combo in itertools.product(*per_tok):
+            s = 0.0
+            for term in combo:
+                s += math.log((cf.get(term, 0) + float(alpha)) / denom)
+            out.append((" ".join(combo), round(s, 6)))
+        out.sort(key=lambda x: (-x[1], x[0]))
+        return self.spark.createDataFrame(out[:size], schema)
 
     def _search_slots(self, slots: list[list[str]], k: int
                       ) -> DataFrame:

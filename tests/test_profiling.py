@@ -287,3 +287,51 @@ def test_bloom_contains(spark):
     assert all(sat.values())                   # saturated filter
     with pytest.raises(ValueError):
         bloom_contains(df, "v", ["a"], m=4096, k=0)
+
+
+def test_filters_agg(spark):
+    """Named match-AND buckets, one scan: doc counts per filter on a
+    hand-computed corpus; empty filter bucket reports 0."""
+    from auctus_spark.operators.profiling import filters_agg
+    df = spark.createDataFrame(
+        [(1, "data join x"), (2, "data only"), (3, "join data y"),
+         (4, "scan filter"), (5, "filter z")],
+        "doc_id long, text string")
+    out = {r.bucket: r.doc_count for r in filters_agg(
+        df, {"dj": ["data", "join"], "fs": ["filter", "scan"],
+             "zz": ["zzz"]}).collect()}
+    assert out == {"dj": 2, "fs": 1, "zz": 0}
+
+
+def test_range_agg(spark):
+    """ES range agg: [from, to) half-open, overlapping buckets count
+    independently, nulls excluded."""
+    from auctus_spark.operators.profiling import range_agg
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 50.0), (3, 99.0), (4, 150.0), (5, None)],
+        "id long, v double")
+    out = {r.bucket: (r.range_from, r.range_to, r.doc_count)
+           for r in range_agg(df, "v",
+                              [(None, 50.0), (50.0, 100.0),
+                               (80.0, None)]).collect()}
+    assert out["*-50.0"] == (None, 50.0, 1)       # 10 only (50 excl)
+    assert out["50.0-100.0"] == (50.0, 100.0, 2)  # 50, 99
+    assert out["80.0-*"] == (80.0, None, 2)       # 99, 150 (overlap)
+
+
+def test_adjacency_matrix_agg(spark):
+    """ES adjacency_matrix: singles + pairwise intersections in one
+    scan, empty cells dropped, >100 filters rejected."""
+    import pytest as _pytest
+
+    from auctus_spark.operators.profiling import adjacency_matrix_agg
+    df = spark.createDataFrame(
+        [(1, "data join scan filter"), (2, "data join"),
+         (3, "scan filter"), (4, "nothing")],
+        "doc_id long, text string")
+    out = {r.bucket: r.doc_count for r in adjacency_matrix_agg(
+        df, {"dj": ["data", "join"], "fs": ["filter", "scan"],
+             "zz": ["zzz"]}).collect()}
+    assert out == {"dj": 2, "fs": 2, "dj&fs": 1}
+    with _pytest.raises(ValueError):
+        adjacency_matrix_agg(df, {f"f{i}": ["x"] for i in range(101)})

@@ -1222,17 +1222,12 @@ def test_term_suggester_matches_oracle(spark, built):
     """ES term suggester: per missing token, candidates within
     max_edits ranked (dist asc, df desc, term asc), size-capped;
     present tokens get no suggestions in mode=missing but do in
-    mode=always; prefix anchor respected."""
+    mode=always; prefix anchor respected.  Distance is Damerau
+    (round-7 #4) — the helper delegates to the python oracle's
+    independent implementation."""
     import re as _re
 
-    def leven(a, b):
-        dp = list(range(len(b) + 1))
-        for i, ca in enumerate(a, 1):
-            prev, dp[0] = dp[0], i
-            for j, cb in enumerate(b, 1):
-                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
-                                         prev + (ca != cb))
-        return dp[-1]
+    from auctus_spark.oracle import _damerau_levenshtein as leven
 
     from auctus_spark.query.bm25 import SearchEngine
     out, oracle, _, _, _ = built
@@ -1363,3 +1358,58 @@ def test_collapse_and_search_after(spark, built):
         pages += [(r.doc_id, r.score) for r in page]
         cursor = (page[-1].score, page[-1].doc_id)
     assert pages == rounded
+
+
+def test_phrase_suggester(spark, built):
+    """ES phrase suggester: per-token top-N Damerau candidates (self
+    at distance 0 included), phrases ranked by the add-1 unigram LM
+    over corpus counts — checked against an independent python
+    recomputation from the oracle's postings; a token with no
+    dictionary candidate keeps itself with cf=0."""
+    import itertools
+    import math
+
+    from auctus_spark.oracle import _damerau_levenshtein
+    from auctus_spark.query.bm25 import SearchEngine
+    out, oracle, _, _, _ = built
+    eng = SearchEngine(spark, out, term_buckets=8)
+    cf = {w: sum(p.values()) for w, p in oracle.postings.items()}
+    df = {w: len(p) for w, p in oracle.postings.items()}
+    t_total = sum(cf.values())
+    v_size = len(cf)
+
+    def py_phrases(text, size=3, per_token=3, max_edits=2,
+                   prefix_length=1):
+        toks = [t for t in text.lower().split() if t]
+        per = []
+        for t in toks:
+            cands = sorted(
+                (_damerau_levenshtein(w, t), -df[w], w)
+                for w in cf
+                if w[:prefix_length] == t[:prefix_length]
+                and _damerau_levenshtein(w, t) <= max_edits)
+            per.append([w for _, _, w in cands[:per_token]] or [t])
+        rows = []
+        for combo in itertools.product(*per):
+            s = 0.0
+            for w in combo:
+                s += math.log((cf.get(w, 0) + 1.0)
+                              / (t_total + 1.0 * v_size))
+            rows.append((" ".join(combo), round(s, 6)))
+        rows.sort(key=lambda x: (-x[1], x[0]))
+        return rows[:size]
+
+    for text in ["improt retur", "the dta", "import"]:
+        got = [(r.phrase, float(r.score))
+               for r in eng.suggest_phrases(text, size=3).collect()]
+        assert got == py_phrases(text), text
+    # no-candidate token keeps itself at cf=0
+    got = [(r.phrase, float(r.score))
+           for r in eng.suggest_phrases("qqqqqqq import",
+                                        size=2).collect()]
+    assert got and all(p.startswith("qqqqqqq ") for p, _ in got)
+    # token-count guard
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        eng.suggest_phrases("a b c d e f g h i")
+    assert eng.suggest_phrases("").count() == 0
