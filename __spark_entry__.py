@@ -2947,6 +2947,226 @@ SELECT * FROM ({u}) WHERE doc_count > 0 ORDER BY bucket
 """
 
 
+def _phrase_engine(spark, sf_dir):
+    """The shared positional-index engine for span/phrase gates."""
+    import hashlib as _h
+
+    from auctus_spark.query.bm25 import PhraseEngine
+    _q_bm25_phrase(spark, sf_dir)        # ensure the positional index
+    tag = _h.md5(sf_dir.encode()).hexdigest()[:10]
+    return PhraseEngine(spark, f"/tmp/auctus_entry_index_pos_{tag}",
+                        term_buckets=16)
+
+
+def _q_span_near(spark, sf_dir):
+    """Lucene/ES span_near, in_order: docs where 'join' follows
+    'data' with at most 3 tokens between the spans (constant_score
+    rewrite, doc_id order)."""
+    return _phrase_engine(spark, sf_dir).search_span_near(
+        ["data", "join"], slop=3, in_order=True, k=200)
+
+
+def _q_span_near_unordered(spark, sf_dir):
+    """span_near, in_order=false: 'table'/'value'/'scan' anywhere
+    within a covering span of edit budget 6."""
+    return _phrase_engine(spark, sf_dir).search_span_near(
+        ["table", "value", "scan"], slop=6, in_order=False, k=200)
+
+
+def _span_near2_sql(t0: str, t1: str, slop: int, k: int = 200) -> str:
+    """Ordered two-clause span_near: EXISTS p1 > p0 with
+    p1 - p0 - 1 <= slop."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text),
+                     '{SPLIT_PATTERN}'), x -> x <> '') AS l
+  FROM documents),
+tok AS (
+  SELECT doc_id, l[i] AS term, i AS pos
+  FROM toks, LATERAL (SELECT unnest(range(1, len(l) + 1)) AS i)),
+m AS (
+  SELECT DISTINCT p0.doc_id
+  FROM (SELECT doc_id, pos FROM tok WHERE term = '{t0}') p0
+  JOIN (SELECT doc_id, pos FROM tok WHERE term = '{t1}') p1
+    USING (doc_id)
+  WHERE p1.pos > p0.pos AND p1.pos - p0.pos - 1 <= {slop})
+SELECT doc_id, CAST(1.0 AS DOUBLE) AS score
+FROM m ORDER BY doc_id LIMIT {k}
+"""
+
+
+def _span_near3u_sql(t0: str, t1: str, t2: str, slop: int,
+                     k: int = 200) -> str:
+    """Unordered three-clause span_near: one position per clause with
+    max - min - 2 <= slop."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text),
+                     '{SPLIT_PATTERN}'), x -> x <> '') AS l
+  FROM documents),
+tok AS (
+  SELECT doc_id, l[i] AS term, i AS pos
+  FROM toks, LATERAL (SELECT unnest(range(1, len(l) + 1)) AS i)),
+m AS (
+  SELECT DISTINCT a.doc_id
+  FROM (SELECT doc_id, pos FROM tok WHERE term = '{t0}') a
+  JOIN (SELECT doc_id, pos FROM tok WHERE term = '{t1}') b USING (doc_id)
+  JOIN (SELECT doc_id, pos FROM tok WHERE term = '{t2}') c USING (doc_id)
+  WHERE greatest(a.pos, b.pos, c.pos)
+        - least(a.pos, b.pos, c.pos) - 2 <= {slop})
+SELECT doc_id, CAST(1.0 AS DOUBLE) AS score
+FROM m ORDER BY doc_id LIMIT {k}
+"""
+
+
+_HISTOGRAM_INTERVAL = 25000.0
+
+
+def _q_histogram_agg(spark, sf_dir):
+    """ES histogram aggregation over o_totalprice: fixed 25k-wide
+    buckets, key = floor(v/interval)*interval, sparse form."""
+    from auctus_spark.operators.profiling import histogram_agg
+    return histogram_agg(_t(spark, sf_dir, "orders"), "o_totalprice",
+                         _HISTOGRAM_INTERVAL)
+
+
+def _histogram_agg_sql(interval: float) -> str:
+    return f"""
+SELECT CAST(floor(o_totalprice / {interval!r}) * {interval!r}
+            AS DOUBLE) AS bucket_key,
+       CAST(count(*) AS BIGINT) AS doc_count
+FROM orders WHERE o_totalprice IS NOT NULL
+GROUP BY 1 HAVING count(*) >= 1 ORDER BY bucket_key
+"""
+
+
+def _q_extended_stats(spark, sf_dir):
+    """ES extended_stats over l_extendedprice: one-pass moments
+    (population variance, ES formula sum_sq/n - mean^2)."""
+    from auctus_spark.operators.profiling import extended_stats_agg
+    return extended_stats_agg(_t(spark, sf_dir, "lineitem"),
+                              "l_extendedprice").select(
+        "count", F.round("min", 6).alias("min"),
+        F.round("max", 6).alias("max"),
+        F.round("sum", 2).alias("sum"),
+        F.round("avg", 4).alias("avg"),
+        F.round(F.col("sum_of_squares") / 1e6, 2)
+        .alias("sum_of_squares_1e6"),
+        F.round("variance", 2).alias("variance"),
+        F.round("std_deviation", 4).alias("std_deviation"))
+
+
+_EXTENDED_STATS_SQL = """
+WITH m AS (
+  SELECT count(l_extendedprice) AS count,
+         CAST(min(l_extendedprice) AS DOUBLE) AS min,
+         CAST(max(l_extendedprice) AS DOUBLE) AS max,
+         CAST(sum(l_extendedprice) AS DOUBLE) AS sum,
+         CAST(sum(l_extendedprice * l_extendedprice) AS DOUBLE)
+           AS sum_sq
+  FROM lineitem WHERE l_extendedprice IS NOT NULL)
+SELECT count, round(min, 6) AS min, round(max, 6) AS max,
+       round(sum, 2) AS sum, round(sum / count, 4) AS avg,
+       round(sum_sq / 1e6, 2) AS sum_of_squares_1e6,
+       round(greatest(sum_sq / count - (sum / count) * (sum / count),
+                      0.0), 2) AS variance,
+       round(sqrt(greatest(sum_sq / count
+                           - (sum / count) * (sum / count), 0.0)), 4)
+         AS std_deviation
+FROM m
+"""
+
+
+def _q_top_hits(spark, sf_dir):
+    """ES top_hits under a terms bucketing: top-3 orders per
+    o_orderpriority by o_totalprice desc (ties -> o_orderkey asc)."""
+    from auctus_spark.operators.profiling import top_hits_agg
+    return top_hits_agg(_t(spark, sf_dir, "orders"),
+                        "o_orderpriority", "o_totalprice", size=3,
+                        tiebreak_col="o_orderkey").select(
+        "bucket", "hit_rank", "o_orderkey",
+        F.round("o_totalprice", 2).alias("o_totalprice"))
+
+
+_TOP_HITS_SQL = """
+WITH r AS (
+  SELECT o_orderpriority AS bucket, o_orderkey, o_totalprice,
+         CAST(row_number() OVER (
+            PARTITION BY o_orderpriority
+            ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT)
+           AS hit_rank
+  FROM orders)
+SELECT bucket, hit_rank, o_orderkey,
+       round(o_totalprice, 2) AS o_totalprice
+FROM r WHERE hit_rank <= 3 ORDER BY bucket, hit_rank
+"""
+
+
+def _q_rescore(spark, sf_dir):
+    """ES rescore: conjunctive 'data join' top-50 window re-ranked by
+    1.0*primary + 2.0*should-BM25('table value'), top-20 by the
+    rounded total."""
+    return pipeline.rescore_topk(
+        _docs(spark, sf_dir), "data join", "table value",
+        window_size=50, query_weight=1.0, rescore_query_weight=2.0,
+        k=20, round_to=6)
+
+
+def _rescore_sql(primary: list[str], secondary: list[str],
+                 window_size: int, qw: float, rqw: float,
+                 k: int) -> str:
+    p_list = ", ".join(f"'{t}'" for t in primary)
+    s_list = ", ".join(f"'{t}'" for t in secondary)
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(text), '{SPLIT_PATTERN}'))
+           AS term
+  FROM documents),
+tok2 AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok2 GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT count(*) FROM tok2) * 1.0
+           / (SELECT count(*) FROM documents) AS avgdl),
+tf1 AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok2
+  WHERE term IN ({p_list}) GROUP BY doc_id, term),
+df1 AS (SELECT term, count(*) AS df FROM tf1 GROUP BY term),
+s1 AS (
+  SELECT tf1.doc_id,
+         sum(ln(1 + (s.n_docs - df1.df + 0.5) / (df1.df + 0.5))
+             * (tf1.tf / (tf1.tf + 1.2 *
+                (0.25 + 0.75 * dl.dl / s.avgdl)))) AS raw1,
+         count(*) AS nt
+  FROM tf1 JOIN df1 USING (term) JOIN dl USING (doc_id)
+  CROSS JOIN stats s GROUP BY tf1.doc_id),
+win AS (
+  SELECT doc_id, raw1 FROM s1 WHERE nt = {len(primary)}
+  ORDER BY raw1 DESC, doc_id ASC LIMIT {window_size}),
+tf2 AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok2
+  WHERE term IN ({s_list}) GROUP BY doc_id, term),
+df2 AS (SELECT term, count(*) AS df FROM tf2 GROUP BY term),
+s2 AS (
+  SELECT tf2.doc_id,
+         sum(ln(1 + (s.n_docs - df2.df + 0.5) / (df2.df + 0.5))
+             * (tf2.tf / (tf2.tf + 1.2 *
+                (0.25 + 0.75 * dl.dl / s.avgdl)))) AS raw2
+  FROM tf2 JOIN df2 USING (term) JOIN dl USING (doc_id)
+  CROSS JOIN stats s GROUP BY tf2.doc_id)
+SELECT w.doc_id,
+       round({qw!r} * w.raw1 + {rqw!r} * coalesce(s2.raw2, 0.0), 6)
+         AS score
+FROM win w LEFT JOIN s2 USING (doc_id)
+ORDER BY round({qw!r} * w.raw1 + {rqw!r} * coalesce(s2.raw2, 0.0), 6)
+         DESC, w.doc_id ASC
+LIMIT {k}
+"""
+
+
 def _q_significant_terms(spark, sf_dir):
     """ES significant_terms aggregation analog (JLH heuristic):
     terms over-represented in the lang='de' foreground vs the whole
@@ -3111,6 +3331,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_suggest": _q_term_suggest,
         "phrase_suggest": _q_phrase_suggest,
         "span_first": _q_span_first,
+        "span_near": _q_span_near,
+        "span_near_unordered": _q_span_near_unordered,
+        "histogram_agg": _q_histogram_agg,
+        "extended_stats": _q_extended_stats,
+        "top_hits": _q_top_hits,
+        "rescore": _q_rescore,
         "term_vectors": _q_term_vectors,
         "dedup_clusters": _q_dedup_clusters,
         "cms_counts": _q_cms_counts,
@@ -4120,6 +4346,14 @@ def _oracle_sql_static() -> dict[str, str]:
         "term_suggest": _term_suggest_sql(["dta", "joinn"]),
         "phrase_suggest": _phrase_suggest_sql(["dta", "joinn"]),
         "span_first": _span_first_sql("data", 5),
+        "span_near": _span_near2_sql("data", "join", 3),
+        "span_near_unordered": _span_near3u_sql("table", "value",
+                                                "scan", 6),
+        "histogram_agg": _histogram_agg_sql(_HISTOGRAM_INTERVAL),
+        "extended_stats": _EXTENDED_STATS_SQL,
+        "top_hits": _TOP_HITS_SQL,
+        "rescore": _rescore_sql(["data", "join"], ["table", "value"],
+                                50, 1.0, 2.0, 20),
         "term_vectors": _term_vectors_sql([1, 2, 3, 5, 8]),
         "dedup_clusters": _dedup_clusters_sql(0.8),
         "cms_counts": _cms_counts_sql(

@@ -871,3 +871,92 @@ def adjacency_matrix_agg(docs: DataFrame,
         f"stack({len(keys)}, {stack}) AS (bucket, doc_count)")
         .filter(F.col("doc_count") > 0)
         .orderBy("bucket"))
+
+
+def histogram_agg(df: DataFrame, col: str, interval: float,
+                  offset: float = 0.0, min_doc_count: int = 1
+                  ) -> DataFrame:
+    """ES ``histogram`` aggregation: fixed-interval numeric buckets,
+    key = floor((value - offset) / interval) * interval + offset (the
+    published ES bucketing formula — correct for negatives, unlike a
+    truncating cast).
+
+    Returns (bucket_key, doc_count) ordered by key; buckets below
+    ``min_doc_count`` drop (ES default 0 returns empty buckets over
+    the full extent — that form needs the min/max first and is a
+    different, two-job shape; the sparse form here is the streamed
+    one).  ONE scan + one partial-aggregated groupBy on the bucket
+    key — the same shape Catalyst gives date_histogram above.
+
+    Reference: ES search-aggregations-bucket-histogram; the reference
+    repo's numeric profiling histograms (lib_profiler temporal.py /
+    numerical ranges) are the KMeans-sketch cousins — this is the
+    ES-parity fixed-interval form."""
+    if interval <= 0:
+        raise ValueError("histogram interval must be > 0")
+    key = (F.floor((F.col(col) - float(offset)) / float(interval))
+           * float(interval) + float(offset)).cast("double")
+    return (df.filter(F.col(col).isNotNull())
+            .groupBy(key.alias("bucket_key"))
+            .agg(F.count(F.lit(1)).alias("doc_count"))
+            .filter(F.col("doc_count") >= int(min_doc_count))
+            .orderBy("bucket_key"))
+
+
+def extended_stats_agg(df: DataFrame, col: str,
+                       sigma: float = 2.0) -> DataFrame:
+    """ES ``extended_stats`` aggregation: one row with count / min /
+    max / sum / avg / sum_of_squares / variance (population, like ES)
+    / std_deviation and the ±sigma bounds.
+
+    ONE scan, all measures partial-aggregated in the same job;
+    variance computed from the aggregated moments (sum_sq/n - mean²,
+    ES's own formula) rather than var_pop so the row is a single
+    1-pass aggregate.  Reference: ES
+    search-aggregations-metrics-extendedstats."""
+    c = F.col(col)
+    one = (df.filter(c.isNotNull())
+           .agg(F.count(c).alias("count"),
+                F.min(c).cast("double").alias("min"),
+                F.max(c).cast("double").alias("max"),
+                F.sum(c).cast("double").alias("sum"),
+                F.sum(c * c).cast("double").alias("sum_of_squares")))
+    avg = F.col("sum") / F.col("count")
+    var = F.col("sum_of_squares") / F.col("count") - avg * avg
+    # moment subtraction can go −0.0/-eps on constant columns
+    var = F.greatest(var, F.lit(0.0))
+    sd = F.sqrt(var)
+    return one.select(
+        "count", "min", "max", "sum",
+        avg.alias("avg"), "sum_of_squares",
+        var.alias("variance"), sd.alias("std_deviation"),
+        (avg + float(sigma) * sd).alias("std_deviation_bound_upper"),
+        (avg - float(sigma) * sd).alias("std_deviation_bound_lower"))
+
+
+def top_hits_agg(df: DataFrame, group_col: str, sort_col: str,
+                 size: int = 3, ascending: bool = False,
+                 tiebreak_col: str | None = None) -> DataFrame:
+    """ES ``top_hits`` sub-aggregation under a terms bucketing: the
+    top ``size`` rows per bucket by ``sort_col`` (desc by default),
+    ties broken by ``tiebreak_col`` asc (required for determinism —
+    ES breaks ties by internal doc id; callers must name a real
+    column).
+
+    Returns the full input rows + (bucket = group value, hit_rank
+    1..size), ordered by (bucket, hit_rank).  Scale shape: ONE
+    shuffle on the group key, per-partition TOP-K via row_number over
+    the window — Spark's WindowExec sorts within partitions only, no
+    global sort; with AQE a skewed bucket splits at the shuffle.
+    Reference: ES search-aggregations-metrics-top-hits."""
+    from pyspark.sql import Window
+    if tiebreak_col is None:
+        raise ValueError("top_hits_agg needs tiebreak_col for a "
+                         "deterministic contract")
+    s = (F.asc(sort_col) if ascending else F.desc(sort_col))
+    w = (Window.partitionBy(group_col)
+         .orderBy(s, F.asc(tiebreak_col)))
+    return (df.withColumn("hit_rank", F.row_number().over(w))
+            .filter(F.col("hit_rank") <= int(size))
+            .withColumnRenamed(group_col, "bucket")
+            .orderBy("bucket", "hit_rank"))

@@ -466,6 +466,47 @@ class PositionalOracleIndex:
                       if any(p <= end - 1 for p in ps))
         return [(d, float(boost)) for d in docs[:k]]
 
+    def search_span_near(self, clauses: list[str], slop: int = 0,
+                         in_order: bool = True, k: int = TOP_K_SIZE,
+                         boost: float = 1.0) -> list[tuple[int, float]]:
+        """span_near, constant_score rewrite (see
+        PhraseEngine.search_span_near) — independent brute-force
+        matcher: a doc matches iff one position per clause exists
+        with max+1-min-n <= slop (and strictly increasing in clause
+        order when ``in_order``).  Enumeration is windowed (the span
+        is at most slop+n tokens wide), so it stays exact AND cheap
+        on high-tf terms."""
+        toks = []
+        for c in clauses:
+            a = tokenize(c, stem=self.stem)
+            if len(a) != 1:
+                raise ValueError("span_near clauses take one term")
+            toks.append(a[0])
+        n = len(toks)
+        plists = [self.postings.get(t) for t in toks]
+        if any(p is None for p in plists):
+            return []
+        cand = set(plists[0])
+        for p in plists[1:]:
+            cand &= set(p)
+        width = slop + n - 1  # max allowed (max - min)
+
+        def match(pos: list[list[int]]) -> bool:
+            if in_order:
+                def rec(i: int, prev: int, p0: int) -> bool:
+                    if i == n:
+                        return True
+                    return any(rec(i + 1, q, p0) for q in pos[i]
+                               if q > prev and q <= p0 + width)
+                return any(rec(1, p0, p0) for p0 in pos[0])
+            starts = sorted({q for ps in pos for q in ps})
+            return any(all(any(s <= q <= s + width for q in ps)
+                           for ps in pos) for s in starts)
+
+        docs = sorted(d for d in cand
+                      if match([plists[i][d] for i in range(n)]))
+        return [(d, float(boost)) for d in docs[:k]]
+
     def search_phrase(self, query: str, k: int = TOP_K_SIZE,
                       k1: float = K1, b: float = B, slop: int = 0
                       ) -> list[tuple[int, float]]:

@@ -191,6 +191,63 @@ def bm25_or_topk(docs: DataFrame, query: str, k: int = TOP_K_SIZE,
             .limit(k))
 
 
+def rescore_topk(docs: DataFrame, query: str, rescore_query: str,
+                 window_size: int = 50, query_weight: float = 1.0,
+                 rescore_query_weight: float = 1.0,
+                 k: int = TOP_K_SIZE, id_col: str = "doc_id",
+                 text_col: str = "text",
+                 round_to: int | None = None) -> DataFrame:
+    """ES ``rescore``: re-rank the top ``window_size`` hits of the
+    primary (conjunctive) query by the weighted total
+    ``query_weight·primary + rescore_query_weight·secondary``, where
+    the secondary is a should-style BM25 over ``rescore_query`` (a
+    window doc matching none of its terms contributes exactly +0.0 —
+    ES score_mode=total, the default).  Secondary idf/avgdl come from
+    the FULL corpus, not the window, exactly like ES rescoring
+    against index-level stats.
+
+    Scale shape: the window (≤ window_size rows, the primary query's
+    TakeOrdered output) BROADCASTS back onto one more corpus scan
+    that computes the secondary tf columns only for window members —
+    no shuffle, no second ranking pass over the corpus; the final
+    top-k sorts ≤ window_size rows.  Ordering contract: when
+    ``round_to`` is set both the sort and the emitted score use the
+    ROUNDED total (ties → doc_id asc) so engine and oracle agree on
+    boundary membership.
+
+    Reference: ES filter-search-results / rescore; reference repo has
+    no rescoring — beyond-ref ES parity surface."""
+    spark = docs.sparkSession
+    terms = analyze_query(rescore_query)
+    empty = spark.createDataFrame([], f"{id_col} long, score double")
+    base = bm25_topk(docs, query, k=window_size, id_col=id_col,
+                     text_col=text_col)  # raw scores pick the window
+    if not terms:
+        return empty
+    n_docs, avgdl, dfs = _query_stats(docs, terms, text_col)
+    if n_docs == 0:
+        return empty
+    idfs = [bm25_idf(n_docs, d) if d else 0.0 for d in dfs]
+    win = base.select(F.col(id_col).alias("_wid"),
+                      F.col("score").alias("_orig"))
+    per_doc = (docs.join(
+        F.broadcast(win), docs[id_col] == win["_wid"], "inner")
+        .select(F.col("_wid").alias("doc_id"), "_orig",
+                _toks(docs[text_col]).alias("_toks"))
+        .select("doc_id", "_orig", F.size("_toks").alias("_dl"),
+                *[_tf(i, t) for i, t in enumerate(terms)]))
+    sec = _score_expr(terms, idfs, avgdl)
+    total = (F.lit(float(query_weight)) * F.col("_orig")
+             + F.lit(float(rescore_query_weight)) * sec)
+    if round_to is not None:
+        total = F.round(total, round_to)
+    return (per_doc
+            .select(F.col("doc_id").alias(id_col),
+                    total.alias("score"))
+            .orderBy(F.desc("score"), F.asc(id_col))
+            .limit(k))
+
+
 def dis_max_topk(docs: DataFrame, queries: list[str],
                  k: int = TOP_K_SIZE, tie_breaker: float = 0.0,
                  id_col: str = "doc_id", text_col: str = "text",

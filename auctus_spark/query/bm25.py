@@ -2071,6 +2071,61 @@ def _phrase_sloppy_docs(per_term: dict, cand: np.ndarray,
             np.array(freqs, dtype=np.float64))
 
 
+def _span_near_match(pos_lists: list[np.ndarray], slop: int,
+                     in_order: bool) -> bool:
+    """Existence test for span_near over one doc's per-clause sorted
+    position arrays (single-term clauses, so each span is [p, p+1)).
+
+    in_order: choose p_0 < p_1 < ... < p_{n-1} (one per clause,
+    clause order) with edit budget p_{n-1} - p_0 - (n-1) <= slop.
+    For a fixed p_0 the greedy 'smallest position > prev' walk
+    minimizes p_{n-1}, so trying every p_0 decides existence exactly.
+
+    unordered: choose one position per clause with
+    max - min - (n-1) <= slop — the minimal window covering all n
+    lists, found by the standard sorted-merge sweep (terms are
+    distinct, so positions never collide)."""
+    n = len(pos_lists)
+    if in_order:
+        first = pos_lists[0]
+        for p0 in first.tolist():
+            prev = p0
+            ok = True
+            for lst in pos_lists[1:]:
+                i = int(np.searchsorted(lst, prev, side="right"))
+                if i >= lst.size:
+                    ok = False
+                    break
+                prev = int(lst[i])
+            if ok and prev - p0 - (n - 1) <= slop:
+                return True
+            if not ok:
+                # later starts only push the greedy walk further
+                # right on the SAME exhausted list — no match possible
+                return False
+        return False
+    # unordered: merge (pos, slot), sliding window covering all slots
+    merged = np.concatenate(pos_lists)
+    slots = np.concatenate([np.full(a.size, i, dtype=np.int64)
+                            for i, a in enumerate(pos_lists)])
+    o = np.argsort(merged, kind="stable")
+    merged, slots = merged[o], slots[o]
+    need = np.zeros(n, dtype=np.int64)
+    covered = 0
+    lo = 0
+    for hi in range(merged.size):
+        if need[slots[hi]] == 0:
+            covered += 1
+        need[slots[hi]] += 1
+        while need[slots[lo]] > 1:
+            need[slots[lo]] -= 1
+            lo += 1
+        if covered == n and \
+                merged[hi] - merged[lo] - (n - 1) <= slop:
+            return True
+    return False
+
+
 def _dl_for(parts: list, docs: np.ndarray) -> np.ndarray:
     """Doc lengths for ``docs`` from a term's partials (dls inline)."""
     dl = np.zeros(docs.size, dtype=np.float64)
@@ -2245,6 +2300,81 @@ class PhraseEngine(SearchEngine):
                  .applyInPandas(find_bucket,
                                 schema="doc_id long, score double"))
         return local.orderBy(F.asc("doc_id")).limit(k)
+
+    def search_span_near(self, clauses: list[str], slop: int = 0,
+                         in_order: bool = True, k: int = TOP_K_SIZE,
+                         boost: float = 1.0) -> DataFrame:
+        """Lucene/ES ``span_near`` with single-term clauses: docs whose
+        token stream contains one position per clause such that the
+        covering span's edit budget ``max+1-min-n <= slop``; with
+        ``in_order`` the chosen positions must additionally be strictly
+        increasing in clause order.  Constant_score rewrite like
+        :meth:`search_span_first` (documented divergence: Lucene scores
+        SpanNearQuery through sloppyFreq); doc_id order, score == boost.
+
+        Plan shape == the phrase queries: rarest-term candidate
+        intersection prunes to docs containing ALL clause terms
+        (tombstone-masked), positions decode only for candidates, the
+        per-doc existence test is a greedy cursor walk (in_order: for
+        each start of clause 0 the greedily-minimal end is optimal, so
+        existence is exact) or a k-way minimal-window sweep (unordered)
+        — one bucket-parallel job, no shuffle beyond the final
+        TakeOrdered."""
+        if len(clauses) < 2:
+            raise ValueError("span_near needs at least 2 clauses")
+        toks: list[str] = []
+        for c in clauses:
+            a = analyze_query(c, stem=self.stem)
+            if len(a) != 1:
+                raise ValueError(
+                    f"span_near clauses take exactly one analyzed "
+                    f"term; {c!r} analyzed to {a!r}")
+            toks.append(a[0])
+        if not in_order and len(set(toks)) != len(toks):
+            raise ValueError(
+                "unordered span_near with duplicate clause terms is "
+                "not supported (distinct-position repeats rule)")
+        uterms = list(dict.fromkeys(toks))
+        stats = self.term_stats(uterms)
+        if any(stats.get(t, 0) == 0 for t in uterms):
+            return self._empty()
+        segs = self._segments_for(uterms).select(*self._POS_COLS)
+        tomb = self.tombstones
+        s, order, terms, kk, b = (int(slop), bool(in_order),
+                                  list(toks), k, float(boost))
+
+        def find_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+            per_term = _group_partials_pos(pdf)
+            if any(t not in per_term for t in set(terms)):
+                return _empty_pdf()
+            cand = _phrase_cand(per_term, terms, tomb)
+            if cand is None:
+                return _empty_pdf()
+            slot_maps: list[dict[int, np.ndarray]] = []
+            for t in terms:
+                parts = [_phrase_occurrences(seg, cand, 0)
+                         for seg in per_term[t]]
+                c = np.concatenate([x[0] for x in parts])
+                p = np.concatenate([x[1] for x in parts])
+                o = np.lexsort((p, c))
+                c, p = c[o], p[o]
+                uniq, starts = np.unique(c, return_index=True)
+                slot_maps.append(
+                    dict(zip(uniq.tolist(), np.split(p, starts[1:]))))
+            hits = [int(cand[ci]) for ci in range(cand.size)
+                    if all(ci in m for m in slot_maps)
+                    and _span_near_match([m[ci] for m in slot_maps],
+                                         s, order)]
+            if not hits:
+                return _empty_pdf()
+            return pd.DataFrame({
+                "doc_id": np.array(hits, dtype=np.int64),
+                "score": np.full(len(hits), b)})
+
+        local = (segs.groupBy("bucket")
+                 .applyInPandas(find_bucket,
+                                schema="doc_id long, score double"))
+        return local.orderBy(F.asc("doc_id")).limit(kk)
 
     def search_phrase_prefix(self, query: str, k: int = TOP_K_SIZE,
                              max_expansions: int = 50) -> DataFrame:

@@ -335,3 +335,62 @@ def test_adjacency_matrix_agg(spark):
     assert out == {"dj": 2, "fs": 2, "dj&fs": 1}
     with _pytest.raises(ValueError):
         adjacency_matrix_agg(df, {f"f{i}": ["x"] for i in range(101)})
+
+
+def test_histogram_agg_es_formula(spark):
+    """ES histogram bucketing: floor((v-offset)/interval)*interval
+    + offset — correct for negatives; min_doc_count prunes."""
+    from auctus_spark.operators.profiling import histogram_agg
+    vals = [-7.0, -0.1, 0.0, 4.9, 5.0, 5.1, 12.0, 12.0]
+    df = spark.createDataFrame([(v,) for v in vals] + [(None,)],
+                               "v double")
+    got = {r["bucket_key"]: r["doc_count"]
+           for r in histogram_agg(df, "v", 5.0).collect()}
+    assert got == {-10.0: 1, -5.0: 1, 0.0: 2, 5.0: 2, 10.0: 2}
+    # offset shifts bucket edges
+    got = {r["bucket_key"]: r["doc_count"]
+           for r in histogram_agg(df, "v", 5.0, offset=1.0).collect()}
+    assert got == {-9.0: 1, -4.0: 2, 1.0: 3, 11.0: 2}
+    # min_doc_count prunes sparse buckets
+    got = {r["bucket_key"]: r["doc_count"]
+           for r in histogram_agg(df, "v", 5.0,
+                                  min_doc_count=2).collect()}
+    assert got == {0.0: 2, 5.0: 2, 10.0: 2}
+    with pytest.raises(ValueError):
+        histogram_agg(df, "v", 0.0)
+
+
+def test_extended_stats_agg_matches_numpy(spark):
+    """One-pass moments == numpy population stats; constant column
+    clamps variance at exactly 0.0 (no negative epsilon)."""
+    from auctus_spark.operators.profiling import extended_stats_agg
+    vals = [3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    r = extended_stats_agg(df, "v", sigma=2.0).collect()[0]
+    a = np.array(vals)
+    assert r["count"] == 8 and r["min"] == 1.0 and r["max"] == 9.0
+    assert r["sum"] == a.sum()
+    assert r["avg"] == pytest.approx(a.mean())
+    assert r["sum_of_squares"] == (a * a).sum()
+    assert r["variance"] == pytest.approx(np.var(a))  # population
+    assert r["std_deviation"] == pytest.approx(np.std(a))
+    assert r["std_deviation_bound_upper"] == pytest.approx(
+        a.mean() + 2 * np.std(a))
+    const = spark.createDataFrame([(2.0,)] * 5, "v double")
+    rc = extended_stats_agg(const, "v").collect()[0]
+    assert rc["variance"] == 0.0 and rc["std_deviation"] == 0.0
+
+
+def test_top_hits_agg_per_bucket_topk(spark):
+    """top_hits: per-bucket top-size by sort desc, ties by tiebreak
+    asc; buckets smaller than size emit all rows."""
+    from auctus_spark.operators.profiling import top_hits_agg
+    rows = [("a", 1, 10.0), ("a", 2, 30.0), ("a", 3, 30.0),
+            ("a", 4, 20.0), ("b", 5, 1.0)]
+    df = spark.createDataFrame(rows, "g string, id long, v double")
+    got = [(r["bucket"], r["hit_rank"], r["id"])
+           for r in top_hits_agg(df, "g", "v", size=2,
+                                 tiebreak_col="id").collect()]
+    assert got == [("a", 1, 2), ("a", 2, 3), ("b", 1, 5)]
+    with pytest.raises(ValueError):
+        top_hits_agg(df, "g", "v")

@@ -1413,3 +1413,116 @@ def test_phrase_suggester(spark, built):
     with _pytest.raises(ValueError):
         eng.suggest_phrases("a b c d e f g h i")
     assert eng.suggest_phrases("").count() == 0
+
+
+def test_span_near_matches_oracle(spark, built_positional):
+    """span_near (constant_score): doc set == the positional oracle's
+    independent brute-force matcher across ordered/unordered and
+    several slops; ordered hits ⊆ unordered at the same slop."""
+    from auctus_spark.query.bm25 import PhraseEngine
+    out, oracle, _ = built_positional
+    eng = PhraseEngine(spark, out, term_buckets=8)
+    cases = [(["import", "def"], 0, True),
+             (["import", "def"], 3, True),
+             (["import", "def"], 3, False),
+             (["the", "import", "def"], 5, False),
+             (["import", "def", "return"], 8, True),
+             (["import", "import"], 2, True),
+             (["import", "no_such_token"], 5, True)]
+    for clauses, slop, order in cases:
+        got = [(int(r.doc_id), float(r.score))
+               for r in eng.search_span_near(
+                   clauses, slop=slop, in_order=order, k=700,
+                   boost=2.0).collect()]
+        want = oracle.search_span_near(clauses, slop, order, k=700,
+                                       boost=2.0)
+        assert got == want, (clauses, slop, order)
+    o = {d for d, _ in oracle.search_span_near(
+        ["import", "def"], 3, True, k=700)}
+    u = {d for d, _ in oracle.search_span_near(
+        ["import", "def"], 3, False, k=700)}
+    assert o <= u and len(u) > 0
+    with pytest.raises(ValueError):
+        eng.search_span_near(["import"])
+    with pytest.raises(ValueError):
+        eng.search_span_near(["import", "import"], in_order=False)
+    with pytest.raises(ValueError):
+        eng.search_span_near(["import def", "the"])
+
+
+def test_span_near_semantics_handmade():
+    """Slop boundaries and order sensitivity on a corpus built by
+    hand (oracle only — engine equivalence is the test above)."""
+    from auctus_spark.oracle import PositionalOracleIndex
+    idx = PositionalOracleIndex.build([
+        (0, "a b c"),            # a,b adjacent in order
+        (1, "c x x b x x a"),    # b before a, 2 tokens apart
+        (2, "a x b"),            # one-gap in order
+        (3, "b a"),              # adjacent, reversed
+    ])
+
+    def ids(clauses, slop, order):
+        return [d for d, _ in idx.search_span_near(clauses, slop,
+                                                   order)]
+    assert ids(["a", "b"], 0, True) == [0]
+    assert ids(["a", "b"], 1, True) == [0, 2]
+    assert ids(["a", "b"], 0, False) == [0, 3]
+    assert ids(["a", "b"], 1, False) == [0, 2, 3]
+    assert ids(["a", "b"], 2, False) == [0, 1, 2, 3]
+    assert ids(["b", "a"], 0, True) == [3]
+    # three clauses, unordered: doc1 span c..b..a width 6 -> slop 4
+    assert ids(["a", "b", "c"], 3, False) == [0]
+    assert ids(["a", "b", "c"], 4, False) == [0, 1]
+
+
+def test_span_near_match_greedy_edges():
+    """The bucket matcher's greedy walk: early-exit on exhaustion is
+    sound, and per-start greedy finds the budget-feasible tuple."""
+    import numpy as np
+
+    from auctus_spark.query.bm25 import _span_near_match
+
+    def m(lists, slop, order):
+        return _span_near_match(
+            [np.array(v, dtype=np.int64) for v in lists], slop, order)
+    assert m([[0, 5], [3]], 2, True)          # 0 -> 3, budget 2
+    assert not m([[0, 5], [3]], 1, True)      # only combo needs 2
+    assert m([[0, 9], [10]], 0, True)         # later start is the hit
+    assert not m([[5], [3]], 99, True)        # order impossible
+    assert not m([[5], [3]], 0, False)        # gap of one token
+    assert m([[5], [3]], 1, False)            # budget 1 covers it
+    assert m([[5], [4]], 0, False)            # unordered adjacent
+    assert m([[0, 100], [101], [99]], 0, False)   # window 99..101
+    assert not m([[0, 100], [101], [99]], 0, True)
+
+
+def test_rescore_matches_oracle_composition(spark, built):
+    """ES rescore: engine total == qw*conjunctive + rqw*should for
+    the top-window docs, bit-exact against the oracle scorers; with
+    rescore weight 0 it degenerates to the primary top-k."""
+    from auctus_spark import pipeline
+    _, oracle, _, corpus, _ = built
+    q, rq, w, qw, rqw = "import data", "def return", 25, 1.0, 2.0
+    s1 = oracle.search(q, k=10**9)          # conjunctive, ranked
+    s2 = dict(oracle.search_or(rq, k=10**9))
+    win = s1[:w]
+    exp = sorted(((d, qw * s + rqw * s2.get(d, 0.0)) for d, s in win),
+                 key=lambda x: (-x[1], x[0]))[:10]
+    got = [(int(r.doc_id), float(r.score))
+           for r in pipeline.rescore_topk(
+               corpus, q, rq, window_size=w, query_weight=qw,
+               rescore_query_weight=rqw, k=10,
+               text_col="content").collect()]
+    assert got == exp
+    # rqw=0 -> identical to the primary top-k
+    base = [(int(r.doc_id), float(r.score))
+            for r in pipeline.bm25_topk(corpus, q, k=10,
+                                        text_col="content").collect()]
+    got0 = [(int(r.doc_id), float(r.score))
+            for r in pipeline.rescore_topk(
+                corpus, q, rq, window_size=w, rescore_query_weight=0.0,
+                k=10, text_col="content").collect()]
+    assert got0 == base
+    # empty rescore query -> empty (ES errors on empty rescorer)
+    assert pipeline.rescore_topk(corpus, q, "", k=10,
+                                 text_col="content").count() == 0
