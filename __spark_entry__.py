@@ -3167,6 +3167,199 @@ LIMIT {k}
 """
 
 
+def _q_span_not(spark, sf_dir):
+    """Lucene/ES span_not: docs with a 'data' occurrence NOT followed
+    within 3 tokens by 'join' (include span widened post=3 must avoid
+    every exclude span; constant_score, doc_id order)."""
+    return _phrase_engine(spark, sf_dir).search_span_not(
+        "data", "join", pre=0, post=3, k=400)
+
+
+def _span_not_sql(inc: str, exc: str, pre: int, post: int,
+                  k: int = 400) -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text),
+                     '{SPLIT_PATTERN}'), x -> x <> '') AS l
+  FROM documents),
+tok AS (
+  SELECT doc_id, l[i] AS term, i AS pos
+  FROM toks, LATERAL (SELECT unnest(range(1, len(l) + 1)) AS i)),
+m AS (
+  SELECT DISTINCT p.doc_id
+  FROM (SELECT doc_id, pos FROM tok WHERE term = '{inc}') p
+  WHERE NOT EXISTS (
+    SELECT 1 FROM tok q
+    WHERE q.term = '{exc}' AND q.doc_id = p.doc_id
+      AND q.pos BETWEEN p.pos - {pre} AND p.pos + {post}))
+SELECT doc_id, CAST(1.0 AS DOUBLE) AS score
+FROM m ORDER BY doc_id LIMIT {k}
+"""
+
+
+_PCT_RANK_VALUES = [50000.0, 150000.0, 300000.0]
+
+
+def _q_percentile_ranks(spark, sf_dir):
+    """ES percentile_ranks over o_totalprice: empirical CDF x100 at
+    three probe values (exact; ES approximates via TDigest)."""
+    from auctus_spark.operators.profiling import percentile_ranks_agg
+    out = percentile_ranks_agg(_t(spark, sf_dir, "orders"),
+                               "o_totalprice", _PCT_RANK_VALUES)
+    return out.select("value", F.round("percentile_rank", 6)
+                      .alias("percentile_rank"))
+
+
+def _percentile_ranks_sql(values: list[float]) -> str:
+    rows = "\nUNION ALL\n".join(f"""
+SELECT CAST({v!r} AS DOUBLE) AS value,
+       round(100.0 * (SELECT count(*) FROM orders
+                      WHERE o_totalprice <= {v!r})
+             / (SELECT count(*) FROM orders
+                WHERE o_totalprice IS NOT NULL), 6)
+         AS percentile_rank""" for v in values)
+    return rows + "\nORDER BY value\n"
+
+
+def _q_boxplot(spark, sf_dir):
+    """ES boxplot over l_extendedprice: exact PERCENTILE_CONT
+    quartiles + extremes (ES: TDigest, documented divergence)."""
+    from auctus_spark.operators.profiling import boxplot_agg
+    out = boxplot_agg(_t(spark, sf_dir, "lineitem"), "l_extendedprice")
+    return out.select(F.round("min", 6).alias("min"),
+                      F.round("q1", 6).alias("q1"),
+                      F.round("q2", 6).alias("q2"),
+                      F.round("q3", 6).alias("q3"),
+                      F.round("max", 6).alias("max"),
+                      F.round("iqr", 6).alias("iqr"))
+
+
+_BOXPLOT_SQL = """
+SELECT round(CAST(min(l_extendedprice) AS DOUBLE), 6) AS min,
+       round(quantile_cont(l_extendedprice, 0.25), 6) AS q1,
+       round(quantile_cont(l_extendedprice, 0.5), 6) AS q2,
+       round(quantile_cont(l_extendedprice, 0.75), 6) AS q3,
+       round(CAST(max(l_extendedprice) AS DOUBLE), 6) AS max,
+       round(quantile_cont(l_extendedprice, 0.75)
+             - quantile_cont(l_extendedprice, 0.25), 6) AS iqr
+FROM lineitem WHERE l_extendedprice IS NOT NULL
+"""
+
+
+def _q_weighted_avg(spark, sf_dir):
+    """ES weighted_avg: l_extendedprice weighted by l_quantity."""
+    from auctus_spark.operators.profiling import weighted_avg_agg
+    out = weighted_avg_agg(_t(spark, sf_dir, "lineitem"),
+                           "l_extendedprice", "l_quantity")
+    return out.select(F.round("weighted_avg", 6).alias("weighted_avg"))
+
+
+_WEIGHTED_AVG_SQL = """
+SELECT round(CAST(sum(l_extendedprice * l_quantity) AS DOUBLE)
+             / CAST(sum(l_quantity) AS DOUBLE), 6) AS weighted_avg
+FROM lineitem
+WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+"""
+
+
+def _q_multi_terms(spark, sf_dir):
+    """ES multi_terms: compound (l_returnflag, l_linestatus) buckets
+    by doc_count desc, keys asc."""
+    from auctus_spark.operators.profiling import multi_terms_agg
+    return multi_terms_agg(_t(spark, sf_dir, "lineitem"),
+                           ["l_returnflag", "l_linestatus"], size=10)
+
+
+_MULTI_TERMS_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(count(*) AS BIGINT) AS doc_count
+FROM lineitem
+WHERE l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL
+GROUP BY l_returnflag, l_linestatus
+ORDER BY doc_count DESC, l_returnflag, l_linestatus
+LIMIT 10
+"""
+
+
+def _q_stats_bucket(spark, sf_dir):
+    """ES stats_bucket pipeline agg over the dense daily
+    date_histogram of events (count/min/max/avg/sum of the bucket
+    counts, zero-days included)."""
+    from auctus_spark.operators.profiling import (date_histogram,
+                                                  stats_bucket)
+    e = _t(spark, sf_dir, "events")
+    h = date_histogram(e, "ts", interval="day", min_doc_count=0)
+    out = stats_bucket(h, value_col="count")
+    return out.select("count", "min", "max",
+                      F.round("avg", 6).alias("avg"), "sum")
+
+
+_STATS_BUCKET_SQL = """
+WITH b AS (SELECT date_trunc('day', ts) AS bucket FROM events
+           WHERE ts IS NOT NULL),
+c AS (SELECT bucket, count(*) AS count FROM b GROUP BY bucket),
+mm AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM c),
+axis AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))
+           AS bucket FROM mm),
+h AS (SELECT CAST(coalesce(c.count, 0) AS BIGINT) AS count
+      FROM axis LEFT JOIN c USING (bucket))
+SELECT CAST(count(count) AS BIGINT) AS count,
+       CAST(min(count) AS DOUBLE) AS min,
+       CAST(max(count) AS DOUBLE) AS max,
+       round(avg(count), 6) AS avg,
+       CAST(sum(count) AS DOUBLE) AS sum
+FROM h
+"""
+
+
+def _geo_derived_customers(spark, sf_dir):
+    return _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        ((F.col("c_custkey") % 80) - 40).cast("double").alias("lat"),
+        (((F.col("c_custkey") * 7) % 160) - 80).cast("double")
+        .alias("lon"))
+
+
+def _q_geo_bounds(spark, sf_dir):
+    """ES geo_bounds over the derived customer coordinates."""
+    from auctus_spark.operators.geo import geo_bounds_agg
+    return geo_bounds_agg(_geo_derived_customers(spark, sf_dir),
+                          "lat", "lon")
+
+
+_GEO_BOUNDS_SQL = """
+WITH c AS (
+  SELECT CAST((c_custkey % 80) - 40 AS DOUBLE) AS lat,
+         CAST(((c_custkey * 7) % 160) - 80 AS DOUBLE) AS lon
+  FROM customer)
+SELECT max(lat) AS top_left_lat, min(lon) AS top_left_lon,
+       min(lat) AS bottom_right_lat, max(lon) AS bottom_right_lon
+FROM c
+"""
+
+
+def _q_geo_centroid(spark, sf_dir):
+    """ES geo_centroid (arithmetic-mean centroid + count) over the
+    derived customer coordinates."""
+    from auctus_spark.operators.geo import geo_centroid_agg
+    out = geo_centroid_agg(_geo_derived_customers(spark, sf_dir),
+                           "lat", "lon")
+    return out.select(F.round("lat", 6).alias("lat"),
+                      F.round("lon", 6).alias("lon"), "count")
+
+
+_GEO_CENTROID_SQL = """
+WITH c AS (
+  SELECT CAST((c_custkey % 80) - 40 AS DOUBLE) AS lat,
+         CAST(((c_custkey * 7) % 160) - 80 AS DOUBLE) AS lon
+  FROM customer)
+SELECT round(avg(lat), 6) AS lat, round(avg(lon), 6) AS lon,
+       CAST(count(*) AS BIGINT) AS count
+FROM c
+"""
+
+
 def _q_significant_terms(spark, sf_dir):
     """ES significant_terms aggregation analog (JLH heuristic):
     terms over-represented in the lang='de' foreground vs the whole
@@ -3333,6 +3526,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_first": _q_span_first,
         "span_near": _q_span_near,
         "span_near_unordered": _q_span_near_unordered,
+        "span_not": _q_span_not,
+        "percentile_ranks": _q_percentile_ranks,
+        "boxplot": _q_boxplot,
+        "weighted_avg": _q_weighted_avg,
+        "multi_terms": _q_multi_terms,
+        "stats_bucket": _q_stats_bucket,
+        "geo_bounds": _q_geo_bounds,
+        "geo_centroid": _q_geo_centroid,
         "histogram_agg": _q_histogram_agg,
         "extended_stats": _q_extended_stats,
         "top_hits": _q_top_hits,
@@ -4349,6 +4550,14 @@ def _oracle_sql_static() -> dict[str, str]:
         "span_near": _span_near2_sql("data", "join", 3),
         "span_near_unordered": _span_near3u_sql("table", "value",
                                                 "scan", 6),
+        "span_not": _span_not_sql("data", "join", 0, 3),
+        "percentile_ranks": _percentile_ranks_sql(_PCT_RANK_VALUES),
+        "boxplot": _BOXPLOT_SQL,
+        "weighted_avg": _WEIGHTED_AVG_SQL,
+        "multi_terms": _MULTI_TERMS_SQL,
+        "stats_bucket": _STATS_BUCKET_SQL,
+        "geo_bounds": _GEO_BOUNDS_SQL,
+        "geo_centroid": _GEO_CENTROID_SQL,
         "histogram_agg": _histogram_agg_sql(_HISTOGRAM_INTERVAL),
         "extended_stats": _EXTENDED_STATS_SQL,
         "top_hits": _TOP_HITS_SQL,

@@ -434,3 +434,34 @@ def geo_distance_filter(df: DataFrame, lat_col: str, lon_col: str,
     return (df.filter(box)
             .withColumn("distance_km", dist)
             .filter(F.col("distance_km") <= float(radius_km)))
+
+
+def geo_bounds_agg(df: DataFrame, lat_col: str, lon_col: str
+                   ) -> DataFrame:
+    """ES ``geo_bounds`` aggregation: the bounding box of all points
+    — one row (top_left_lat, top_left_lon, bottom_right_lat,
+    bottom_right_lon).  Non-wrapping form (ES wrap_longitude=true can
+    emit a box crossing the antimeridian when that is tighter;
+    documented divergence — the straight min/max box is always a
+    correct cover).  One scan, four partial-aggregated extremes."""
+    ok = F.col(lat_col).isNotNull() & F.col(lon_col).isNotNull()
+    return (df.filter(ok)
+            .agg(F.max(lat_col).cast("double").alias("top_left_lat"),
+                 F.min(lon_col).cast("double").alias("top_left_lon"),
+                 F.min(lat_col).cast("double")
+                  .alias("bottom_right_lat"),
+                 F.max(lon_col).cast("double")
+                  .alias("bottom_right_lon")))
+
+
+def geo_centroid_agg(df: DataFrame, lat_col: str, lon_col: str
+                     ) -> DataFrame:
+    """ES ``geo_centroid`` aggregation: arithmetic mean of the
+    coordinates plus the point count — one row (lat, lon, count),
+    exactly ES's accumulating-average centroid (ES averages raw
+    lat/lon, not a spherical centroid).  One scan."""
+    ok = F.col(lat_col).isNotNull() & F.col(lon_col).isNotNull()
+    return (df.filter(ok)
+            .agg(F.avg(lat_col).cast("double").alias("lat"),
+                 F.avg(lon_col).cast("double").alias("lon"),
+                 F.count(F.lit(1)).alias("count")))

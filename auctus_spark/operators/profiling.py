@@ -960,3 +960,94 @@ def top_hits_agg(df: DataFrame, group_col: str, sort_col: str,
             .filter(F.col("hit_rank") <= int(size))
             .withColumnRenamed(group_col, "bucket")
             .orderBy("bucket", "hit_rank"))
+
+
+def percentile_ranks_agg(df: DataFrame, col: str,
+                         values: list[float]) -> DataFrame:
+    """ES ``percentile_ranks`` aggregation: for each given value, the
+    percentage of observed values that are <= it (the empirical CDF
+    ×100 — ES computes the same quantity through its TDigest sketch;
+    exact here, documented divergence like boxplot_agg).
+
+    Returns (value, percentile_rank) one row per requested value,
+    value order.  ONE scan: total + one conditional sum per value,
+    all partial-aggregated; unpivot on the 1-row output."""
+    vs = [float(v) for v in values]
+    aggs = [F.count(F.when(F.col(col).isNotNull(), 1)).alias("_n")]
+    for i, v in enumerate(vs):
+        aggs.append(F.sum(F.when(F.col(col) <= v, 1).otherwise(0))
+                    .cast("long").alias(f"_c{i}"))
+    one = df.agg(*aggs)
+    stack = ", ".join(
+        f"CAST({v!r} AS DOUBLE), "
+        f"CAST(100.0 * _c{i} / _n AS DOUBLE)"
+        for i, v in enumerate(vs))
+    return (one.selectExpr(
+        f"stack({len(vs)}, {stack}) AS (value, percentile_rank)")
+        .orderBy("value"))
+
+
+def boxplot_agg(df: DataFrame, col: str) -> DataFrame:
+    """ES ``boxplot`` aggregation: one row (min, q1, q2, q3, max,
+    iqr) — EXACT linear-interpolated quartiles (ANSI PERCENTILE_CONT;
+    ES computes them through TDigest, documented divergence, same
+    statistic in the exact limit).  One scan, quartiles and extremes
+    in a single sort-based aggregate."""
+    q = F.percentile(F.col(col), F.array(F.lit(0.25), F.lit(0.5),
+                                         F.lit(0.75)))
+    one = (df.filter(F.col(col).isNotNull())
+           .agg(F.min(col).cast("double").alias("min"),
+                F.max(col).cast("double").alias("max"),
+                q.alias("_q")))
+    return one.select(
+        "min", F.col("_q")[0].alias("q1"), F.col("_q")[1].alias("q2"),
+        F.col("_q")[2].alias("q3"), "max",
+        (F.col("_q")[2] - F.col("_q")[0]).alias("iqr"))
+
+
+def weighted_avg_agg(df: DataFrame, value_col: str,
+                     weight_col: str) -> DataFrame:
+    """ES ``weighted_avg`` aggregation: sum(value*weight)/sum(weight)
+    over rows where BOTH are non-null (ES skips docs missing the
+    value and errors without a weight; the missing-value defaults are
+    config this engine does not carry).  One row, one scan."""
+    ok = F.col(value_col).isNotNull() & F.col(weight_col).isNotNull()
+    return (df.filter(ok)
+            .agg((F.sum(F.col(value_col) * F.col(weight_col))
+                  / F.sum(F.col(weight_col)))
+                 .cast("double").alias("weighted_avg")))
+
+
+def multi_terms_agg(df: DataFrame, cols: list[str],
+                    size: int = 10) -> DataFrame:
+    """ES ``multi_terms`` aggregation: compound-key terms buckets
+    ordered by doc_count desc (ties -> key columns asc, the
+    deterministic contract ES leaves to shard order).  Null keys drop
+    like ES terms.  One groupBy on the compound key (partial agg,
+    single shuffle), TakeOrdered for the size cut."""
+    pred = None
+    for c in cols:
+        p = F.col(c).isNotNull()
+        pred = p if pred is None else (pred & p)
+    return (df.filter(pred)
+            .groupBy(*cols)
+            .agg(F.count(F.lit(1)).alias("doc_count"))
+            .orderBy(F.desc("doc_count"),
+                     *[F.asc(c) for c in cols])
+            .limit(size))
+
+
+def stats_bucket(buckets: DataFrame, value_col: str = "doc_count"
+                 ) -> DataFrame:
+    """ES ``stats_bucket`` pipeline aggregation: count / min / max /
+    avg / sum over a sibling aggregation's bucket metric (pair with
+    date_histogram / histogram_agg / terms outputs).  The bucket
+    table is already tiny (one row per bucket), so this is a 1-row
+    final aggregate — no extra scan of the base data."""
+    v = F.col(value_col)
+    return buckets.agg(
+        F.count(v).alias("count"),
+        F.min(v).cast("double").alias("min"),
+        F.max(v).cast("double").alias("max"),
+        F.avg(v).cast("double").alias("avg"),
+        F.sum(v).cast("double").alias("sum"))

@@ -507,6 +507,27 @@ class PositionalOracleIndex:
                       if match([plists[i][d] for i in range(n)]))
         return [(d, float(boost)) for d in docs[:k]]
 
+    def search_span_not(self, include: str, exclude: str,
+                        pre: int = 0, post: int = 0,
+                        k: int = TOP_K_SIZE,
+                        boost: float = 1.0) -> list[tuple[int, float]]:
+        """span_not, constant_score rewrite (see
+        PhraseEngine.search_span_not): an include position p with no
+        exclude position in [p - pre, p + post]."""
+        ti = tokenize(include, stem=self.stem)
+        te = tokenize(exclude, stem=self.stem)
+        if len(ti) != 1 or len(te) != 1:
+            raise ValueError("span_not takes one include and one "
+                             "exclude term")
+        inc = self.postings.get(ti[0], {})
+        exc = self.postings.get(te[0], {})
+        docs = sorted(
+            d for d, ps in inc.items()
+            if any(all(not (p - pre <= q <= p + post)
+                       for q in exc.get(d, []))
+                   for p in ps))
+        return [(d, float(boost)) for d in docs[:k]]
+
     def search_phrase(self, query: str, k: int = TOP_K_SIZE,
                       k1: float = K1, b: float = B, slop: int = 0
                       ) -> list[tuple[int, float]]:

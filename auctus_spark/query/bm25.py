@@ -2376,6 +2376,78 @@ class PhraseEngine(SearchEngine):
                                 schema="doc_id long, score double"))
         return local.orderBy(F.asc("doc_id")).limit(kk)
 
+    def search_span_not(self, include: str, exclude: str,
+                        pre: int = 0, post: int = 0,
+                        k: int = TOP_K_SIZE,
+                        boost: float = 1.0) -> DataFrame:
+        """Lucene/ES ``span_not`` with single-term spans: docs with an
+        occurrence of ``include`` at a position p such that NO
+        occurrence of ``exclude`` falls inside [p - pre, p + post]
+        (the include span widened by pre/post must not overlap any
+        exclude span).  Constant_score rewrite like span_first/near;
+        doc_id order, score == boost.
+
+        Candidates are the include term's postings (NOT a conjunctive
+        intersection — absence of the exclude term is a match);
+        per-doc the test is two searchsorted cuts of the exclude
+        positions around each include position.  One bucket-parallel
+        job, no shuffle beyond the final TakeOrdered."""
+        ti = analyze_query(include, stem=self.stem)
+        te = analyze_query(exclude, stem=self.stem)
+        if len(ti) != 1 or len(te) != 1:
+            raise ValueError("span_not takes one include and one "
+                             "exclude term")
+        inc, exc = ti[0], te[0]
+        if self.term_stats([inc]).get(inc, 0) == 0:
+            return self._empty()
+        have_exc = self.term_stats([exc]).get(exc, 0) > 0
+        needed = [inc, exc] if have_exc and exc != inc else [inc]
+        segs = self._segments_for(needed).select(*self._POS_COLS)
+        tomb = self.tombstones
+        pre_i, post_i, kk, b = int(pre), int(post), k, float(boost)
+
+        def find_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+            per_term = _group_partials_pos(pdf)
+            if inc not in per_term:
+                return _empty_pdf()
+            cand = _phrase_cand(per_term, [inc], tomb)
+            if cand is None:
+                return _empty_pdf()
+
+            def posmap(t):
+                parts = [_phrase_occurrences(seg, cand, 0)
+                         for seg in per_term[t]]
+                c = np.concatenate([x[0] for x in parts])
+                p = np.concatenate([x[1] for x in parts])
+                o = np.lexsort((p, c))
+                c, p = c[o], p[o]
+                uniq, starts = np.unique(c, return_index=True)
+                return dict(zip(uniq.tolist(), np.split(p, starts[1:])))
+
+            inc_map = posmap(inc)
+            exc_map = posmap(exc) if exc in per_term else {}
+            hits = []
+            for ci, ps in inc_map.items():
+                qs = exc_map.get(ci)
+                if qs is None:
+                    hits.append(int(cand[ci]))
+                    continue
+                n_in = (np.searchsorted(qs, ps + post_i, side="right")
+                        - np.searchsorted(qs, ps - pre_i, side="left"))
+                if bool((n_in == 0).any()):
+                    hits.append(int(cand[ci]))
+            if not hits:
+                return _empty_pdf()
+            hits.sort()
+            return pd.DataFrame({
+                "doc_id": np.array(hits, dtype=np.int64),
+                "score": np.full(len(hits), b)})
+
+        local = (segs.groupBy("bucket")
+                 .applyInPandas(find_bucket,
+                                schema="doc_id long, score double"))
+        return local.orderBy(F.asc("doc_id")).limit(kk)
+
     def search_phrase_prefix(self, query: str, k: int = TOP_K_SIZE,
                              max_expansions: int = 50) -> DataFrame:
         """ES ``match_phrase_prefix`` (autocomplete): the last query

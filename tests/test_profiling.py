@@ -394,3 +394,66 @@ def test_top_hits_agg_per_bucket_topk(spark):
     assert got == [("a", 1, 2), ("a", 2, 3), ("b", 1, 5)]
     with pytest.raises(ValueError):
         top_hits_agg(df, "g", "v")
+
+
+def test_percentile_ranks_agg_cdf(spark):
+    """percentile_ranks == empirical CDF x100 (inclusive <=)."""
+    from auctus_spark.operators.profiling import percentile_ranks_agg
+    vals = [1.0, 2.0, 3.0, 4.0, 5.0, 5.0, 8.0, 10.0]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    got = {r["value"]: r["percentile_rank"]
+           for r in percentile_ranks_agg(
+               df, "v", [0.5, 3.0, 5.0, 10.0, 99.0]).collect()}
+    assert got == {0.5: 0.0, 3.0: 37.5, 5.0: 75.0, 10.0: 100.0,
+                   99.0: 100.0}
+
+
+def test_boxplot_agg_matches_numpy(spark):
+    """boxplot quartiles == numpy linear-interpolation percentiles."""
+    from auctus_spark.operators.profiling import boxplot_agg
+    vals = [float(x) for x in [9, 1, 4, 7, 2, 6, 3, 8, 5]]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    r = boxplot_agg(df, "v").collect()[0]
+    a = np.array(vals)
+    assert r["min"] == 1.0 and r["max"] == 9.0
+    assert r["q1"] == pytest.approx(np.percentile(a, 25))
+    assert r["q2"] == pytest.approx(np.percentile(a, 50))
+    assert r["q3"] == pytest.approx(np.percentile(a, 75))
+    assert r["iqr"] == pytest.approx(np.percentile(a, 75)
+                                     - np.percentile(a, 25))
+
+
+def test_weighted_avg_and_multi_terms_and_stats_bucket(spark):
+    from auctus_spark.operators.profiling import (multi_terms_agg,
+                                                  stats_bucket,
+                                                  weighted_avg_agg)
+    rows = [("a", "x", 2.0, 1.0), ("a", "x", 4.0, 3.0),
+            ("b", "y", 10.0, None), ("a", None, 5.0, 2.0),
+            ("b", "y", 6.0, 2.0)]
+    df = spark.createDataFrame(
+        rows, "g string, h string, v double, w double")
+    wa = weighted_avg_agg(df, "v", "w").collect()[0]
+    # (2*1 + 4*3 + 5*2 + 6*2) / (1+3+2+2) = 36/8
+    assert wa["weighted_avg"] == pytest.approx(36.0 / 8.0)
+    mt = [(r["g"], r["h"], r["doc_count"])
+          for r in multi_terms_agg(df, ["g", "h"], size=10).collect()]
+    assert mt == [("a", "x", 2), ("b", "y", 2)]  # null key dropped
+    sb = stats_bucket(
+        multi_terms_agg(df, ["g", "h"], size=10)).collect()[0]
+    assert (sb["count"], sb["min"], sb["max"], sb["avg"], sb["sum"]) \
+        == (2, 2.0, 2.0, 2.0, 4.0)
+
+
+def test_geo_bounds_and_centroid(spark):
+    from auctus_spark.operators.geo import (geo_bounds_agg,
+                                            geo_centroid_agg)
+    pts = [(10.0, -20.0), (-5.0, 170.0), (40.0, 3.0), (None, 8.0)]
+    df = spark.createDataFrame(pts, "lat double, lon double")
+    b = geo_bounds_agg(df, "lat", "lon").collect()[0]
+    assert (b["top_left_lat"], b["top_left_lon"],
+            b["bottom_right_lat"], b["bottom_right_lon"]) \
+        == (40.0, -20.0, -5.0, 170.0)
+    c = geo_centroid_agg(df, "lat", "lon").collect()[0]
+    assert c["count"] == 3
+    assert c["lat"] == pytest.approx(15.0)
+    assert c["lon"] == pytest.approx(51.0)

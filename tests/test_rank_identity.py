@@ -1526,3 +1526,37 @@ def test_rescore_matches_oracle_composition(spark, built):
     # empty rescore query -> empty (ES errors on empty rescorer)
     assert pipeline.rescore_topk(corpus, q, "", k=10,
                                  text_col="content").count() == 0
+
+
+def test_span_not_matches_oracle(spark, built_positional):
+    """span_not: doc set == oracle across pre/post widths; absent
+    exclude term -> all docs with the include term."""
+    from auctus_spark.query.bm25 import PhraseEngine
+    out, oracle, _ = built_positional
+    eng = PhraseEngine(spark, out, term_buckets=8)
+    cases = [("import", "def", 0, 0), ("import", "def", 0, 3),
+             ("import", "def", 2, 2), ("import", "the", 1, 5),
+             ("import", "no_such_token", 0, 2),
+             ("import", "import", 0, 0)]
+    for inc, exc, pre, post in cases:
+        got = [(int(r.doc_id), float(r.score))
+               for r in eng.search_span_not(
+                   inc, exc, pre=pre, post=post, k=700,
+                   boost=3.0).collect()]
+        want = oracle.search_span_not(inc, exc, pre, post, k=700,
+                                      boost=3.0)
+        assert got == want, (inc, exc, pre, post)
+    # absent exclude = unfiltered include postings
+    full = {d for d, _ in oracle.search_span_not(
+        "import", "no_such_token", 0, 2, k=10**6)}
+    assert full == set(oracle.postings["import"])
+    # include == exclude always self-overlaps -> empty
+    assert oracle.search_span_not("import", "import", 0, 0) == []
+    # wider exclusion window -> subset
+    tight = {d for d, _ in oracle.search_span_not("import", "def",
+                                                  0, 0, k=10**6)}
+    wide = {d for d, _ in oracle.search_span_not("import", "def",
+                                                 2, 6, k=10**6)}
+    assert wide <= tight
+    with pytest.raises(ValueError):
+        eng.search_span_not("import def", "the")
