@@ -3360,6 +3360,106 @@ FROM c
 """
 
 
+def _q_random_score(spark, sf_dir):
+    """ES function_score random_score (seeded, reproducible): docs
+    with 'data', score = md5-variate in [0,1) keyed on
+    (seed, doc_id)."""
+    return pipeline.random_score_topk(_docs(spark, sf_dir), "data",
+                                      seed=42, k=50, round_to=6)
+
+
+def _random_score_sql(term: str, seed: int, k: int = 50) -> str:
+    v = (f"round(CAST(('0x' || substr(md5('{seed}:' || "
+         f"CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) "
+         f"/ 4294967296.0, 6)")
+    return f"""
+WITH tok2 AS (SELECT * FROM ({_TOK2}) WHERE term <> ''),
+hits AS (SELECT DISTINCT doc_id FROM tok2 WHERE term = '{term}')
+SELECT doc_id, {v} AS score
+FROM hits ORDER BY {v} DESC, doc_id ASC LIMIT {k}
+"""
+
+
+def _q_match_bool_prefix(spark, sf_dir):
+    """ES match_bool_prefix 'data joi': BM25 should on 'data' + a
+    constant-score 1.0 prefix clause on 'joi*'."""
+    return pipeline.match_bool_prefix_topk(
+        _docs(spark, sf_dir), "data joi", k=50, round_to=6)
+
+
+def _match_bool_prefix_sql(full: list[str], prefix: str,
+                           k: int = 50) -> str:
+    tlist = ", ".join(f"'{t}'" for t in full)
+    return f"""
+WITH tok2 AS (SELECT * FROM ({_TOK2}) WHERE term <> ''),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok2 GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT count(*) FROM tok2) * 1.0
+           / (SELECT count(*) FROM documents) AS avgdl),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok2
+  WHERE term IN ({tlist}) GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+s1 AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * (tf.tf / (tf.tf + 1.2 *
+                (0.25 + 0.75 * dl.dl / s.avgdl)))) AS raw
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+  CROSS JOIN stats s GROUP BY tf.doc_id),
+pref AS (SELECT DISTINCT doc_id FROM tok2
+         WHERE term LIKE '{prefix}%'),
+hits AS (
+  SELECT coalesce(s1.doc_id, pref.doc_id) AS doc_id,
+         coalesce(s1.raw, 0.0)
+           + CASE WHEN pref.doc_id IS NOT NULL
+                  THEN 1.0 ELSE 0.0 END AS raw
+  FROM s1 FULL OUTER JOIN pref ON s1.doc_id = pref.doc_id)
+SELECT doc_id, round(raw, 6) AS score
+FROM hits ORDER BY round(raw, 6) DESC, doc_id ASC LIMIT {k}
+"""
+
+
+def _q_auto_date_histogram(spark, sf_dir):
+    """ES auto_date_histogram (target 25 buckets): the ladder picks
+    'week' for the ~30-day events corpus; sparse calendar buckets."""
+    from auctus_spark.operators.profiling import auto_date_histogram
+    return auto_date_histogram(_t(spark, sf_dir, "events"), "ts",
+                               buckets=25)
+
+
+def _auto_date_histogram_sql(buckets: int) -> str:
+    return f"""
+WITH mm AS (SELECT min(ts) AS lo, max(ts) AS hi FROM events
+            WHERE ts IS NOT NULL),
+n AS (SELECT
+  date_diff('hour', date_trunc('hour', lo),
+            date_trunc('hour', hi)) + 1 AS nh,
+  date_diff('day', date_trunc('day', lo),
+            date_trunc('day', hi)) + 1 AS nd,
+  date_diff('week', date_trunc('week', lo),
+            date_trunc('week', hi)) + 1 AS nw,
+  date_diff('month', date_trunc('month', lo),
+            date_trunc('month', hi)) + 1 AS nm,
+  date_diff('quarter', date_trunc('quarter', lo),
+            date_trunc('quarter', hi)) + 1 AS nq
+  FROM mm),
+pick AS (SELECT CASE WHEN nh <= {buckets} THEN 'hour'
+                     WHEN nd <= {buckets} THEN 'day'
+                     WHEN nw <= {buckets} THEN 'week'
+                     WHEN nm <= {buckets} THEN 'month'
+                     WHEN nq <= {buckets} THEN 'quarter'
+                     ELSE 'year' END AS unit FROM n)
+SELECT p.unit AS interval,
+       date_trunc(p.unit, e.ts) AS bucket_start,
+       CAST(count(*) AS BIGINT) AS count
+FROM events e CROSS JOIN pick p WHERE e.ts IS NOT NULL
+GROUP BY p.unit, date_trunc(p.unit, e.ts)
+ORDER BY bucket_start
+"""
+
+
 def _q_significant_terms(spark, sf_dir):
     """ES significant_terms aggregation analog (JLH heuristic):
     terms over-represented in the lang='de' foreground vs the whole
@@ -3534,6 +3634,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_bucket": _q_stats_bucket,
         "geo_bounds": _q_geo_bounds,
         "geo_centroid": _q_geo_centroid,
+        "random_score": _q_random_score,
+        "match_bool_prefix": _q_match_bool_prefix,
+        "auto_date_histogram": _q_auto_date_histogram,
         "histogram_agg": _q_histogram_agg,
         "extended_stats": _q_extended_stats,
         "top_hits": _q_top_hits,
@@ -4558,6 +4661,9 @@ def _oracle_sql_static() -> dict[str, str]:
         "stats_bucket": _STATS_BUCKET_SQL,
         "geo_bounds": _GEO_BOUNDS_SQL,
         "geo_centroid": _GEO_CENTROID_SQL,
+        "random_score": _random_score_sql("data", 42),
+        "match_bool_prefix": _match_bool_prefix_sql(["data"], "joi"),
+        "auto_date_histogram": _auto_date_histogram_sql(25),
         "histogram_agg": _histogram_agg_sql(_HISTOGRAM_INTERVAL),
         "extended_stats": _EXTENDED_STATS_SQL,
         "top_hits": _TOP_HITS_SQL,

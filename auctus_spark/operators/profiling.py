@@ -1051,3 +1051,64 @@ def stats_bucket(buckets: DataFrame, value_col: str = "doc_count"
         F.max(v).cast("double").alias("max"),
         F.avg(v).cast("double").alias("avg"),
         F.sum(v).cast("double").alias("sum"))
+
+
+_AUTO_DH_LADDER = ["hour", "day", "week", "month", "quarter", "year"]
+
+
+def auto_date_histogram(df: DataFrame, col: str, buckets: int = 10
+                        ) -> DataFrame:
+    """ES ``auto_date_histogram``: pick the smallest calendar
+    interval from the ladder hour < day < week < month < quarter <
+    year whose bucket count stays <= ``buckets``, then bucket like
+    date_histogram (sparse form).  Interval choice is the documented
+    deterministic contract: the count for an interval is the number
+    of calendar steps from trunc(min) to trunc(max) INCLUSIVE (ES
+    estimates the same quantity from the extremes, then rounds to
+    its own ms-ladder — simplified ladder, documented divergence).
+    Falls back to the coarsest interval when even 'year' overflows.
+
+    Two jobs: a min/max aggregate (tiny) picks the interval on the
+    driver, then ONE scan + partial-agg groupBy buckets — the same
+    shape as date_histogram.  Returns (interval, bucket_start,
+    count) ordered by bucket."""
+    from datetime import datetime
+    mm = (df.filter(F.col(col).isNotNull())
+          .agg(F.min(col).alias("lo"), F.max(col).alias("hi"))
+          .collect()[0])
+    if mm["lo"] is None:
+        return df.sparkSession.createDataFrame(
+            [], "interval string, bucket_start timestamp, count long")
+    lo, hi = mm["lo"], mm["hi"]
+
+    def steps(unit: str) -> int:
+        if unit == "hour":
+            a = datetime(lo.year, lo.month, lo.day, lo.hour)
+            b = datetime(hi.year, hi.month, hi.day, hi.hour)
+            return int((b - a).total_seconds() // 3600) + 1
+        if unit == "day":
+            a = datetime(lo.year, lo.month, lo.day)
+            b = datetime(hi.year, hi.month, hi.day)
+            return (b - a).days + 1
+        if unit == "week":  # weeks start Monday (ES default);
+            # ordinal 1 = 0001-01-01, a Monday -> Monday-aligned
+            # week index is (ordinal - 1) // 7
+            a = datetime(lo.year, lo.month, lo.day).toordinal()
+            b = datetime(hi.year, hi.month, hi.day).toordinal()
+            return (b - 1) // 7 - (a - 1) // 7 + 1
+        if unit == "month":
+            return (hi.year * 12 + hi.month) \
+                - (lo.year * 12 + lo.month) + 1
+        if unit == "quarter":
+            return (hi.year * 4 + (hi.month - 1) // 3) \
+                - (lo.year * 4 + (lo.month - 1) // 3) + 1
+        return hi.year - lo.year + 1
+
+    chosen = _AUTO_DH_LADDER[-1]
+    for unit in _AUTO_DH_LADDER:
+        if steps(unit) <= buckets:
+            chosen = unit
+            break
+    out = date_histogram(df, col, interval=chosen, min_doc_count=1)
+    return out.select(F.lit(chosen).alias("interval"),
+                      "bucket_start", "count")

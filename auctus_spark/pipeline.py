@@ -1019,3 +1019,94 @@ def bm25_topk_synonyms(docs: DataFrame, query: str,
             .select(F.col("doc_id").alias(id_col), score.alias("score"))
             .orderBy(F.desc("score"), F.asc(id_col))
             .limit(k))
+
+
+def random_score_topk(docs: DataFrame, query: str, seed: int = 0,
+                      k: int = TOP_K_SIZE, id_col: str = "doc_id",
+                      text_col: str = "text",
+                      round_to: int | None = None) -> DataFrame:
+    """ES ``function_score`` / ``random_score`` with a seed + field
+    (the reproducible form): conjunctive filter on ``query``, score =
+    uniform variate in [0, 1) derived from md5(seed ':' doc_id) — no
+    RNG, so the ranking is stable across engines, partitionings and
+    cluster sizes (the same md5-variate discipline as
+    sampling.weighted_sample).  Top-k by (score desc, doc_id asc).
+
+    ES seeds a PRNG from seed+field-value; the md5 substitute is the
+    documented deterministic contract here (same distribution, same
+    reproducibility guarantee).  Pure scan-level expressions — one
+    scan, TakeOrdered."""
+    spark = docs.sparkSession
+    terms = analyze_query(query)
+    empty = spark.createDataFrame([], f"{id_col} long, score double")
+    if not terms:
+        return empty
+    qarr = F.array(*[F.lit(t) for t in terms])
+    cond = (F.size(F.array_intersect(_toks(F.col(text_col)), qarr))
+            == len(terms))
+    # first 8 hex of md5("{seed}:{doc_id}") / 2^32 -> [0, 1)
+    h = F.substring(F.md5(F.concat(F.lit(f"{int(seed)}:"),
+                                   F.col(id_col).cast("string"))),
+                    1, 8)
+    score = F.conv(h, 16, 10).cast("double") / F.lit(float(1 << 32))
+    if round_to is not None:
+        score = F.round(score, round_to)
+    return (docs.filter(cond)
+            .select(F.col(id_col).alias(id_col), score.alias("score"))
+            .orderBy(F.desc("score"), F.asc(id_col))
+            .limit(k))
+
+
+def match_bool_prefix_topk(docs: DataFrame, query: str,
+                           k: int = TOP_K_SIZE, id_col: str = "doc_id",
+                           text_col: str = "text",
+                           round_to: int | None = None) -> DataFrame:
+    """ES ``match_bool_prefix``: the analyzed terms become a bool
+    should — every term but the last scores as a regular BM25 term
+    clause (disjunctive, absent terms contribute +0.0), the LAST term
+    matches as a PREFIX and scores constant 1.0 when any token starts
+    with it (Lucene's PrefixQuery inside the bool — constant_score
+    rewrite, weight 1).  Docs matching no clause are excluded.
+
+    One corpus scan: per-term tf columns + one `exists(startswith)`
+    flag, all JVM-side; the stats pass is the same single aggregate
+    the other pipeline queries share.  Reference: ES
+    query-dsl-match-bool-prefix-query."""
+    spark = docs.sparkSession
+    terms = analyze_query(query)
+    empty = spark.createDataFrame([], f"{id_col} long, score double")
+    if not terms:
+        return empty
+    prefix, full = terms[-1], terms[:-1]
+    n_docs, avgdl, dfs = _query_stats(docs, full, text_col) \
+        if full else (None, None, [])
+    if full and n_docs == 0:
+        return empty
+    if not full:
+        row = docs.agg(F.count("*").alias("_n")).collect()[0]
+        if int(row["_n"]) == 0:
+            return empty
+    idfs = [bm25_idf(n_docs, d) if d else 0.0 for d in dfs]
+    toks = _toks(F.col(text_col))
+    pref_hit = F.exists(toks, lambda x: x.startswith(prefix))
+    qarr = F.array(*[F.lit(t) for t in full]) if full else None
+    cond = pref_hit if qarr is None else \
+        (F.arrays_overlap(toks, qarr) | pref_hit)
+    per_doc = (docs.filter(cond)
+               .select(F.col(id_col).alias("doc_id"),
+                       _toks(F.col(text_col)).alias("_toks"))
+               .select("doc_id", F.size("_toks").alias("_dl"),
+                       F.exists(F.col("_toks"),
+                                lambda x: x.startswith(prefix))
+                       .alias("_pref"),
+                       *[_tf(i, t) for i, t in enumerate(full)]))
+    score = F.when(F.col("_pref"), F.lit(1.0)).otherwise(F.lit(0.0))
+    if full:
+        score = _score_expr(full, idfs, avgdl) + score
+    if round_to is not None:
+        score = F.round(score, round_to)
+    return (per_doc
+            .select(F.col("doc_id").alias(id_col),
+                    score.alias("score"))
+            .orderBy(F.desc("score"), F.asc(id_col))
+            .limit(k))

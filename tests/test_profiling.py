@@ -457,3 +457,25 @@ def test_geo_bounds_and_centroid(spark):
     assert c["count"] == 3
     assert c["lat"] == pytest.approx(15.0)
     assert c["lon"] == pytest.approx(51.0)
+
+
+def test_auto_date_histogram_ladder(spark):
+    """Interval ladder: hour fits small targets, day/month picked as
+    the target shrinks; counts match date_histogram at the pick."""
+    import datetime as dt
+    from auctus_spark.operators.profiling import auto_date_histogram
+    rows = [(dt.datetime(2024, 3, 1) + dt.timedelta(hours=6 * i),)
+            for i in range(20)]          # 5 days, 4 events/day
+    df = spark.createDataFrame(rows, "ts timestamp")
+    # span = 115 hour-steps (interval picks on SPAN, not non-empty
+    # buckets): 120 fits hour, 50 does not
+    big = auto_date_histogram(df, "ts", buckets=120).collect()
+    assert big[0]["interval"] == "hour" and len(big) == 20
+    day = auto_date_histogram(df, "ts", buckets=10).collect()
+    assert day[0]["interval"] == "day" and len(day) == 5
+    assert all(r["count"] == 4 for r in day)
+    wk = auto_date_histogram(df, "ts", buckets=2).collect()
+    assert wk[0]["interval"] == "week" and len(wk) <= 2
+    # empty input -> empty frame with the contract schema
+    empty = spark.createDataFrame([], "ts timestamp")
+    assert auto_date_histogram(empty, "ts").count() == 0

@@ -1560,3 +1560,55 @@ def test_span_not_matches_oracle(spark, built_positional):
     assert wide <= tight
     with pytest.raises(ValueError):
         eng.search_span_not("import def", "the")
+
+
+def test_random_score_deterministic_md5(spark, built):
+    """random_score: the md5 variate is reproducible, seed-sensitive,
+    in [0,1), and matches a hand computation."""
+    import hashlib
+
+    from auctus_spark import pipeline
+    _, oracle, _, corpus, _ = built
+    a = [(int(r.doc_id), float(r.score))
+         for r in pipeline.random_score_topk(
+             corpus, "import", seed=7, k=30,
+             text_col="content").collect()]
+    b = [(int(r.doc_id), float(r.score))
+         for r in pipeline.random_score_topk(
+             corpus, "import", seed=7, k=30,
+             text_col="content").collect()]
+    assert a == b and len(a) == 30
+    c = [(int(r.doc_id), float(r.score))
+         for r in pipeline.random_score_topk(
+             corpus, "import", seed=8, k=30,
+             text_col="content").collect()]
+    assert [d for d, _ in a] != [d for d, _ in c]
+    for d, s in a:
+        h = hashlib.md5(f"7:{d}".encode()).hexdigest()[:8]
+        assert s == int(h, 16) / 2**32 and 0.0 <= s < 1.0
+    # conjunctive filter: every hit contains the term
+    assert all(d in oracle.postings["import"] for d, _ in a)
+
+
+def test_match_bool_prefix_composition(spark, built):
+    """match_bool_prefix == should-BM25(full terms) + 1.0 for docs
+    with any token matching the prefix; prefix-only docs included."""
+    from auctus_spark import pipeline
+    _, oracle, _, corpus, _ = built
+    full_q, prefix = "import", "def"     # 'def...' tokens exist
+    s1 = dict(oracle.search_or(full_q, k=10**9))
+    pref_docs = {d for t, post in oracle.postings.items()
+                 if t.startswith(prefix) for d in post}
+    exp = {d: s1.get(d, 0.0) + (1.0 if d in pref_docs else 0.0)
+           for d in set(s1) | pref_docs}
+    got = {int(r.doc_id): float(r.score)
+           for r in pipeline.match_bool_prefix_topk(
+               corpus, f"{full_q} {prefix}", k=10**9,
+               text_col="content").collect()}
+    assert got == exp
+    # single-token query: pure prefix clause, constant scores
+    only = {int(r.doc_id): float(r.score)
+            for r in pipeline.match_bool_prefix_topk(
+                corpus, prefix, k=10**9, text_col="content").collect()}
+    assert set(only) == pref_docs
+    assert set(only.values()) == {1.0}
