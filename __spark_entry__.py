@@ -3460,6 +3460,30 @@ ORDER BY bucket_start
 """
 
 
+def _q_knn_filtered(spark, sf_dir):
+    """ES filtered kNN: the label=3 predicate applies BEFORE the
+    search (exact top-15 of the filtered set — k survivors
+    guaranteed, unlike post-filtering)."""
+    from auctus_spark.operators.similarity import cosine_topk_filtered
+    e = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in
+            e.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    out = cosine_topk_filtered(e, qvec, F.col("label") == 3, k=15)
+    return out.select("vec_id", F.round("cos_sim", 6).alias("cos_sim"))
+
+
+_KNN_FILTERED_SQL = """
+WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings
+           WHERE vec_id = 0)
+SELECT vec_id,
+       round(list_cosine_similarity(embedding::DOUBLE[], qe), 6)
+         AS cos_sim
+FROM embeddings, q WHERE label = 3
+ORDER BY list_cosine_similarity(embedding::DOUBLE[], qe) DESC, vec_id
+LIMIT 15
+"""
+
+
 def _q_significant_terms(spark, sf_dir):
     """ES significant_terms aggregation analog (JLH heuristic):
     terms over-represented in the lang='de' foreground vs the whole
@@ -3637,6 +3661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_score": _q_random_score,
         "match_bool_prefix": _q_match_bool_prefix,
         "auto_date_histogram": _q_auto_date_histogram,
+        "knn_filtered": _q_knn_filtered,
         "histogram_agg": _q_histogram_agg,
         "extended_stats": _q_extended_stats,
         "top_hits": _q_top_hits,
@@ -4664,6 +4689,7 @@ def _oracle_sql_static() -> dict[str, str]:
         "random_score": _random_score_sql("data", 42),
         "match_bool_prefix": _match_bool_prefix_sql(["data"], "joi"),
         "auto_date_histogram": _auto_date_histogram_sql(25),
+        "knn_filtered": _KNN_FILTERED_SQL,
         "histogram_agg": _histogram_agg_sql(_HISTOGRAM_INTERVAL),
         "extended_stats": _EXTENDED_STATS_SQL,
         "top_hits": _TOP_HITS_SQL,

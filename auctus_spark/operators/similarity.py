@@ -271,3 +271,22 @@ class IVFKMeans:
 
 def ann_recall(exact: list[int], approx: list[int]) -> float:
     return len(set(exact) & set(approx)) / max(len(exact), 1)
+
+
+def cosine_topk_filtered(emb: DataFrame, query_vec: list[float],
+                         predicate, k: int = 10,
+                         vec_col: str = "embedding",
+                         id_col: str = "vec_id") -> DataFrame:
+    """ES kNN-with-filter semantics: the filter applies BEFORE the
+    neighbor search, so the result is the exact top-k of the FILTERED
+    set (k survivors guaranteed when the set has k rows — unlike
+    post-filtering a global top-k, which can return fewer).  Exact
+    brute-force form; the IVF/LSH paths pre-filter the same way
+    because the predicate pushes below their bucket pruning.
+
+    The filter is a sargable Column predicate evaluated at the scan
+    (partition/row-group pruning applies when the filter column is a
+    partition or sorted column); the cosine arithmetic only runs on
+    survivors.  Reference: ES knn-search filtered-knn."""
+    return cosine_topk(emb.filter(predicate), query_vec, k=k,
+                       vec_col=vec_col, id_col=id_col)

@@ -165,3 +165,26 @@ def test_ivf_partitioned_pruned_scan(spark, tmp_path):
     assert "TakeOrderedAndProject" in phys
     assert "PartitionFilters" in phys
     assert "list_id" in phys.split("PartitionFilters", 1)[1][:300]
+
+
+def test_cosine_topk_filtered_prefilter_semantics(spark):
+    """ES filtered-kNN contract: filter BEFORE search — the result is
+    the exact top-k of the filtered set, and rows a global top-k
+    would have returned get replaced, not dropped."""
+    from pyspark.sql import functions as F
+
+    from auctus_spark.operators.similarity import (cosine_topk,
+                                                   cosine_topk_filtered)
+    rows = [(0, [1.0, 0.0], "a"), (1, [0.99, 0.1], "b"),
+            (2, [0.9, 0.3], "a"), (3, [0.0, 1.0], "a"),
+            (4, [0.5, 0.5], "b")]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, lab string")
+    q = [1.0, 0.0]
+    flt = [(r.vec_id, r.cos_sim) for r in
+           cosine_topk_filtered(df, q, F.col("lab") == "a",
+                                k=2).collect()]
+    assert [v for v, _ in flt] == [0, 2]   # 1 outranks 2 but is 'b'
+    assert len(flt) == 2                   # k survivors guaranteed
+    post = [r.vec_id for r in cosine_topk(df, q, k=2).collect()]
+    assert post == [0, 1]                  # global top-k differs
