@@ -291,3 +291,41 @@ def test_prefix_paths_agree(engine):
                     F.col("term").rlike("^(?:uniq_token_2[0-3])$"),
                     50, 1.0).collect()]
     assert rex == rex_full and rex
+
+
+def test_rescore_broadcasts_window(spark, sf_dir):
+    """rescore: the top-window joins back to the corpus as a
+    BROADCAST hash join (never a shuffle join), and the final re-rank
+    is a TakeOrderedAndProject over <= window_size rows."""
+    from auctus_spark import pipeline
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = pipeline.rescore_topk(docs, "data join", "table value",
+                               window_size=30, k=10)
+    phys = _plan(df)
+    assert "BroadcastHashJoin" in phys
+    assert "SortMergeJoin" not in phys
+    assert "TakeOrderedAndProject" in phys
+
+
+def test_top_hits_single_shuffle_window(spark, sf_dir):
+    """top_hits: exactly ONE exchange (the group-key shuffle feeding
+    the partition-local window sort) below the presentation sort."""
+    from auctus_spark.operators.profiling import top_hits_agg
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    df = top_hits_agg(orders, "o_orderpriority", "o_totalprice",
+                      size=3, tiebreak_col="o_orderkey")
+    phys = _plan(df)
+    assert "RunningWindowFunction" in phys or "Window" in phys
+    # one hash-partitioning exchange for the window; the final
+    # orderBy adds a range exchange — nothing else shuffles
+    assert phys.count("Exchange hashpartitioning") == 1
+
+
+def test_histogram_agg_partial_agg_plan(spark, sf_dir):
+    """histogram_agg: scan -> partial HashAggregate -> exchange ->
+    final HashAggregate (map-side combine present)."""
+    from auctus_spark.operators.profiling import histogram_agg
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    df = histogram_agg(orders, "o_totalprice", 25000.0)
+    phys = _plan(df)
+    assert phys.count("HashAggregate") >= 2   # partial + final
