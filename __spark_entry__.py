@@ -3484,6 +3484,66 @@ LIMIT 15
 """
 
 
+def _q_pipeline_aggs2(spark, sf_dir):
+    """Second ES pipeline-agg family (serial_diff lag 2, normalize
+    percent_of_sum + z-score) over the dense daily date_histogram."""
+    from auctus_spark.operators.profiling import (bucket_pipeline2,
+                                                  date_histogram)
+    e = _t(spark, sf_dir, "events")
+    buckets = date_histogram(e, "ts", interval="day", min_doc_count=0)
+    out = bucket_pipeline2(buckets, "count", "bucket_start", lag=2)
+    return out.select("bucket_start", "count", "serial_diff_2",
+                      F.round("percent_of_sum", 6)
+                      .alias("percent_of_sum"),
+                      F.round("z_score", 6).alias("z_score"))
+
+
+_PIPELINE_AGGS2_SQL = """
+WITH b AS (SELECT date_trunc('day', ts) AS bucket FROM events
+           WHERE ts IS NOT NULL),
+c AS (SELECT bucket, count(*) AS count FROM b GROUP BY bucket),
+mm AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM c),
+axis AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))
+           AS bucket FROM mm),
+h AS (SELECT axis.bucket AS bucket_start,
+             CAST(coalesce(c.count, 0) AS BIGINT) AS count
+      FROM axis LEFT JOIN c USING (bucket))
+SELECT bucket_start, count,
+       CAST(count AS DOUBLE)
+         - lag(CAST(count AS DOUBLE), 2) OVER (ORDER BY bucket_start)
+         AS serial_diff_2,
+       round(CAST(count AS DOUBLE) / sum(CAST(count AS DOUBLE))
+             OVER (), 6) AS percent_of_sum,
+       round(CASE WHEN stddev_pop(CAST(count AS DOUBLE)) OVER () = 0
+                  THEN 0.0
+                  ELSE (CAST(count AS DOUBLE)
+                        - avg(CAST(count AS DOUBLE)) OVER ())
+                       / stddev_pop(CAST(count AS DOUBLE)) OVER ()
+             END, 6) AS z_score
+FROM h
+"""
+
+
+def _q_bucket_sort(spark, sf_dir):
+    """ES bucket_sort: the 7 busiest days of the daily
+    date_histogram (count desc, bucket asc tie-break)."""
+    from auctus_spark.operators.profiling import (bucket_sort,
+                                                  date_histogram)
+    e = _t(spark, sf_dir, "events")
+    buckets = date_histogram(e, "ts", interval="day", min_doc_count=1)
+    return bucket_sort(buckets, sort_col="count", size=7)
+
+
+_BUCKET_SORT_SQL = """
+WITH b AS (SELECT date_trunc('day', ts) AS bucket_start FROM events
+           WHERE ts IS NOT NULL),
+c AS (SELECT bucket_start, CAST(count(*) AS BIGINT) AS count
+      FROM b GROUP BY bucket_start)
+SELECT bucket_start, count FROM c
+ORDER BY count DESC, bucket_start ASC LIMIT 7
+"""
+
+
 def _q_significant_terms(spark, sf_dir):
     """ES significant_terms aggregation analog (JLH heuristic):
     terms over-represented in the lang='de' foreground vs the whole
@@ -3662,6 +3722,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_bool_prefix": _q_match_bool_prefix,
         "auto_date_histogram": _q_auto_date_histogram,
         "knn_filtered": _q_knn_filtered,
+        "pipeline_aggs2": _q_pipeline_aggs2,
+        "bucket_sort": _q_bucket_sort,
         "histogram_agg": _q_histogram_agg,
         "extended_stats": _q_extended_stats,
         "top_hits": _q_top_hits,
@@ -4690,6 +4752,8 @@ def _oracle_sql_static() -> dict[str, str]:
         "match_bool_prefix": _match_bool_prefix_sql(["data"], "joi"),
         "auto_date_histogram": _auto_date_histogram_sql(25),
         "knn_filtered": _KNN_FILTERED_SQL,
+        "pipeline_aggs2": _PIPELINE_AGGS2_SQL,
+        "bucket_sort": _BUCKET_SORT_SQL,
         "histogram_agg": _histogram_agg_sql(_HISTOGRAM_INTERVAL),
         "extended_stats": _EXTENDED_STATS_SQL,
         "top_hits": _TOP_HITS_SQL,

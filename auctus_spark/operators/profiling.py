@@ -1112,3 +1112,47 @@ def auto_date_histogram(df: DataFrame, col: str, buckets: int = 10
     out = date_histogram(df, col, interval=chosen, min_doc_count=1)
     return out.select(F.lit(chosen).alias("interval"),
                       "bucket_start", "count")
+
+
+def bucket_pipeline2(buckets: DataFrame, value_col: str = "count",
+                     order_col: str = "bucket_start",
+                     lag: int = 2, sort_size: int = 5) -> DataFrame:
+    """Second ES pipeline-aggregation family over a bucket table:
+    ``serial_diff`` (value - value lag buckets back; ES: null while
+    the lag window is incomplete) and two ``normalize`` methods —
+    ``percent_of_sum`` (value / axis total) and ``z-score``
+    ((value - mean) / population stddev).  The axis statistics come
+    from unbounded window frames over the same tiny aggregated
+    table — one pass, no rescan of raw data (the pipeline-agg
+    contract shared with :func:`bucket_pipeline`)."""
+    from pyspark.sql import Window
+    w = Window.orderBy(F.asc(order_col))
+    wa = w.rowsBetween(Window.unboundedPreceding,
+                       Window.unboundedFollowing)
+    v = F.col(value_col).cast("double")
+    mean = F.avg(v).over(wa)
+    sd = F.stddev_pop(v).over(wa)
+    return buckets.select(
+        order_col, value_col,
+        (v - F.lag(v, lag).over(w)).alias(f"serial_diff_{lag}"),
+        (v / F.sum(v).over(wa)).alias("percent_of_sum"),
+        F.when(sd == 0.0, F.lit(0.0)).otherwise((v - mean) / sd)
+        .alias("z_score"))
+
+
+def bucket_sort(buckets: DataFrame, sort_col: str = "count",
+                ascending: bool = False, size: int = 5,
+                gap_policy_skip_nulls: bool = True) -> DataFrame:
+    """ES ``bucket_sort`` pipeline aggregation: re-sort the sibling
+    aggregation's buckets by a metric and truncate to ``size`` (the
+    agg-paging tool).  Ties break by every remaining column in name
+    order — ES leaves ties to insertion order; deterministic here.
+    Null metrics drop first under the default skip gap policy.
+    Sorting the aggregated table only — never the raw scan."""
+    cols = [c for c in buckets.columns if c != sort_col]
+    s = F.asc(sort_col) if ascending else F.desc(sort_col)
+    out = buckets
+    if gap_policy_skip_nulls:
+        out = out.filter(F.col(sort_col).isNotNull())
+    return (out.orderBy(s, *[F.asc(c) for c in sorted(cols)])
+            .limit(size))

@@ -479,3 +479,33 @@ def test_auto_date_histogram_ladder(spark):
     # empty input -> empty frame with the contract schema
     empty = spark.createDataFrame([], "ts timestamp")
     assert auto_date_histogram(empty, "ts").count() == 0
+
+
+def test_bucket_pipeline2_and_bucket_sort(spark):
+    """serial_diff lag handling, percent_of_sum sums to 1, z-score
+    zero on constant series; bucket_sort sorts/truncates with
+    deterministic tie-break and drops null metrics first."""
+    from auctus_spark.operators.profiling import (bucket_pipeline2,
+                                                  bucket_sort)
+    rows = [(1, 10), (2, 30), (3, 20), (4, 40)]
+    df = spark.createDataFrame(rows, "bucket_start int, count int")
+    out = {r["bucket_start"]: r
+           for r in bucket_pipeline2(df, "count", "bucket_start",
+                                     lag=2).collect()}
+    assert out[1]["serial_diff_2"] is None
+    assert out[2]["serial_diff_2"] is None
+    assert out[3]["serial_diff_2"] == 10.0
+    assert out[4]["serial_diff_2"] == 10.0
+    assert sum(r["percent_of_sum"] for r in out.values()) \
+        == pytest.approx(1.0)
+    mean, sd = 25.0, np.std([10, 30, 20, 40])
+    assert out[2]["z_score"] == pytest.approx((30 - mean) / sd)
+    const = spark.createDataFrame([(1, 5), (2, 5)],
+                                  "bucket_start int, count int")
+    zc = bucket_pipeline2(const, "count", "bucket_start").collect()
+    assert all(r["z_score"] == 0.0 for r in zc)
+    srt = [(r["bucket_start"], r["count"]) for r in
+           bucket_sort(df.union(spark.createDataFrame(
+               [(5, None)], "bucket_start int, count int")),
+               sort_col="count", size=3).collect()]
+    assert srt == [(4, 40), (2, 30), (3, 20)]
