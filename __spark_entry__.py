@@ -3544,6 +3544,31 @@ ORDER BY count DESC, bucket_start ASC LIMIT 7
 """
 
 
+def _q_completion_suggest(spark, sf_dir):
+    """ES completion suggester: dictionary terms with prefix 's',
+    weight = df, ranked weight desc / term asc — a RANGE scan on the
+    sorted term dictionary."""
+    from auctus_spark.query.bm25 import SearchEngine
+    _q_bm25_index_path(spark, sf_dir)    # ensure the index exists
+    import hashlib as _h
+    tag = _h.md5(sf_dir.encode()).hexdigest()[:10]
+    eng = SearchEngine(spark, f"/tmp/auctus_entry_index_{tag}",
+                       term_buckets=16)
+    return eng.suggest_completions("s", size=8)
+
+
+def _completion_suggest_sql(prefix: str, size: int = 8) -> str:
+    return f"""
+WITH tok2 AS (SELECT * FROM ({_TOK2}) WHERE term <> ''),
+d AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS weight
+      FROM tok2 WHERE term LIKE '{prefix}%' GROUP BY term)
+SELECT term, weight,
+       CAST(row_number() OVER (ORDER BY weight DESC, term ASC)
+            AS INT) AS rank
+FROM d ORDER BY weight DESC, term ASC LIMIT {size}
+"""
+
+
 def _q_significant_terms(spark, sf_dir):
     """ES significant_terms aggregation analog (JLH heuristic):
     terms over-represented in the lang='de' foreground vs the whole
@@ -3724,6 +3749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_filtered": _q_knn_filtered,
         "pipeline_aggs2": _q_pipeline_aggs2,
         "bucket_sort": _q_bucket_sort,
+        "completion_suggest": _q_completion_suggest,
         "histogram_agg": _q_histogram_agg,
         "extended_stats": _q_extended_stats,
         "top_hits": _q_top_hits,
@@ -4754,6 +4780,7 @@ def _oracle_sql_static() -> dict[str, str]:
         "knn_filtered": _KNN_FILTERED_SQL,
         "pipeline_aggs2": _PIPELINE_AGGS2_SQL,
         "bucket_sort": _BUCKET_SORT_SQL,
+        "completion_suggest": _completion_suggest_sql("s"),
         "histogram_agg": _histogram_agg_sql(_HISTOGRAM_INTERVAL),
         "extended_stats": _EXTENDED_STATS_SQL,
         "top_hits": _TOP_HITS_SQL,

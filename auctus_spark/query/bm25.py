@@ -1038,6 +1038,35 @@ class SearchEngine:
                 out.append((t, term, d, -negdf, i))
         return self.spark.createDataFrame(out, schema)
 
+    def suggest_completions(self, prefix: str, size: int = 5
+                            ) -> DataFrame:
+        """ES completion suggester analog (search-as-you-type): index
+        terms starting with the analyzed ``prefix``, ranked weight
+        desc then term asc — weight = document frequency (ES
+        completion fields carry an explicit weight; df is this
+        engine's natural popularity signal, documented contract).
+
+        Runs as a RANGE scan on the sorted term dictionary
+        (:attr:`term_dict` — the Lucene FST/completion-index analog):
+        only row groups whose [min,max] term range intersects the
+        prefix are read, then a size-capped TakeOrdered.  Returns
+        (term, weight, rank)."""
+        toks = analyze_query(prefix, stem=self.stem)
+        schema = "term string, weight long, rank int"
+        if len(toks) != 1:
+            raise ValueError(
+                f"completion prefix must analyze to one token; "
+                f"{prefix!r} analyzed to {toks!r}")
+        from pyspark.sql import Window
+        w = Window.orderBy(F.desc("weight"), F.asc("term"))
+        return (self.term_dict
+                .filter(F.col("term").startswith(toks[0]))
+                .select("term", F.col("df").cast("long")
+                        .alias("weight"))
+                .orderBy(F.desc("weight"), F.asc("term"))
+                .limit(size)
+                .withColumn("rank", F.row_number().over(w)))
+
     @property
     def vocab_size(self) -> int:
         """Distinct index terms (one job, cached — dictionary-sized)."""

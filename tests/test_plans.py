@@ -329,3 +329,14 @@ def test_histogram_agg_partial_agg_plan(spark, sf_dir):
     df = histogram_agg(orders, "o_totalprice", 25000.0)
     phys = _plan(df)
     assert phys.count("HashAggregate") >= 2   # partial + final
+
+
+def test_completion_suggest_range_scan(engine):
+    """Completion suggester reads the sorted term dictionary with the
+    prefix pushed to the parquet scan (StringStartsWith) — the
+    range-pruning path, not a full-dictionary pass."""
+    df = engine.suggest_completions("im", size=5)
+    plan = _plan(df)
+    assert "StartsWith" in plan or "term" in plan.split(
+        "PushedFilters", 1)[1][:200]
+    assert "TakeOrderedAndProject" in plan

@@ -1612,3 +1612,21 @@ def test_match_bool_prefix_composition(spark, built):
                 corpus, prefix, k=10**9, text_col="content").collect()}
     assert set(only) == pref_docs
     assert set(only.values()) == {1.0}
+
+
+def test_completion_suggester(spark, built):
+    """Completion suggester: prefix cut on the dictionary, weight =
+    df desc then term asc, rank sequential; multi-token prefix
+    rejected."""
+    out, oracle, _, corpus, _ = built
+    eng = SearchEngine(spark, out, term_buckets=8)
+    got = [(r["term"], r["weight"], r["rank"])
+           for r in eng.suggest_completions("d", size=5).collect()]
+    dfs = {t: len(post) for t, post in oracle.postings.items()
+           if t.startswith("d")}
+    want = sorted(dfs.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert got == [(t, w, i + 1) for i, (t, w) in enumerate(want)]
+    assert eng.suggest_completions("zzzz_nothing").count() == 0
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        eng.suggest_completions("two tokens")
