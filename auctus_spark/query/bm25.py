@@ -2112,8 +2112,12 @@ def _span_near_match(pos_lists: list[np.ndarray], slop: int,
 
     unordered: choose one position per clause with
     max - min - (n-1) <= slop — the minimal window covering all n
-    lists, found by the standard sorted-merge sweep (terms are
-    distinct, so positions never collide)."""
+    lists, found by the standard sorted-merge sweep.  PRECONDITION:
+    unordered lists are pairwise disjoint — guaranteed upstream
+    because unordered clauses must be distinct terms (enforced in
+    search_span_near) and distinct terms never share a token
+    position; with colliding lists the sweep could count one
+    position for two clauses."""
     n = len(pos_lists)
     if in_order:
         first = pos_lists[0]

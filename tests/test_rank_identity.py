@@ -1630,3 +1630,54 @@ def test_completion_suggester(spark, built):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         eng.suggest_completions("two tokens")
+
+
+def test_span_near_match_property_vs_bruteforce():
+    """Property: the production matcher (greedy walk / window sweep)
+    agrees with exhaustive enumeration on 3000 random cases, ordered
+    and unordered, 2-4 clauses."""
+    import itertools
+    import random
+
+    import numpy as np
+
+    from auctus_spark.query.bm25 import _span_near_match
+
+    rng = random.Random(20260818)
+
+    def brute(pos_lists, slop, in_order):
+        n = len(pos_lists)
+        for combo in itertools.product(*pos_lists):
+            if len(set(combo)) != n:
+                continue          # distinct positions per clause
+            if in_order and any(combo[i] >= combo[i + 1]
+                                for i in range(n - 1)):
+                continue
+            if max(combo) - min(combo) - (n - 1) <= slop:
+                return True
+        return False
+
+    for trial in range(3000):
+        n = rng.randint(2, 4)
+        in_order = rng.random() < 0.5
+        if in_order:
+            # greedy walk is fully general — arbitrary overlap
+            pos_lists = [sorted(rng.sample(range(0, 30),
+                                           rng.randint(1, 5)))
+                         for _ in range(n)]
+        else:
+            # unordered clauses are DISTINCT terms, so their position
+            # lists are disjoint by construction (the engine rejects
+            # duplicate terms in unordered mode) — sample accordingly
+            pool = rng.sample(range(0, 30), 20)
+            pos_lists, off = [], 0
+            for _ in range(n):
+                take = rng.randint(1, 5)
+                pos_lists.append(sorted(pool[off:off + take]))
+                off += take
+        slop = rng.randint(0, 8)
+        got = _span_near_match(
+            [np.array(v, dtype=np.int64) for v in pos_lists],
+            slop, in_order)
+        want = brute(pos_lists, slop, in_order)
+        assert got == want, (pos_lists, slop, in_order, got, want)
