@@ -3569,6 +3569,71 @@ FROM d ORDER BY weight DESC, term ASC LIMIT {size}
 """
 
 
+_GEO_RINGS = [(None, 1500.0), (1500.0, 4000.0), (4000.0, None)]
+
+
+def _q_geo_distance_rings(spark, sf_dir):
+    """ES geo_distance aggregation: distance rings around (10, 20)
+    over the derived customer coordinates — one scan, the haversine
+    evaluates once per row."""
+    from auctus_spark.operators.geo import geo_distance_rings
+    return geo_distance_rings(_geo_derived_customers(spark, sf_dir),
+                              "lat", "lon", 10.0, 20.0, _GEO_RINGS)
+
+
+def _geo_distance_rings_sql(rings) -> str:
+    parts = []
+    for lo, hi in rings:
+        key = f"{'*' if lo is None else lo}-{'*' if hi is None else hi}"
+        conds = ["TRUE"]
+        if lo is not None:
+            conds.append(f"d >= {lo!r}")
+        if hi is not None:
+            conds.append(f"d < {hi!r}")
+        lo_sql = "CAST(NULL AS DOUBLE)" if lo is None else repr(float(lo))
+        hi_sql = "CAST(NULL AS DOUBLE)" if hi is None else repr(float(hi))
+        parts.append(f"""
+SELECT '{key}' AS bucket, {lo_sql} AS range_from, {hi_sql} AS range_to,
+       CAST((SELECT count(*) FROM dist
+             WHERE {' AND '.join(conds)}) AS BIGINT) AS doc_count""")
+    u = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH c AS (
+  SELECT CAST((c_custkey % 80) - 40 AS DOUBLE) AS lat,
+         CAST(((c_custkey * 7) % 160) - 80 AS DOUBLE) AS lon
+  FROM customer),
+dist AS (
+  SELECT 2.0 * 6371.0088 * asin(sqrt(
+           sin(radians(10.0 - lat) / 2) * sin(radians(10.0 - lat) / 2)
+           + cos(radians(lat)) * cos(radians(10.0)) *
+             sin(radians(20.0 - lon) / 2) *
+             sin(radians(20.0 - lon) / 2))) AS d
+  FROM c)
+{u}
+ORDER BY bucket
+"""
+
+
+def _q_terms_agg_ordered(spark, sf_dir):
+    """ES terms aggregation ordered by a sub-agg metric: event_type
+    buckets by avg(value) desc."""
+    from auctus_spark.operators.profiling import terms_agg_ordered
+    out = terms_agg_ordered(_t(spark, sf_dir, "events"),
+                            "event_type", "value", metric="avg",
+                            size=10)
+    return out.select("bucket", "doc_count",
+                      F.round("metric_value", 6).alias("metric_value"))
+
+
+_TERMS_AGG_ORDERED_SQL = """
+SELECT event_type AS bucket, CAST(count(*) AS BIGINT) AS doc_count,
+       round(avg(value), 6) AS metric_value
+FROM events WHERE event_type IS NOT NULL
+GROUP BY event_type
+ORDER BY avg(value) DESC, event_type ASC LIMIT 10
+"""
+
+
 def _q_significant_terms(spark, sf_dir):
     """ES significant_terms aggregation analog (JLH heuristic):
     terms over-represented in the lang='de' foreground vs the whole
@@ -3750,6 +3815,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_aggs2": _q_pipeline_aggs2,
         "bucket_sort": _q_bucket_sort,
         "completion_suggest": _q_completion_suggest,
+        "geo_distance_rings": _q_geo_distance_rings,
+        "terms_agg_ordered": _q_terms_agg_ordered,
         "histogram_agg": _q_histogram_agg,
         "extended_stats": _q_extended_stats,
         "top_hits": _q_top_hits,
@@ -4781,6 +4848,8 @@ def _oracle_sql_static() -> dict[str, str]:
         "pipeline_aggs2": _PIPELINE_AGGS2_SQL,
         "bucket_sort": _BUCKET_SORT_SQL,
         "completion_suggest": _completion_suggest_sql("s"),
+        "geo_distance_rings": _geo_distance_rings_sql(_GEO_RINGS),
+        "terms_agg_ordered": _TERMS_AGG_ORDERED_SQL,
         "histogram_agg": _histogram_agg_sql(_HISTOGRAM_INTERVAL),
         "extended_stats": _EXTENDED_STATS_SQL,
         "top_hits": _TOP_HITS_SQL,

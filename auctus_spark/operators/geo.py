@@ -465,3 +465,45 @@ def geo_centroid_agg(df: DataFrame, lat_col: str, lon_col: str
             .agg(F.avg(lat_col).cast("double").alias("lat"),
                  F.avg(lon_col).cast("double").alias("lon"),
                  F.count(F.lit(1)).alias("count")))
+
+
+def geo_distance_rings(df: DataFrame, lat_col: str, lon_col: str,
+                       origin_lat: float, origin_lon: float,
+                       ranges: list[tuple[float | None, float | None]]
+                       ) -> DataFrame:
+    """ES ``geo_distance`` AGGREGATION: half-open [from, to) distance
+    rings around an origin (None = unbounded), each independently
+    counted like the range aggregation — ES ring semantics exactly.
+
+    Returns (bucket, range_from, range_to, doc_count), bucket the
+    "from-to" key with ``*`` for unbounded.  ONE scan: the haversine
+    distance evaluates once per row (JVM trig, whole-stage codegen)
+    and every ring is a conditional sum over it — no per-ring passes,
+    unpivot on the 1-row aggregate."""
+    d = haversine_km(F.col(lat_col), F.col(lon_col),
+                     F.lit(float(origin_lat)),
+                     F.lit(float(origin_lon)))
+    ok = F.col(lat_col).isNotNull() & F.col(lon_col).isNotNull()
+    row = df.filter(ok).select(d.alias("_d"))
+    aggs, keys = [], []
+    for i, (lo, hi) in enumerate(ranges):
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (F.col("_d") >= float(lo))
+        if hi is not None:
+            cond = cond & (F.col("_d") < float(hi))
+        keys.append((f"{'*' if lo is None else lo}-"
+                     f"{'*' if hi is None else hi}", lo, hi))
+        aggs.append(F.sum(F.when(cond, 1).otherwise(0))
+                    .cast("long").alias(f"_b{i}"))
+    one = row.agg(*aggs)
+    stack = ", ".join(
+        f"'{k}', CAST({'NULL' if lo is None else repr(float(lo))} "
+        f"AS DOUBLE), "
+        f"CAST({'NULL' if hi is None else repr(float(hi))} AS DOUBLE), "
+        f"_b{i}"
+        for i, (k, lo, hi) in enumerate(keys))
+    return (one.selectExpr(
+        f"stack({len(keys)}, {stack}) "
+        "AS (bucket, range_from, range_to, doc_count)")
+        .orderBy("bucket"))

@@ -1156,3 +1156,31 @@ def bucket_sort(buckets: DataFrame, sort_col: str = "count",
         out = out.filter(F.col(sort_col).isNotNull())
     return (out.orderBy(s, *[F.asc(c) for c in sorted(cols)])
             .limit(size))
+
+
+def terms_agg_ordered(df: DataFrame, key_col: str, metric_col: str,
+                      metric: str = "avg", size: int = 10,
+                      ascending: bool = False) -> DataFrame:
+    """ES ``terms`` aggregation ordered by a SUB-AGGREGATION metric
+    (``"order": {"m": "desc"}`` with ``m`` an avg/sum/min/max agg on
+    another field) — the facet-by-metric form.  Null keys drop like
+    ES terms; null metric values are excluded from the sub-agg like
+    ES avg.  Returns (bucket, doc_count, metric_value) — metric
+    order, key asc tie-break (deterministic; ES leaves ties to shard
+    order).  One groupBy (partial agg + single shuffle), TakeOrdered.
+
+    ES warns this ordering is inexact on sharded terms (bounded
+    error); a full groupBy has no such error — documented
+    strictly-stronger contract."""
+    fns = {"avg": F.avg, "sum": F.sum, "min": F.min, "max": F.max}
+    if metric not in fns:
+        raise ValueError(f"unsupported order metric {metric!r}")
+    m = fns[metric](F.col(metric_col)).cast("double")
+    s = (F.asc("metric_value") if ascending
+         else F.desc("metric_value"))
+    return (df.filter(F.col(key_col).isNotNull())
+            .groupBy(F.col(key_col).alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("doc_count"),
+                 m.alias("metric_value"))
+            .orderBy(s, F.asc("bucket"))
+            .limit(size))

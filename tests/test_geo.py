@@ -236,3 +236,33 @@ def test_geo_distance_filter_high_latitude(spark):
     got = {r.id for r in geo_distance_filter(
         wrap, "lat", "lon", 0.0, 179.5, 200.0).collect()}
     assert got == {0, 1}
+
+
+def test_geo_distance_rings(spark):
+    """Distance rings: half-open [from, to), overlapping allowed,
+    counts match per-row haversine."""
+    from auctus_spark.operators.geo import (geo_distance_rings,
+                                            haversine_km)
+    from pyspark.sql import functions as F
+    pts = [(0.0, 0.0), (0.0, 10.0), (0.0, 40.0), (60.0, 0.0),
+           (None, 5.0)]
+    df = spark.createDataFrame(pts, "lat double, lon double")
+    rings = [(None, 2000.0), (2000.0, 5000.0), (4000.0, None)]
+    got = {r["bucket"]: r["doc_count"]
+           for r in geo_distance_rings(df, "lat", "lon", 0.0, 0.0,
+                                       rings).collect()}
+    dists = [r[0] for r in df.filter(F.col("lat").isNotNull())
+             .select(haversine_km(F.col("lat"), F.col("lon"),
+                                  F.lit(0.0), F.lit(0.0))).collect()]
+    from collections import Counter
+    want = Counter()
+    for d in dists:
+        if d < 2000.0:
+            want["*-2000.0"] += 1
+        if 2000.0 <= d < 5000.0:
+            want["2000.0-5000.0"] += 1
+        if d >= 4000.0:
+            want["4000.0-*"] += 1
+    assert got == dict(want) | {k: 0 for k in
+                                ("*-2000.0", "2000.0-5000.0",
+                                 "4000.0-*") if k not in want}

@@ -509,3 +509,17 @@ def test_bucket_pipeline2_and_bucket_sort(spark):
                [(5, None)], "bucket_start int, count int")),
                sort_col="count", size=3).collect()]
     assert srt == [(4, 40), (2, 30), (3, 20)]
+
+
+def test_terms_agg_ordered_by_metric(spark):
+    """terms agg with sub-agg ordering: metric desc, bucket asc ties;
+    null keys drop; null metric values excluded from the sub-agg."""
+    from auctus_spark.operators.profiling import terms_agg_ordered
+    rows = [("a", 1.0), ("a", 3.0), ("b", 10.0), ("b", None),
+            (None, 99.0), ("c", 2.0)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    got = [(r["bucket"], r["doc_count"], r["metric_value"])
+           for r in terms_agg_ordered(df, "k", "v").collect()]
+    assert got == [("b", 2, 10.0), ("a", 2, 2.0), ("c", 1, 2.0)]
+    with pytest.raises(ValueError):
+        terms_agg_ordered(df, "k", "v", metric="median")
