@@ -3634,6 +3634,80 @@ ORDER BY avg(value) DESC, event_type ASC LIMIT 10
 """
 
 
+def _q_multi_index_search(spark, sf_dir):
+    """ES multi-index search (query_then_fetch): the corpus sharded
+    into two indexes by doc_id parity, each scoring with its OWN
+    stats (N/df/avgdl), local top-k merged to the global top-k —
+    the per-partition-index sharding story end-to-end."""
+    import hashlib as _h
+    import os as _os
+
+    from auctus_spark.index.build import (FORMAT_VERSION, IndexBuilder,
+                                          read_format, wipe)
+    from auctus_spark.query.bm25 import (SearchEngine,
+                                         search_multi_index)
+
+    _ensure_workers_can_import(spark)
+    tag = _h.md5(sf_dir.encode()).hexdigest()[:10]
+    engines = []
+    for par in (0, 1):
+        idx_dir = f"/tmp/auctus_entry_index_half{par}_{tag}"
+        corpus = (_docs(spark, sf_dir)
+                  .filter(F.col("doc_id") % 2 == par)
+                  .select("doc_id", F.col("text").alias("content")))
+        b = IndexBuilder(spark, idx_dir, doc_bucket=1 << 10,
+                         chunk_docs=1 << 12, term_buckets=16)
+        if (not _os.path.exists(_os.path.join(idx_dir, "stats"))
+                or read_format(idx_dir) != FORMAT_VERSION):
+            wipe(idx_dir)
+            b.build(corpus)
+        engines.append(SearchEngine(spark, idx_dir, term_buckets=16))
+    out = search_multi_index(engines, "data join", k=50)
+    return out.select("doc_id", F.round("score", 6).alias("score"))
+
+
+def _multi_index_search_sql(terms: list[str], k: int = 50) -> str:
+    """Per-index BM25 (each parity half has its own N/avgdl/df — the
+    ES query_then_fetch contract), unioned, global top-k."""
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    halves = []
+    for par in (0, 1):
+        halves.append(f"""
+SELECT doc_id, raw_score FROM (
+  WITH docs{par} AS (
+    SELECT doc_id, text FROM documents WHERE doc_id % 2 = {par}),
+  tok AS (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(lower(text),
+                  '{SPLIT_PATTERN}')) AS term
+    FROM docs{par}),
+  tok2 AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+  dl AS (SELECT doc_id, count(*) AS dl FROM tok2 GROUP BY doc_id),
+  stats AS (
+    SELECT (SELECT count(*) FROM docs{par}) AS n_docs,
+           (SELECT count(*) FROM tok2) * 1.0
+             / (SELECT count(*) FROM docs{par}) AS avgdl),
+  tf AS (
+    SELECT doc_id, term, count(*) AS tf FROM tok2
+    WHERE term IN ({tlist}) GROUP BY doc_id, term),
+  df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+  scored AS (
+    SELECT tf.doc_id,
+           sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * (tf.tf / (tf.tf + 1.2 *
+                  (0.25 + 0.75 * dl.dl / s.avgdl)))) AS raw_score,
+           count(*) AS nt
+    FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+    CROSS JOIN stats s GROUP BY tf.doc_id)
+  SELECT doc_id, raw_score FROM scored WHERE nt = {len(terms)})""")
+    u = "\nUNION ALL\n".join(halves)
+    return f"""
+SELECT doc_id, round(raw_score, 6) AS score
+FROM ({u})
+ORDER BY raw_score DESC, doc_id ASC LIMIT {k}
+"""
+
+
 def _q_significant_terms(spark, sf_dir):
     """ES significant_terms aggregation analog (JLH heuristic):
     terms over-represented in the lang='de' foreground vs the whole
@@ -3817,6 +3891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "completion_suggest": _q_completion_suggest,
         "geo_distance_rings": _q_geo_distance_rings,
         "terms_agg_ordered": _q_terms_agg_ordered,
+        "multi_index_search": _q_multi_index_search,
         "histogram_agg": _q_histogram_agg,
         "extended_stats": _q_extended_stats,
         "top_hits": _q_top_hits,
@@ -4850,6 +4925,8 @@ def _oracle_sql_static() -> dict[str, str]:
         "completion_suggest": _completion_suggest_sql("s"),
         "geo_distance_rings": _geo_distance_rings_sql(_GEO_RINGS),
         "terms_agg_ordered": _TERMS_AGG_ORDERED_SQL,
+        "multi_index_search": _multi_index_search_sql(
+            ["data", "join"]),
         "histogram_agg": _histogram_agg_sql(_HISTOGRAM_INTERVAL),
         "extended_stats": _EXTENDED_STATS_SQL,
         "top_hits": _TOP_HITS_SQL,

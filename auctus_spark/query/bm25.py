@@ -2862,3 +2862,33 @@ def search_many_phrase(engine: "PhraseEngine", queries: dict[str, str],
         F.desc("score"), F.asc("doc_id"))
     return (local.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") <= k).drop("_rn"))
+
+
+def search_multi_index(engines: list["SearchEngine"], query: str,
+                       k: int = TOP_K_SIZE) -> DataFrame:
+    """ES multi-index search (``index1,index2/_search``), default
+    ``query_then_fetch``: every index scores with ITS OWN statistics
+    (N, df, avgdl) — exactly ES without ``dfs_query_then_fetch`` —
+    each returns a LOCAL top-k, and the global top-k is the merge
+    (score desc, doc_id asc).  A local top-k per shard is sufficient
+    for an exact global top-k, so the merge moves at most
+    ``k * n_indexes`` rows.
+
+    This is the 100-TB sharding story: build per-partition indexes
+    (per month / per source / per tenant), fan the query out, merge
+    k-sized results — index builds stay bounded and incremental, and
+    a query touches only the shards its filter selects (callers pass
+    the pruned engine list).  Doc ids must be globally unique across
+    the indexes (the builders' contract).
+
+    Reference behavior: ES multi-index search / cross-cluster
+    search; reference repo queries exactly one index
+    (apiserver search) — beyond-ref surface."""
+    if not engines:
+        raise ValueError("search_multi_index needs at least one "
+                         "engine")
+    parts = [e.search(query, k=k) for e in engines]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

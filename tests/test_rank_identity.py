@@ -1681,3 +1681,33 @@ def test_span_near_match_property_vs_bruteforce():
             slop, in_order)
         want = brute(pos_lists, slop, in_order)
         assert got == want, (pos_lists, slop, in_order, got, want)
+
+
+def test_multi_index_search_merges_local_topk(spark, built,
+                                              tmp_path_factory):
+    """Multi-index search: two parity-sharded indexes, each with its
+    OWN stats (query_then_fetch), merged == unioned per-half oracle
+    rankings; disjoint doc sets; k-cap respected."""
+    from pyspark.sql import functions as F
+
+    from auctus_spark.query.bm25 import search_multi_index
+    _, _, _, corpus, _ = built
+    engines, oracles = [], []
+    for par in (0, 1):
+        out = str(tmp_path_factory.mktemp(f"half{par}"))
+        half = corpus.filter(F.col("doc_id") % 2 == par)
+        IndexBuilder(spark, out, doc_bucket=256, chunk_docs=200,
+                     term_buckets=8).build(half)
+        engines.append(SearchEngine(spark, out, term_buckets=8))
+        oracles.append(OracleIndex.build(
+            [(int(r.doc_id), r.content) for r in half.collect()]))
+    q = "import data"
+    got = [(int(r.doc_id), float(r.score))
+           for r in search_multi_index(engines, q, k=40).collect()]
+    want = sorted(oracles[0].search(q, k=40)
+                  + oracles[1].search(q, k=40),
+                  key=lambda x: (-x[1], x[0]))[:40]
+    assert got == want
+    assert len({d for d, _ in got}) == len(got)
+    with pytest.raises(ValueError):
+        search_multi_index([], q)
