@@ -3708,6 +3708,24 @@ ORDER BY raw_score DESC, doc_id ASC LIMIT {k}
 """
 
 
+def _q_date_math_range(spark, sf_dir):
+    """ES range query with date-math bounds: events in the ISO week
+    of 2024-01-08 ("2024-01-08||/w" <= ts < "2024-01-08||+1w/w") —
+    bounds resolve driver-side to sargable literals."""
+    from auctus_spark.query.datemath import date_math_range
+    e = _t(spark, sf_dir, "events")
+    out = date_math_range(e, "ts", gte="2024-01-08||/w",
+                          lt="2024-01-08||+1w/w")
+    return out.select("event_id", "ts")
+
+
+_DATE_MATH_RANGE_SQL = """
+SELECT event_id, ts FROM events
+WHERE ts >= date_trunc('week', DATE '2024-01-08')
+  AND ts < date_trunc('week', DATE '2024-01-08') + INTERVAL 7 DAY
+"""
+
+
 def _q_significant_terms(spark, sf_dir):
     """ES significant_terms aggregation analog (JLH heuristic):
     terms over-represented in the lang='de' foreground vs the whole
@@ -3892,6 +3910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_distance_rings": _q_geo_distance_rings,
         "terms_agg_ordered": _q_terms_agg_ordered,
         "multi_index_search": _q_multi_index_search,
+        "date_math_range": _q_date_math_range,
         "histogram_agg": _q_histogram_agg,
         "extended_stats": _q_extended_stats,
         "top_hits": _q_top_hits,
@@ -4927,6 +4946,7 @@ def _oracle_sql_static() -> dict[str, str]:
         "terms_agg_ordered": _TERMS_AGG_ORDERED_SQL,
         "multi_index_search": _multi_index_search_sql(
             ["data", "join"]),
+        "date_math_range": _DATE_MATH_RANGE_SQL,
         "histogram_agg": _histogram_agg_sql(_HISTOGRAM_INTERVAL),
         "extended_stats": _EXTENDED_STATS_SQL,
         "top_hits": _TOP_HITS_SQL,

@@ -57,3 +57,45 @@ def test_strip_html():
     assert "<" not in out and "&amp;" not in out
     assert "Hello world & friends" in out
     assert "http://x.org/data" in out  # href kept searchable
+
+
+def test_date_math_parser():
+    """ES date-math: anchors, left-to-right add/round steps, Monday
+    weeks, month-end clamping, deterministic-now contract."""
+    from datetime import datetime
+
+    import pytest
+
+    from auctus_spark.query.datemath import parse_date_math as p
+    assert p("2024-01-10||/w") == datetime(2024, 1, 8)
+    assert p("2024-01-08||+1w/w") == datetime(2024, 1, 15)
+    assert p("2024-01-31||+1M") == datetime(2024, 2, 29)   # leap clamp
+    assert p("2023-01-31||+1M") == datetime(2023, 2, 28)
+    assert p("2024-03-15T10:30:45||/h") == datetime(2024, 3, 15, 10)
+    assert p("2024-03-15||-7d/d") == datetime(2024, 3, 8)
+    assert p("now+1d", now=datetime(2024, 1, 1)) == datetime(2024, 1, 2)
+    assert p("2024-02") == datetime(2024, 2, 1)
+    # steps apply in written order (round/add do not commute)
+    assert p("2024-01-10||/w+1d") == datetime(2024, 1, 9)
+    assert p("2024-01-10||+1d/w") == datetime(2024, 1, 8)
+    for bad in ["now", "2024-01-08||+x", "2024-01-08||/3d", "junk"]:
+        with pytest.raises(ValueError):
+            p(bad)
+
+
+def test_date_math_range_filter(spark):
+    """date_math_range: gte inclusive / lt exclusive, literal bounds
+    (sargable), week window matches hand filtering."""
+    import datetime as dt
+
+    from auctus_spark.query.datemath import date_math_range
+    rows = [(i, dt.datetime(2024, 1, 1) + dt.timedelta(days=i))
+            for i in range(30)]
+    df = spark.createDataFrame(rows, "i long, ts timestamp")
+    got = sorted(r["i"] for r in date_math_range(
+        df, "ts", gte="2024-01-08||/w",
+        lt="2024-01-08||+1w/w").collect())
+    assert got == [7, 8, 9, 10, 11, 12, 13]   # Jan 8 (Mon) .. Jan 14
+    plan = date_math_range(df, "ts", gte="2024-01-08||/w")._jdf \
+        .queryExecution().optimizedPlan().toString()
+    assert "2024-01-08" in plan               # folded literal bound
