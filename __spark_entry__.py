@@ -3802,6 +3802,183 @@ ORDER BY raw_score DESC, doc_id ASC LIMIT {k}
 """
 
 
+def _q_string_stats(spark, sf_dir):
+    """ES string_stats over documents.text: length stats + Shannon
+    entropy (log2) of the character distribution."""
+    from auctus_spark.operators.profiling import string_stats_agg
+    out = string_stats_agg(_t(spark, sf_dir, "documents"), "text")
+    return out.select(
+        F.col("count").cast("long").alias("count"),
+        F.col("min_length").cast("long").alias("min_length"),
+        F.col("max_length").cast("long").alias("max_length"),
+        F.round("avg_length", 6).alias("avg_length"),
+        F.round("entropy", 6).alias("entropy"))
+
+
+_STRING_STATS_SQL = """
+WITH base AS (SELECT text AS s FROM documents WHERE text IS NOT NULL),
+lens AS (SELECT count(*) AS count, min(length(s)) AS min_length,
+                max(length(s)) AS max_length,
+                round(avg(length(s)), 6) AS avg_length FROM base),
+chars AS (SELECT substr(s, i, 1) AS ch
+          FROM base, LATERAL unnest(generate_series(1, length(s)))
+               AS t(i)),
+cc AS (SELECT ch, CAST(count(*) AS DOUBLE) AS n FROM chars GROUP BY ch),
+ent AS (SELECT round(log2(sum(n)) - sum(n * log2(n)) / sum(n), 6)
+          AS entropy FROM cc)
+SELECT count, min_length, max_length, avg_length, entropy
+FROM lens, ent
+"""
+
+
+def _q_mad_value(spark, sf_dir):
+    """ES median_absolute_deviation on events.value — exact form
+    (ES is TDigest-approximate; documented stronger contract)."""
+    from auctus_spark.operators.profiling import (
+        median_absolute_deviation_agg)
+    out = median_absolute_deviation_agg(
+        _t(spark, sf_dir, "events"), "value")
+    return out.select(F.round("median", 6).alias("median"),
+                      F.round("mad", 6).alias("mad"))
+
+
+_MAD_VALUE_SQL = """
+SELECT round(median(value), 6) AS median,
+       round(mad(value), 6) AS mad
+FROM events WHERE value IS NOT NULL
+"""
+
+
+def _q_t_test_welch(spark, sf_dir):
+    """ES t_test (heteroscedastic/Welch, the default) between the
+    click and purchase populations of events.value; surfaces the
+    exact (t, dof) sufficient statistics (ES converts to a p-value
+    via the Student CDF — documented divergence)."""
+    from auctus_spark.operators.profiling import t_test_agg
+    out = t_test_agg(_t(spark, sf_dir, "events"), "value",
+                     "event_type", "click", "purchase")
+    return out.select(F.round("t_stat", 6).alias("t_stat"),
+                      F.round("dof", 6).alias("dof"),
+                      "n_a", "n_b")
+
+
+_T_TEST_WELCH_SQL = """
+WITH s AS (
+  SELECT count(CASE WHEN event_type = 'click' THEN value END) AS n1,
+         avg(CASE WHEN event_type = 'click' THEN value END) AS m1,
+         var_samp(CASE WHEN event_type = 'click' THEN value END) AS v1,
+         count(CASE WHEN event_type = 'purchase' THEN value END) AS n2,
+         avg(CASE WHEN event_type = 'purchase' THEN value END) AS m2,
+         var_samp(CASE WHEN event_type = 'purchase' THEN value END) AS v2
+  FROM events)
+SELECT round((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 6) AS t_stat,
+       round(pow(v1 / n1 + v2 / n2, 2)
+             / (pow(v1 / n1, 2) / (n1 - 1)
+                + pow(v2 / n2, 2) / (n2 - 1)), 6) AS dof,
+       n1 AS n_a, n2 AS n_b
+FROM s
+"""
+
+
+def _q_top_metrics(spark, sf_dir):
+    """ES top_metrics under a terms agg: per event_type the
+    (value, user_id) metrics of the latest event (ts desc, event_id
+    asc tiebreak — deterministic where ES is arbitrary)."""
+    from auctus_spark.operators.profiling import top_metrics_agg
+    out = top_metrics_agg(_t(spark, sf_dir, "events"), "event_type",
+                          "ts", ["value", "user_id"],
+                          tiebreak_col="event_id")
+    return out.select("event_type", "top_ts",
+                      F.round("top_value", 6).alias("top_value"),
+                      "top_user_id")
+
+
+_TOP_METRICS_SQL = """
+SELECT event_type, ts AS top_ts, round(value, 6) AS top_value,
+       user_id AS top_user_id
+FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+                                   ORDER BY ts DESC, event_id ASC)
+        AS rn FROM events WHERE ts IS NOT NULL)
+WHERE rn = 1
+"""
+
+
+def _q_value_count_missing(spark, sf_dir):
+    """ES value_count + missing aggs, one row per field, over a
+    projection with a genuinely-null column (value gated > 50)."""
+    from auctus_spark.operators.profiling import value_count_missing_agg
+    e = _t(spark, sf_dir, "events")
+    proj = e.select(
+        F.when(F.col("value") > 50, F.col("value")).alias("v50"),
+        "props", "user_id")
+    return value_count_missing_agg(proj, ["v50", "props", "user_id"])
+
+
+_VALUE_COUNT_MISSING_SQL = """
+SELECT 'v50' AS field,
+       count(CASE WHEN value > 50 THEN value END) AS value_count,
+       count(CASE WHEN value > 50 THEN NULL ELSE 1 END) AS missing
+FROM events
+UNION ALL
+SELECT 'props', count(props),
+       count(CASE WHEN props IS NULL THEN 1 END) FROM events
+UNION ALL
+SELECT 'user_id', count(user_id),
+       count(CASE WHEN user_id IS NULL THEN 1 END) FROM events
+"""
+
+
+def _q_date_range_agg(spark, sf_dir):
+    """ES date_range agg: half-open [from, to) buckets, overlapping
+    allowed (a doc counts once per containing range)."""
+    from auctus_spark.operators.profiling import date_range_agg
+    ranges = [(None, "2024-01-10"),
+              ("2024-01-05", "2024-01-20"),
+              ("2024-01-15", None)]
+    return date_range_agg(_t(spark, sf_dir, "events"), "ts", ranges)
+
+
+_DATE_RANGE_AGG_SQL = """
+SELECT '*-2024-01-10' AS bucket,
+       count(CASE WHEN ts < TIMESTAMP '2024-01-10' THEN 1 END)
+         AS doc_count
+FROM events WHERE ts IS NOT NULL
+UNION ALL
+SELECT '2024-01-05-2024-01-20',
+       count(CASE WHEN ts >= TIMESTAMP '2024-01-05'
+                   AND ts < TIMESTAMP '2024-01-20' THEN 1 END)
+FROM events WHERE ts IS NOT NULL
+UNION ALL
+SELECT '2024-01-15-*',
+       count(CASE WHEN ts >= TIMESTAMP '2024-01-15' THEN 1 END)
+FROM events WHERE ts IS NOT NULL
+"""
+
+
+def _q_rate_agg(spark, sf_dir):
+    """ES rate agg in a monthly date_histogram, day unit: per month
+    sum(value) / calendar days in that month (leap-aware)."""
+    from auctus_spark.operators.profiling import rate_agg
+    out = rate_agg(_t(spark, sf_dir, "events"), "ts", "value",
+                   interval="month", rate_unit="day")
+    return out.select("bucket_start", "doc_count",
+                      F.round("bucket_value", 6).alias("bucket_value"),
+                      F.round("rate_per_day", 6).alias("rate_per_day"))
+
+
+_RATE_AGG_SQL = """
+SELECT date_trunc('month', ts) AS bucket_start,
+       count(*) AS doc_count,
+       round(sum(value), 6) AS bucket_value,
+       round(sum(value)
+             / day(last_day(date_trunc('month', ts))), 6)
+         AS rate_per_day
+FROM events WHERE ts IS NOT NULL
+GROUP BY date_trunc('month', ts)
+ORDER BY bucket_start
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk_hot": _q_bm25_hot,
@@ -3940,6 +4117,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_agg": _q_range_agg,
         "adjacency_matrix": _q_adjacency_matrix,
         "bm25_mlt": _q_bm25_mlt,
+        "string_stats": _q_string_stats,
+        "mad_value": _q_mad_value,
+        "t_test_welch": _q_t_test_welch,
+        "top_metrics": _q_top_metrics,
+        "value_count_missing": _q_value_count_missing,
+        "date_range_agg": _q_date_range_agg,
+        "rate_agg": _q_rate_agg,
     }
 
 
@@ -5002,4 +5186,11 @@ def _oracle_sql_static() -> dict[str, str]:
             FROM lineitem""",
         "temporal_resolution": _temporal_resolution_sql(),
         "geohash_sketch": _geohash4_sql(),
+        "string_stats": _STRING_STATS_SQL,
+        "mad_value": _MAD_VALUE_SQL,
+        "t_test_welch": _T_TEST_WELCH_SQL,
+        "top_metrics": _TOP_METRICS_SQL,
+        "value_count_missing": _VALUE_COUNT_MISSING_SQL,
+        "date_range_agg": _DATE_RANGE_AGG_SQL,
+        "rate_agg": _RATE_AGG_SQL,
     }

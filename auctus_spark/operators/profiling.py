@@ -1184,3 +1184,199 @@ def terms_agg_ordered(df: DataFrame, key_col: str, metric_col: str,
                  m.alias("metric_value"))
             .orderBy(s, F.asc("bucket"))
             .limit(size))
+
+
+def string_stats_agg(df: DataFrame, col: str,
+                     show_distribution: bool = False) -> DataFrame:
+    """ES ``string_stats`` metric aggregation: count, min_length,
+    max_length, avg_length and the Shannon entropy (log base 2) of the
+    CHARACTER distribution across all values — ES computes entropy
+    from the per-character probability over the concatenated field
+    text (string-stats-aggregation docs).
+
+    Two partial aggregates over one logical scan: the length stats are
+    a plain agg; the entropy needs a (char -> count) groupBy first —
+    characters come from a JVM-side ``split(col, '')`` explode, no
+    Python.  Both sides collapse to ONE ROW, so the final cross join
+    is trivially broadcast.  At 100 TB each branch is a map-side
+    partial agg + one shuffle on a tiny key space (distinct chars).
+    """
+    base = df.filter(F.col(col).isNotNull())
+    lens = base.agg(
+        F.count(F.lit(1)).alias("count"),
+        F.min(F.length(col)).alias("min_length"),
+        F.max(F.length(col)).alias("max_length"),
+        F.avg(F.length(col)).alias("avg_length"))
+    chars = (base.select(F.explode(F.split(F.col(col), "")).alias("ch"))
+             .filter(F.length("ch") > 0)
+             .groupBy("ch").agg(F.count(F.lit(1)).alias("n")))
+    tot = F.sum("n")
+    ent = chars.agg(
+        ((F.log2(tot) - F.sum(F.col("n") * F.log2("n")) / tot))
+        .alias("entropy"))
+    return lens.crossJoin(F.broadcast(ent))
+
+
+def median_absolute_deviation_agg(df: DataFrame, col: str) -> DataFrame:
+    """ES ``median_absolute_deviation``: median(|x - median(x)|).
+
+    ES computes it on a TDigest sketch (approximate); this is the
+    EXACT form via Spark's exact ``percentile`` — a documented
+    strictly-stronger contract (same divergence note as the exact
+    percentiles in :func:`percentile_profile`).  Two aggregate jobs
+    (median, then MAD around the broadcast scalar); each is one scan
+    + single-row reduce.  At very large scale swap ``percentile`` for
+    ``approx_percentile`` to regain the one-pass sketch shape.
+    """
+    base = df.filter(F.col(col).isNotNull())
+    med = base.agg(F.expr(f"percentile({col}, 0.5)")
+                   .alias("m")).collect()[0]["m"]
+    return base.agg(
+        F.lit(float(med)).alias("median"),
+        F.expr(f"percentile(abs({col} - {float(med)!r}), 0.5)")
+        .alias("mad"))
+
+
+def t_test_agg(df: DataFrame, value_col: str, group_col: str,
+               group_a, group_b,
+               test_type: str = "heteroscedastic") -> DataFrame:
+    """ES ``t_test`` metric aggregation between two filtered
+    populations of the same field (the ``a.filter``/``b.filter``
+    unpaired form).  Returns the t-statistic and degrees of freedom:
+    Welch (``heteroscedastic``, ES default) uses per-group sample
+    variance and the Welch–Satterthwaite dof; ``homoscedastic``
+    pools the variance with dof n1+n2-2.
+
+    Divergence note: ES returns the two-sided p-value (Student CDF);
+    the CDF needs the incomplete beta function, so this surfaces the
+    exact (t, dof) pair instead — the sufficient statistics the
+    p-value is a deterministic function of.  ONE scan: conditional
+    aggregates per group (count/avg/var_samp via sum-of-squares),
+    single-row output, no shuffle beyond the 1-row reduce.
+    """
+    if test_type not in ("heteroscedastic", "homoscedastic"):
+        raise ValueError(f"unsupported t_test type {test_type!r}")
+    v = F.col(value_col).cast("double")
+    a = F.when(F.col(group_col) == group_a, v)
+    b = F.when(F.col(group_col) == group_b, v)
+    stats = df.agg(
+        F.count(a).alias("n1"), F.avg(a).alias("m1"),
+        F.var_samp(a).alias("v1"),
+        F.count(b).alias("n2"), F.avg(b).alias("m2"),
+        F.var_samp(b).alias("v2"))
+    n1, m1, v1 = F.col("n1"), F.col("m1"), F.col("v1")
+    n2, m2, v2 = F.col("n2"), F.col("m2"), F.col("v2")
+    if test_type == "heteroscedastic":
+        se2 = v1 / n1 + v2 / n2
+        dof = (se2 * se2) / ((v1 / n1) * (v1 / n1) / (n1 - 1)
+                             + (v2 / n2) * (v2 / n2) / (n2 - 1))
+    else:
+        sp2 = (((n1 - 1) * v1 + (n2 - 1) * v2) / (n1 + n2 - 2))
+        se2 = sp2 * (1.0 / n1 + 1.0 / n2)
+        dof = (n1 + n2 - 2).cast("double")
+    return stats.select(
+        ((m1 - m2) / F.sqrt(se2)).alias("t_stat"),
+        dof.alias("dof"),
+        n1.alias("n_a"), n2.alias("n_b"))
+
+
+def top_metrics_agg(df: DataFrame, group_col: str, sort_col: str,
+                    metric_cols: list[str], tiebreak_col: str,
+                    descending: bool = True) -> DataFrame:
+    """ES ``top_metrics`` (size=1) under a terms aggregation: for
+    each bucket, the metric values of the single row that sorts
+    first on ``sort_col``.  ES breaks sort ties arbitrarily; here
+    ``tiebreak_col`` ascending makes the winner deterministic (the
+    same strictly-stronger contract as top_hits_agg).
+
+    One groupBy with ``max_by``/``min_by`` over a (sort, tiebreak)
+    struct — partial-agg friendly (each partition keeps one champion
+    struct per key), single shuffle, no window."""
+    key = F.struct(
+        F.col(sort_col).alias("s"),
+        (-F.col(tiebreak_col) if descending
+         else F.col(tiebreak_col)).alias("t"))
+    pick = F.max_by if descending else F.min_by
+    aggs = [pick(F.col(sort_col), key).alias(f"top_{sort_col}")]
+    aggs += [pick(F.col(c), key).alias(f"top_{c}")
+             for c in metric_cols]
+    return (df.filter(F.col(sort_col).isNotNull())
+            .groupBy(group_col).agg(*aggs))
+
+
+def value_count_missing_agg(df: DataFrame, cols: list[str]) -> DataFrame:
+    """ES ``value_count`` + ``missing`` aggregations for a set of
+    fields, one row per field: (field, value_count, missing).  ONE
+    scan, conditional counts, 1-row partial agg unpivoted via stack —
+    no shuffle of row data at all."""
+    aggs = []
+    for c in cols:
+        aggs.append(F.count(F.col(c)).alias(f"vc_{c}"))
+        aggs.append(F.count(F.when(F.col(c).isNull(), F.lit(1)))
+                    .alias(f"miss_{c}"))
+    one = df.agg(*aggs)
+    pairs = ", ".join(f"'{c}', vc_{c}, miss_{c}" for c in cols)
+    return one.selectExpr(
+        f"stack({len(cols)}, {pairs}) "
+        f"AS (field, value_count, missing)")
+
+
+def date_range_agg(df: DataFrame, col: str,
+                   ranges: list[tuple],
+                   ) -> DataFrame:
+    """ES ``date_range`` aggregation: per range [from, to) — from
+    inclusive, to exclusive, either side open — the doc count.
+    Ranges MAY overlap (a doc counts in every range containing it),
+    so this is NOT a width_bucket: each range is its own conditional
+    count in a single aggregate over ONE scan, unpivoted with stack.
+    Bucket key follows ES's "<from>-<to>" naming with '*' for open
+    ends.  Ranges are a query-literal list (tiny), never a join.
+    """
+    t = F.col(col)
+    aggs, names = [], []
+    for i, (lo, hi) in enumerate(ranges):
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (t >= F.lit(lo))
+        if hi is not None:
+            cond = cond & (t < F.lit(hi))
+        aggs.append(F.count(F.when(t.isNotNull() & cond, F.lit(1)))
+                    .alias(f"r{i}"))
+        names.append(f"{lo or '*'}-{hi or '*'}")
+    one = df.agg(*aggs)
+    pairs = ", ".join(f"'{n}', r{i}" for i, n in enumerate(names))
+    return one.selectExpr(
+        f"stack({len(ranges)}, {pairs}) AS (bucket, doc_count)")
+
+
+def rate_agg(df: DataFrame, ts_col: str, value_col: str | None = None,
+             interval: str = "month", rate_unit: str = "day"
+             ) -> DataFrame:
+    """ES ``rate`` aggregation inside a date_histogram: per calendar
+    bucket, sum(value) (or doc count when ``value_col`` is None)
+    divided by the number of ``rate_unit``s the bucket spans —
+    calendar-aware (a February month bucket divides by 28/29, ES
+    rate-aggregation semantics).  Only month/day histograms with a
+    day rate unit are supported (the forms whose unit count is
+    data-independent per bucket).
+
+    Same plan as date_histogram: ONE scan, partial-agg groupBy on
+    the truncated bucket; the divisor is a JVM date expression on
+    the bucket key, no second pass."""
+    if interval not in ("month", "day") or rate_unit != "day":
+        raise ValueError("supported: month/day histogram, day unit")
+    b = F.date_trunc(interval, F.col(ts_col))
+    val = (F.sum(F.col(value_col).cast("double")) if value_col
+           else F.count(F.lit(1)).cast("double"))
+    out = (df.filter(F.col(ts_col).isNotNull())
+           .groupBy(b.alias("bucket_start"))
+           .agg(val.alias("bucket_value"),
+                F.count(F.lit(1)).alias("doc_count")))
+    if interval == "month":
+        days = F.dayofmonth(F.last_day(F.col("bucket_start")))
+    else:
+        days = F.lit(1)
+    return (out.select("bucket_start", "doc_count", "bucket_value",
+                       (F.col("bucket_value") / days.cast("double"))
+                       .alias("rate_per_day"))
+            .orderBy("bucket_start"))

@@ -523,3 +523,127 @@ def test_terms_agg_ordered_by_metric(spark):
     assert got == [("b", 2, 10.0), ("a", 2, 2.0), ("c", 1, 2.0)]
     with pytest.raises(ValueError):
         terms_agg_ordered(df, "k", "v", metric="median")
+
+
+def test_string_stats_entropy(spark):
+    """string_stats: length stats + Shannon entropy (log2) over the
+    character distribution of all values, nulls skipped."""
+    from auctus_spark.operators.profiling import string_stats_agg
+    df = spark.createDataFrame(
+        [("aab",), ("b",), (None,)], "s string")
+    r = string_stats_agg(df, "s").collect()[0]
+    assert r["count"] == 2
+    assert r["min_length"] == 1 and r["max_length"] == 3
+    assert r["avg_length"] == pytest.approx(2.0)
+    # chars: a,a,b,b -> p=0.5 each -> entropy 1 bit
+    assert r["entropy"] == pytest.approx(1.0)
+    # skewed: aaab -> -(3/4 log2 3/4 + 1/4 log2 1/4)
+    df2 = spark.createDataFrame([("aaab",)], "s string")
+    r2 = string_stats_agg(df2, "s").collect()[0]
+    exp = -(0.75 * np.log2(0.75) + 0.25 * np.log2(0.25))
+    assert r2["entropy"] == pytest.approx(exp)
+
+
+def test_median_absolute_deviation_exact(spark):
+    """exact MAD: median(|x - median|), interpolating median."""
+    from auctus_spark.operators.profiling import (
+        median_absolute_deviation_agg)
+    vals = [1.0, 2.0, 3.0, 4.0, 100.0]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    r = median_absolute_deviation_agg(df, "v").collect()[0]
+    a = np.array(vals)
+    med = np.median(a)
+    assert r["median"] == pytest.approx(med)
+    assert r["mad"] == pytest.approx(np.median(np.abs(a - med)))
+
+
+def test_t_test_welch_and_pooled(spark):
+    """Welch t + Welch-Satterthwaite dof vs closed-form numpy;
+    homoscedastic pools variance with dof n1+n2-2."""
+    from auctus_spark.operators.profiling import t_test_agg
+    a = [2.1, 2.5, 2.3, 2.9, 3.1]
+    b = [1.1, 1.5, 1.9, 1.2]
+    rows = [("a", v) for v in a] + [("b", v) for v in b]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = t_test_agg(df, "v", "g", "a", "b").collect()[0]
+    va, vb = np.var(a, ddof=1), np.var(b, ddof=1)
+    na, nb = len(a), len(b)
+    se2 = va / na + vb / nb
+    t_exp = (np.mean(a) - np.mean(b)) / np.sqrt(se2)
+    dof_exp = se2**2 / ((va / na)**2 / (na - 1)
+                        + (vb / nb)**2 / (nb - 1))
+    assert r["t_stat"] == pytest.approx(t_exp)
+    assert r["dof"] == pytest.approx(dof_exp)
+    rp = t_test_agg(df, "v", "g", "a", "b",
+                    "homoscedastic").collect()[0]
+    sp2 = ((na - 1) * va + (nb - 1) * vb) / (na + nb - 2)
+    tp = (np.mean(a) - np.mean(b)) / np.sqrt(sp2 * (1/na + 1/nb))
+    assert rp["t_stat"] == pytest.approx(tp)
+    assert rp["dof"] == na + nb - 2
+    with pytest.raises(ValueError):
+        t_test_agg(df, "v", "g", "a", "b", "paired")
+
+
+def test_top_metrics_deterministic_winner(spark):
+    """top_metrics size=1: per bucket the metrics of the row sorting
+    first on sort_col; ties broken by tiebreak asc."""
+    from auctus_spark.operators.profiling import top_metrics_agg
+    rows = [("a", 5.0, 1, 10.0), ("a", 5.0, 2, 20.0),
+            ("a", 3.0, 3, 30.0), ("b", 1.0, 4, 40.0)]
+    df = spark.createDataFrame(
+        rows, "g string, s double, id long, m double")
+    got = {r["g"]: (r["top_s"], r["top_m"])
+           for r in top_metrics_agg(
+               df, "g", "s", ["m"], tiebreak_col="id").collect()}
+    assert got == {"a": (5.0, 10.0), "b": (1.0, 40.0)}
+    asc = {r["g"]: r["top_m"]
+           for r in top_metrics_agg(df, "g", "s", ["m"], "id",
+                                    descending=False).collect()}
+    assert asc["a"] == 30.0
+
+
+def test_value_count_missing(spark):
+    from auctus_spark.operators.profiling import value_count_missing_agg
+    df = spark.createDataFrame(
+        [(1, "x"), (2, None), (None, "y")], "a int, b string")
+    got = {r["field"]: (r["value_count"], r["missing"])
+           for r in value_count_missing_agg(df, ["a", "b"]).collect()}
+    assert got == {"a": (2, 1), "b": (2, 1)}
+
+
+def test_date_range_overlapping_buckets(spark):
+    """date_range: [from, to) half-open, overlapping ranges count a
+    doc once per containing range, open ends allowed."""
+    from datetime import datetime
+    from auctus_spark.operators.profiling import date_range_agg
+    ts = [datetime(2024, 1, 1), datetime(2024, 2, 15),
+          datetime(2024, 3, 1), None]
+    df = spark.createDataFrame([(t,) for t in ts], "ts timestamp")
+    ranges = [(None, "2024-02-01"),
+              ("2024-01-01", "2024-03-01"),
+              ("2024-02-01", None)]
+    got = {r["bucket"]: r["doc_count"]
+           for r in date_range_agg(df, "ts", ranges).collect()}
+    assert got == {"*-2024-02-01": 1,
+                   "2024-01-01-2024-03-01": 2,
+                   "2024-02-01-*": 2}
+
+
+def test_rate_agg_calendar_divisor(spark):
+    """rate: month bucket divides by that month's day count
+    (Feb 2024 = 29, leap-aware)."""
+    from datetime import datetime
+    from auctus_spark.operators.profiling import rate_agg
+    rows = [(datetime(2024, 1, 10), 31.0),
+            (datetime(2024, 1, 20), 31.0),
+            (datetime(2024, 2, 5), 58.0)]
+    df = spark.createDataFrame(rows, "ts timestamp, v double")
+    got = {r["bucket_start"].month: r["rate_per_day"]
+           for r in rate_agg(df, "ts", "v").collect()}
+    assert got[1] == pytest.approx(2.0)   # 62 / 31
+    assert got[2] == pytest.approx(2.0)   # 58 / 29
+    cnt = {r["bucket_start"].month: r["rate_per_day"]
+           for r in rate_agg(df, "ts").collect()}
+    assert cnt[1] == pytest.approx(2 / 31)
+    with pytest.raises(ValueError):
+        rate_agg(df, "ts", interval="week")
