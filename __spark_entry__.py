@@ -3979,6 +3979,133 @@ ORDER BY bucket_start
 """
 
 
+_CUST_COORDS_SQL = """
+  SELECT CAST((c_custkey % 80) - 40 AS DOUBLE) AS lat,
+         CAST(((c_custkey * 7) % 160) - 80 AS DOUBLE) AS lon
+  FROM customer"""
+
+
+def _q_geotile_grid(spark, sf_dir):
+    """ES geotile_grid agg at zoom 6 over the derived customer
+    coordinates (slippy-tile mercator formula)."""
+    from auctus_spark.operators.geo import geotile_grid_agg
+    c = _t(spark, sf_dir, "customer").select(
+        ((F.col("c_custkey") % 80) - 40).cast("double").alias("lat"),
+        (((F.col("c_custkey") * 7) % 160) - 80).cast("double")
+        .alias("lon"))
+    return geotile_grid_agg(c, "lat", "lon", zoom=6, size=20)
+
+
+_GEOTILE_GRID_SQL = f"""
+WITH c AS ({_CUST_COORDS_SQL}),
+m AS (SELECT lon,
+             least(greatest(lat, -85.05112878), 85.05112878) AS latc
+      FROM c),
+t AS (SELECT
+  least(greatest(CAST(floor(64 * (lon + 180.0) / 360.0) AS BIGINT),
+                 0), 63) AS x,
+  least(greatest(CAST(floor(64 * (1.0
+        - ln(tan(radians(latc)) + 1.0 / cos(radians(latc))) / pi())
+        / 2.0) AS BIGINT), 0), 63) AS y
+FROM m)
+SELECT '6/' || x || '/' || y AS tile, count(*) AS doc_count
+FROM t GROUP BY 1 ORDER BY doc_count DESC, tile ASC LIMIT 20
+"""
+
+
+def _geohash32_p4_expr() -> str:
+    """4-char base-32 geohash as pure SQL over (qlon, qlat) 10-bit
+    cells — the same lon-first bit interleave as geohash_encode."""
+    from auctus_spark.operators.geo import GEOHASH_CHARS
+    parts = []
+    for k in range(4):
+        terms = []
+        for j in range(5):
+            p = 5 * k + j
+            if p % 2 == 0:
+                src, s = "qlon", 9 - p // 2
+            else:
+                src, s = "qlat", 9 - (p - 1) // 2
+            terms.append(f"((({src} >> {s}) & 1) << {4 - j})")
+        idx = " + ".join(terms)
+        parts.append(f"substr('{GEOHASH_CHARS}', ({idx}) + 1, 1)")
+    return " || ".join(parts)
+
+
+def _q_geohash_grid(spark, sf_dir):
+    """ES geohash_grid agg, precision 4, over the derived customer
+    coordinates (vectorized base-32 encoder)."""
+    from auctus_spark.operators.geo import geohash_grid_agg
+    _ensure_workers_can_import(spark)  # pandas UDF imports the package
+    c = _t(spark, sf_dir, "customer").select(
+        ((F.col("c_custkey") % 80) - 40).cast("double").alias("lat"),
+        (((F.col("c_custkey") * 7) % 160) - 80).cast("double")
+        .alias("lon"))
+    return geohash_grid_agg(c, "lat", "lon", precision=4, size=20)
+
+
+def _geohash_grid_sql() -> str:
+    # _quantize mirror: ceil((v - lo) / step) - 1, clipped — step is
+    # a power-of-two division so the float math is exact in both
+    # engines
+    return f"""
+WITH c AS ({_CUST_COORDS_SQL}),
+q AS (SELECT
+  greatest(0, least(1023,
+    CAST(ceil((lon + 180.0) / 0.3515625) AS BIGINT) - 1)) AS qlon,
+  greatest(0, least(1023,
+    CAST(ceil((lat + 90.0) / 0.17578125) AS BIGINT) - 1)) AS qlat
+FROM c),
+g AS (SELECT {_geohash32_p4_expr()} AS geohash FROM q)
+SELECT geohash, count(*) AS doc_count FROM g GROUP BY geohash
+ORDER BY doc_count DESC, geohash ASC LIMIT 20
+"""
+
+
+def _q_sampler(spark, sf_dir):
+    """ES sampler agg: terms facet on lang over the global top-100
+    should-BM25 hits (global = strictly-stronger deterministic form
+    of ES's per-shard sampling)."""
+    return pipeline.sampler_facet(_docs(spark, sf_dir), "join data",
+                                  "lang", shard_size=100)
+
+
+def _sampler_sql() -> str:
+    or_sql = _bm25_or_sql(["join", "data"], k=100).replace(
+        "ORDER BY raw_score DESC", "ORDER BY round(raw_score, 6) DESC")
+    return f"""
+WITH hits AS ({or_sql})
+SELECT d.lang, count(*) AS doc_count
+FROM hits h JOIN documents d ON d.doc_id = h.doc_id
+GROUP BY d.lang ORDER BY doc_count DESC, d.lang ASC
+"""
+
+
+def _q_diversified_sampler(spark, sf_dir):
+    """ES diversified_sampler: top-50 hits with at most 2 docs per
+    source admitted during collection, then the lang facet."""
+    return pipeline.diversified_sampler_facet(
+        _docs(spark, sf_dir), "join data", "lang", "source",
+        max_docs_per_value=2, shard_size=50)
+
+
+def _diversified_sampler_sql() -> str:
+    or_sql = _bm25_or_sql(["join", "data"], k=10**9).replace(
+        "ORDER BY raw_score DESC", "ORDER BY round(raw_score, 6) DESC")
+    return f"""
+WITH hits AS ({or_sql}),
+ranked AS (
+  SELECT h.doc_id, h.score, d.source, d.lang,
+         row_number() OVER (PARTITION BY d.source
+                            ORDER BY h.score DESC, h.doc_id ASC) AS rv
+  FROM hits h JOIN documents d ON d.doc_id = h.doc_id),
+top AS (SELECT * FROM ranked WHERE rv <= 2
+        ORDER BY score DESC, doc_id ASC LIMIT 50)
+SELECT lang, count(*) AS doc_count FROM top
+GROUP BY lang ORDER BY doc_count DESC, lang ASC
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk_hot": _q_bm25_hot,
@@ -4124,6 +4251,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_count_missing": _q_value_count_missing,
         "date_range_agg": _q_date_range_agg,
         "rate_agg": _q_rate_agg,
+        "geotile_grid": _q_geotile_grid,
+        "geohash_grid": _q_geohash_grid,
+        "sampler_facet": _q_sampler,
+        "diversified_sampler": _q_diversified_sampler,
     }
 
 
@@ -5193,4 +5324,8 @@ def _oracle_sql_static() -> dict[str, str]:
         "value_count_missing": _VALUE_COUNT_MISSING_SQL,
         "date_range_agg": _DATE_RANGE_AGG_SQL,
         "rate_agg": _RATE_AGG_SQL,
+        "geotile_grid": _GEOTILE_GRID_SQL,
+        "geohash_grid": _geohash_grid_sql(),
+        "sampler_facet": _sampler_sql(),
+        "diversified_sampler": _diversified_sampler_sql(),
     }

@@ -507,3 +507,59 @@ def geo_distance_rings(df: DataFrame, lat_col: str, lon_col: str,
         f"stack({len(keys)}, {stack}) "
         "AS (bucket, range_from, range_to, doc_count)")
         .orderBy("bucket"))
+
+
+MERCATOR_LAT_MAX = 85.05112878  # web-mercator latitude bound (ES geotile)
+
+
+def geotile_grid_agg(df: DataFrame, lat_col: str, lon_col: str,
+                     zoom: int = 6, size: int = 20) -> DataFrame:
+    """ES ``geotile_grid`` aggregation: bucket points into OSM/web-
+    mercator slippy tiles at ``zoom``, key "z/x/y", top ``size``
+    buckets by (doc_count desc, key asc).  The formula is the
+    published slippy-tile map projection (identical in ES):
+
+        x = floor(2^z · (lon + 180) / 360)
+        y = floor(2^z · (1 − asinh(tan φ)/π) / 2),   φ clamped to
+            ±85.05112878° (the mercator square)
+
+    x/y clamp into [0, 2^z−1] so the +180 / pole edges land in the
+    last tile.  All JVM expressions (whole-stage codegen) — ONE scan,
+    partial-agg groupBy on the tile key, TakeOrdered(size)."""
+    if not 0 <= zoom <= 29:
+        raise ValueError(f"zoom {zoom} outside [0, 29]")
+    n = float(2 ** zoom)
+    lat = F.least(F.greatest(F.col(lat_col).cast("double"),
+                             F.lit(-MERCATOR_LAT_MAX)),
+                  F.lit(MERCATOR_LAT_MAX))
+    phi = F.radians(lat)
+    x = F.floor(F.lit(n) * (F.col(lon_col) + 180.0) / 360.0)
+    y = F.floor(F.lit(n) * (1.0 - F.log(F.tan(phi) + 1.0 / F.cos(phi))
+                            / F.lit(float(np.pi))) / 2.0)
+    clamp = lambda c: F.least(F.greatest(c, F.lit(0)).cast("long"),  # noqa: E731
+                              F.lit(int(n) - 1))
+    key = F.concat_ws("/", F.lit(str(zoom)), clamp(x).cast("string"),
+                      clamp(y).cast("string"))
+    ok = F.col(lat_col).isNotNull() & F.col(lon_col).isNotNull()
+    return (df.filter(ok)
+            .groupBy(key.alias("tile"))
+            .agg(F.count(F.lit(1)).alias("doc_count"))
+            .orderBy(F.desc("doc_count"), F.asc("tile"))
+            .limit(size))
+
+
+def geohash_grid_agg(df: DataFrame, lat_col: str, lon_col: str,
+                     precision: int = 4, size: int = 20) -> DataFrame:
+    """ES ``geohash_grid`` aggregation: bucket points by base-32
+    geohash cell at ``precision`` chars, top ``size`` buckets by
+    (doc_count desc, hash asc).  Encoding rides the existing
+    vectorized :func:`geohash_udf` (Arrow batches, bit-interleave in
+    numpy); the rest is ONE partial-agg groupBy + TakeOrdered."""
+    ok = F.col(lat_col).isNotNull() & F.col(lon_col).isNotNull()
+    gh = geohash_udf(base=32, precision=precision)(
+        F.col(lat_col).cast("double"), F.col(lon_col).cast("double"))
+    return (df.filter(ok)
+            .groupBy(gh.alias("geohash"))
+            .agg(F.count(F.lit(1)).alias("doc_count"))
+            .orderBy(F.desc("doc_count"), F.asc("geohash"))
+            .limit(size))

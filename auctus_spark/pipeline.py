@@ -1110,3 +1110,95 @@ def match_bool_prefix_topk(docs: DataFrame, query: str,
                     score.alias("score"))
             .orderBy(F.desc("score"), F.asc(id_col))
             .limit(k))
+
+
+def _or_scores(docs: DataFrame, query: str,
+               carry_cols: list[str],
+               id_col: str = "doc_id", text_col: str = "text",
+               round_to: int = 6) -> DataFrame | None:
+    """Unlimited should-style BM25 scores (no top-k cut), carrying
+    ``carry_cols`` through the SAME scan so downstream sampler aggs
+    never join back to the corpus.  Scores are rounded to
+    ``round_to`` BEFORE any ordering derived from them (the
+    rounded-score ordering contract shared with search_after), so an
+    external oracle sorting on the rounded value agrees on ties.
+    Returns None when the query analyzes to nothing / matches
+    nothing."""
+    terms = analyze_query(query)
+    if not terms:
+        return None
+    n_docs, avgdl, dfs = _query_stats(docs, terms, text_col)
+    if n_docs == 0 or all(d == 0 for d in dfs):
+        return None
+    idfs = [bm25_idf(n_docs, d) for d in dfs]
+    qarr = F.array(*[F.lit(t) for t in terms])
+    cond = F.arrays_overlap(_toks(F.col(text_col)), qarr)
+    per_doc = (docs.filter(cond)
+               .select(F.col(id_col).alias("doc_id"), *carry_cols,
+                       _toks(F.col(text_col)).alias("_toks"))
+               .select("doc_id", *carry_cols,
+                       F.size("_toks").alias("_dl"),
+                       *[_tf(i, t) for i, t in enumerate(terms)]))
+    score = F.round(_score_expr(terms, idfs, avgdl), round_to)
+    return per_doc.select("doc_id", *carry_cols, score.alias("score"))
+
+
+def sampler_facet(docs: DataFrame, query: str, facet_col: str,
+                  shard_size: int = 100, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """ES ``sampler`` aggregation: limit a sub-aggregation's scope to
+    the ``shard_size`` best-scoring hits, then run the sub-agg (here
+    a terms facet on ``facet_col``).  ES samples the top shard_size
+    PER SHARD (result depends on sharding); this takes the GLOBAL
+    top — deterministic and strictly stronger, documented divergence.
+
+    Plan: one corpus scan computes should-BM25 scores with the facet
+    column carried along (no join-back), TakeOrdered(shard_size) on
+    (score desc, doc_id asc) — rounded-score ordering — then a tiny
+    groupBy over ≤ shard_size rows.  Returns (facet, doc_count)
+    ordered (doc_count desc, facet asc)."""
+    scored = _or_scores(docs, query, [facet_col], id_col, text_col)
+    spark = docs.sparkSession
+    if scored is None:
+        return spark.createDataFrame(
+            [], f"{facet_col} string, doc_count long")
+    top = (scored.orderBy(F.desc("score"), F.asc("doc_id"))
+           .limit(shard_size))
+    return (top.groupBy(facet_col)
+            .agg(F.count(F.lit(1)).alias("doc_count"))
+            .orderBy(F.desc("doc_count"), F.asc(facet_col)))
+
+
+def diversified_sampler_facet(docs: DataFrame, query: str,
+                              facet_col: str, diversify_col: str,
+                              max_docs_per_value: int = 1,
+                              shard_size: int = 100,
+                              id_col: str = "doc_id",
+                              text_col: str = "text") -> DataFrame:
+    """ES ``diversified_sampler``: like sampler, but while collecting
+    the top ``shard_size`` hits at most ``max_docs_per_value`` docs
+    per distinct ``diversify_col`` value are admitted (over-quota
+    docs are SKIPPED, not truncated — collection keeps filling from
+    lower-ranked hits).  Global deterministic form of ES's per-shard
+    contract, same divergence note as :func:`sampler_facet`.
+
+    Plan: one scan scores hits carrying both columns; a window rank
+    per diversify value (partition-parallel, hits only) drops
+    over-quota rows; TakeOrdered(shard_size) then the tiny facet
+    groupBy.  All ordering on the rounded score, doc_id asc."""
+    from pyspark.sql import Window
+    scored = _or_scores(docs, query, [facet_col, diversify_col],
+                        id_col, text_col)
+    spark = docs.sparkSession
+    if scored is None:
+        return spark.createDataFrame(
+            [], f"{facet_col} string, doc_count long")
+    wv = (Window.partitionBy(diversify_col)
+          .orderBy(F.desc("score"), F.asc("doc_id")))
+    kept = (scored.withColumn("_rv", F.row_number().over(wv))
+            .filter(F.col("_rv") <= max_docs_per_value))
+    top = (kept.orderBy(F.desc("score"), F.asc("doc_id"))
+           .limit(shard_size))
+    return (top.groupBy(facet_col)
+            .agg(F.count(F.lit(1)).alias("doc_count"))
+            .orderBy(F.desc("doc_count"), F.asc(facet_col)))

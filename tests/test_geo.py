@@ -266,3 +266,36 @@ def test_geo_distance_rings(spark):
     assert got == dict(want) | {k: 0 for k in
                                 ("*-2000.0", "2000.0-5000.0",
                                  "4000.0-*") if k not in want}
+
+
+def test_geotile_grid_known_tiles(spark):
+    """Slippy-tile formula: London at z=10 is tile 10/511/340 (the
+    published OSM example); the equator edge rounds south (y = n/2);
+    poles clamp into the last row."""
+    from auctus_spark.operators.geo import geotile_grid_agg
+    pts = [(51.5074, -0.1278), (51.5074, -0.1278), (0.0, 0.0),
+           (89.9, 10.0)]
+    df = spark.createDataFrame(pts, "lat double, lon double")
+    got = {r["tile"]: r["doc_count"]
+           for r in geotile_grid_agg(df, "lat", "lon",
+                                     zoom=10).collect()}
+    assert got["10/511/340"] == 2
+    assert got["10/512/512"] == 1           # equator/meridian corner
+    assert got["10/540/0"] == 1             # pole clamps to row 0
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        geotile_grid_agg(df, "lat", "lon", zoom=30)
+
+
+def test_geohash_grid_counts_and_order(spark):
+    """geohash_grid: known cell (u4pr for 57.64911,10.40744), counts
+    grouped, (count desc, hash asc) order, size cut."""
+    from auctus_spark.operators.geo import geohash_grid_agg
+    pts = [(57.64911, 10.40744), (57.64911, 10.40744),
+           (42.605, -5.603), (0.0, 0.0)]
+    df = spark.createDataFrame(pts, "lat double, lon double")
+    rows = geohash_grid_agg(df, "lat", "lon", precision=4,
+                            size=2).collect()
+    assert [(r["geohash"], r["doc_count"]) for r in rows[:1]] \
+        == [("u4pr", 2)]
+    assert len(rows) == 2

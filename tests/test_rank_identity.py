@@ -1711,3 +1711,40 @@ def test_multi_index_search_merges_local_topk(spark, built,
     assert len({d for d, _ in got}) == len(got)
     with pytest.raises(ValueError):
         search_multi_index([], q)
+
+
+def test_sampler_facet_scope_cut(spark):
+    """sampler: the facet only sees the top shard_size hits (score
+    desc, doc_id asc on the ROUNDED score)."""
+    from auctus_spark import pipeline
+    rows = [(1, "join join join", "en"), (2, "join join", "en"),
+            (3, "join", "de"), (4, "nothing here", "de")]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string")
+    got = {r["lang"]: r["doc_count"]
+           for r in pipeline.sampler_facet(docs, "join", "lang",
+                                           shard_size=2).collect()}
+    assert got == {"en": 2}
+    # no-match query -> empty facet
+    assert pipeline.sampler_facet(docs, "zzz_missing", "lang"
+                                  ).collect() == []
+
+
+def test_diversified_sampler_skips_over_quota(spark):
+    """diversified_sampler: over-quota docs are skipped and
+    collection keeps filling from lower-ranked hits (not a plain
+    truncation of the top shard_size)."""
+    from auctus_spark import pipeline
+    # doc 1,2,3 all source A ranked top; quota 1 -> only doc 1 from
+    # A, then doc 4 (source B) fills the second slot
+    rows = [(1, "join join join join", "en", "A"),
+            (2, "join join join", "en", "A"),
+            (3, "join join", "en", "A"),
+            (4, "join", "fr", "B")]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string")
+    got = {r["lang"]: r["doc_count"]
+           for r in pipeline.diversified_sampler_facet(
+               docs, "join", "lang", "source", max_docs_per_value=1,
+               shard_size=2).collect()}
+    assert got == {"en": 1, "fr": 1}
