@@ -4106,6 +4106,51 @@ GROUP BY lang ORDER BY doc_count DESC, lang ASC
 """
 
 
+def _q_rrf_hybrid(spark, sf_dir):
+    """ES RRF retriever: fuse a BM25 should top-50 over documents
+    with a cosine kNN top-50 over the aligned embeddings table
+    (vec_id ≡ doc_id), rank_constant 60, final top-10.  Both
+    retriever windows rank on 6-dp-rounded scores so the oracle
+    agrees on rank-boundary membership."""
+    from auctus_spark.operators.similarity import cosine_topk, rrf_fuse
+    docs = _docs(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in
+            emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    lex = pipeline.bm25_or_topk(docs, "join data", k=50, round_to=6)
+    vec = (cosine_topk(emb, qvec, k=50, round_to=6)
+           .select(F.col("vec_id").alias("doc_id"),
+                   F.col("cos_sim").alias("score")))
+    out = rrf_fuse(lex, vec, id_col="doc_id", rank_constant=60, k=10)
+    return out.select("doc_id",
+                      F.round("rrf_score", 6).alias("rrf_score"))
+
+
+def _rrf_hybrid_sql() -> str:
+    or_sql = _bm25_or_sql(["join", "data"], k=50).replace(
+        "ORDER BY raw_score DESC", "ORDER BY round(raw_score, 6) DESC")
+    return f"""
+WITH lex AS ({or_sql}),
+lexr AS (SELECT doc_id, row_number()
+           OVER (ORDER BY score DESC, doc_id ASC) AS rank_a FROM lex),
+q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings
+      WHERE vec_id = 0),
+vec AS (SELECT vec_id AS doc_id,
+               round(list_cosine_similarity(embedding::DOUBLE[], qe),
+                     6) AS cs
+        FROM embeddings, q
+        ORDER BY cs DESC, vec_id ASC LIMIT 50),
+vecr AS (SELECT doc_id, row_number()
+           OVER (ORDER BY cs DESC, doc_id ASC) AS rank_b FROM vec),
+j AS (SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+             coalesce(1.0 / (60 + rank_a), 0.0)
+               + coalesce(1.0 / (60 + rank_b), 0.0) AS rrf
+      FROM lexr l FULL OUTER JOIN vecr v ON l.doc_id = v.doc_id)
+SELECT doc_id, round(rrf, 6) AS rrf_score
+FROM j ORDER BY rrf DESC, doc_id ASC LIMIT 10
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk_hot": _q_bm25_hot,
@@ -4255,6 +4300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geohash_grid": _q_geohash_grid,
         "sampler_facet": _q_sampler,
         "diversified_sampler": _q_diversified_sampler,
+        "rrf_hybrid": _q_rrf_hybrid,
     }
 
 
@@ -5328,4 +5374,5 @@ def _oracle_sql_static() -> dict[str, str]:
         "geohash_grid": _geohash_grid_sql(),
         "sampler_facet": _sampler_sql(),
         "diversified_sampler": _diversified_sampler_sql(),
+        "rrf_hybrid": _rrf_hybrid_sql(),
     }

@@ -29,14 +29,18 @@ def _norm(c):
 
 def cosine_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
                 vec_col: str = "embedding", id_col: str = "vec_id",
-                ) -> DataFrame:
+                round_to: int | None = None) -> DataFrame:
     """Exact brute-force cosine top-k against one query vector.
     The query is a literal array → no join, no shuffle except the final
-    TakeOrdered(k)."""
+    TakeOrdered(k).  With ``round_to`` the similarity is rounded BEFORE
+    the ordering (ties → id asc), the boundary-membership contract an
+    external oracle can reproduce exactly."""
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     e = emb.select(F.col(id_col),
                    F.col(vec_col).cast("array<double>").alias("v"))
     sim = _dot(F.col("v"), q) / (_norm(F.col("v")) * _norm(q))
+    if round_to is not None:
+        sim = F.round(sim, round_to)
     return (e.select(id_col, sim.alias("cos_sim"))
             .orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k))
 
@@ -290,3 +294,41 @@ def cosine_topk_filtered(emb: DataFrame, query_vec: list[float],
     survivors.  Reference: ES knn-search filtered-knn."""
     return cosine_topk(emb.filter(predicate), query_vec, k=k,
                        vec_col=vec_col, id_col=id_col)
+
+
+def rrf_fuse(ranked_a: DataFrame, ranked_b: DataFrame,
+             id_col: str = "doc_id", score_col: str = "score",
+             rank_constant: int = 60, k: int = 10) -> DataFrame:
+    """ES RRF retriever (reciprocal rank fusion): fuse two ranked
+    retriever outputs —
+
+        rrf(d) = Σᵢ 1 / (rank_constant + rankᵢ(d))
+
+    with rankᵢ 1-based within retriever i and a document absent from
+    a retriever contributing exactly 0 from it (ES
+    rrf-retriever semantics, default rank_constant 60).  Returns
+    top-``k`` by (rrf_score desc, id asc) — ES breaks rrf ties by
+    per-retriever relative score; id asc here, deterministic,
+    documented divergence.
+
+    Inputs are already-cut retriever windows (≤ rank_window_size
+    rows each, e.g. a BM25 top-k and a kNN top-k), so the unkeyed
+    rank windows and the full-outer join touch only those tiny
+    frames — the corpus-scale work happened inside each retriever.
+    Rank within each window orders by (score desc, id asc); feed
+    ROUNDED scores when an external oracle must agree on rank ties.
+    """
+    from pyspark.sql import Window
+    w = Window.orderBy(F.desc(score_col), F.asc(id_col))
+    ra = ranked_a.select(F.col(id_col),
+                         F.row_number().over(w).alias("_rank_a"))
+    rb = ranked_b.select(F.col(id_col),
+                         F.row_number().over(w).alias("_rank_b"))
+    j = ra.join(rb, id_col, "full_outer")
+    c = float(rank_constant)
+    score = (F.coalesce(1.0 / (F.lit(c) + F.col("_rank_a")), F.lit(0.0))
+             + F.coalesce(1.0 / (F.lit(c) + F.col("_rank_b")),
+                          F.lit(0.0)))
+    return (j.select(id_col, score.alias("rrf_score"))
+            .orderBy(F.desc("rrf_score"), F.asc(id_col))
+            .limit(k))

@@ -188,3 +188,28 @@ def test_cosine_topk_filtered_prefilter_semantics(spark):
     assert len(flt) == 2                   # k survivors guaranteed
     post = [r.vec_id for r in cosine_topk(df, q, k=2).collect()]
     assert post == [0, 1]                  # global top-k differs
+
+
+def test_rrf_fuse_formula_and_absence(spark):
+    """RRF: score = sum 1/(c + rank_i); absence from a retriever
+    contributes exactly 0; ties break id asc."""
+    from auctus_spark.operators.similarity import rrf_fuse
+    a = spark.createDataFrame(
+        [(1, 9.0), (2, 8.0), (3, 7.0)], "doc_id long, score double")
+    b = spark.createDataFrame(
+        [(2, 0.9), (4, 0.8)], "doc_id long, score double")
+    got = {r["doc_id"]: r["rrf_score"]
+           for r in rrf_fuse(a, b, rank_constant=60, k=10).collect()}
+    assert got[1] == pytest.approx(1 / 61)
+    assert got[2] == pytest.approx(1 / 62 + 1 / 61)   # rank 2 + rank 1
+    assert got[3] == pytest.approx(1 / 63)
+    assert got[4] == pytest.approx(1 / 62)
+    # fused order: doc2 first (both lists), then 1, 4 (1/61 vs 1/62)
+    order = [r["doc_id"]
+             for r in rrf_fuse(a, b, rank_constant=60, k=10).collect()]
+    assert order == [2, 1, 4, 3]
+    # symmetric-rank tie (a-rank 1 only vs b-rank 1 only) -> id asc
+    a1 = spark.createDataFrame([(7, 1.0)], "doc_id long, score double")
+    b1 = spark.createDataFrame([(5, 1.0)], "doc_id long, score double")
+    tie = [r["doc_id"] for r in rrf_fuse(a1, b1, k=2).collect()]
+    assert tie == [5, 7]
