@@ -4151,6 +4151,138 @@ FROM j ORDER BY rrf DESC, doc_id ASC LIMIT 10
 """
 
 
+def _q_query_string(spark, sf_dir):
+    """ES query_string: '(join AND data) OR "hash join"^2 -lang:de'
+    — parens, AND/OR, quoted phrase with boost, keyword-field
+    must_not — compiled to one stats scan + one scoring scan."""
+    from auctus_spark.query.querystring import query_string_topk
+    return query_string_topk(
+        _docs(spark, sf_dir),
+        '(join AND data) OR "hash join"^2 -lang:de',
+        k=50, keyword_fields=("lang", "source"))
+
+
+_IDF = ("ln(1 + (s.n_docs - x.df_{t} + 0.5) / (x.df_{t} + 0.5))")
+_TFN = "({f} / ({f} + 1.2 * (0.25 + 0.75 * b.dl / s.avgdl)))"
+
+
+def _query_string_sql() -> str:
+    i_join = _IDF.format(t="join")
+    i_data = _IDF.format(t="data")
+    i_hash = _IDF.format(t="hash")
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text),
+         '{SPLIT_PATTERN}')) AS term FROM documents),
+tok2 AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok2 GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT count(*) FROM tok2) * 1.0
+           / (SELECT count(*) FROM documents) AS avgdl),
+x AS (SELECT
+  count(DISTINCT CASE WHEN term = 'join' THEN doc_id END) AS df_join,
+  count(DISTINCT CASE WHEN term = 'data' THEN doc_id END) AS df_data,
+  count(DISTINCT CASE WHEN term = 'hash' THEN doc_id END) AS df_hash
+  FROM tok2),
+tf AS (SELECT doc_id,
+  count(CASE WHEN term = 'join' THEN 1 END) AS tfj,
+  count(CASE WHEN term = 'data' THEN 1 END) AS tfd
+  FROM tok2 WHERE term IN ('join', 'data') GROUP BY doc_id),
+tokpos AS (
+  SELECT doc_id, term,
+         row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS p
+  FROM (SELECT doc_id,
+          unnest(regexp_split_to_array(lower(text),
+                 '{SPLIT_PATTERN}')) AS term,
+          generate_subscripts(regexp_split_to_array(lower(text),
+                 '{SPLIT_PATTERN}'), 1) AS pos
+        FROM documents) WHERE term <> ''),
+pf AS (SELECT a.doc_id, count(*) AS pf
+       FROM tokpos a JOIN tokpos b
+         ON b.doc_id = a.doc_id AND b.p = a.p + 1
+       WHERE a.term = 'hash' AND b.term = 'join'
+       GROUP BY a.doc_id),
+b AS (SELECT d.doc_id, d.lang,
+        coalesce(tf.tfj, 0) AS tfj, coalesce(tf.tfd, 0) AS tfd,
+        coalesce(pf.pf, 0) AS pfreq, coalesce(dl.dl, 0) AS dl
+      FROM documents d LEFT JOIN tf USING (doc_id)
+        LEFT JOIN pf USING (doc_id) LEFT JOIN dl USING (doc_id)),
+scored AS (
+  SELECT b.doc_id,
+    (CASE WHEN b.tfj > 0 AND b.tfd > 0 THEN
+       {i_join} * {_TFN.format(f='b.tfj')}
+       + {i_data} * {_TFN.format(f='b.tfd')}
+     ELSE 0.0 END)
+    + (CASE WHEN b.pfreq > 0 THEN
+        (2.0 * ({i_hash} + {i_join}))
+          * {_TFN.format(f='b.pfreq')}
+       ELSE 0.0 END) AS raw,
+    ((b.tfj > 0 AND b.tfd > 0) OR b.pfreq > 0)
+      AND b.lang <> 'de' AS cond
+  FROM b CROSS JOIN stats s CROSS JOIN x)
+SELECT doc_id, round(raw, 6) AS score FROM scored WHERE cond
+ORDER BY round(raw, 6) DESC, doc_id ASC LIMIT 50
+"""
+
+
+def _q_simple_query_string(spark, sf_dir):
+    """ES simple_query_string: '(join + data) | merge -hash' —
+    infix +/| operators, prefix negation, never raises."""
+    from auctus_spark.query.querystring import simple_query_string_topk
+    return simple_query_string_topk(
+        _docs(spark, sf_dir), "(join + data) | merge -hash", k=50)
+
+
+def _simple_query_string_sql() -> str:
+    i_join = _IDF.format(t="join")
+    i_data = _IDF.format(t="data")
+    i_merge = _IDF.format(t="merge")
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text),
+         '{SPLIT_PATTERN}')) AS term FROM documents),
+tok2 AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok2 GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT count(*) FROM tok2) * 1.0
+           / (SELECT count(*) FROM documents) AS avgdl),
+x AS (SELECT
+  count(DISTINCT CASE WHEN term = 'join' THEN doc_id END) AS df_join,
+  count(DISTINCT CASE WHEN term = 'data' THEN doc_id END) AS df_data,
+  count(DISTINCT CASE WHEN term = 'merge' THEN doc_id END) AS df_merge
+  FROM tok2),
+tf AS (SELECT doc_id,
+  count(CASE WHEN term = 'join' THEN 1 END) AS tfj,
+  count(CASE WHEN term = 'data' THEN 1 END) AS tfd,
+  count(CASE WHEN term = 'merge' THEN 1 END) AS tfm,
+  count(CASE WHEN term = 'hash' THEN 1 END) AS tfh
+  FROM tok2 WHERE term IN ('join', 'data', 'merge', 'hash')
+  GROUP BY doc_id),
+b AS (SELECT d.doc_id,
+        coalesce(tf.tfj, 0) AS tfj, coalesce(tf.tfd, 0) AS tfd,
+        coalesce(tf.tfm, 0) AS tfm, coalesce(tf.tfh, 0) AS tfh,
+        coalesce(dl.dl, 0) AS dl
+      FROM documents d LEFT JOIN tf USING (doc_id)
+        LEFT JOIN dl USING (doc_id)),
+scored AS (
+  SELECT b.doc_id,
+    (CASE WHEN b.tfj > 0 AND b.tfd > 0 THEN
+       {i_join} * {_TFN.format(f='b.tfj')}
+       + {i_data} * {_TFN.format(f='b.tfd')}
+     ELSE 0.0 END)
+    + (CASE WHEN b.tfm > 0 THEN
+        {i_merge} * {_TFN.format(f='b.tfm')}
+       ELSE 0.0 END) AS raw,
+    ((b.tfj > 0 AND b.tfd > 0) OR b.tfm > 0)
+      AND b.tfh = 0 AS cond
+  FROM b CROSS JOIN stats s CROSS JOIN x)
+SELECT doc_id, round(raw, 6) AS score FROM scored WHERE cond
+ORDER BY round(raw, 6) DESC, doc_id ASC LIMIT 50
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk_hot": _q_bm25_hot,
@@ -4301,6 +4433,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sampler_facet": _q_sampler,
         "diversified_sampler": _q_diversified_sampler,
         "rrf_hybrid": _q_rrf_hybrid,
+        "query_string": _q_query_string,
+        "simple_query_string": _q_simple_query_string,
     }
 
 
@@ -5375,4 +5509,6 @@ def _oracle_sql_static() -> dict[str, str]:
         "sampler_facet": _sampler_sql(),
         "diversified_sampler": _diversified_sampler_sql(),
         "rrf_hybrid": _rrf_hybrid_sql(),
+        "query_string": _query_string_sql(),
+        "simple_query_string": _simple_query_string_sql(),
     }

@@ -340,3 +340,17 @@ def test_completion_suggest_range_scan(engine):
     assert "StartsWith" in plan or "term" in plan.split(
         "PushedFilters", 1)[1][:200]
     assert "TakeOrderedAndProject" in plan
+
+
+def test_query_string_two_scan_zero_shuffle_plan(spark, sf_dir):
+    """query_string compiles to the pipeline contract: ONE scoring
+    scan, no exchange, TakeOrderedAndProject (the stats pass is its
+    own 1-scan aggregate job)."""
+    from auctus_spark.query.querystring import query_string_topk
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = query_string_topk(
+        docs, '(join AND data) OR "hash join"^2 -lang:de')
+    phys = _plan(df)
+    assert "Exchange" not in phys
+    assert "TakeOrderedAndProject" in phys
+    assert phys.count("Scan parquet") == 1
