@@ -4283,6 +4283,68 @@ ORDER BY round(raw, 6) DESC, doc_id ASC LIMIT 50
 """
 
 
+def _q_span_or(spark, sf_dir):
+    """Lucene/ES span_or: union of single-term spans (constant_score,
+    doc_id order)."""
+    return _phrase_engine(spark, sf_dir).search_span_or(
+        ["merge", "vector"], k=200)
+
+
+def _span_or_sql(terms: list[str], k: int = 200) -> str:
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text),
+         '{SPLIT_PATTERN}')) AS term FROM documents),
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term IN ({tlist}))
+SELECT doc_id, CAST(1.0 AS DOUBLE) AS score
+FROM m ORDER BY doc_id LIMIT {k}
+"""
+
+
+def _q_span_containing(spark, sf_dir):
+    """Lucene/ES span_containing: a 'data … join' big span (in-order,
+    slop 5) enclosing a 'table' little span."""
+    return _phrase_engine(spark, sf_dir).search_span_containing(
+        ["data", "join"], "table", big_slop=5, k=200)
+
+
+def _q_span_within(spark, sf_dir):
+    """Lucene/ES span_within: 'scan' little spans inside a
+    'table … value' big span (in-order, slop 6) — doc-existence
+    equal to span_containing with swapped roles (documented
+    constant-score collapse)."""
+    return _phrase_engine(spark, sf_dir).search_span_within(
+        "scan", ["table", "value"], big_slop=6, k=200)
+
+
+def _span_contain_sql(t1: str, t2: str, tl: str, slop: int,
+                      k: int = 200) -> str:
+    """big = ordered two-clause span_near(t1, t2, slop); match when a
+    little occurrence l lies in [p1, p2] of some big match."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text),
+                     '{SPLIT_PATTERN}'), x -> x <> '') AS l
+  FROM documents),
+tok AS (
+  SELECT doc_id, l[i] AS term, i AS pos
+  FROM toks, LATERAL (SELECT unnest(range(1, len(l) + 1)) AS i)),
+m AS (
+  SELECT DISTINCT p0.doc_id
+  FROM (SELECT doc_id, pos FROM tok WHERE term = '{t1}') p0
+  JOIN (SELECT doc_id, pos FROM tok WHERE term = '{t2}') p1
+    USING (doc_id)
+  JOIN (SELECT doc_id, pos FROM tok WHERE term = '{tl}') li
+    USING (doc_id)
+  WHERE p1.pos > p0.pos AND p1.pos - p0.pos - 1 <= {slop}
+    AND li.pos BETWEEN p0.pos AND p1.pos)
+SELECT doc_id, CAST(1.0 AS DOUBLE) AS score
+FROM m ORDER BY doc_id LIMIT {k}
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk_hot": _q_bm25_hot,
@@ -4435,6 +4497,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rrf_hybrid": _q_rrf_hybrid,
         "query_string": _q_query_string,
         "simple_query_string": _q_simple_query_string,
+        "span_or": _q_span_or,
+        "span_containing": _q_span_containing,
+        "span_within": _q_span_within,
     }
 
 
@@ -5511,4 +5576,7 @@ def _oracle_sql_static() -> dict[str, str]:
         "rrf_hybrid": _rrf_hybrid_sql(),
         "query_string": _query_string_sql(),
         "simple_query_string": _simple_query_string_sql(),
+        "span_or": _span_or_sql(["merge", "vector"]),
+        "span_containing": _span_contain_sql("data", "join", "table", 5),
+        "span_within": _span_contain_sql("table", "value", "scan", 6),
     }

@@ -2100,6 +2100,29 @@ def _phrase_sloppy_docs(per_term: dict, cand: np.ndarray,
             np.array(freqs, dtype=np.float64))
 
 
+def _span_contain_match(p1s: np.ndarray, p2s: np.ndarray,
+                        ls: np.ndarray, slop: int) -> bool:
+    """Existence test for span_containing over one doc's sorted
+    position arrays: is there p1 ∈ p1s, p2 ∈ p2s with p1 < p2,
+    p2 − p1 − 1 ≤ slop, and some l ∈ ls with p1 ≤ l ≤ p2?
+
+    For a fixed p1 the legal p2 form the contiguous run
+    (p1, p1 + slop + 1]; picking the LARGEST legal p2 maximises the
+    containment window [p1, p2], so checking ls against
+    [p1, max p2] alone is exact — vectorized searchsorted cuts, no
+    pair enumeration."""
+    lo = np.searchsorted(p2s, p1s, side="right")
+    hi = np.searchsorted(p2s, p1s + slop + 1, side="right") - 1
+    ok = lo <= hi
+    if not ok.any():
+        return False
+    p1v = p1s[ok]
+    p2max = p2s[hi[ok]]
+    n_l = (np.searchsorted(ls, p2max, side="right")
+           - np.searchsorted(ls, p1v, side="left"))
+    return bool((n_l > 0).any())
+
+
 def _span_near_match(pos_lists: list[np.ndarray], slop: int,
                      in_order: bool) -> bool:
     """Existence test for span_near over one doc's per-clause sorted
@@ -2408,6 +2431,146 @@ class PhraseEngine(SearchEngine):
                  .applyInPandas(find_bucket,
                                 schema="doc_id long, score double"))
         return local.orderBy(F.asc("doc_id")).limit(kk)
+
+    def search_span_or(self, clauses: list[str], k: int = TOP_K_SIZE,
+                       boost: float = 1.0) -> DataFrame:
+        """Lucene/ES ``span_or`` with single-term clauses: docs whose
+        token stream contains ANY clause term (span union — at the
+        doc-existence level the union of the postings).  Constant_
+        score rewrite like the rest of the span family; doc_id order,
+        score == boost.
+
+        Candidates are the UNION of the clause terms' postings
+        (tombstone-masked) — no positions decode at all, since a
+        one-term span exists iff the term occurs.  One bucket-
+        parallel job, no shuffle beyond the final TakeOrdered."""
+        toks: list[str] = []
+        for c in clauses:
+            a = analyze_query(c, stem=self.stem)
+            if len(a) != 1:
+                raise ValueError(
+                    f"span_or clauses take exactly one analyzed "
+                    f"term; {c!r} analyzed to {a!r}")
+            toks.append(a[0])
+        uterms = [t for t in dict.fromkeys(toks)
+                  if self.term_stats([t]).get(t, 0) > 0]
+        if not uterms:
+            return self._empty()
+        segs = self._segments_for(uterms).select(*self._POS_COLS)
+        tomb = self.tombstones
+        kk, b, terms = k, float(boost), list(uterms)
+
+        def find_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+            per_term = _group_partials_pos(pdf)
+            docs: set[int] = set()
+            for t in terms:
+                if t not in per_term:
+                    continue
+                cand = _phrase_cand(per_term, [t], tomb)
+                if cand is not None:
+                    docs.update(int(d) for d in cand)
+            if not docs:
+                return _empty_pdf()
+            hits = sorted(docs)
+            return pd.DataFrame({
+                "doc_id": np.array(hits, dtype=np.int64),
+                "score": np.full(len(hits), b)})
+
+        local = (segs.groupBy("bucket")
+                 .applyInPandas(find_bucket,
+                                schema="doc_id long, score double"))
+        return local.orderBy(F.asc("doc_id")).limit(kk)
+
+    def search_span_containing(self, big: list[str], little: str,
+                               big_slop: int = 0, k: int = TOP_K_SIZE,
+                               boost: float = 1.0) -> DataFrame:
+        """Lucene/ES ``span_containing``: docs with a match of the
+        ``big`` span (an in-order two-clause span_near with
+        ``big_slop``) that fully encloses a match of the ``little``
+        single-term span — i.e. positions p1 < p2 of the big terms
+        with p2 − p1 − 1 ≤ big_slop and a little occurrence at
+        l ∈ [p1, p2].  Constant_score rewrite, doc_id order,
+        score == boost.
+
+        At the doc-existence level ``span_within(little, big)`` is
+        the SAME predicate (a (big ⊇ little) pair exists) — Lucene
+        differs only in which spans it emits for scoring, which the
+        constant-score contract here collapses; :meth:`search_span_
+        within` aliases this method with that documented note.
+
+        Per candidate doc (conjunctive: both big terms AND the
+        little term present, the rarest-first pruning the phrase
+        path uses) the test is vectorized searchsorted cuts: for
+        each p1 the widest legal p2 window is [p1+1, p1+1+slop], and
+        a little hit needs L ∩ [p1, max p2] ≠ ∅.  One bucket-
+        parallel job, no shuffle beyond the final TakeOrdered."""
+        if len(big) != 2:
+            raise ValueError("span_containing takes a two-clause big "
+                             "span (in-order span_near)")
+        toks: list[str] = []
+        for c in [*big, little]:
+            a = analyze_query(c, stem=self.stem)
+            if len(a) != 1:
+                raise ValueError(
+                    f"span clauses take exactly one analyzed term; "
+                    f"{c!r} analyzed to {a!r}")
+            toks.append(a[0])
+        t1, t2, tl = toks
+        uterms = list(dict.fromkeys(toks))
+        stats = self.term_stats(uterms)
+        if any(stats.get(t, 0) == 0 for t in uterms):
+            return self._empty()
+        segs = self._segments_for(uterms).select(*self._POS_COLS)
+        tomb = self.tombstones
+        s, kk, b = int(big_slop), k, float(boost)
+
+        def find_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+            per_term = _group_partials_pos(pdf)
+            if any(t not in per_term for t in set([t1, t2, tl])):
+                return _empty_pdf()
+            cand = _phrase_cand(per_term, [t1, t2, tl], tomb)
+            if cand is None:
+                return _empty_pdf()
+
+            def posmap(t):
+                parts = [_phrase_occurrences(seg, cand, 0)
+                         for seg in per_term[t]]
+                c = np.concatenate([x[0] for x in parts])
+                p = np.concatenate([x[1] for x in parts])
+                o = np.lexsort((p, c))
+                c, p = c[o], p[o]
+                uniq, starts = np.unique(c, return_index=True)
+                return dict(zip(uniq.tolist(), np.split(p, starts[1:])))
+
+            m1, m2, ml = posmap(t1), posmap(t2), posmap(tl)
+            hits = []
+            for ci in m1:
+                if ci not in m2 or ci not in ml:
+                    continue
+                if _span_contain_match(m1[ci], m2[ci], ml[ci], s):
+                    hits.append(int(cand[ci]))
+            if not hits:
+                return _empty_pdf()
+            hits.sort()
+            return pd.DataFrame({
+                "doc_id": np.array(hits, dtype=np.int64),
+                "score": np.full(len(hits), b)})
+
+        local = (segs.groupBy("bucket")
+                 .applyInPandas(find_bucket,
+                                schema="doc_id long, score double"))
+        return local.orderBy(F.asc("doc_id")).limit(kk)
+
+    def search_span_within(self, little: str, big: list[str],
+                           big_slop: int = 0, k: int = TOP_K_SIZE,
+                           boost: float = 1.0) -> DataFrame:
+        """Lucene/ES ``span_within``: little spans enclosed by a big
+        span match.  Doc-existence-equivalent to
+        :meth:`search_span_containing` (see its docstring for the
+        documented constant-score collapse); alias with the ES
+        argument order."""
+        return self.search_span_containing(big, little, big_slop, k,
+                                           boost)
 
     def search_span_not(self, include: str, exclude: str,
                         pre: int = 0, post: int = 0,

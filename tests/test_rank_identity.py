@@ -1748,3 +1748,28 @@ def test_diversified_sampler_skips_over_quota(spark):
                docs, "join", "lang", "source", max_docs_per_value=1,
                shard_size=2).collect()}
     assert got == {"en": 1, "fr": 1}
+
+
+def test_span_contain_match_vs_enumeration():
+    """_span_contain_match == brute-force pair enumeration over 2000
+    random position-set cases."""
+    import itertools
+    import random
+    import numpy as np
+    from auctus_spark.query.bm25 import _span_contain_match
+    rng = random.Random(89)
+    for case in range(2000):
+        n = rng.randint(1, 12)
+        p1s = np.array(sorted(rng.sample(range(n + 8), rng.randint(1, 4))),
+                       dtype=np.int64)
+        p2s = np.array(sorted(rng.sample(range(n + 8), rng.randint(1, 4))),
+                       dtype=np.int64)
+        ls = np.array(sorted(rng.sample(range(n + 8), rng.randint(1, 4))),
+                      dtype=np.int64)
+        slop = rng.randint(0, 6)
+        brute = any(
+            p1 < p2 and p2 - p1 - 1 <= slop
+            and any(p1 <= l <= p2 for l in ls)
+            for p1, p2 in itertools.product(p1s, p2s))
+        assert _span_contain_match(p1s, p2s, ls, slop) == brute, \
+            (case, p1s, p2s, ls, slop)
