@@ -4345,6 +4345,114 @@ FROM m ORDER BY doc_id LIMIT {k}
 """
 
 
+def _q_combined_fields(spark, sf_dir):
+    """ES combined_fields (term-centric BM25F): text + derived title
+    (48-char prefix, weight 3) mixed into ONE field — weighted tf/dl,
+    any-field df — operator AND."""
+    docs = _docs(spark, sf_dir).withColumn(
+        "title", F.substring("text", 1, 48))
+    return pipeline.combined_fields_topk(
+        docs, "table value", fields={"text": 1.0, "title": 3.0},
+        operator="and", k=50, round_to=6)
+
+
+def _combined_fields_sql() -> str:
+    # weights 1.0 / 3.0 keep tf_c, dl_c integer-exact in float64, so
+    # engine and oracle agree bit-for-bit before the 6-dp round
+    return f"""
+WITH tokt AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text),
+         '{SPLIT_PATTERN}')) AS term FROM documents),
+t2 AS (SELECT doc_id, term FROM tokt WHERE term <> ''),
+toki AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(substr(text, 1,
+         48)), '{SPLIT_PATTERN}')) AS term FROM documents),
+i2 AS (SELECT doc_id, term FROM toki WHERE term <> ''),
+dlt AS (SELECT doc_id, count(*) AS dl FROM t2 GROUP BY doc_id),
+dli AS (SELECT doc_id, count(*) AS dl FROM i2 GROUP BY doc_id),
+dlc AS (SELECT d.doc_id,
+          1.0 * coalesce(dlt.dl, 0) + 3.0 * coalesce(dli.dl, 0)
+            AS dlc
+        FROM documents d LEFT JOIN dlt USING (doc_id)
+          LEFT JOIN dli USING (doc_id)),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT sum(dlc) FROM dlc)
+           / (SELECT count(*) FROM documents) AS avgdl),
+x AS (SELECT
+  count(DISTINCT CASE WHEN term = 'table' THEN doc_id END) AS df_table,
+  count(DISTINCT CASE WHEN term = 'value' THEN doc_id END) AS df_value
+  FROM t2),
+tft AS (SELECT doc_id,
+  count(CASE WHEN term = 'table' THEN 1 END) AS t_table,
+  count(CASE WHEN term = 'value' THEN 1 END) AS t_value
+  FROM t2 WHERE term IN ('table', 'value') GROUP BY doc_id),
+tfi AS (SELECT doc_id,
+  count(CASE WHEN term = 'table' THEN 1 END) AS i_table,
+  count(CASE WHEN term = 'value' THEN 1 END) AS i_value
+  FROM i2 WHERE term IN ('table', 'value') GROUP BY doc_id),
+b AS (SELECT dlc.doc_id, dlc.dlc,
+        1.0 * coalesce(tft.t_table, 0)
+          + 3.0 * coalesce(tfi.i_table, 0) AS c_table,
+        1.0 * coalesce(tft.t_value, 0)
+          + 3.0 * coalesce(tfi.i_value, 0) AS c_value
+      FROM dlc LEFT JOIN tft USING (doc_id)
+        LEFT JOIN tfi USING (doc_id)),
+scored AS (
+  SELECT b.doc_id,
+    ln(1 + (s.n_docs - x.df_table + 0.5) / (x.df_table + 0.5))
+      * (b.c_table / (b.c_table
+          + 1.2 * (0.25 + 0.75 * b.dlc / s.avgdl)))
+    + ln(1 + (s.n_docs - x.df_value + 0.5) / (x.df_value + 0.5))
+      * (b.c_value / (b.c_value
+          + 1.2 * (0.25 + 0.75 * b.dlc / s.avgdl))) AS raw,
+    b.c_table > 0 AND b.c_value > 0 AS cond
+  FROM b CROSS JOIN stats s CROSS JOIN x)
+SELECT doc_id, round(raw, 6) AS score FROM scored WHERE cond
+ORDER BY round(raw, 6) DESC, doc_id ASC LIMIT 50
+"""
+
+
+def _q_distance_feature(spark, sf_dir):
+    """ES distance_feature (date form): events ranked by proximity to
+    2024-01-15, pivot 3 days — score = pivot/(pivot + |ts-origin|s)."""
+    return pipeline.distance_feature_topk(
+        _t(spark, sf_dir, "events"), "ts", "2024-01-15 00:00:00",
+        pivot=3 * 86400.0, boost=1.0, k=20, id_col="event_id")
+
+
+_DISTANCE_FEATURE_SQL = """
+SELECT event_id,
+       round(259200.0 / (259200.0
+             + abs(epoch_us(ts) / 1000000.0
+                   - epoch_us(TIMESTAMP '2024-01-15 00:00:00')
+                     / 1000000.0)), 6) AS score
+FROM events WHERE ts IS NOT NULL
+ORDER BY round(259200.0 / (259200.0
+             + abs(epoch_us(ts) / 1000000.0
+                   - epoch_us(TIMESTAMP '2024-01-15 00:00:00')
+                     / 1000000.0)), 6) DESC, event_id ASC
+LIMIT 20
+"""
+
+
+def _q_terms_set(spark, sf_dir):
+    """ES terms_set: >= m of {join,data,merge} must occur, m read
+    per-doc from a minimum_should_match_field ((doc_id % 3) + 1);
+    matching docs score the bool-should BM25 sum."""
+    return pipeline.terms_set_topk(
+        _docs(spark, sf_dir), ["join", "data", "merge"],
+        (F.col("doc_id") % 3) + 1, k=50)
+
+
+def _terms_set_sql() -> str:
+    sql = _bm25_sql(["join", "data", "merge"], k=50)
+    sql = sql.replace("WHERE nt = 3",
+                      "WHERE nt >= (doc_id % 3) + 1")
+    return sql.replace("ORDER BY raw_score DESC",
+                       "ORDER BY round(raw_score, 6) DESC")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk_hot": _q_bm25_hot,
@@ -4500,6 +4608,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_or": _q_span_or,
         "span_containing": _q_span_containing,
         "span_within": _q_span_within,
+        "combined_fields": _q_combined_fields,
+        "distance_feature": _q_distance_feature,
+        "terms_set": _q_terms_set,
     }
 
 
@@ -5579,4 +5690,7 @@ def _oracle_sql_static() -> dict[str, str]:
         "span_or": _span_or_sql(["merge", "vector"]),
         "span_containing": _span_contain_sql("data", "join", "table", 5),
         "span_within": _span_contain_sql("table", "value", "scan", 6),
+        "combined_fields": _combined_fields_sql(),
+        "distance_feature": _DISTANCE_FEATURE_SQL,
+        "terms_set": _terms_set_sql(),
     }

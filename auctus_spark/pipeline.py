@@ -1202,3 +1202,174 @@ def diversified_sampler_facet(docs: DataFrame, query: str,
     return (top.groupBy(facet_col)
             .agg(F.count(F.lit(1)).alias("doc_count"))
             .orderBy(F.desc("doc_count"), F.asc(facet_col)))
+
+
+def combined_fields_topk(docs: DataFrame, query: str,
+                         fields: dict[str, float],
+                         operator: str = "and", k: int = TOP_K_SIZE,
+                         id_col: str = "doc_id",
+                         round_to: int | None = None) -> DataFrame:
+    """ES ``combined_fields`` query — term-centric BM25F over several
+    fields treated as ONE combined field (ES combined-fields-query;
+    Lucene CombinedFieldQuery "simple BM25F"):
+
+        tf_c(t)  = Σ_f  w_f · tf_f(t)          (w_f ≥ 1, ES contract)
+        dl_c     = Σ_f  w_f · dl_f
+        avgdl_c  = Σ_docs dl_c / N
+        df_c(t)  = |{docs: t in ANY queried field}|
+        score    = Σ_t idf(df_c) · tf_c/(tf_c + k1·(1−b+b·dl_c/avgdl_c))
+
+    Unlike cross_fields (per-field scores dis-maxed with blended df),
+    combined_fields mixes the raw FREQUENCIES before a single BM25 —
+    the two diverge exactly when a term is frequent in one field and
+    rare in another.  ``operator``: 'and' (every term somewhere in
+    some field) or 'or'.
+
+    Plan: the pipeline contract — one stats aggregate (N, weighted
+    total length, per-term any-field df), one scoring scan with
+    literal-folded idfs, TakeOrdered(k)."""
+    spark = docs.sparkSession
+    terms = analyze_query(query)
+    empty = spark.createDataFrame([], f"{id_col} long, score double")
+    if not terms or not fields:
+        return empty
+    for f_, w in fields.items():
+        if w < 1.0:
+            raise ValueError(
+                f"combined_fields weights must be >= 1 (ES contract); "
+                f"{f_}={w}")
+    names = sorted(fields)
+    tok_cols = {f_: _toks(F.col(f_)) for f_ in names}
+
+    t = docs.select(*[tok_cols[f_].alias(f"_tk_{f_}") for f_ in names])
+    dl_c = None
+    for f_ in names:
+        part = F.lit(fields[f_]) * F.size(f"_tk_{f_}")
+        dl_c = part if dl_c is None else dl_c + part
+    aggs = [F.count("*").alias("_n"), F.sum(dl_c).alias("_t")]
+    for i, term in enumerate(terms):
+        anyf = None
+        for f_ in names:
+            c = F.array_contains(f"_tk_{f_}", term)
+            anyf = c if anyf is None else anyf | c
+        aggs.append(F.sum(F.when(anyf, 1).otherwise(0))
+                    .alias(f"_df{i}"))
+    row = t.agg(*aggs).collect()[0]
+    n = int(row["_n"])
+    if n == 0:
+        return empty
+    avgdl = float(row["_t"]) / n if row["_t"] is not None else 0.0
+    dfs = [int(row[f"_df{i}"]) for i in range(len(terms))]
+    if operator == "and" and any(d == 0 for d in dfs):
+        return empty
+    if all(d == 0 for d in dfs):
+        return empty
+    idfs = [bm25_idf(n, d) if d else 0.0 for d in dfs]
+
+    per = docs.select(
+        F.col(id_col).alias("doc_id"),
+        *[tok_cols[f_].alias(f"_tk_{f_}") for f_ in names])
+    dl_expr = None
+    for f_ in names:
+        part = F.lit(fields[f_]) * F.size(f"_tk_{f_}")
+        dl_expr = part if dl_expr is None else dl_expr + part
+    per = per.withColumn("_dlc", dl_expr)
+    norm = F.lit(K1) * (F.lit(1.0 - B)
+                        + F.lit(B) * F.col("_dlc") / F.lit(avgdl or 1.0))
+    score = None
+    cond = None
+    for i, term in enumerate(terms):
+        tfc = None
+        for f_ in names:
+            tf = F.size(F.filter(F.col(f"_tk_{f_}"),
+                                 lambda x: x == F.lit(term)))
+            part = F.lit(fields[f_]) * tf
+            tfc = part if tfc is None else tfc + part
+        c = F.lit(idfs[i]) * (tfc / (tfc + norm))
+        score = c if score is None else score + c
+        present = tfc > 0
+        if operator == "and":
+            cond = present if cond is None else cond & present
+        else:
+            cond = present if cond is None else cond | present
+    if round_to is not None:
+        score = F.round(score, round_to)
+    return (per.filter(cond)
+            .select(F.col("doc_id").alias(id_col),
+                    score.alias("score"))
+            .orderBy(F.desc("score"), F.asc(id_col))
+            .limit(k))
+
+
+def distance_feature_topk(df: DataFrame, field: str, origin,
+                          pivot: float, boost: float = 1.0,
+                          k: int = TOP_K_SIZE, id_col: str = "event_id",
+                          is_timestamp: bool = True,
+                          round_to: int | None = 6) -> DataFrame:
+    """ES ``distance_feature`` query (date/numeric form): rank rows by
+    proximity to ``origin`` —
+
+        score = boost · pivot / (pivot + |field − origin|)
+
+    For timestamps the distance is in SECONDS (``pivot`` given in
+    seconds; ES takes a date-math string like "7d" — callers convert).
+    Null field values never match (ES contract).  One scan, pure JVM
+    arithmetic, TakeOrdered(k) on (score desc, id asc) over the
+    ROUNDED score so oracles agree on boundary ties."""
+    if is_timestamp:
+        # timestamp -> double keeps sub-second precision (micros/1e6),
+        # matching an oracle's epoch_us(ts)/1e6 exactly
+        dist = F.abs(F.col(field).cast("timestamp").cast("double")
+                     - F.lit(origin).cast("timestamp").cast("double"))
+    else:
+        dist = F.abs(F.col(field).cast("double") - F.lit(float(origin)))
+    score = F.lit(float(boost)) * F.lit(float(pivot)) \
+        / (F.lit(float(pivot)) + dist)
+    if round_to is not None:
+        score = F.round(score, round_to)
+    return (df.filter(F.col(field).isNotNull())
+            .select(F.col(id_col), score.alias("score"))
+            .orderBy(F.desc("score"), F.asc(id_col))
+            .limit(k))
+
+
+def terms_set_topk(docs: DataFrame, terms: list[str], msm_col,
+                   k: int = TOP_K_SIZE, id_col: str = "doc_id",
+                   text_col: str = "text",
+                   round_to: int | None = 6) -> DataFrame:
+    """ES ``terms_set`` query: match docs where at least ``m`` of the
+    supplied terms occur, with ``m`` read PER DOC from
+    ``minimum_should_match_field`` (``msm_col``, a Column expression)
+    — the dynamic-per-doc form of minimum_should_match.  Matching
+    docs score the bool-should BM25 sum of their PRESENT terms (ES
+    scores terms_set like a bool of term queries).
+
+    Plan: pipeline contract — one stats scan (term dfs), one scoring
+    scan where the match predicate compares the per-doc distinct-hit
+    count against the per-doc m, TakeOrdered(k) on the rounded
+    score."""
+    spark = docs.sparkSession
+    empty = spark.createDataFrame([], f"{id_col} long, score double")
+    if not terms:
+        return empty
+    n, avgdl, dfs = _query_stats(docs, terms, text_col)
+    if n == 0 or all(d == 0 for d in dfs):
+        return empty
+    idfs = [bm25_idf(n, d) if d else 0.0 for d in dfs]
+    per = docs.select(F.col(id_col).alias("doc_id"),
+                      msm_col.cast("long").alias("_m"),
+                      _toks(F.col(text_col)).alias("_toks")) \
+        .select("doc_id", "_m", F.size("_toks").alias("_dl"),
+                *[_tf(i, t) for i, t in enumerate(terms)])
+    nt = None
+    for i in range(len(terms)):
+        c = F.when(F.col(f"_tf{i}") > 0, 1).otherwise(0)
+        nt = c if nt is None else nt + c
+    score = _score_expr(terms, idfs, avgdl)
+    if round_to is not None:
+        score = F.round(score, round_to)
+    return (per.filter(nt >= F.col("_m"))
+            .select(F.col("doc_id").alias(id_col),
+                    score.alias("score"))
+            .orderBy(F.desc("score"), F.asc(id_col))
+            .limit(k))

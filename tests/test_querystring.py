@@ -125,3 +125,60 @@ def test_phrase_freq_repeats_and_boundaries(spark):
     idf = 2 * _idf(n, 3) + _idf(n, 2)
     assert got[1] == pytest.approx(idf * _tfn(2, 5, avgdl), abs=1e-6)
     assert set(got) == {1}
+
+
+def test_combined_fields_bm25f_closed_form(spark):
+    """combined_fields mixes weighted tf/dl into ONE BM25 (term-
+    centric BM25F) — recomputed from the closed form; weight < 1
+    rejected (ES contract)."""
+    from auctus_spark import pipeline
+    rows = [(1, "x y", "x"), (2, "y z", "x y"), (3, "z", "z")]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, title string")
+    got = {r["doc_id"]: r["score"]
+           for r in pipeline.combined_fields_topk(
+               docs, "x", {"text": 1.0, "title": 2.0},
+               operator="and", round_to=None).collect()}
+    n = 3
+    # dl_c: d1 = 2 + 2*1 = 4; d2 = 2 + 2*2 = 6; d3 = 1 + 2*1 = 3
+    avgdl = (4 + 6 + 3) / 3
+    # df(x) over ANY field: docs 1, 2 -> 2
+    idf = _idf(n, 2)
+    # tf_c(x): d1 = 1 + 2*1 = 3; d2 = 0 + 2*1 = 2
+    def s(tfc, dlc):
+        return idf * (tfc / (tfc + K1 * (1 - B + B * dlc / avgdl)))
+    assert got[1] == pytest.approx(s(3, 4), abs=1e-9)
+    assert got[2] == pytest.approx(s(2, 6), abs=1e-9)
+    assert 3 not in got
+    with pytest.raises(ValueError):
+        pipeline.combined_fields_topk(docs, "x", {"text": 0.5})
+
+
+def test_distance_feature_score(spark):
+    from datetime import datetime
+    from auctus_spark import pipeline
+    rows = [(1, datetime(2024, 1, 15)), (2, datetime(2024, 1, 16)),
+            (3, None)]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp")
+    got = {r["event_id"]: r["score"]
+           for r in pipeline.distance_feature_topk(
+               df, "ts", "2024-01-15 00:00:00", pivot=86400.0,
+               k=10).collect()}
+    assert got[1] == pytest.approx(1.0)          # at origin
+    assert got[2] == pytest.approx(0.5)          # one pivot away
+    assert 3 not in got                          # null never matches
+
+
+def test_terms_set_per_doc_minimum(spark):
+    """terms_set: m is read per doc — same hit profile passes for
+    m=1 and fails for m=3."""
+    from auctus_spark import pipeline
+    from pyspark.sql import functions as F
+    rows = [(1, "a b x", 2), (2, "a x y", 2), (3, "a b c", 3),
+            (4, "a b c", 4)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, m int")
+    got = {r["doc_id"] for r in pipeline.terms_set_topk(
+        docs, ["a", "b", "c"], F.col("m")).collect()}
+    # doc1: 2 hits >= 2 OK; doc2: 1 < 2 no; doc3: 3 >= 3 OK;
+    # doc4: 3 < 4 no
+    assert got == {1, 3}
