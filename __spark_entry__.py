@@ -4453,6 +4453,60 @@ def _terms_set_sql() -> str:
                        "ORDER BY round(raw_score, 6) DESC")
 
 
+_PERCOLATE_QUERIES = [
+    (1, "join + data"),
+    (2, '"hash join"'),
+    (3, "merge | vector -join"),
+    (4, "lang:de + table"),
+    (5, "vec*"),
+]
+
+
+def _q_percolate(spark, sf_dir):
+    """ES percolate, corpus-scale form: 5 registered
+    simple_query_string queries matched against every document in ONE
+    scan → (query_id, doc_id) pairs."""
+    from auctus_spark.query.querystring import percolate
+    return percolate(_docs(spark, sf_dir), _PERCOLATE_QUERIES,
+                     grammar="simple")
+
+
+def _percolate_sql() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_filter(regexp_split_to_array(lower(text),
+                     '{SPLIT_PATTERN}'), x -> x <> '') AS l
+  FROM documents),
+t AS (SELECT doc_id, lang, l,
+        list_contains(l, 'join') AS has_join,
+        list_contains(l, 'data') AS has_data,
+        list_contains(l, 'merge') AS has_merge,
+        list_contains(l, 'vector') AS has_vector,
+        list_contains(l, 'table') AS has_table
+      FROM toks),
+ph AS (SELECT DISTINCT doc_id, TRUE AS has_phrase
+       FROM (SELECT doc_id, l[i] AS a, l[i + 1] AS b
+             FROM toks, LATERAL (SELECT unnest(
+                    range(1, len(l))) AS i))
+       WHERE a = 'hash' AND b = 'join'),
+w AS (SELECT doc_id,
+        len(list_filter(l, x -> x LIKE 'vec%')) > 0 AS has_vec_pre
+      FROM toks)
+SELECT 1 AS query_id, t.doc_id FROM t
+WHERE has_join AND has_data
+UNION ALL
+SELECT 2, t.doc_id FROM t JOIN ph USING (doc_id)
+UNION ALL
+SELECT 3, t.doc_id FROM t
+WHERE (has_merge OR has_vector) AND NOT has_join
+UNION ALL
+SELECT 4, t.doc_id FROM t WHERE lang = 'de' AND has_table
+UNION ALL
+SELECT 5, t.doc_id FROM t JOIN w USING (doc_id) WHERE w.has_vec_pre
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk_hot": _q_bm25_hot,
@@ -4611,6 +4665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "combined_fields": _q_combined_fields,
         "distance_feature": _q_distance_feature,
         "terms_set": _q_terms_set,
+        "percolate": _q_percolate,
     }
 
 
@@ -5693,4 +5748,5 @@ def _oracle_sql_static() -> dict[str, str]:
         "combined_fields": _combined_fields_sql(),
         "distance_feature": _DISTANCE_FEATURE_SQL,
         "terms_set": _terms_set_sql(),
+        "percolate": _percolate_sql(),
     }

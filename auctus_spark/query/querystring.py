@@ -474,3 +474,98 @@ def simple_query_string_topk(docs: DataFrame, query: str,
         query, default_operator=default_operator,
         keyword_fields=keyword_fields, default_field=text_col)
     return _run(docs, ast, k, id_col, text_col, round_to)
+
+
+# --------------------------------------------- percolate (reverse search)
+
+def _match_cond(node):
+    """Condition-only compile of a parsed query AST — no statistics,
+    no scores (percolation needs membership, not ranking).  Mirrors
+    the occur semantics of :class:`_Compiler`."""
+    if isinstance(node, Leaf):
+        if node.kind == "term":
+            return _tf_of(node.words[0]) > 0
+        if node.kind == "phrase":
+            return _phrase_freq(node.words) > 0
+        if node.kind == "field":
+            return F.col(node.field) == node.words[0]
+        if node.kind == "wildcard":
+            pat = (node.words[0].replace("\\", "\\\\")
+                   .replace("%", "\\%").replace("_", "\\_")
+                   .replace("*", "%").replace("?", "_"))
+            return F.exists(F.col("_toks"), lambda x: x.like(pat))
+        raise ValueError(f"unknown leaf kind {node.kind!r}")
+    if isinstance(node, Not):
+        return ~_match_cond(node.child)
+    if isinstance(node, Req):
+        return _match_cond(node.child)
+    if isinstance(node, Bool):
+        req, excl, opt = [], [], []
+        for c in node.children:
+            if isinstance(c, Not):
+                excl.append(_match_cond(c.child))
+            elif isinstance(c, Req) or node.op == "and":
+                req.append(_match_cond(c.child
+                                       if isinstance(c, Req) else c))
+            else:
+                opt.append(_match_cond(c))
+        cond = None
+        for c in req:
+            cond = c if cond is None else cond & c
+        if cond is None and opt:
+            for c in opt:
+                cond = c if cond is None else cond | c
+        if cond is None:
+            cond = F.lit(True)
+        for c in excl:
+            cond = cond & ~c
+        return cond
+    raise TypeError(f"unknown node {node!r}")
+
+
+def percolate(docs: DataFrame, queries: list[tuple[int, str]],
+              grammar: str = "simple",
+              keyword_fields: tuple[str, ...] = ("lang", "source"),
+              id_col: str = "doc_id", text_col: str = "text"
+              ) -> DataFrame:
+    """ES ``percolate`` query, corpus-scale form: match every document
+    against a set of REGISTERED queries and emit (doc_id, query_id)
+    pairs.  ES percolates one incoming doc against a query index;
+    the Spark framing inverts the loop — the registered queries
+    compile to broadcast-free JVM boolean expressions evaluated in
+    ONE pass over the corpus (the routing/subscription primitive of
+    a training-data pipeline).  ``grammar`` picks the registered
+    queries' syntax: 'simple' (simple_query_string — never raises,
+    the ES-recommended percolator surface) or 'query_string'.
+
+    Plan: one scan; per row an array of matched query ids
+    (``when(cond_i, id_i)``) is built and exploded — no join, no
+    shuffle; output order (query_id, doc_id).  Scale contract: each
+    registered query adds one boolean expression to the projection —
+    batch the scan per ~few hundred queries when registering
+    thousands (whole-stage codegen method-size limit), each batch
+    remaining one independent scan."""
+    parse = (parse_simple_query_string if grammar == "simple"
+             else parse_query_string)
+    compiled = []
+    for qid, qs in queries:
+        ast = parse(qs, keyword_fields=keyword_fields,
+                    default_field=text_col)
+        if ast is not None:
+            compiled.append((int(qid), _match_cond(ast)))
+    spark = docs.sparkSession
+    if not compiled:
+        return spark.createDataFrame(
+            [], f"query_id long, {id_col} long")
+    carry = [f for f in keyword_fields if f in docs.columns]
+    per = docs.select(F.col(id_col).alias("doc_id"), *carry,
+                      _toks(F.col(text_col)).alias("_toks"))
+    matches = F.array_compact(F.array(
+        *[F.when(cond, F.lit(qid)).otherwise(F.lit(None))
+          for qid, cond in compiled]))
+    # no orderBy: pairs are set-semantics output (consumers sort or
+    # aggregate); keeps the plan one scan + explode, zero shuffles
+    return (per.select("doc_id",
+                       F.explode(matches).alias("query_id"))
+            .select(F.col("query_id").cast("long"),
+                    F.col("doc_id").alias(id_col)))

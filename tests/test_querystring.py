@@ -182,3 +182,23 @@ def test_terms_set_per_doc_minimum(spark):
     # doc1: 2 hits >= 2 OK; doc2: 1 < 2 no; doc3: 3 >= 3 OK;
     # doc4: 3 < 4 no
     assert got == {1, 3}
+
+
+def test_percolate_routing(spark):
+    """percolate: every registered query's condition evaluated in one
+    scan; (query_id, doc_id) pairs; unparseable queries skipped."""
+    from auctus_spark.query.querystring import percolate
+    rows = [(1, "hash join now", "en"), (2, "join data", "de"),
+            (3, "vector merge", "en")]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string")
+    qs = [(10, "join + data"), (20, '"hash join"'),
+          (30, "merge -join"), (40, "lang:de"), (50, "")]
+    got = {(r["query_id"], r["doc_id"])
+           for r in percolate(docs, qs, grammar="simple",
+                              keyword_fields=("lang",)).collect()}
+    assert got == {(10, 2), (20, 1), (30, 3), (40, 2)}
+    # plan: one scan, no exchange
+    plan = percolate(docs, qs, keyword_fields=("lang",))._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
