@@ -4507,6 +4507,79 @@ SELECT 5, t.doc_id FROM t JOIN w USING (doc_id) WHERE w.has_vec_pre
 """
 
 
+def _q_intervals(spark, sf_dir):
+    """ES intervals query: all_of(ordered, max_gaps=2) over
+    [any_of(scan, filter), table] — an any_of union clause followed
+    by a term within a 2-gap budget."""
+    return _phrase_engine(spark, sf_dir).search_intervals(
+        [["scan", "filter"], "table"], max_gaps=2, ordered=True,
+        k=200)
+
+
+def _intervals_sql() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text),
+                     '{SPLIT_PATTERN}'), x -> x <> '') AS l
+  FROM documents),
+tok AS (
+  SELECT doc_id, l[i] AS term, i AS pos
+  FROM toks, LATERAL (SELECT unnest(range(1, len(l) + 1)) AS i)),
+m AS (
+  SELECT DISTINCT a.doc_id
+  FROM (SELECT doc_id, pos FROM tok
+        WHERE term IN ('scan', 'filter')) a
+  JOIN (SELECT doc_id, pos FROM tok WHERE term = 'table') b
+    USING (doc_id)
+  WHERE b.pos > a.pos AND b.pos - a.pos - 1 <= 2)
+SELECT doc_id, CAST(1.0 AS DOUBLE) AS score
+FROM m ORDER BY doc_id LIMIT 200
+"""
+
+
+def _q_pipeline_aggs3(spark, sf_dir):
+    """Third ES pipeline-agg family over the daily date_histogram:
+    moving_fn avg (window 3, ES shift=0 — the 3 buckets BEFORE the
+    current), bucket_script ratio = count / moving_avg,
+    bucket_selector ratio > 1 (null windows drop, ES gap policy)."""
+    from auctus_spark.operators.profiling import (bucket_script,
+                                                  bucket_selector,
+                                                  date_histogram,
+                                                  moving_fn)
+    e = _t(spark, sf_dir, "events")
+    b = date_histogram(e, "ts", interval="day", min_doc_count=0)
+    b = moving_fn(b, "count", "bucket_start", window=3, fn="avg")
+    b = bucket_script(
+        b, "CAST(count AS DOUBLE) / moving_avg", "ratio")
+    b = bucket_selector(b, "ratio > 1.0")
+    return b.select("bucket_start", "count",
+                    F.round("moving_avg", 6).alias("moving_avg"),
+                    F.round("ratio", 6).alias("ratio"))
+
+
+_PIPELINE_AGGS3_SQL = """
+WITH b AS (SELECT date_trunc('day', ts) AS bucket FROM events
+           WHERE ts IS NOT NULL),
+c AS (SELECT bucket, count(*) AS count FROM b GROUP BY bucket),
+mm AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM c),
+axis AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))
+           AS bucket FROM mm),
+h AS (SELECT axis.bucket AS bucket_start,
+             CAST(coalesce(c.count, 0) AS BIGINT) AS count
+      FROM axis LEFT JOIN c USING (bucket)),
+m AS (SELECT bucket_start, count,
+        avg(CAST(count AS DOUBLE)) OVER (ORDER BY bucket_start
+          ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS moving_avg
+      FROM h),
+s AS (SELECT bucket_start, count, moving_avg,
+        CAST(count AS DOUBLE) / moving_avg AS ratio FROM m)
+SELECT bucket_start, count, round(moving_avg, 6) AS moving_avg,
+       round(ratio, 6) AS ratio
+FROM s WHERE ratio > 1.0 ORDER BY bucket_start
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk_hot": _q_bm25_hot,
@@ -4666,6 +4739,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distance_feature": _q_distance_feature,
         "terms_set": _q_terms_set,
         "percolate": _q_percolate,
+        "intervals": _q_intervals,
+        "pipeline_aggs3": _q_pipeline_aggs3,
     }
 
 
@@ -5749,4 +5824,6 @@ def _oracle_sql_static() -> dict[str, str]:
         "distance_feature": _DISTANCE_FEATURE_SQL,
         "terms_set": _terms_set_sql(),
         "percolate": _percolate_sql(),
+        "intervals": _intervals_sql(),
+        "pipeline_aggs3": _PIPELINE_AGGS3_SQL,
     }

@@ -1380,3 +1380,46 @@ def rate_agg(df: DataFrame, ts_col: str, value_col: str | None = None,
                        (F.col("bucket_value") / days.cast("double"))
                        .alias("rate_per_day"))
             .orderBy("bucket_start"))
+
+
+def moving_fn(buckets: DataFrame, value_col: str = "count",
+              order_col: str = "bucket_start", window: int = 3,
+              fn: str = "avg", out_col: str | None = None
+              ) -> DataFrame:
+    """ES ``moving_fn`` pipeline aggregation: a sliding-window
+    function over the sibling histogram's ordered buckets.  ES's
+    default ``shift=0`` window covers the ``window`` buckets strictly
+    BEFORE the current one (the current bucket is excluded); buckets
+    with an empty window emit null.  Supported fns: avg / min / max /
+    sum / stddev (population, matching MovingFunctions.stdDev).
+
+    One pass over the tiny aggregated bucket table (window frame
+    [-window, -1]) — never a rescan of raw data."""
+    from pyspark.sql import Window
+    fns = {"avg": F.avg, "min": F.min, "max": F.max, "sum": F.sum,
+           "stddev": F.stddev_pop}
+    if fn not in fns:
+        raise ValueError(f"unsupported moving_fn {fn!r}")
+    w = (Window.orderBy(F.asc(order_col))
+         .rowsBetween(-window, -1))
+    out = out_col or f"moving_{fn}"
+    return buckets.withColumn(
+        out, fns[fn](F.col(value_col).cast("double")).over(w))
+
+
+def bucket_script(buckets: DataFrame, script: str,
+                  out_col: str = "bucket_script") -> DataFrame:
+    """ES ``bucket_script`` pipeline aggregation: per-bucket
+    arithmetic over sibling metrics.  The painless script maps to a
+    Spark SQL expression over the bucket table's columns (same
+    per-row evaluation contract); runs on the aggregated table
+    only."""
+    return buckets.withColumn(out_col, F.expr(script))
+
+
+def bucket_selector(buckets: DataFrame, predicate: str) -> DataFrame:
+    """ES ``bucket_selector`` pipeline aggregation: keep buckets whose
+    metrics satisfy the script predicate (a Spark SQL boolean
+    expression here).  ES drops buckets where the script is false OR
+    null-gapped — filter semantics match (null predicate drops)."""
+    return buckets.filter(F.expr(predicate))

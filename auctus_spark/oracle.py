@@ -507,6 +507,59 @@ class PositionalOracleIndex:
                       if match([plists[i][d] for i in range(n)]))
         return [(d, float(boost)) for d in docs[:k]]
 
+    def search_intervals(self, clauses: list, max_gaps: int = -1,
+                         ordered: bool = True, k: int = TOP_K_SIZE,
+                         boost: float = 1.0
+                         ) -> list[tuple[int, float]]:
+        """intervals (all_of over term / any_of clauses), constant_
+        score rewrite (see PhraseEngine.search_intervals) —
+        independent brute-force matcher: per clause the position set
+        is the UNION of its terms' positions; a doc matches iff one
+        position per clause exists with max+1-min-n <= max_gaps
+        (unlimited when negative), strictly increasing when
+        ``ordered``."""
+        norm: list[list[str]] = []
+        for c in clauses:
+            terms = [c] if isinstance(c, str) else list(c)
+            out = []
+            for t in terms:
+                a = tokenize(t, stem=self.stem)
+                if len(a) != 1:
+                    raise ValueError("intervals terms take one term")
+                out.append(a[0])
+            norm.append(out)
+        n = len(norm)
+        slop = max_gaps if max_gaps >= 0 else 1 << 30
+        plists = []
+        for c in norm:
+            merged: dict[int, set] = {}
+            for t in c:
+                for d, ps in (self.postings.get(t) or {}).items():
+                    merged.setdefault(d, set()).update(ps)
+            if not merged:
+                return []
+            plists.append({d: sorted(ps) for d, ps in merged.items()})
+        cand = set(plists[0])
+        for p in plists[1:]:
+            cand &= set(p)
+        width = slop + n - 1
+
+        def match(pos: list[list[int]]) -> bool:
+            if ordered:
+                def rec(i: int, prev: int, p0: int) -> bool:
+                    if i == n:
+                        return True
+                    return any(rec(i + 1, q, p0) for q in pos[i]
+                               if q > prev and q <= p0 + width)
+                return any(rec(1, p0, p0) for p0 in pos[0])
+            starts = sorted({q for ps in pos for q in ps})
+            return any(all(any(s <= q <= s + width for q in ps)
+                           for ps in pos) for s in starts)
+
+        docs = sorted(d for d in cand
+                      if match([plists[i][d] for i in range(n)]))
+        return [(d, float(boost)) for d in docs[:k]]
+
     def search_span_not(self, include: str, exclude: str,
                         pre: int = 0, post: int = 0,
                         k: int = TOP_K_SIZE,

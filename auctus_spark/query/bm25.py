@@ -2561,6 +2561,114 @@ class PhraseEngine(SearchEngine):
                                 schema="doc_id long, score double"))
         return local.orderBy(F.asc("doc_id")).limit(kk)
 
+    def search_intervals(self, clauses: list, max_gaps: int = -1,
+                         ordered: bool = True, k: int = TOP_K_SIZE,
+                         boost: float = 1.0) -> DataFrame:
+        """ES ``intervals`` query, ``match``/``all_of`` form with
+        ``any_of`` sub-clauses: each element of ``clauses`` is either
+        a single term or a LIST of terms (``any_of`` — its interval
+        positions are the union of the terms' positions).  A doc
+        matches when one position per clause can be chosen with the
+        covering-window edit budget ``max+1-min-n <= max_gaps``
+        (``max_gaps < 0`` = unlimited, the ES default) — ordered or
+        unordered.  Doc-level existence under this flat algebra
+        coincides with Lucene's minimal-interval semantics (a
+        witness exists iff a minimal one does); scoring is the span
+        family's constant_score rewrite (documented divergence:
+        Lucene scores IntervalQuery through sloppyFreq).  doc_id
+        order, score == boost.
+
+        Candidates: per clause the UNION of its terms' postings,
+        INTERSECTED across clauses (tombstone-masked) — the rarest-
+        clause pruning of the phrase path generalized to any_of.
+        One bucket-parallel job, no shuffle beyond TakeOrdered."""
+        if len(clauses) < 2:
+            raise ValueError("intervals needs at least 2 clauses")
+        norm: list[list[str]] = []
+        for c in clauses:
+            terms = [c] if isinstance(c, str) else list(c)
+            out = []
+            for t in terms:
+                a = analyze_query(t, stem=self.stem)
+                if len(a) != 1:
+                    raise ValueError(
+                        f"intervals terms take exactly one analyzed "
+                        f"term; {t!r} analyzed to {a!r}")
+                out.append(a[0])
+            norm.append(out)
+        if not ordered:
+            flat = [t for c in norm for t in c]
+            if len(set(flat)) != len(flat):
+                raise ValueError(
+                    "unordered intervals with a term shared across "
+                    "clauses is not supported (distinct-position "
+                    "repeats rule, as span_near)")
+        uterms = list(dict.fromkeys(t for c in norm for t in c))
+        stats = self.term_stats(uterms)
+        # a clause with NO present term can never match
+        if any(all(stats.get(t, 0) == 0 for t in c) for c in norm):
+            return self._empty()
+        present = [t for t in uterms if stats.get(t, 0) > 0]
+        segs = self._segments_for(present).select(*self._POS_COLS)
+        tomb = self.tombstones
+        g = max_gaps if max_gaps >= 0 else 1 << 30
+        s, order, kk, b = int(g), bool(ordered), k, float(boost)
+        cl = [list(c) for c in norm]
+
+        def find_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+            per_term = _group_partials_pos(pdf)
+            have = [t for t in present if t in per_term]
+            if not have:
+                return _empty_pdf()
+            # union candidate set across ALL present terms (the
+            # per-clause intersection happens in the position test)
+            allsets = []
+            for t in have:
+                c0 = _phrase_cand(per_term, [t], tomb)
+                if c0 is not None:
+                    allsets.append(c0)
+            if not allsets:
+                return _empty_pdf()
+            cand = np.unique(np.concatenate(allsets))
+
+            def posmap(t):
+                if t not in per_term:
+                    return {}
+                parts = [_phrase_occurrences(seg, cand, 0)
+                         for seg in per_term[t]]
+                c = np.concatenate([x[0] for x in parts])
+                p = np.concatenate([x[1] for x in parts])
+                o = np.lexsort((p, c))
+                c, p = c[o], p[o]
+                uniq, starts = np.unique(c, return_index=True)
+                return dict(zip(uniq.tolist(), np.split(p, starts[1:])))
+
+            maps = {t: posmap(t) for t in have}
+            hits = []
+            for ci in range(cand.size):
+                lists = []
+                ok = True
+                for c in cl:
+                    parts = [maps[t][ci] for t in c
+                             if t in maps and ci in maps[t]]
+                    if not parts:
+                        ok = False
+                        break
+                    lists.append(np.unique(np.concatenate(parts)))
+                if ok and _span_near_match(lists, s, order):
+                    hits.append(int(cand[ci]))
+            if not hits:
+                return _empty_pdf()
+            hits.sort()
+            return pd.DataFrame({
+                "doc_id": np.array(hits, dtype=np.int64),
+                "score": np.full(len(hits), b)})
+
+        local = (segs.groupBy("bucket")
+                 .applyInPandas(find_bucket,
+                                schema="doc_id long, score double"))
+        return local.orderBy(F.asc("doc_id")).limit(kk)
+
     def search_span_within(self, little: str, big: list[str],
                            big_slop: int = 0, k: int = TOP_K_SIZE,
                            boost: float = 1.0) -> DataFrame:

@@ -647,3 +647,29 @@ def test_rate_agg_calendar_divisor(spark):
     assert cnt[1] == pytest.approx(2 / 31)
     with pytest.raises(ValueError):
         rate_agg(df, "ts", interval="week")
+
+
+def test_moving_fn_shift0_window(spark):
+    """moving_fn: ES shift=0 window = the `window` buckets strictly
+    before the current; empty window -> null."""
+    from datetime import datetime
+    from auctus_spark.operators.profiling import (bucket_script,
+                                                  bucket_selector,
+                                                  moving_fn)
+    rows = [(datetime(2024, 1, d), float(c))
+            for d, c in [(1, 2), (2, 4), (3, 6), (4, 8)]]
+    b = spark.createDataFrame(rows, "bucket_start timestamp, count double")
+    got = {r["bucket_start"].day: r["moving_avg"]
+           for r in moving_fn(b, "count", window=2).collect()}
+    assert got[1] is None
+    assert got[2] == pytest.approx(2.0)
+    assert got[3] == pytest.approx(3.0)     # avg(2, 4)
+    assert got[4] == pytest.approx(5.0)     # avg(4, 6)
+    with pytest.raises(ValueError):
+        moving_fn(b, "count", fn="median")
+    # bucket_script arithmetic + bucket_selector (null drops)
+    s = bucket_script(moving_fn(b, "count", window=2),
+                      "count / moving_avg", "ratio")
+    kept = {r["bucket_start"].day
+            for r in bucket_selector(s, "ratio > 1.5").collect()}
+    assert kept == {2, 3, 4}  # day1 null ratio drops; others 2/1.6

@@ -1773,3 +1773,85 @@ def test_span_contain_match_vs_enumeration():
             for p1, p2 in itertools.product(p1s, p2s))
         assert _span_contain_match(p1s, p2s, ls, slop) == brute, \
             (case, p1s, p2s, ls, slop)
+
+
+def test_intervals_matches_oracle(spark, built_positional):
+    """intervals (all_of with any_of unions, constant_score): doc set
+    == the positional oracle's independent brute-force matcher across
+    ordered/unordered and gap budgets."""
+    from auctus_spark.query.bm25 import PhraseEngine
+    out, oracle, _ = built_positional
+    eng = PhraseEngine(spark, out, term_buckets=8)
+    cases = [([["import", "def"], "return"], 2, True),
+             ([["import", "def"], "return"], 0, True),
+             ([["the", "import"], ["def", "return"]], 3, False),
+             (["import", ["def", "return"]], -1, True),
+             ([["import", "zz_missing"], "def"], 4, True)]
+    for clauses, gaps, order in cases:
+        got = [(int(r.doc_id), float(r.score))
+               for r in eng.search_intervals(
+                   clauses, max_gaps=gaps, ordered=order, k=700,
+                   boost=3.0).collect()]
+        want = oracle.search_intervals(clauses, gaps, order, k=700,
+                                       boost=3.0)
+        assert got == want, (clauses, gaps, order)
+    # all-missing clause -> empty
+    assert eng.search_intervals(
+        [["zz_missing"], "def"], max_gaps=2).count() == 0
+    with pytest.raises(ValueError):
+        eng.search_intervals(["import"])
+    with pytest.raises(ValueError):
+        eng.search_intervals([["import"], "import"], ordered=False)
+
+
+def test_intervals_semantics_handmade():
+    """any_of union + gap budget on a hand-built corpus."""
+    from auctus_spark.oracle import PositionalOracleIndex
+    idx = PositionalOracleIndex.build([
+        (0, "a x c"),      # a..c one gap
+        (1, "b c"),        # b,c adjacent
+        (2, "c a"),        # c before a/b
+        (3, "a x x x c"),  # 3 gaps
+    ])
+
+    def ids(clauses, gaps, order):
+        return [d for d, _ in idx.search_intervals(clauses, gaps,
+                                                   order)]
+    # any_of(a,b) then c, ordered
+    assert ids([["a", "b"], "c"], 0, True) == [1]
+    assert ids([["a", "b"], "c"], 1, True) == [0, 1]
+    assert ids([["a", "b"], "c"], -1, True) == [0, 1, 3]
+    # unordered picks up doc 2 too
+    assert ids([["a", "b"], "c"], 1, False) == [0, 1, 2]
+
+
+def test_span_or_and_containing_match_oracle(spark, built_positional):
+    """span_or == union of postings; span_containing == brute-force
+    enclosure over the oracle's position lists."""
+    from auctus_spark.query.bm25 import PhraseEngine
+    out, oracle, _ = built_positional
+    eng = PhraseEngine(spark, out, term_buckets=8)
+    got = {int(r.doc_id) for r in
+           eng.search_span_or(["import", "return"], k=700).collect()}
+    want = (set(oracle.postings.get("import", {}))
+            | set(oracle.postings.get("return", {})))
+    assert got == want
+    # containing: big = (import .. def, slop 4) enclosing 'the'
+    got_c = [int(r.doc_id) for r in eng.search_span_containing(
+        ["import", "def"], "the", big_slop=4, k=700).collect()]
+    brute = []
+    for d in sorted(set(oracle.postings.get("import", {}))
+                    & set(oracle.postings.get("def", {}))
+                    & set(oracle.postings.get("the", {}))):
+        p1s = oracle.postings["import"][d]
+        p2s = oracle.postings["def"][d]
+        ls = oracle.postings["the"][d]
+        if any(p1 < p2 and p2 - p1 - 1 <= 4
+               and any(p1 <= l <= p2 for l in ls)
+               for p1 in p1s for p2 in p2s):
+            brute.append(d)
+    assert got_c == brute and len(brute) > 0
+    # span_within aliases containing (doc-existence collapse)
+    got_w = [int(r.doc_id) for r in eng.search_span_within(
+        "the", ["import", "def"], big_slop=4, k=700).collect()]
+    assert got_w == got_c
