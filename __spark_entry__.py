@@ -4580,6 +4580,212 @@ FROM s WHERE ratio > 1.0 ORDER BY bucket_start
 """
 
 
+def _cust_coords(spark, sf_dir):
+    return _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        ((F.col("c_custkey") % 80) - 40).cast("double").alias("lat"),
+        (((F.col("c_custkey") * 7) % 160) - 80).cast("double")
+        .alias("lon"))
+
+
+def _q_geo_bounding_box(spark, sf_dir):
+    """ES geo_bounding_box with an ANTIMERIDIAN-crossing box
+    (left 60 > right -60 → lon >= 60 OR lon <= -60), edges
+    inclusive, fully sargable."""
+    from auctus_spark.operators.geo import geo_bounding_box_filter
+    return geo_bounding_box_filter(_cust_coords(spark, sf_dir),
+                                   "lat", "lon",
+                                   top_left=(30.0, 60.0),
+                                   bottom_right=(-30.0, -60.0))
+
+
+_GEO_BBOX_SQL = f"""
+WITH c AS (SELECT c_custkey, lat, lon FROM (
+  SELECT c_custkey,
+         CAST((c_custkey % 80) - 40 AS DOUBLE) AS lat,
+         CAST(((c_custkey * 7) % 160) - 80 AS DOUBLE) AS lon
+  FROM customer))
+SELECT c_custkey, lat, lon FROM c
+WHERE lat BETWEEN -30.0 AND 30.0
+  AND (lon >= 60.0 OR lon <= -60.0)
+"""
+
+
+_POLY = [(40.0, -70.0), (40.0, 70.0), (-40.0, 0.0)]
+
+
+def _q_geo_polygon(spark, sf_dir):
+    """ES geo_polygon: even-odd (ray casting) point-in-triangle over
+    the derived customer coordinates — unrolled JVM expressions, one
+    scan, bbox pre-filter pushed to the scan."""
+    from auctus_spark.operators.geo import geo_polygon_filter
+    return geo_polygon_filter(_cust_coords(spark, sf_dir),
+                              "lat", "lon", _POLY)
+
+
+def _geo_polygon_sql() -> str:
+    lats = [p[0] for p in _POLY]
+    lons = [p[1] for p in _POLY]
+    n = len(_POLY)
+    edges = []
+    for i in range(n):
+        j = (i - 1) % n
+        yi, xi, yj, xj = lats[i], lons[i], lats[j], lons[j]
+        edges.append(
+            f"CASE WHEN (({yi} > lat) <> ({yj} > lat)) AND "
+            f"(lon < ({xj} - {xi}) * (lat - {yi}) / ({yj} - {yi})"
+            f" + {xi}) THEN 1 ELSE 0 END")
+    return f"""
+WITH c AS (
+  SELECT c_custkey,
+         CAST((c_custkey % 80) - 40 AS DOUBLE) AS lat,
+         CAST(((c_custkey * 7) % 160) - 80 AS DOUBLE) AS lon
+  FROM customer)
+SELECT c_custkey, lat, lon FROM c
+WHERE lat BETWEEN {min(lats)} AND {max(lats)}
+  AND lon BETWEEN {min(lons)} AND {max(lons)}
+  AND ({' + '.join(edges)}) % 2 = 1
+"""
+
+
+def _q_cumulative_cardinality(spark, sf_dir):
+    """ES cumulative_cardinality over the daily events histogram:
+    distinct users seen so far per day — EXACT via the first-seen
+    decomposition (ES stacks HLL sketches; documented stronger
+    contract)."""
+    from auctus_spark.operators.profiling import cumulative_cardinality
+    return cumulative_cardinality(_t(spark, sf_dir, "events"), "ts",
+                                  "user_id", interval="day")
+
+
+_CUMULATIVE_CARDINALITY_SQL = """
+WITH b AS (SELECT date_trunc('day', ts) AS bucket, user_id
+           FROM events
+           WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+f AS (SELECT user_id, min(bucket) AS fb FROM b GROUP BY user_id),
+nk AS (SELECT fb AS bucket_start, CAST(count(*) AS BIGINT)
+         AS new_keys FROM f GROUP BY fb),
+dc AS (SELECT bucket AS bucket_start, CAST(count(*) AS BIGINT)
+         AS doc_count FROM b GROUP BY bucket)
+SELECT d.bucket_start, d.doc_count,
+       CAST(coalesce(nk.new_keys, 0) AS BIGINT) AS new_keys,
+       CAST(sum(coalesce(nk.new_keys, 0))
+            OVER (ORDER BY d.bucket_start) AS BIGINT)
+         AS cumulative_cardinality
+FROM dc d LEFT JOIN nk USING (bucket_start) ORDER BY bucket_start
+"""
+
+
+def _q_matrix_stats(spark, sf_dir):
+    """ES matrix_stats over three lineitem numerics: per-pair
+    population covariance + Pearson correlation, per-field mean/var
+    diagonal, listwise null deletion, ONE scan."""
+    from auctus_spark.operators.profiling import matrix_stats
+    out = matrix_stats(_t(spark, sf_dir, "lineitem"),
+                       ["l_quantity", "l_extendedprice", "l_discount"])
+    return out.select("field_a", "field_b",
+                      F.round("mean_a", 6).alias("mean_a"),
+                      F.round("covariance", 6).alias("covariance"),
+                      F.round("correlation", 6).alias("correlation"))
+
+
+_MATRIX_STATS_SQL = """
+WITH b AS (SELECT l_quantity AS q, l_extendedprice AS e,
+                  l_discount AS d
+           FROM lineitem
+           WHERE l_quantity IS NOT NULL
+             AND l_extendedprice IS NOT NULL
+             AND l_discount IS NOT NULL)
+SELECT 'l_quantity' AS field_a, 'l_quantity' AS field_b,
+       round(avg(q), 6) AS mean_a, round(var_pop(q), 6) AS covariance,
+       1.0 AS correlation FROM b
+UNION ALL
+SELECT 'l_extendedprice', 'l_extendedprice', round(avg(e), 6),
+       round(var_pop(e), 6), 1.0 FROM b
+UNION ALL
+SELECT 'l_discount', 'l_discount', round(avg(d), 6),
+       round(var_pop(d), 6), 1.0 FROM b
+UNION ALL
+SELECT 'l_quantity', 'l_extendedprice', NULL,
+       round(covar_pop(q, e), 6), round(corr(q, e), 6) FROM b
+UNION ALL
+SELECT 'l_quantity', 'l_discount', NULL,
+       round(covar_pop(q, d), 6), round(corr(q, d), 6) FROM b
+UNION ALL
+SELECT 'l_extendedprice', 'l_discount', NULL,
+       round(covar_pop(e, d), 6), round(corr(e, d), 6) FROM b
+"""
+
+
+def _q_significant_text(spark, sf_dir):
+    """ES significant_text (JLH, filter_duplicate_text): exact-dup
+    docs counted once before the foreground-vs-corpus contrast."""
+    from auctus_spark.operators.profiling import significant_text
+    d = _docs(spark, sf_dir)
+    return significant_text(d, F.col("lang") == "de", k=10)
+
+
+_SIGNIFICANT_TEXT_SQL = f"""
+WITH firstd AS (
+  SELECT min(doc_id) AS doc_id
+  FROM (SELECT doc_id, md5(text) AS h FROM documents) GROUP BY h),
+d AS (
+  SELECT doc_id, (lang = 'de')::INT AS fg,
+         list_distinct(list_filter(
+           regexp_split_to_array(lower(text), '{SPLIT_PATTERN}'),
+           x -> x <> '')) AS terms
+  FROM documents JOIN firstd USING (doc_id)),
+tot AS (SELECT sum(fg) AS n_fg, count(*) AS n_bg FROM d),
+ex AS (SELECT fg, unnest(terms) AS term FROM d),
+pt AS (SELECT term, sum(fg)::BIGINT AS df_fg,
+              count(*)::BIGINT AS df_bg
+       FROM ex GROUP BY term)
+SELECT term, df_fg, df_bg,
+       round((df_fg / n_fg - df_bg / n_bg)
+             * (df_fg / n_fg) / (df_bg / n_bg), 6) AS jlh
+FROM pt, tot
+WHERE df_fg >= 3 AND df_fg / n_fg > df_bg / n_bg
+ORDER BY jlh DESC, term ASC LIMIT 10
+"""
+
+
+def _q_bigram_logprob(spark, sf_dir):
+    """Bigram-LM quality proxy (CCNet/KenLM-style conditional
+    perplexity filter, add-1 smoothing over corpus bigram counts)."""
+    from auctus_spark.operators.textstats import bigram_logprob
+    out = bigram_logprob(_docs(spark, sf_dir))
+    return out.select("doc_id", "n_bigrams",
+                      F.round("mean_neg_logprob", 6)
+                      .alias("mean_neg_logprob"))
+
+
+_BIGRAM_LOGPROB_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text),
+                     '{SPLIT_PATTERN}'), x -> x <> '') AS l
+  FROM documents),
+bg AS (SELECT doc_id, l[i] AS a, l[i + 1] AS b
+       FROM toks, LATERAL (SELECT unnest(range(1, len(l))) AS i)),
+c AS (SELECT a, b, count(*) AS c FROM bg GROUP BY a, b),
+v AS (SELECT count(DISTINCT term) AS v
+      FROM (SELECT unnest(l) AS term FROM toks)),
+cl AS (SELECT a, sum(c) AS cl FROM c GROUP BY a),
+scored AS (
+  SELECT bg.doc_id,
+         -ln((c.c + 1.0) / (cl.cl + 1.0 * v.v)) AS nlp
+  FROM bg JOIN c USING (a, b) JOIN cl USING (a) CROSS JOIN v),
+per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+               sum(nlp) / count(*) AS m
+        FROM scored GROUP BY doc_id)
+SELECT d.doc_id, CAST(coalesce(per.n_bigrams, 0) AS BIGINT)
+         AS n_bigrams,
+       round(per.m, 6) AS mean_neg_logprob
+FROM (SELECT DISTINCT doc_id FROM documents) d
+LEFT JOIN per USING (doc_id)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk_hot": _q_bm25_hot,
@@ -4741,6 +4947,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percolate": _q_percolate,
         "intervals": _q_intervals,
         "pipeline_aggs3": _q_pipeline_aggs3,
+        "geo_bounding_box": _q_geo_bounding_box,
+        "geo_polygon": _q_geo_polygon,
+        "cumulative_cardinality": _q_cumulative_cardinality,
+        "matrix_stats": _q_matrix_stats,
+        "significant_text": _q_significant_text,
+        "bigram_logprob": _q_bigram_logprob,
     }
 
 
@@ -5826,4 +6038,10 @@ def _oracle_sql_static() -> dict[str, str]:
         "percolate": _percolate_sql(),
         "intervals": _intervals_sql(),
         "pipeline_aggs3": _PIPELINE_AGGS3_SQL,
+        "geo_bounding_box": _GEO_BBOX_SQL,
+        "geo_polygon": _geo_polygon_sql(),
+        "cumulative_cardinality": _CUMULATIVE_CARDINALITY_SQL,
+        "matrix_stats": _MATRIX_STATS_SQL,
+        "significant_text": _SIGNIFICANT_TEXT_SQL,
+        "bigram_logprob": _BIGRAM_LOGPROB_SQL,
     }

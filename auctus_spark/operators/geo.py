@@ -563,3 +563,56 @@ def geohash_grid_agg(df: DataFrame, lat_col: str, lon_col: str,
             .agg(F.count(F.lit(1)).alias("doc_count"))
             .orderBy(F.desc("doc_count"), F.asc("geohash"))
             .limit(size))
+
+
+def geo_bounding_box_filter(df: DataFrame, lat_col: str, lon_col: str,
+                            top_left: tuple[float, float],
+                            bottom_right: tuple[float, float]
+                            ) -> DataFrame:
+    """ES ``geo_bounding_box`` query: rows inside the box (edges
+    inclusive, ES contract).  A box whose left edge lies east of its
+    right edge crosses the antimeridian and becomes an OR of two
+    sargable longitude ranges — every predicate pushes to the
+    parquet scan."""
+    t_lat, l_lon = float(top_left[0]), float(top_left[1])
+    b_lat, r_lon = float(bottom_right[0]), float(bottom_right[1])
+    lat_pred = F.col(lat_col).between(b_lat, t_lat)
+    if l_lon <= r_lon:
+        lon_pred = F.col(lon_col).between(l_lon, r_lon)
+    else:  # antimeridian crossing
+        lon_pred = (F.col(lon_col) >= l_lon) | (F.col(lon_col) <= r_lon)
+    return df.filter(lat_pred & lon_pred)
+
+
+def geo_polygon_filter(df: DataFrame, lat_col: str, lon_col: str,
+                       polygon: list[tuple[float, float]]
+                       ) -> DataFrame:
+    """ES ``geo_polygon`` query: rows strictly inside the polygon by
+    the even-odd (ray casting) rule — a horizontal ray east from the
+    point; boundary behavior follows the standard half-open edge
+    convention ((yi > y) != (yj > y)), the same published algorithm
+    ES/Lucene use for point-in-polygon tests.
+
+    The crossing test unrolls the (literal, tiny) vertex list into a
+    chain of JVM boolean expressions — ONE scan, whole-stage codegen,
+    no UDF; a bounding-box pre-filter (always a superset) pushes
+    down to the scan so the crossing arithmetic only runs on
+    candidates.  Not for polygons with thousands of vertices (use a
+    rasterized geohash cover then); documented."""
+    if len(polygon) < 3:
+        raise ValueError("polygon needs at least 3 vertices")
+    lats = [float(p[0]) for p in polygon]
+    lons = [float(p[1]) for p in polygon]
+    box = (F.col(lat_col).between(min(lats), max(lats))
+           & F.col(lon_col).between(min(lons), max(lons)))
+    y, x = F.col(lat_col), F.col(lon_col)
+    inside = F.lit(False)
+    n = len(polygon)
+    for i in range(n):
+        j = (i - 1) % n
+        yi, xi = F.lit(lats[i]), F.lit(lons[i])
+        yj, xj = F.lit(lats[j]), F.lit(lons[j])
+        crosses = (((yi > y) != (yj > y))
+                   & (x < (xj - xi) * (y - yi) / (yj - yi) + xi))
+        inside = F.when(crosses, ~inside).otherwise(inside)
+    return df.filter(box & inside)

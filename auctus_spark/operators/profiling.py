@@ -1423,3 +1423,107 @@ def bucket_selector(buckets: DataFrame, predicate: str) -> DataFrame:
     expression here).  ES drops buckets where the script is false OR
     null-gapped — filter semantics match (null predicate drops)."""
     return buckets.filter(F.expr(predicate))
+
+
+def cumulative_cardinality(df: DataFrame, ts_col: str, key_col: str,
+                           interval: str = "day") -> DataFrame:
+    """ES ``cumulative_cardinality`` pipeline aggregation: per
+    calendar bucket the number of DISTINCT keys seen up to and
+    including that bucket (the "total unique users so far" curve).
+    ES stacks approximate HLL sketches; this is the EXACT form via
+    the first-seen decomposition — documented stronger contract:
+
+        first_seen(key) = min(bucket(ts))        (one groupBy on key)
+        cumulative(b)   = Σ_{b' <= b} |{k: first_seen(k) = b'}|
+
+    Scale shape: one groupBy(key) (the only corpus-sized shuffle,
+    partial-agg friendly), one tiny groupBy(bucket), one running-sum
+    window over the bucket table.  Also emits the per-bucket
+    plain doc_count for context."""
+    b = F.date_trunc(interval, F.col(ts_col))
+    base = df.filter(F.col(ts_col).isNotNull()
+                     & F.col(key_col).isNotNull())
+    first = (base.groupBy(key_col)
+             .agg(F.min(b).alias("first_bucket")))
+    new_per = (first.groupBy(F.col("first_bucket")
+                             .alias("bucket_start"))
+               .agg(F.count(F.lit(1)).alias("new_keys")))
+    counts = (base.groupBy(b.alias("bucket_start"))
+              .agg(F.count(F.lit(1)).alias("doc_count")))
+    from pyspark.sql import Window
+    w = (Window.orderBy(F.asc("bucket_start"))
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return (counts.join(new_per, "bucket_start", "left")
+            .withColumn("new_keys",
+                        F.coalesce("new_keys", F.lit(0)))
+            .withColumn("cumulative_cardinality",
+                        F.sum("new_keys").over(w))
+            .orderBy("bucket_start"))
+
+
+def matrix_stats(df: DataFrame, cols: list[str]) -> DataFrame:
+    """ES ``matrix_stats`` aggregation: per ordered field pair the
+    population covariance and Pearson correlation (plus each field's
+    mean/variance on the diagonal rows).  ES streams a running
+    Welford update per shard and merges; one Spark aggregate
+    computes the same moments exactly — ONE scan, a single 1-row
+    reduce with count/avg/var_pop/covar_pop/corr built-ins, then a
+    literal unpivot.  Rows with a null in ANY field drop entirely
+    (ES matrix_stats listwise deletion)."""
+    if len(cols) < 2:
+        raise ValueError("matrix_stats needs at least 2 fields")
+    ok = None
+    for c in cols:
+        p = F.col(c).isNotNull()
+        ok = p if ok is None else ok & p
+    base = df.filter(ok)
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        aggs.append(F.avg(F.col(c).cast("double")).alias(f"_m_{c}"))
+        aggs.append(F.var_pop(F.col(c).cast("double"))
+                    .alias(f"_v_{c}"))
+    for i, a in enumerate(cols):
+        for bcol in cols[i + 1:]:
+            aggs.append(F.covar_pop(F.col(a).cast("double"),
+                                    F.col(bcol).cast("double"))
+                        .alias(f"_cv_{a}_{bcol}"))
+            aggs.append(F.corr(F.col(a).cast("double"),
+                               F.col(bcol).cast("double"))
+                        .alias(f"_cr_{a}_{bcol}"))
+    one = base.agg(*aggs)
+    parts = []
+    for c in cols:  # diagonal: covariance = variance, correlation 1
+        parts.append(f"'{c}', '{c}', _m_{c}, _v_{c}, "
+                     f"CAST(1.0 AS DOUBLE)")
+    for i, a in enumerate(cols):
+        for bcol in cols[i + 1:]:
+            parts.append(f"'{a}', '{bcol}', CAST(NULL AS DOUBLE), "
+                         f"_cv_{a}_{bcol}, _cr_{a}_{bcol}")
+    n_rows = len(parts)
+    return one.selectExpr(
+        f"stack({n_rows}, {', '.join(parts)}) "
+        "AS (field_a, field_b, mean_a, covariance, correlation)")
+
+
+def significant_text(df: DataFrame, fg_filter,
+                     text_col: str = "text",
+                     id_col: str = "doc_id", k: int = 10,
+                     min_doc_count: int = 3,
+                     filter_duplicate_text: bool = True) -> DataFrame:
+    """ES ``significant_text`` aggregation: :func:`significant_terms`
+    over the analyzed free-text field, with ES's
+    ``filter_duplicate_text`` — exact-duplicate documents are counted
+    ONCE (first doc_id wins) so copy-paste boilerplate can't fake
+    significance.  (ES also strips near-duplicate sequences via a
+    rolling hash; exact-text dedup is the documented subset.)
+
+    The dedup is one md5-groupBy (min doc_id) + semi-join back —
+    partial-agg friendly — before the same one-scan JLH pipeline."""
+    base = df
+    if filter_duplicate_text:
+        keep = (df.groupBy(F.md5(F.col(text_col)).alias("_h"))
+                .agg(F.min(id_col).alias(id_col)))
+        base = df.join(keep.select(id_col), id_col, "semi")
+    return significant_terms(base, fg_filter, text_col=text_col,
+                             id_col=id_col, k=k,
+                             min_doc_count=min_doc_count)

@@ -615,3 +615,63 @@ def unigram_logprob(df: DataFrame, text_col: str = "text",
                  .alias("mean_neg_logprob"))
             .select(F.col("_id").alias(id_col), "n_tokens",
                     "mean_neg_logprob"))
+
+
+def bigram_logprob(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", alpha: float = 1.0,
+                   broadcast_max: int = 2_000_000) -> DataFrame:
+    """Bigram-LM quality proxy - one Markov order above
+    :func:`unigram_logprob` (the CCNet/KenLM perplexity-filter
+    analog, conditional form):
+
+        p(w2|w1) = (c(w1 w2) + alpha) / (c1(w1) + alpha * V)
+
+    with add-alpha smoothing, V = unigram vocabulary size, c1 =
+    count of w1 as a bigram LEFT context (= token count minus
+    doc-final tokens).  Each document scores mean(-ln p) over its
+    bigrams; docs with < 2 tokens emit n_bigrams = 0 and a null
+    score.
+
+    Scale shape: bigrams come from one zip-with-shift over the token
+    array exploded as (left, right) STRUCT keys (no string packing,
+    no self-join); the bigram count table broadcasts below
+    ``broadcast_max`` distinct bigrams so the corpus-sized explode
+    never shuffles on Zipf-hot keys (the unigram operator's skew
+    fix, inherited) - the left-context counts derive from the same
+    tiny table.  Final per-doc aggregate shuffles on the id
+    (unskewed)."""
+    toks = _tokens(text_col)
+    n1 = F.greatest(F.size(toks) - 1, F.lit(0))
+    pairs = F.zip_with(F.slice(toks, 1, n1), F.slice(toks, 2, n1),
+                       lambda a, b: F.struct(a.alias("l"),
+                                             b.alias("r")))
+    ex = df.select(F.col(id_col).alias("_id"),
+                   F.explode_outer(pairs).alias("_bg"))
+    hits = ex.filter(F.col("_bg").isNotNull())
+    counts = (hits.groupBy("_bg").agg(F.count("*").alias("_c"))
+              .persist())
+    v_size = int(df.select(F.explode(toks).alias("_tok"))
+                 .agg(F.count_distinct("_tok").alias("v"))
+                 .collect()[0]["v"])
+    left = (counts.groupBy(F.col("_bg.l").alias("_l"))
+            .agg(F.sum("_c").alias("_cl")))
+    n_bigrams = counts.count()
+    bcast = n_bigrams <= int(broadcast_max)
+    c_tbl = F.broadcast(counts) if bcast else counts
+    l_tbl = F.broadcast(left) if bcast else left
+    j = (hits.join(c_tbl, "_bg")
+         .withColumn("_l", F.col("_bg.l"))
+         .join(l_tbl, "_l"))
+    nlp = -F.log((F.col("_c") + F.lit(float(alpha)))
+                 / (F.col("_cl") + F.lit(float(alpha) * v_size)))
+    per = (j.select("_id", nlp.alias("_nlp"))
+           .groupBy("_id")
+           .agg(F.count("*").alias("n_bigrams"),
+                (F.sum("_nlp") / F.count("*"))
+                .alias("mean_neg_logprob")))
+    ids = df.select(F.col(id_col).alias("_id")).distinct()
+    return (ids.join(per, "_id", "left")
+            .withColumn("n_bigrams", F.coalesce("n_bigrams",
+                                                F.lit(0)))
+            .select(F.col("_id").alias(id_col), "n_bigrams",
+                    "mean_neg_logprob"))

@@ -299,3 +299,37 @@ def test_geohash_grid_counts_and_order(spark):
     assert [(r["geohash"], r["doc_count"]) for r in rows[:1]] \
         == [("u4pr", 2)]
     assert len(rows) == 2
+
+
+def test_geo_bounding_box_antimeridian(spark):
+    from auctus_spark.operators.geo import geo_bounding_box_filter
+    pts = [(0.0, 170.0), (0.0, -170.0), (0.0, 0.0), (50.0, 170.0)]
+    df = spark.createDataFrame(pts, "lat double, lon double")
+    got = {(r["lat"], r["lon"]) for r in geo_bounding_box_filter(
+        df, "lat", "lon", top_left=(30.0, 160.0),
+        bottom_right=(-30.0, -160.0)).collect()}
+    assert got == {(0.0, 170.0), (0.0, -170.0)}
+    # normal box, edges inclusive
+    got2 = {(r["lat"], r["lon"]) for r in geo_bounding_box_filter(
+        df, "lat", "lon", (0.0, 0.0), (0.0, 0.0)).collect()}
+    assert got2 == {(0.0, 0.0)}
+
+
+def test_geo_polygon_ray_casting(spark):
+    """even-odd rule: inside/outside/concave cases."""
+    from auctus_spark.operators.geo import geo_polygon_filter
+    import pytest as _pt
+    # triangle with apex south
+    poly = [(40.0, -70.0), (40.0, 70.0), (-40.0, 0.0)]
+    pts = [(0.0, 0.0),      # inside
+           (0.0, 69.0),     # outside (east of hypotenuse at lat 0)
+           (39.0, 0.0),     # inside near top
+           (-39.9, 0.0),    # inside near apex
+           (50.0, 0.0),     # outside (north)
+           (0.0, -69.0)]    # outside (west)
+    df = spark.createDataFrame(pts, "lat double, lon double")
+    got = {(r["lat"], r["lon"]) for r in geo_polygon_filter(
+        df, "lat", "lon", poly).collect()}
+    assert got == {(0.0, 0.0), (39.0, 0.0), (-39.9, 0.0)}
+    with _pt.raises(ValueError):
+        geo_polygon_filter(df, "lat", "lon", poly[:2])

@@ -673,3 +673,77 @@ def test_moving_fn_shift0_window(spark):
     kept = {r["bucket_start"].day
             for r in bucket_selector(s, "ratio > 1.5").collect()}
     assert kept == {2, 3, 4}  # day1 null ratio drops; others 2/1.6
+
+
+def test_cumulative_cardinality_first_seen(spark):
+    from datetime import datetime
+    from auctus_spark.operators.profiling import cumulative_cardinality
+    rows = [(datetime(2024, 1, 1), 1), (datetime(2024, 1, 1), 2),
+            (datetime(2024, 1, 2), 1), (datetime(2024, 1, 3), 3),
+            (datetime(2024, 1, 3), 1), (None, 9)]
+    df = spark.createDataFrame(rows, "ts timestamp, user_id long")
+    got = {r["bucket_start"].day:
+           (r["doc_count"], r["new_keys"], r["cumulative_cardinality"])
+           for r in cumulative_cardinality(df, "ts", "user_id").collect()}
+    assert got == {1: (2, 2, 2), 2: (1, 0, 2), 3: (2, 1, 3)}
+
+
+def test_matrix_stats_vs_numpy(spark):
+    from auctus_spark.operators.profiling import matrix_stats
+    rows = [(1.0, 2.0), (2.0, 4.0), (3.0, 5.0), (4.0, None)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    got = {(r["field_a"], r["field_b"]):
+           (r["mean_a"], r["covariance"], r["correlation"])
+           for r in matrix_stats(df, ["x", "y"]).collect()}
+    # null row drops listwise -> x = [1,2,3], y = [2,4,5]
+    x = np.array([1.0, 2.0, 3.0])
+    y = np.array([2.0, 4.0, 5.0])
+    cov = ((x - x.mean()) * (y - y.mean())).mean()
+    corr = cov / (x.std() * y.std())
+    assert got[("x", "x")][0] == pytest.approx(x.mean())
+    assert got[("x", "x")][1] == pytest.approx(x.var())
+    assert got[("x", "y")][1] == pytest.approx(cov)
+    assert got[("x", "y")][2] == pytest.approx(corr)
+    with pytest.raises(ValueError):
+        matrix_stats(df, ["x"])
+
+
+def test_significant_text_dedups_copies(spark):
+    """filter_duplicate_text: 5 pasted copies of a foreground doc
+    count once, so the copied term loses its fake significance."""
+    from auctus_spark.operators.profiling import (significant_terms,
+                                                  significant_text)
+    rows = ([(i, "spamword base", "de") for i in range(5)]
+            + [(10, "realword base other", "de"),
+               (11, "realword base words", "de"),
+               (12, "realword base stuff", "de"),
+               (20, "base other words", "en"),
+               (21, "base stuff things", "en"),
+               (22, "base other things", "en")])
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    fg = F.col("lang") == "de"
+    with_dups = {r["term"] for r in significant_terms(
+        df, fg, min_doc_count=3).collect()}
+    deduped = {r["term"] for r in significant_text(
+        df, fg, min_doc_count=3).collect()}
+    assert "spamword" in with_dups       # copies fake df_fg = 5
+    assert "spamword" not in deduped     # one survivor < min_doc_count
+    assert "realword" in deduped
+
+
+def test_bigram_logprob_closed_form(spark):
+    from auctus_spark.operators.textstats import bigram_logprob
+    rows = [(1, "a b a b"), (2, "a b"), (3, "x")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_bigrams"], r["mean_neg_logprob"])
+           for r in bigram_logprob(df).collect()}
+    # bigrams: d1: ab, ba, ab; d2: ab -> c(ab)=3, c(ba)=1
+    # left counts: c1(a)=3 (ab x3), c1(b)=1; V = 3 (a, b, x)
+    import math
+    p_ab = (3 + 1) / (3 + 1 * 3)
+    p_ba = (1 + 1) / (1 + 1 * 3)
+    m1 = -(math.log(p_ab) * 2 + math.log(p_ba)) / 3
+    assert got[1][0] == 3
+    assert got[1][1] == pytest.approx(m1, abs=1e-9)
+    assert got[2] == (1, pytest.approx(-math.log(p_ab), abs=1e-9))
+    assert got[3][0] == 0 and got[3][1] is None
