@@ -4786,6 +4786,71 @@ LEFT JOIN per USING (doc_id)
 """
 
 
+def _q_streaming_dedup(spark, sf_dir):
+    """Streaming exact dedup (Structured Streaming state-store
+    dropDuplicates over md5(text), the online twin of [dedup_exact]).
+    Runs the stream to completion with availableNow over the static
+    corpus and returns the surviving distinct content hashes — which
+    row survives per hash is arrival-order-dependent, so the gate
+    compares the HASH SET (full oracle: DISTINCT md5(text))."""
+    import os
+    import tempfile
+    import uuid
+    from auctus_spark.streaming.dedup import streaming_dedup
+    src = f"{sf_dir}/documents.parquet"
+    schema = spark.read.parquet(src).schema
+    # FileStreamSource needs a DIRECTORY basePath; the testdata table
+    # is a single file — expose it through a symlinked temp dir
+    d = tempfile.mkdtemp(prefix="strm_dedup_src_")
+    os.symlink(os.path.abspath(src), os.path.join(d, "part-0.parquet"))
+    stream = (spark.readStream.format("parquet").schema(schema)
+              .load(d))
+    name = "strm_dedup_" + uuid.uuid4().hex[:8]
+    q = (streaming_dedup(stream).writeStream
+         .outputMode("append").format("memory").queryName(name)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return spark.sql(f"SELECT _text_hash AS text_hash FROM {name}")
+
+
+def _q_variable_width_histogram(spark, sf_dir):
+    """ES variable_width_histogram: k-means-adaptive bucket widths
+    over o_totalprice.  Rows-only driver check (seeded iterative
+    k-means picks the centroids — not SQL-expressible); exact
+    bucket membership/keys pinned in tests/test_profiling.py."""
+    from auctus_spark.operators.profiling import variable_width_histogram
+    out = variable_width_histogram(
+        _t(spark, sf_dir, "orders"), "o_totalprice", buckets=4)
+    return out.select(F.round("key", 6).alias("key"),
+                      F.round("min", 6).alias("min"),
+                      F.round("max", 6).alias("max"), "doc_count")
+
+
+def _q_bpe_encode(spark, sf_dir):
+    """BPE tokenizer train + distributed encode.  The oracle checks
+    the LOSSLESS ROUND-TRIP property in SQL (BPE segmentations always
+    reconstruct the analyzed word stream — merge-rank parity vs the
+    published algorithm is pinned in tests/test_bpe.py)."""
+    from auctus_spark.operators.bpe import END, bpe_encode, train_bpe
+    docs = _docs(spark, sf_dir)
+    merges = train_bpe(docs, n_merges=50)
+    enc = bpe_encode(docs, merges)
+    return enc.select(
+        "doc_id",
+        F.trim(F.regexp_replace(
+            F.concat_ws("", F.col("bpe_tokens")), END, " "))
+        .alias("text_rt"))
+
+
+_BPE_ENCODE_SQL = f"""
+SELECT doc_id,
+       array_to_string(
+         list_filter(regexp_split_to_array(lower(text),
+                     '{SPLIT_PATTERN}'), x -> x <> ''), ' ') AS text_rt
+FROM documents
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk_hot": _q_bm25_hot,
@@ -4953,6 +5018,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "matrix_stats": _q_matrix_stats,
         "significant_text": _q_significant_text,
         "bigram_logprob": _q_bigram_logprob,
+        "streaming_dedup": _q_streaming_dedup,
+        "variable_width_histogram": _q_variable_width_histogram,
+        "bpe_encode": _q_bpe_encode,
     }
 
 
@@ -6044,4 +6112,7 @@ def _oracle_sql_static() -> dict[str, str]:
         "matrix_stats": _MATRIX_STATS_SQL,
         "significant_text": _SIGNIFICANT_TEXT_SQL,
         "bigram_logprob": _BIGRAM_LOGPROB_SQL,
+        "streaming_dedup":
+            "SELECT DISTINCT md5(text) AS text_hash FROM documents",
+        "bpe_encode": _BPE_ENCODE_SQL,
     }

@@ -1527,3 +1527,48 @@ def significant_text(df: DataFrame, fg_filter,
     return significant_terms(base, fg_filter, text_col=text_col,
                              id_col=id_col, k=k,
                              min_doc_count=min_doc_count)
+
+
+def variable_width_histogram(df: DataFrame, col: str,
+                             buckets: int = 4,
+                             sample_cap: int = 100_000,
+                             seed: int = 89) -> DataFrame:
+    """ES ``variable_width_histogram``: cluster-based buckets whose
+    widths adapt to the data (dense regions get narrow buckets).  ES
+    runs an online one-pass agglomerative clusterer per shard; this
+    uses the repo's seeded deterministic 1-D k-means (the range-
+    sketch quantizer, k-means++ init, fixed seed) on a sample-capped
+    collect to pick centroids, then ONE JVM scan assigns every row to
+    its nearest centroid (literal-folded centers — a chain of
+    when/least comparisons, no UDF) and aggregates per bucket.
+
+    Returns (key, min, max, doc_count) ordered by key, where key is
+    the bucket's value centroid (avg of members, recomputed exactly
+    in the final aggregate — ES's bucket key).  Deterministic but
+    clusterer-dependent, so the driver gate is rows-only (like
+    range_sketch); the pytest pins values against numpy."""
+    vals = (df.select(F.col(col).cast("double").alias("v"))
+            .filter(F.col("v").isNotNull()))
+    n = vals.count()
+    if n == 0:
+        return df.sparkSession.createDataFrame(
+            [], "key double, min double, max double, doc_count long")
+    frac = min(1.0, sample_cap / max(n, 1))
+    s = vals.sample(fraction=frac, seed=seed) if frac < 1.0 else vals
+    arr = np.array([r["v"] for r in s.collect()], dtype=np.float64)
+    k = min(buckets, len(np.unique(arr)))
+    centers, _ = _kmeans_1d(arr, k, seed=0)
+    centers = np.sort(centers)
+    # nearest-centroid assignment via sorted midpoint thresholds —
+    # sargable comparisons, whole-stage codegen
+    mids = (centers[:-1] + centers[1:]) / 2.0
+    b = F.lit(0)
+    for m in mids:
+        b = b + F.when(F.col("v") > float(m), 1).otherwise(0)
+    return (vals.withColumn("_b", b)
+            .groupBy("_b")
+            .agg(F.avg("v").alias("key"),
+                 F.min("v").alias("min"), F.max("v").alias("max"),
+                 F.count(F.lit(1)).alias("doc_count"))
+            .select("key", "min", "max", "doc_count")
+            .orderBy("key"))

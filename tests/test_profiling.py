@@ -747,3 +747,21 @@ def test_bigram_logprob_closed_form(spark):
     assert got[1][1] == pytest.approx(m1, abs=1e-9)
     assert got[2] == (1, pytest.approx(-math.log(p_ab), abs=1e-9))
     assert got[3][0] == 0 and got[3][1] is None
+
+
+def test_variable_width_histogram_adapts(spark):
+    """VWH: two dense clusters + outlier -> bucket widths adapt;
+    keys are exact member means; counts partition the data."""
+    from auctus_spark.operators.profiling import variable_width_histogram
+    vals = [1.0, 1.1, 1.2, 10.0, 10.1, 10.2, 100.0]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    rows = variable_width_histogram(df, "v", buckets=3).collect()
+    assert len(rows) == 3
+    got = [(r["key"], r["min"], r["max"], r["doc_count"])
+           for r in rows]
+    assert got[0] == (pytest.approx(1.1), 1.0, 1.2, 3)
+    assert got[1] == (pytest.approx(10.1), 10.0, 10.2, 3)
+    assert got[2] == (100.0, 100.0, 100.0, 1)
+    # fewer distinct values than buckets -> k collapses
+    tiny = spark.createDataFrame([(1.0,), (1.0,)], "v double")
+    assert variable_width_histogram(tiny, "v", buckets=3).count() == 1

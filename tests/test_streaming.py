@@ -81,3 +81,29 @@ def test_streaming_event_counts(spark, sf_dir, tmp_path):
     got = spark.sql("SELECT sum(n) AS n FROM evt_counts").collect()[0]
     want = spark.read.parquet(f"{sf_dir}/events.parquet").count()
     assert got["n"] == want
+
+
+def test_streaming_dedup_collapses_duplicates(spark, tmp_path):
+    """Streaming exact dedup: duplicated content across files
+    collapses to one row per distinct text (state-store dedup)."""
+    import shutil
+    from auctus_spark.streaming.dedup import streaming_dedup
+    src = tmp_path / "docs_stream"
+    src.mkdir()
+    pdf = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "alpha")],
+        "doc_id long, text string")
+    pdf.write.parquet(str(tmp_path / "seed"))
+    for f in (tmp_path / "seed").glob("*.parquet"):
+        shutil.copy(f, src / f.name)
+    schema = spark.read.parquet(str(tmp_path / "seed")).schema
+    stream = (spark.readStream.format("parquet").schema(schema)
+              .load(str(src)))
+    q = (streaming_dedup(stream).writeStream
+         .outputMode("append").format("memory")
+         .queryName("dedup_out").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("SELECT text, count(*) AS n FROM dedup_out "
+                    "GROUP BY text").collect()
+    assert {(r["text"], r["n"]) for r in got} == {("alpha", 1),
+                                                  ("beta", 1)}
