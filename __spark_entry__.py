@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from auctus_spark import pipeline  # noqa: E402
-from auctus_spark.analysis import SPLIT_PATTERN  # noqa: E402
+from auctus_spark.analysis import SPLIT_PATTERN, analyze_query  # noqa: E402
 
 
 def _ensure_workers_can_import(spark: SparkSession) -> None:
@@ -4851,6 +4851,164 @@ FROM documents
 """
 
 
+def _q_wordpiece_encode(spark, sf_dir):
+    """WordPiece (likelihood-score merges, greedy longest-match
+    encode).  Oracle = the same lossless round-trip property as
+    [bpe_encode]: '##' continuations mark word-internal pieces, so
+    stripping '##' and inserting a space before each word-initial
+    piece rebuilds the analyzed word stream."""
+    from auctus_spark.operators.bpe import train_wordpiece, wordpiece_encode
+    docs = _docs(spark, sf_dir)
+    vocab = train_wordpiece(docs, n_merges=30)
+    enc = wordpiece_encode(docs, vocab)
+    return enc.select(
+        "doc_id",
+        F.trim(F.concat_ws("", F.transform(
+            F.col("wp_tokens"),
+            lambda t: F.when(t.startswith("##"),
+                             t.substr(F.lit(3), F.length(t)))
+            .otherwise(F.concat(F.lit(" "), t)))))
+        .alias("text_rt"))
+
+
+def _q_rank_feature(spark, sf_dir):
+    """ES rank_feature query (saturation pivot=1000) over the
+    documents' n_chars feature — static-feature ranking, no text
+    match, one sargable scan."""
+    out = pipeline.rank_feature_topk(
+        _docs(spark, sf_dir), "n_chars", "saturation",
+        pivot=1000.0, k=50, round_to=6)
+    return out
+
+
+_RANK_FEATURE_SQL = """
+SELECT doc_id, round(n_chars / (n_chars + 1000.0), 6) AS score
+FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+ORDER BY round(n_chars / (n_chars + 1000.0), 6) DESC, doc_id ASC
+LIMIT 50
+"""
+
+_PINNED_IDS = [17, 3, 999_999_999]
+_PINNED_QUERY = "data join"
+
+
+def _q_pinned(spark, sf_dir):
+    """ES pinned query: ids [17, 3] promoted in given order (the
+    absent third id is skipped), then organic should-BM25 hits."""
+    return pipeline.pinned_topk(_docs(spark, sf_dir), _PINNED_IDS,
+                                _PINNED_QUERY, k=20)
+
+
+def _pinned_sql(ids: list[int], terms: list[str], k: int) -> str:
+    vals = ", ".join(f"({d}, {i})" for i, d in enumerate(ids))
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    idlist = ", ".join(str(d) for d in ids)
+    return f"""
+WITH pin(pid, p) AS (VALUES {vals}),
+pin2 AS (SELECT d.doc_id, p.p FROM pin p
+         JOIN documents d ON d.doc_id = p.pid),
+tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(text), '{SPLIT_PATTERN}'))
+           AS term
+  FROM documents
+), tok2 AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok2 GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT count(*) FROM tok2) * 1.0
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok2
+  WHERE term IN ({tlist}) GROUP BY doc_id, term
+),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+org AS (
+  SELECT tf.doc_id,
+         round(sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * (tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl
+                                        / s.avgdl)))), 6) AS score
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+       CROSS JOIN stats s
+  WHERE tf.doc_id NOT IN ({idlist})
+  GROUP BY tf.doc_id
+),
+orgk AS (
+  SELECT doc_id,
+         {len(ids)} + row_number()
+           OVER (ORDER BY score DESC, doc_id ASC) AS p
+  FROM org ORDER BY score DESC, doc_id ASC LIMIT {k}
+),
+unioned AS (
+  SELECT doc_id, p, TRUE AS pinned FROM pin2
+  UNION ALL
+  SELECT doc_id, p, FALSE AS pinned FROM orgk
+),
+ranked AS (
+  SELECT row_number() OVER (ORDER BY p ASC, doc_id ASC) AS rank,
+         doc_id, pinned
+  FROM unioned
+)
+SELECT CAST(rank AS INT) AS rank, doc_id, pinned FROM ranked
+WHERE rank <= {k}
+"""
+
+
+def _q_frequent_item_sets(spark, sf_dir):
+    """ES frequent_item_sets agg: market baskets = the distinct
+    event_types a user fires per day; closed frequent sets at 10%
+    support, sizes <= 3."""
+    from auctus_spark.operators.itemsets import frequent_item_sets
+    tx = (_t(spark, sf_dir, "events")
+          .groupBy("user_id", F.to_date("ts").alias("d"))
+          .agg(F.collect_set("event_type").alias("items")))
+    return frequent_item_sets(tx, "items", min_support=0.1,
+                              max_size=3, closed=True)
+
+
+_FREQUENT_ITEM_SETS_SQL = """
+WITH t1 AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS d,
+                   event_type AS i FROM events),
+n AS (SELECT count(*) AS n
+      FROM (SELECT DISTINCT user_id, d FROM t1)),
+minc AS (SELECT CAST(ceiling(0.1 * n) AS BIGINT) AS m FROM n),
+s1 AS (SELECT i, count(*) AS c FROM t1 GROUP BY i
+       HAVING count(*) >= (SELECT m FROM minc)),
+s2 AS (SELECT a.i AS i1, b.i AS i2, count(*) AS c
+       FROM t1 a JOIN t1 b ON a.user_id = b.user_id AND a.d = b.d
+       WHERE a.i < b.i GROUP BY a.i, b.i
+       HAVING count(*) >= (SELECT m FROM minc)),
+s3 AS (SELECT a.i AS i1, b.i AS i2, cc.i AS i3, count(*) AS c
+       FROM t1 a
+       JOIN t1 b ON a.user_id = b.user_id AND a.d = b.d
+       JOIN t1 cc ON a.user_id = cc.user_id AND a.d = cc.d
+       WHERE a.i < b.i AND b.i < cc.i GROUP BY a.i, b.i, cc.i
+       HAVING count(*) >= (SELECT m FROM minc)),
+closed1 AS (SELECT i FROM s1 WHERE NOT EXISTS (
+  SELECT 1 FROM s2 WHERE (s2.i1 = s1.i OR s2.i2 = s1.i)
+    AND s2.c = s1.c)),
+closed2 AS (SELECT i1, i2 FROM s2 WHERE NOT EXISTS (
+  SELECT 1 FROM s3 WHERE s3.c = s2.c
+    AND ((s3.i1 = s2.i1 AND s3.i2 = s2.i2)
+      OR (s3.i1 = s2.i1 AND s3.i3 = s2.i2)
+      OR (s3.i2 = s2.i1 AND s3.i3 = s2.i2)))),
+allsets AS (
+  SELECT s1.i AS items, 1 AS size, s1.c FROM s1
+    JOIN closed1 ON closed1.i = s1.i
+  UNION ALL
+  SELECT s2.i1 || ' ' || s2.i2, 2, s2.c FROM s2
+    JOIN closed2 ON closed2.i1 = s2.i1 AND closed2.i2 = s2.i2
+  UNION ALL
+  SELECT i1 || ' ' || i2 || ' ' || i3, 3, c FROM s3
+)
+SELECT items, size, c AS doc_count,
+       c * 1.0 / (SELECT n FROM n) AS support
+FROM allsets
+ORDER BY doc_count DESC, items ASC
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk_hot": _q_bm25_hot,
@@ -5021,6 +5179,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup": _q_streaming_dedup,
         "variable_width_histogram": _q_variable_width_histogram,
         "bpe_encode": _q_bpe_encode,
+        "wordpiece_encode": _q_wordpiece_encode,
+        "rank_feature": _q_rank_feature,
+        "pinned": _q_pinned,
+        "frequent_item_sets": _q_frequent_item_sets,
     }
 
 
@@ -6115,4 +6277,10 @@ def _oracle_sql_static() -> dict[str, str]:
         "streaming_dedup":
             "SELECT DISTINCT md5(text) AS text_hash FROM documents",
         "bpe_encode": _BPE_ENCODE_SQL,
+        "wordpiece_encode":
+            _BPE_ENCODE_SQL,  # same round-trip property
+        "rank_feature": _RANK_FEATURE_SQL,
+        "pinned": _pinned_sql(_PINNED_IDS,
+                              analyze_query(_PINNED_QUERY), 20),
+        "frequent_item_sets": _FREQUENT_ITEM_SETS_SQL,
     }

@@ -1373,3 +1373,103 @@ def terms_set_topk(docs: DataFrame, terms: list[str], msm_col,
                     score.alias("score"))
             .orderBy(F.desc("score"), F.asc(id_col))
             .limit(k))
+
+
+def rank_feature_topk(df: DataFrame, field: str,
+                      function: str = "saturation",
+                      pivot: float | None = None,
+                      exponent: float = 1.0,
+                      scaling_factor: float = 1.0,
+                      boost: float = 1.0, k: int = TOP_K_SIZE,
+                      id_col: str = "doc_id",
+                      round_to: int | None = None) -> DataFrame:
+    """ES ``rank_feature`` query: score docs by a static numeric
+    feature (pagerank, url_length, ...) without any text match.
+    Functions (ES 8.x set):
+
+    * ``saturation``: x / (x + pivot)
+    * ``log``:        ln(scaling_factor + x)
+    * ``sigmoid``:    x^exp / (x^exp + pivot^exp)
+    * ``linear``:     x   (the rank_features untransformed form)
+
+    score = boost * fn(x); docs with a null or non-positive feature
+    do not match (ES requires strictly positive rank_feature
+    values).  ES approximates a missing ``pivot`` with the field's
+    mean — here pivot is REQUIRED for saturation/sigmoid so the
+    score is a pure per-row expression (no hidden stats pass),
+    documented divergence.
+
+    Plan: ONE scan — sargable ``x > 0`` filter at the scan, the
+    transform folded into a literal JVM expression,
+    TakeOrderedAndProject(k).  No shuffle."""
+    x = F.col(field).cast("double")
+    if function == "saturation":
+        if pivot is None:
+            raise ValueError("saturation requires pivot")
+        s = x / (x + F.lit(float(pivot)))
+    elif function == "log":
+        s = F.log(F.lit(float(scaling_factor)) + x)
+    elif function == "sigmoid":
+        if pivot is None:
+            raise ValueError("sigmoid requires pivot")
+        xe = F.pow(x, F.lit(float(exponent)))
+        s = xe / (xe + F.lit(float(pivot) ** float(exponent)))
+    elif function == "linear":
+        s = x
+    else:
+        raise ValueError(f"unknown rank_feature function {function!r}")
+    score = F.lit(float(boost)) * s
+    if round_to is not None:
+        score = F.round(score, round_to)
+    return (df.filter(x.isNotNull() & (x > 0))
+            .select(F.col(id_col), score.alias("score"))
+            .orderBy(F.desc("score"), F.asc(id_col))
+            .limit(k))
+
+
+def pinned_topk(docs: DataFrame, ids: list[int], query: str,
+                k: int = TOP_K_SIZE, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """ES ``pinned`` query: the listed doc ids rank first, in the
+    given order (whether or not they match), followed by the organic
+    hits (should-style BM25, pinned docs excluded) in score order.
+    Pinned ids absent from the corpus are skipped (a doc that does
+    not exist cannot be returned).  Returns (rank, doc_id, pinned)
+    — rank carries the ES response ordering through the driver's
+    order-insensitive compare.
+
+    Plan: the pinned list is a literal-array lookup (no join — ES
+    caps pinned ids at 100); organic is the standard two-scan
+    pipeline with pinned ids filtered out at the scan; the union is
+    ≤ k + len(ids) rows, so the final rank window is a no-op-sized
+    single partition."""
+    from pyspark.sql import Window
+    spark = docs.sparkSession
+    pin_pos = {int(d): i for i, d in enumerate(ids)}
+    pos_expr = F.lit(len(ids))
+    for d, i in pin_pos.items():
+        pos_expr = F.when(F.col("doc_id") == d, i).otherwise(pos_expr)
+    pinned = (docs.select(F.col(id_col).alias("doc_id"))
+              .filter(F.col("doc_id").isin(list(pin_pos)))
+              .select("doc_id", pos_expr.alias("_pin"),
+                      F.lit(True).alias("pinned")))
+    organic = _or_scores(docs, query, [], id_col, text_col)
+    if organic is not None:
+        organic = (organic.filter(~F.col("doc_id").isin(list(pin_pos)))
+                   .orderBy(F.desc("score"), F.asc("doc_id"))
+                   .limit(k)
+                   .select("doc_id",
+                           (F.lit(len(ids))
+                            + F.row_number().over(
+                                Window.orderBy(F.desc("score"),
+                                               F.asc("doc_id"))))
+                           .alias("_pin"),
+                           F.lit(False).alias("pinned")))
+        both = pinned.unionByName(organic)
+    else:
+        both = pinned
+    w = Window.orderBy(F.asc("_pin"), F.asc("doc_id"))
+    return (both.select("doc_id", "pinned",
+                        F.row_number().over(w).alias("rank"))
+            .filter(F.col("rank") <= k)
+            .select("rank", "doc_id", "pinned"))

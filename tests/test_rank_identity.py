@@ -1855,3 +1855,54 @@ def test_span_or_and_containing_match_oracle(spark, built_positional):
     got_w = [int(r.doc_id) for r in eng.search_span_within(
         "the", ["import", "def"], big_slop=4, k=700).collect()]
     assert got_w == got_c
+
+
+def test_rank_feature_functions(spark):
+    """rank_feature: saturation/log/sigmoid/linear closed forms,
+    null and non-positive features never match."""
+    import math
+    from auctus_spark import pipeline
+    rows = [(1, 10.0), (2, 5.0), (3, 0.0), (4, None), (5, 2.0)]
+    df = spark.createDataFrame(rows, "doc_id long, pagerank double")
+    got = {r["doc_id"]: r["score"]
+           for r in pipeline.rank_feature_topk(
+               df, "pagerank", "saturation", pivot=5.0).collect()}
+    assert got == {1: pytest.approx(10 / 15), 2: pytest.approx(0.5),
+                   5: pytest.approx(2 / 7)}
+    lg = {r["doc_id"]: r["score"]
+          for r in pipeline.rank_feature_topk(
+              df, "pagerank", "log", scaling_factor=1.0,
+              boost=2.0).collect()}
+    assert lg[1] == pytest.approx(2 * math.log(11.0))
+    sig = {r["doc_id"]: r["score"]
+           for r in pipeline.rank_feature_topk(
+               df, "pagerank", "sigmoid", pivot=5.0,
+               exponent=2.0).collect()}
+    assert sig[2] == pytest.approx(0.5)
+    assert sig[1] == pytest.approx(100 / 125)
+    # top-k cut + ordering (score desc, id asc)
+    top = pipeline.rank_feature_topk(df, "pagerank", "linear",
+                                     k=2).collect()
+    assert [r["doc_id"] for r in top] == [1, 2]
+    with pytest.raises(ValueError):
+        pipeline.rank_feature_topk(df, "pagerank", "saturation")
+
+
+def test_pinned_query_ordering(spark):
+    """pinned: listed ids first in GIVEN order (even non-matching),
+    then organic hits excluding pinned; missing ids skipped."""
+    from auctus_spark import pipeline
+    rows = [(1, "join join join"), (2, "join join"),
+            (3, "join"), (4, "nothing here")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [(r["rank"], r["doc_id"], r["pinned"])
+           for r in pipeline.pinned_topk(
+               docs, [4, 2, 99], "join").collect()]
+    # 4 pinned (doesn't match), 2 pinned, 99 skipped (absent),
+    # then organic 1, 3 by score
+    assert got == [(1, 4, True), (2, 2, True),
+                   (3, 1, False), (4, 3, False)]
+    # no-match organic query -> pinned only
+    only = [(r["rank"], r["doc_id"])
+            for r in pipeline.pinned_topk(docs, [3], "zzz").collect()]
+    assert only == [(1, 3)]
