@@ -5009,6 +5009,135 @@ ORDER BY doc_count DESC, items ASC
 """
 
 
+def _q_geo_line(spark, sf_dir):
+    """ES geo_line agg: per-group tracks in sort order with the
+    smallest-sort truncation rule.  Coordinates are synthesized as
+    exact halves (n/2.0) so the double->string rendering is
+    identical between the JVM and DuckDB (no shortest-repr
+    divergence)."""
+    from auctus_spark.operators.geo import geo_line_agg
+    pts = _t(spark, sf_dir, "customer").select(
+        (F.col("c_custkey") % 25).alias("g"),
+        (((F.col("c_custkey") * 37) % 160) / 2.0 - 35.0).alias("lat"),
+        (((F.col("c_custkey") * 61) % 300) / 2.0 - 70.0).alias("lon"),
+        F.col("c_custkey").alias("s"))
+    return geo_line_agg(pts, "g", "lat", "lon", "s", size=5)
+
+
+_GEO_LINE_SQL = """
+WITH pts AS (
+  SELECT c_custkey % 25 AS g,
+         ((c_custkey * 37) % 160) / 2.0 - 35.0 AS lat,
+         ((c_custkey * 61) % 300) / 2.0 - 70.0 AS lon,
+         c_custkey AS s
+  FROM customer),
+r AS (SELECT *,
+        row_number() OVER (PARTITION BY g
+                           ORDER BY s, lon, lat) AS rn,
+        count(*) OVER (PARTITION BY g) AS n
+      FROM pts)
+SELECT g,
+       string_agg(CAST(lon AS VARCHAR) || ' ' || CAST(lat AS VARCHAR),
+                  ',' ORDER BY s, lon, lat) AS line,
+       max(n) AS point_count,
+       max(n) <= 5 AS complete
+FROM r WHERE rn <= 5
+GROUP BY g ORDER BY g
+"""
+
+
+def _q_categorize_text(spark, sf_dir):
+    """ES categorize_text over synthesized log lines ('user <id>
+    did <type>'): digit tokens mask to <num>, exact-template
+    grouping."""
+    from auctus_spark.operators.profiling import categorize_text
+    logs = _t(spark, sf_dir, "events").select(
+        F.concat(F.lit("user "), F.col("user_id").cast("string"),
+                 F.lit(" did "), F.col("event_type"))
+        .alias("text"))
+    return categorize_text(logs, "text")
+
+
+_CATEGORIZE_TEXT_SQL = f"""
+WITH logs AS (
+  SELECT 'user ' || CAST(user_id AS VARCHAR) || ' did ' || event_type
+           AS t
+  FROM events),
+cat AS (
+  SELECT array_to_string(
+           list_transform(
+             list_filter(regexp_split_to_array(lower(t),
+                         '{SPLIT_PATTERN}'), x -> x <> ''),
+             x -> CASE WHEN regexp_matches(x, '[0-9]')
+                       THEN '<num>' ELSE x END), ' ') AS category
+  FROM logs)
+SELECT category, count(*) AS doc_count
+FROM cat GROUP BY category
+ORDER BY doc_count DESC, category ASC
+"""
+
+
+def _q_change_point(spark, sf_dir):
+    """ES change_point (deterministic MAD-z spike/dip core) over the
+    daily event-count series."""
+    from auctus_spark.operators.profiling import change_point
+    daily = (_t(spark, sf_dir, "events")
+             .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+             .agg(F.count(F.lit(1)).alias("n")))
+    return change_point(daily, "day", "n", threshold=0.0)
+
+
+_CHANGE_POINT_SQL = """
+WITH s AS (SELECT strftime(ts, '%Y-%m-%d') AS key,
+                  CAST(count(*) AS DOUBLE) AS v
+           FROM events GROUP BY 1),
+m AS (SELECT median(v) AS med FROM s),
+d AS (SELECT key, v, abs(v - (SELECT med FROM m)) AS dev FROM s),
+mad AS (SELECT median(dev) AS mad FROM d)
+SELECT key, v AS value,
+       CASE WHEN v > (SELECT med FROM m) THEN 'spike'
+            ELSE 'dip' END AS type,
+       dev / (SELECT mad FROM mad) AS score
+FROM d
+WHERE (SELECT mad FROM mad) > 0
+  AND dev / (SELECT mad FROM mad) > 0
+ORDER BY score DESC, key ASC LIMIT 1
+"""
+
+
+def _q_scripted_metric(spark, sf_dir):
+    """ES scripted_metric (map-side combine shape): per-lang sum of
+    squared n_chars — integer-valued squares keep the float64 sum
+    exact, so partial-state merge order cannot perturb the result."""
+    import pandas as pd
+    from auctus_spark.operators.scripted import scripted_metric
+
+    def red(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"g": [pdf["g"].iloc[0]],
+                             "sum_sq": [float(pdf["ss"].sum())],
+                             "n": [int(pdf["n"].sum())]})
+
+    docs = _docs(spark, sf_dir).select(
+        "lang", F.col("n_chars").cast("long").alias("n_chars"))
+    return scripted_metric(
+        docs.withColumnRenamed("lang", "g").withColumnRenamed(
+            "n_chars", "v"),
+        lambda pdf: pdf.groupby("g", as_index=False).agg(
+            ss=("v", lambda s: float((s.astype("float64") ** 2)
+                                     .sum())),
+            n=("v", "size"))[["g", "ss", "n"]],
+        red, ["g"], "g string, ss double, n long",
+        "g string, sum_sq double, n long")
+
+
+_SCRIPTED_METRIC_SQL = """
+SELECT lang AS g,
+       sum(CAST(n_chars AS DOUBLE) * n_chars) AS sum_sq,
+       count(*) AS n
+FROM documents GROUP BY lang
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk_hot": _q_bm25_hot,
@@ -5183,6 +5312,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_feature": _q_rank_feature,
         "pinned": _q_pinned,
         "frequent_item_sets": _q_frequent_item_sets,
+        "geo_line": _q_geo_line,
+        "categorize_text": _q_categorize_text,
+        "change_point": _q_change_point,
+        "scripted_metric": _q_scripted_metric,
     }
 
 
@@ -6283,4 +6416,8 @@ def _oracle_sql_static() -> dict[str, str]:
         "pinned": _pinned_sql(_PINNED_IDS,
                               analyze_query(_PINNED_QUERY), 20),
         "frequent_item_sets": _FREQUENT_ITEM_SETS_SQL,
+        "geo_line": _GEO_LINE_SQL,
+        "categorize_text": _CATEGORIZE_TEXT_SQL,
+        "change_point": _CHANGE_POINT_SQL,
+        "scripted_metric": _SCRIPTED_METRIC_SQL,
     }

@@ -616,3 +616,46 @@ def geo_polygon_filter(df: DataFrame, lat_col: str, lon_col: str,
                    & (x < (xj - xi) * (y - yi) / (yj - yi) + xi))
         inside = F.when(crosses, ~inside).otherwise(inside)
     return df.filter(box & inside)
+
+
+def geo_line_agg(df: DataFrame, group_col: str, lat_col: str,
+                 lon_col: str, sort_col: str,
+                 size: int = 10) -> DataFrame:
+    """ES ``geo_line`` aggregation: per group, the LineString
+    connecting the group's points in ``sort_col`` order, truncated
+    to the ``size`` points with the SMALLEST sort values (the ES
+    truncation rule); ``complete`` is false when points were
+    dropped.  Sort ties break (sort, lon, lat) ascending —
+    documented (ES leaves ties unspecified).
+
+    Returns (group, line, point_count, complete) ordered by group,
+    where ``line`` is ``"lon lat,lon lat,..."`` (the WKT coordinate
+    list) and ``point_count`` counts ALL points pre-truncation.
+
+    Plan: ONE shuffle — a window rank per group caps state to
+    ``size`` rows BEFORE the collect (the groupBy reuses the
+    window's hash partitioning, so capping costs no extra
+    exchange), then sort_array over ≤ size structs rebuilds the
+    ordered line JVM-side.  No per-row Python."""
+    from pyspark.sql import Window
+    wall = Window.partitionBy(group_col)
+    pts = (df.select(group_col,
+                     F.col(sort_col).alias("_s"),
+                     F.col(lon_col).cast("double").alias("_lon"),
+                     F.col(lat_col).cast("double").alias("_lat"))
+           .withColumn("_rn", F.row_number().over(
+               Window.partitionBy(group_col).orderBy(
+                   F.asc("_s"), F.asc("_lon"), F.asc("_lat"))))
+           .withColumn("_n", F.count(F.lit(1)).over(wall))
+           .filter(F.col("_rn") <= size))
+    line = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(
+                F.struct(F.col("_s"), F.col("_lon"), F.col("_lat")))),
+            lambda p: F.concat(p["_lon"].cast("string"), F.lit(" "),
+                               p["_lat"].cast("string"))), ",")
+    return (pts.groupBy(group_col)
+            .agg(line.alias("line"),
+                 F.max("_n").alias("point_count"),
+                 (F.max("_n") <= size).alias("complete"))
+            .orderBy(group_col))

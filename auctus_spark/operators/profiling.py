@@ -1572,3 +1572,69 @@ def variable_width_histogram(df: DataFrame, col: str,
                  F.count(F.lit(1)).alias("doc_count"))
             .select("key", "min", "max", "doc_count")
             .orderBy("key"))
+
+
+def categorize_text(df: DataFrame, text_col: str = "text",
+                    k: int | None = None) -> DataFrame:
+    """ES ``categorize_text`` aggregation, deterministic variant:
+    group semi-structured text (log lines) into categories by token
+    template.  ES runs a proprietary drain-like incremental
+    clusterer; this uses the published normalization core all such
+    categorizers share — lowercase ``\\W+`` tokens, any token
+    containing a digit masked to ``<num>`` — and the category key
+    is the full masked token sequence (exact-template grouping:
+    strictly finer than ES's fuzzy merge, documented).
+
+    Returns (category, doc_count) ordered (doc_count desc,
+    category asc), top-k if given.  Plan: ONE scan — the mask is a
+    ``transform`` over the token array inside whole-stage codegen,
+    then a partial-agg groupBy on the template string."""
+    toks = F.filter(F.split(F.lower(F.col(text_col)), SPLIT_PATTERN),
+                    lambda x: x != "")
+    masked = F.transform(
+        toks, lambda t: F.when(t.rlike("[0-9]"),
+                               F.lit("<num>")).otherwise(t))
+    out = (df.select(F.array_join(masked, " ").alias("category"))
+           .groupBy("category")
+           .agg(F.count(F.lit(1)).alias("doc_count"))
+           .orderBy(F.desc("doc_count"), F.asc("category")))
+    return out.limit(k) if k is not None else out
+
+
+def change_point(df: DataFrame, key_col: str, value_col: str,
+                 threshold: float = 0.0) -> DataFrame:
+    """ES ``change_point`` aggregation, deterministic spike/dip
+    core: the bucket whose value deviates most from the series
+    median, scored in MAD units (robust z-score — the published
+    spike statistic; ES additionally fits step/trend models, out of
+    scope and documented).  Emits the single best bucket as
+    (key, value, type, score) — type 'spike' above the median,
+    'dip' below — when score > threshold; empty otherwise (or when
+    MAD is 0: a flat series has no change point).  Ties break on
+    key ascending.
+
+    Plan: two tiny aggregates (median, then MAD over the deviation
+    column) folded into driver literals + ONE TakeOrdered(1) scan —
+    the series is already an aggregated bucket table, never the raw
+    corpus."""
+    vals = df.select(F.col(key_col).alias("key"),
+                     F.col(value_col).cast("double").alias("v"))
+    med_row = vals.agg(F.median("v").alias("m")).collect()[0]
+    out_schema = "key " + dict(df.dtypes)[key_col] + \
+        ", value double, type string, score double"
+    if med_row["m"] is None:
+        return df.sparkSession.createDataFrame([], out_schema)
+    med = float(med_row["m"])
+    dev = vals.select("key", "v",
+                      F.abs(F.col("v") - F.lit(med)).alias("d"))
+    mad = float(dev.agg(F.median("d").alias("m")).collect()[0]["m"])
+    if mad == 0.0:
+        return df.sparkSession.createDataFrame([], out_schema)
+    return (dev.select(
+        "key", F.col("v").alias("value"),
+        F.when(F.col("v") > med, "spike").otherwise("dip")
+        .alias("type"),
+        (F.col("d") / F.lit(mad)).alias("score"))
+        .filter(F.col("score") > threshold)
+        .orderBy(F.desc("score"), F.asc("key"))
+        .limit(1))

@@ -333,3 +333,25 @@ def test_geo_polygon_ray_casting(spark):
     assert got == {(0.0, 0.0), (39.0, 0.0), (-39.9, 0.0)}
     with _pt.raises(ValueError):
         geo_polygon_filter(df, "lat", "lon", poly[:2])
+
+
+def test_geo_line_agg_order_truncation_ties(spark):
+    """geo_line: points connect in sort order, truncation keeps the
+    SMALLEST sort values, complete flag and pre-truncation count."""
+    from auctus_spark.operators.geo import geo_line_agg
+    rows = [("a", 3, 3.0, 30.0), ("a", 1, 1.0, 10.0),
+            ("a", 2, 2.0, 20.0), ("b", 1, 5.5, -4.0),
+            # tie on sort -> (lon, lat) asc breaks it
+            ("b", 1, 4.5, -4.0)]
+    df = spark.createDataFrame(
+        rows, "g string, s int, lon double, lat double")
+    got = {r["g"]: (r["line"], r["point_count"], r["complete"])
+           for r in geo_line_agg(df, "g", "lat", "lon", "s",
+                                 size=10).collect()}
+    assert got["a"] == ("1.0 10.0,2.0 20.0,3.0 30.0", 3, True)
+    assert got["b"] == ("4.5 -4.0,5.5 -4.0", 2, True)
+    cut = {r["g"]: (r["line"], r["point_count"], r["complete"])
+           for r in geo_line_agg(df, "g", "lat", "lon", "s",
+                                 size=2).collect()}
+    # smallest-sort points kept, count reports all 3
+    assert cut["a"] == ("1.0 10.0,2.0 20.0", 3, False)

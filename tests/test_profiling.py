@@ -765,3 +765,67 @@ def test_variable_width_histogram_adapts(spark):
     # fewer distinct values than buckets -> k collapses
     tiny = spark.createDataFrame([(1.0,), (1.0,)], "v double")
     assert variable_width_histogram(tiny, "v", buckets=3).count() == 1
+
+
+def test_categorize_text_templates(spark):
+    """categorize_text: digit-bearing tokens mask to <num>, exact
+    template grouping, (count desc, category asc) order."""
+    from auctus_spark.operators.profiling import categorize_text
+    rows = [("user 17 did click",), ("user 9 did click",),
+            ("user 17 did purchase",), ("heartbeat OK",)]
+    df = spark.createDataFrame(rows, "text string")
+    got = [(r["category"], r["doc_count"])
+           for r in categorize_text(df, "text").collect()]
+    assert got == [("user <num> did click", 2),
+                   ("heartbeat ok", 1),
+                   ("user <num> did purchase", 1)]
+    assert categorize_text(df, "text", k=1).count() == 1
+
+
+def test_change_point_spike_dip_flat(spark):
+    """change_point: MAD-unit robust z-score argmax; spike vs dip
+    typing; flat series yields no change point."""
+    from auctus_spark.operators.profiling import change_point
+    vals = [10.0, 11.0, 10.0, 9.0, 50.0, 10.0, 11.0]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "b int, v double")
+    r = change_point(df, "b", "v").collect()
+    assert len(r) == 1
+    # median 10, MAD = median(|v-10|) = 1 -> score 40
+    assert (r[0]["key"], r[0]["type"], r[0]["score"]) == (4, "spike",
+                                                          40.0)
+    dip = change_point(
+        spark.createDataFrame([(i, v) for i, v in enumerate(
+            [10.0, 11.0, 10.0, 9.0, -30.0, 10.0, 11.0])],
+            "b int, v double"), "b", "v").collect()[0]
+    assert dip["type"] == "dip"
+    flat = spark.createDataFrame([(0, 5.0), (1, 5.0), (2, 5.0)],
+                                 "b int, v double")
+    assert change_point(flat, "b", "v").collect() == []
+
+
+def test_scripted_metric_map_combine_reduce(spark):
+    """scripted_metric: per-partition partial states, per-group
+    reduce — sum of squares per group matches the closed form."""
+    import pandas as pd
+    from auctus_spark.operators.scripted import scripted_metric
+
+    def mc(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = pdf.groupby("g", as_index=False).agg(
+            ss=("v", lambda s: float((s * s).sum())),
+            n=("v", "size"))
+        return g[["g", "ss", "n"]]
+
+    def red(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"g": [pdf["g"].iloc[0]],
+                             "sum_sq": [float(pdf["ss"].sum())],
+                             "n": [int(pdf["n"].sum())]})
+
+    rows = [("a", 1.0), ("a", 2.0), ("b", 3.0), ("a", 4.0)]
+    df = spark.createDataFrame(rows, "g string, v double") \
+        .repartition(4)
+    got = {r["g"]: (r["sum_sq"], r["n"])
+           for r in scripted_metric(
+               df, mc, red, ["g"], "g string, ss double, n long",
+               "g string, sum_sq double, n long").collect()}
+    assert got == {"a": (21.0, 3), "b": (9.0, 1)}
