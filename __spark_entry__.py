@@ -5138,6 +5138,129 @@ FROM documents GROUP BY lang
 """
 
 
+def _q_has_child(spark, sf_dir):
+    """ES has_child query: customers having >= 2 open ('O') orders
+    above 150k, score_mode=sum over the matching orders' totalprice.
+    Child side filtered + partial-aggregated before the one join."""
+    from auctus_spark.operators import relations as R
+    out = R.has_child(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders"),
+        "c_custkey", "o_custkey",
+        "o_orderstatus = 'O' AND o_totalprice > 150000",
+        score_col="o_totalprice", score_mode="sum", min_children=2)
+    return out.select("c_custkey", "n_matching_children",
+                      F.round("score", 6).alias("score"))
+
+
+_HAS_CHILD_SQL = """
+SELECT o_custkey AS c_custkey,
+       count(*) AS n_matching_children,
+       round(sum(o_totalprice), 6) AS score
+FROM orders
+WHERE o_orderstatus = 'O' AND o_totalprice > 150000
+  AND o_custkey IN (SELECT c_custkey FROM customer)
+GROUP BY o_custkey
+HAVING count(*) >= 2
+"""
+
+
+def _q_has_parent(spark, sf_dir):
+    """ES has_parent query (score: true): orders whose parent
+    customer is in the BUILDING segment, each child inheriting the
+    parent's acctbal as parent_score.  Filtered parents broadcast —
+    the order fact table never shuffles."""
+    from auctus_spark.operators import relations as R
+    out = R.has_parent(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders"),
+        "c_custkey", "o_custkey", "c_mktsegment = 'BUILDING'",
+        score_col="c_acctbal")
+    return out.select("o_orderkey",
+                      F.round("parent_score", 6).alias("parent_score"))
+
+
+_HAS_PARENT_SQL = """
+SELECT o.o_orderkey, round(c.c_acctbal, 6) AS parent_score
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+"""
+
+
+def _q_nested_query(spark, sf_dir):
+    """ES nested query with inner_hits: fold each customer's orders
+    into an array-of-structs (the nested mapping), then match
+    customers owning at least one order that is BOTH status 'F' AND
+    > 200k within the SAME object — the per-object conjunction that
+    distinguishes nested from flattened-object semantics.  The match
+    itself is exists()/filter() inside the scan — no explode."""
+    from auctus_spark.operators import relations as R
+    nested = R.nest_children(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders"),
+        "c_custkey", "o_custkey", "kids",
+        ["o_orderstatus", "o_totalprice"])
+    hit = R.nested_query(
+        nested, "kids",
+        "x.o_orderstatus = 'F' AND x.o_totalprice > 200000",
+        inner_hits=True)
+    return hit.select("c_custkey",
+                      F.col("n_inner_hits").cast("long")
+                      .alias("n_inner_hits"))
+
+
+_NESTED_QUERY_SQL = """
+SELECT o_custkey AS c_custkey, count(*) AS n_inner_hits
+FROM orders
+WHERE o_orderstatus = 'F' AND o_totalprice > 200000
+  AND o_custkey IN (SELECT c_custkey FROM customer)
+GROUP BY o_custkey
+"""
+
+
+def _q_nested_agg(spark, sf_dir):
+    """ES nested aggregation + reverse_nested: bucket the nested
+    order objects by priority, per-bucket doc_count / sum / avg of
+    totalprice plus the reverse_nested count of parent customers."""
+    from auctus_spark.operators import relations as R
+    nested = R.nest_children(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders"),
+        "c_custkey", "o_custkey", "kids",
+        ["o_orderpriority", "o_totalprice"])
+    return R.nested_agg(nested, "kids", "o_orderpriority",
+                        "o_totalprice", "c_custkey")
+
+
+_NESTED_AGG_SQL = """
+SELECT o_orderpriority,
+       count(*) AS doc_count,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+         AS sum_metric,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+             / count(*), 6) AS avg_metric,
+       count(DISTINCT o_custkey) AS parent_doc_count
+FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer)
+GROUP BY o_orderpriority
+"""
+
+
+def _q_children_agg(spark, sf_dir):
+    """ES children aggregation: customer buckets by market segment,
+    each aggregating over the bucket's child orders; the (key ->
+    bucket) projection broadcasts onto the order table."""
+    from auctus_spark.operators import relations as R
+    return R.children_agg(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders"),
+        "c_custkey", "o_custkey", "c_mktsegment", "o_totalprice")
+
+
+_CHILDREN_AGG_SQL = """
+SELECT c.c_mktsegment, count(*) AS doc_count,
+       CAST(sum(CAST(o.o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+         AS sum_metric
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk_hot": _q_bm25_hot,
@@ -5316,6 +5439,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "categorize_text": _q_categorize_text,
         "change_point": _q_change_point,
         "scripted_metric": _q_scripted_metric,
+        "has_child": _q_has_child,
+        "has_parent": _q_has_parent,
+        "nested_query": _q_nested_query,
+        "nested_agg": _q_nested_agg,
+        "children_agg": _q_children_agg,
     }
 
 
@@ -6420,4 +6548,9 @@ def _oracle_sql_static() -> dict[str, str]:
         "categorize_text": _CATEGORIZE_TEXT_SQL,
         "change_point": _CHANGE_POINT_SQL,
         "scripted_metric": _SCRIPTED_METRIC_SQL,
+        "has_child": _HAS_CHILD_SQL,
+        "has_parent": _HAS_PARENT_SQL,
+        "nested_query": _NESTED_QUERY_SQL,
+        "nested_agg": _NESTED_AGG_SQL,
+        "children_agg": _CHILDREN_AGG_SQL,
     }
