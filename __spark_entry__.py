@@ -5261,6 +5261,49 @@ GROUP BY c.c_mktsegment
 """
 
 
+_SPARSE_WEIGHTS = {"data": 2.0, "join": 1.0, "vector": 0.5}
+
+
+def _q_sparse_vector(spark, sf_dir):
+    """ES sparse_vector query (ELSER-style weighted term expansion):
+    doc-side term->1+ln(tf) impact maps (the deterministic stand-in
+    for a neural expansion model), scored by the query-weight dot
+    product in given term order — one scan, no explode at query
+    time."""
+    from auctus_spark.operators import sparsevec as SV
+    feats = SV.sparse_features(_docs(spark, sf_dir))
+    return SV.sparse_vector_topk(feats, _SPARSE_WEIGHTS, k=50)
+
+
+_SPARSE_VECTOR_SQL = f"""
+WITH tok2 AS (
+  SELECT doc_id, t.term FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(lower(text), '[^a-z0-9_]+'))
+             AS term
+    FROM documents) t WHERE t.term <> ''
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok2
+  WHERE term IN ('data', 'join', 'vector') GROUP BY doc_id, term
+),
+piv AS (
+  SELECT doc_id,
+         max(CASE WHEN term = 'data'   THEN 1.0 + ln(tf) END) AS w1,
+         max(CASE WHEN term = 'join'   THEN 1.0 + ln(tf) END) AS w2,
+         max(CASE WHEN term = 'vector' THEN 1.0 + ln(tf) END) AS w3
+  FROM tf GROUP BY doc_id
+)
+SELECT doc_id,
+       round(coalesce(w1, 0) * 2.0 + coalesce(w2, 0) * 1.0
+             + coalesce(w3, 0) * 0.5, 6) AS score
+FROM piv
+ORDER BY round(coalesce(w1, 0) * 2.0 + coalesce(w2, 0) * 1.0
+               + coalesce(w3, 0) * 0.5, 6) DESC, doc_id ASC
+LIMIT 50
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk_hot": _q_bm25_hot,
@@ -5444,6 +5487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nested_query": _q_nested_query,
         "nested_agg": _q_nested_agg,
         "children_agg": _q_children_agg,
+        "sparse_vector": _q_sparse_vector,
     }
 
 
@@ -6553,4 +6597,5 @@ def _oracle_sql_static() -> dict[str, str]:
         "nested_query": _NESTED_QUERY_SQL,
         "nested_agg": _NESTED_AGG_SQL,
         "children_agg": _CHILDREN_AGG_SQL,
+        "sparse_vector": _SPARSE_VECTOR_SQL,
     }
