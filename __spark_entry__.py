@@ -5304,6 +5304,38 @@ LIMIT 50
 """
 
 
+_BAND_EXPR = ("CASE WHEN n_chars < 200 THEN 'short' "
+              "WHEN n_chars < 350 THEN 'med' ELSE 'long' END")
+
+
+def _q_runtime_global_facets(spark, sf_dir):
+    """ES runtime fields + global aggregation: a query-time computed
+    'band' field (no reindex) faceted over the filtered hit set AND
+    over the whole corpus via the scope-escaping global agg."""
+    from auctus_spark.query.search import SearchQuery, SearchService
+    svc = SearchService(_docs(spark, sf_dir),
+                        runtime_mappings={"band": _BAND_EXPR})
+    out = svc.search(SearchQuery(filters={"lang": ["en", "fr"]}),
+                     facets=["band"], global_facets=["band"])
+    f = out["facets"]["band"].withColumnRenamed("n", "filtered_n")
+    g = out["global_facets"]["band"].withColumnRenamed("n", "global_n")
+    return f.join(g, "band", "full")
+
+
+_RUNTIME_GLOBAL_SQL = f"""
+WITH f AS (
+  SELECT {_BAND_EXPR} AS band, count(*) AS filtered_n
+  FROM documents WHERE lang IN ('en', 'fr') GROUP BY 1
+),
+g AS (
+  SELECT {_BAND_EXPR} AS band, count(*) AS global_n
+  FROM documents GROUP BY 1
+)
+SELECT coalesce(f.band, g.band) AS band, f.filtered_n, g.global_n
+FROM f FULL JOIN g ON f.band = g.band
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk_hot": _q_bm25_hot,
@@ -5488,6 +5520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nested_agg": _q_nested_agg,
         "children_agg": _q_children_agg,
         "sparse_vector": _q_sparse_vector,
+        "runtime_global_facets": _q_runtime_global_facets,
     }
 
 
@@ -6598,4 +6631,5 @@ def _oracle_sql_static() -> dict[str, str]:
         "nested_agg": _NESTED_AGG_SQL,
         "children_agg": _CHILDREN_AGG_SQL,
         "sparse_vector": _SPARSE_VECTOR_SQL,
+        "runtime_global_facets": _RUNTIME_GLOBAL_SQL,
     }

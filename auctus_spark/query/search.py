@@ -42,6 +42,24 @@ class SearchQuery:
     exclude_ids: list = field(default_factory=list)          # must_not
     page: int = 1
     size: int = TOP_K_SIZE
+    post_filter: str = ""        # ES post_filter: hits only, not aggs
+
+
+def apply_runtime_fields(df: DataFrame,
+                         mappings: dict[str, str]) -> DataFrame:
+    """ES runtime fields: named expressions evaluated at query time,
+    usable in filters / sorts / aggregations without reindexing.  Each
+    mapping is a SQL expression over the document columns (and over
+    earlier runtime fields — they apply in given order, like ES
+    runtime mappings referencing other runtime fields).
+
+    Catalyst folds these into the scan projection — a runtime field
+    used only in a filter is collapsed into the pushed predicate and
+    costs no extra pass, which is exactly ES's "computed at query
+    time, paid only when accessed" contract."""
+    for name, expr in mappings.items():
+        df = df.withColumn(name, F.expr(expr))
+    return df
 
 
 class SearchService:
@@ -55,8 +73,10 @@ class SearchService:
 
     def __init__(self, docs: DataFrame, id_col: str = "doc_id",
                  text_col: str = "text",
-                 synonyms: dict[str, list[str]] | None = None):
-        self.docs = docs
+                 synonyms: dict[str, list[str]] | None = None,
+                 runtime_mappings: dict[str, str] | None = None):
+        self.docs = (apply_runtime_fields(docs, runtime_mappings)
+                     if runtime_mappings else docs)
         self.id_col = id_col
         self.text_col = text_col
         self.synonyms = synonyms
@@ -70,14 +90,24 @@ class SearchService:
         return d
 
     def search(self, q: SearchQuery,
-               facets: list[str] | None = None) -> dict:
+               facets: list[str] | None = None,
+               global_facets: list[str] | None = None) -> dict:
         """→ {hits: DataFrame(id, score), total_shown, facets:
         {col: DataFrame(value, n)}} with the reference's pagination
-        rules applied."""
+        rules applied.
+
+        ``q.post_filter`` (ES post_filter) narrows the HITS only —
+        facets still describe the pre-post_filter hit set, the
+        faceted-navigation contract ("show counts for every brand
+        while the user has one brand ticked").  ``global_facets``
+        (ES ``global`` aggregation) escape the query scope entirely:
+        counts over the whole corpus, ignoring query and filters."""
         if q.page * q.size > MAX_SCROLL:
             raise ValueError(
                 f"page*size exceeds the {MAX_SCROLL} scroll cap")
-        base = self._filtered(q)
+        agg_base = self._filtered(q)
+        base = (agg_base.where(F.expr(q.post_filter))
+                if q.post_filter else agg_base)
         if q.keywords.strip():
             if self.synonyms:
                 scored = pipeline.bm25_topk_synonyms(
@@ -107,11 +137,18 @@ class SearchService:
             # ES terms aggregations describe the FULL hit set, not the
             # page window (reference search/__init__.py:587-603) — one
             # scan over the filtered base, independent of pagination
+            # AND of post_filter (the ES post_filter contract).
             out["facets"] = {
                 c: pipeline.facet_counts(
-                    base, q.keywords, c,
+                    agg_base, q.keywords, c,
                     id_col=self.id_col, text_col=self.text_col)
                 for c in facets}
+        if global_facets:
+            # ES `global` agg: whole corpus, query and filters ignored
+            out["global_facets"] = {
+                c: self.docs.groupBy(c).agg(
+                    F.count(F.lit(1)).alias("n"))
+                for c in global_facets}
         return out
 
     def fuzzy_match(self, name_col: str, query: str,

@@ -112,3 +112,43 @@ def test_keyword_filter_boost(spark):
     got = {r.doc_id: r.score
            for r in keyword_filter_boost(df, "alpha beta").collect()}
     assert got == {1: 10.0}  # conjunctive filter, constant weight
+
+
+def test_runtime_fields_filter_and_facets(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    svc = SearchService(docs, runtime_mappings={
+        "band": ("CASE WHEN n_chars < 200 THEN 'short' "
+                 "WHEN n_chars < 350 THEN 'med' ELSE 'long' END"),
+        # runtime fields may reference earlier runtime fields
+        "is_short": "band = 'short'"})
+    r = svc.search(SearchQuery(filters={"is_short": [True]}, size=500),
+                   facets=["band"])
+    f = {x.band: x.n for x in r["facets"]["band"].collect()}
+    assert set(f) == {"short"}
+    expect = docs.filter("n_chars < 200").count()
+    assert f["short"] == expect == r["hits"].count()
+
+
+def test_post_filter_narrows_hits_not_facets(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    svc = SearchService(docs)
+    q = SearchQuery(filters={"lang": ["en"]},
+                    post_filter="n_chars >= 300", size=500)
+    r = svc.search(q, facets=["lang"])
+    n_en = docs.filter("lang = 'en'").count()
+    n_post = docs.filter("lang = 'en' AND n_chars >= 300").count()
+    assert r["hits"].count() == n_post < n_en
+    # facets ignore post_filter (ES contract)
+    assert {x.lang: x.n for x in r["facets"]["lang"].collect()} == \
+        {"en": n_en}
+
+
+def test_global_facets_escape_query_scope(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    svc = SearchService(docs)
+    r = svc.search(SearchQuery(filters={"lang": ["fr"]}, size=10),
+                   facets=["lang"], global_facets=["lang"])
+    g = {x.lang: x.n for x in r["global_facets"]["lang"].collect()}
+    assert g == {x.lang: x[1] for x in
+                 docs.groupBy("lang").count().collect()}
+    assert set(x.lang for x in r["facets"]["lang"].collect()) == {"fr"}
