@@ -5336,6 +5336,85 @@ FROM f FULL JOIN g ON f.band = g.band
 """
 
 
+def _daily_event_buckets(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy(F.date_trunc("day", "ts").alias("bucket_start"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.col("value").cast("decimal(28,6)"))
+                 .cast("double").alias("sum_value")))
+
+
+_DAILY_BUCKETS_SQL = """
+SELECT date_trunc('day', ts) AS bucket_start, count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1
+"""
+
+
+def _q_moving_percentiles(spark, sf_dir):
+    """ES moving_percentiles pipeline agg: trailing-7 window (shift=0,
+    current bucket excluded) p50/p90 over the daily event counts —
+    exact linear-interpolation percentile (documented divergence from
+    ES's TDigest merge; the window holds 7 aggregated values)."""
+    from auctus_spark.operators.profiling import moving_percentiles
+    b = _daily_event_buckets(spark, sf_dir)
+    out = moving_percentiles(b, "n", "bucket_start", window=7,
+                             percents=(50.0, 90.0))
+    return out.select("bucket_start", "n",
+                      F.round("p50", 6).alias("p50"),
+                      F.round("p90", 6).alias("p90"))
+
+
+_MOVING_PERCENTILES_SQL = f"""
+WITH b AS ({_DAILY_BUCKETS_SQL})
+SELECT bucket_start, n,
+       round(quantile_cont(n, 0.5) OVER w, 6) AS p50,
+       round(quantile_cont(n, 0.9) OVER w, 6) AS p90
+FROM b
+WINDOW w AS (ORDER BY bucket_start
+             ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+"""
+
+
+def _q_bucket_correlation(spark, sf_dir):
+    """ES bucket_correlation pipeline agg: Pearson r between the
+    daily doc counts and the sibling daily value sums — one reduce
+    over the bucket table."""
+    from auctus_spark.operators.profiling import bucket_correlation
+    return bucket_correlation(_daily_event_buckets(spark, sf_dir),
+                              "n", "sum_value")
+
+
+_BUCKET_CORRELATION_SQL = f"""
+WITH b AS ({_DAILY_BUCKETS_SQL})
+SELECT round(corr(n, sum_value), 6) AS correlation FROM b
+"""
+
+
+def _q_bucket_ks_test(spark, sf_dir):
+    """ES bucket_count_ks_test pipeline agg vs the uniform
+    alternative: deterministic KS D statistic over the ordered daily
+    buckets (ES's sampled p-values are stochastic — documented)."""
+    from auctus_spark.operators.profiling import bucket_count_ks_test
+    return bucket_count_ks_test(_daily_event_buckets(spark, sf_dir),
+                                "n", "bucket_start")
+
+
+_BUCKET_KS_SQL = f"""
+WITH b AS ({_DAILY_BUCKETS_SQL}),
+c AS (
+  SELECT sum(CAST(n AS DOUBLE)) OVER (ORDER BY bucket_start) AS cum,
+         sum(CAST(n AS DOUBLE)) OVER () AS tot,
+         row_number() OVER (ORDER BY bucket_start) AS i,
+         count(*) OVER () AS cnt
+  FROM b
+)
+SELECT round(max(abs(cum / tot - CAST(i AS DOUBLE) / cnt)), 6)
+         AS d_statistic
+FROM c
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk_hot": _q_bm25_hot,
@@ -5521,6 +5600,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "children_agg": _q_children_agg,
         "sparse_vector": _q_sparse_vector,
         "runtime_global_facets": _q_runtime_global_facets,
+        "moving_percentiles": _q_moving_percentiles,
+        "bucket_correlation": _q_bucket_correlation,
+        "bucket_ks_test": _q_bucket_ks_test,
     }
 
 
@@ -6632,4 +6714,7 @@ def _oracle_sql_static() -> dict[str, str]:
         "children_agg": _CHILDREN_AGG_SQL,
         "sparse_vector": _SPARSE_VECTOR_SQL,
         "runtime_global_facets": _RUNTIME_GLOBAL_SQL,
+        "moving_percentiles": _MOVING_PERCENTILES_SQL,
+        "bucket_correlation": _BUCKET_CORRELATION_SQL,
+        "bucket_ks_test": _BUCKET_KS_SQL,
     }

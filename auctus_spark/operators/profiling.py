@@ -1417,6 +1417,70 @@ def bucket_script(buckets: DataFrame, script: str,
     return buckets.withColumn(out_col, F.expr(script))
 
 
+def moving_percentiles(buckets: DataFrame, value_col: str = "count",
+                       order_col: str = "bucket_start",
+                       window: int = 7,
+                       percents: tuple[float, ...] = (50.0,)
+                       ) -> DataFrame:
+    """ES ``moving_percentiles`` pipeline aggregation: sliding-window
+    percentiles over the sibling histogram's ordered buckets, ES
+    ``shift=0`` frame (the ``window`` buckets strictly BEFORE the
+    current one; empty window → null).
+
+    Divergence documented: ES merges TDigest sketches across the
+    window (approximate); here the window is a handful of
+    already-aggregated bucket values, so the EXACT percentile (linear
+    interpolation, same as DuckDB ``quantile_cont``) is both cheaper
+    and better.  One pass over the bucket table."""
+    from pyspark.sql import Window
+    w = (Window.orderBy(F.asc(order_col))
+         .rowsBetween(-window, -1))
+    out = buckets
+    for p in percents:
+        out = out.withColumn(
+            f"p{p:g}".replace(".", "_"),
+            F.expr(f"percentile({value_col}, {p / 100.0})").over(w))
+    return out
+
+
+def bucket_correlation(buckets: DataFrame, value_col: str,
+                       metric_col: str) -> DataFrame:
+    """ES ``bucket_correlation`` pipeline aggregation: Pearson
+    correlation between the per-bucket doc counts and a sibling
+    metric series (ES's ``count_correlation`` with the indicator
+    taken from a sibling metric rather than a caller-supplied
+    array — same algebra, self-contained).  One reduce over the
+    bucket table → one row."""
+    return buckets.agg(
+        F.round(F.corr(F.col(value_col).cast("double"),
+                       F.col(metric_col).cast("double")), 6)
+        .alias("correlation"))
+
+
+def bucket_count_ks_test(buckets: DataFrame,
+                         value_col: str = "count",
+                         order_col: str = "bucket_start") -> DataFrame:
+    """ES ``bucket_count_ks_test`` pipeline aggregation against the
+    uniform alternative: the Kolmogorov-Smirnov statistic
+    ``D = max |ecdf(counts) - uniform_cdf|`` where ecdf is the
+    cumulative count fraction over the ordered buckets and the
+    uniform CDF is ``i/n``.  Emits the deterministic D statistic
+    (ES's sampled p-values are stochastic — divergence documented);
+    two window passes over the tiny bucket table, one reduce."""
+    from pyspark.sql import Window
+    w = Window.orderBy(F.asc(order_col)) \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    total = F.sum(F.col(value_col).cast("double")) \
+        .over(Window.partitionBy())
+    ecdf = (F.sum(F.col(value_col).cast("double")).over(w) / total)
+    n = F.count(F.lit(1)).over(Window.partitionBy())
+    unif = (F.row_number().over(Window.orderBy(F.asc(order_col)))
+            .cast("double") / n)
+    return (buckets
+            .select(F.abs(ecdf - unif).alias("_d"))
+            .agg(F.round(F.max("_d"), 6).alias("d_statistic")))
+
+
 def bucket_selector(buckets: DataFrame, predicate: str) -> DataFrame:
     """ES ``bucket_selector`` pipeline aggregation: keep buckets whose
     metrics satisfy the script predicate (a Spark SQL boolean

@@ -829,3 +829,43 @@ def test_scripted_metric_map_combine_reduce(spark):
                df, mc, red, ["g"], "g string, ss double, n long",
                "g string, sum_sq double, n long").collect()}
     assert got == {"a": (21.0, 3), "b": (9.0, 1)}
+
+
+def test_moving_percentiles(spark):
+    from auctus_spark.operators.profiling import moving_percentiles
+    b = spark.createDataFrame(
+        [(i, v) for i, v in enumerate([10, 20, 30, 40, 50])],
+        "bucket_start int, n int")
+    out = moving_percentiles(b, "n", "bucket_start", window=3,
+                             percents=(50.0, 100.0)) \
+        .orderBy("bucket_start").collect()
+    # shift=0 frame: strictly-before window; first bucket null
+    assert out[0].p50 is None
+    assert out[1].p50 == 10.0            # window [10]
+    assert out[2].p50 == 15.0            # [10,20] -> interpolated
+    assert out[3].p50 == 20.0            # [10,20,30]
+    assert out[4].p50 == 30.0            # [20,30,40]
+    assert out[4].p100 == 40.0
+
+
+def test_bucket_correlation(spark):
+    from auctus_spark.operators.profiling import bucket_correlation
+    b = spark.createDataFrame(
+        [(1, 2.0), (2, 4.0), (3, 6.0)], "n int, m double")
+    assert bucket_correlation(b, "n", "m").first().correlation == 1.0
+    b2 = spark.createDataFrame(
+        [(1, 6.0), (2, 4.0), (3, 2.0)], "n int, m double")
+    assert bucket_correlation(b2, "n", "m").first().correlation == -1.0
+
+
+def test_bucket_count_ks_test(spark):
+    from auctus_spark.operators.profiling import bucket_count_ks_test
+    # perfectly uniform counts -> ecdf == uniform cdf -> D == 0
+    u = spark.createDataFrame([(i, 5) for i in range(4)],
+                              "bucket_start int, n int")
+    assert bucket_count_ks_test(u, "n").first().d_statistic == 0.0
+    # all mass in the first bucket -> D = 1 - 1/n
+    s = spark.createDataFrame([(0, 100), (1, 0), (2, 0), (3, 0)],
+                              "bucket_start int, n int")
+    assert s.count() == 4
+    assert bucket_count_ks_test(s, "n").first().d_statistic == 0.75
