@@ -5415,6 +5415,166 @@ FROM c
 """
 
 
+def _cust_boxes(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        F.col("c_custkey").alias("cand_id"),
+        ((F.col("c_custkey") % 60) - 30).cast("double").alias("min_lon"),
+        ((F.col("c_custkey") % 40) - 20).cast("double").alias("min_lat"),
+        ((F.col("c_custkey") % 60) - 30 + 1 + (F.col("c_custkey") % 5))
+        .cast("double").alias("max_lon"),
+        ((F.col("c_custkey") % 40) - 20 + 1 + (F.col("c_custkey") % 3))
+        .cast("double").alias("max_lat"))
+
+
+_CUST_BOXES_SQL = """
+SELECT c_custkey AS cand_id,
+       CAST((c_custkey % 60) - 30 AS DOUBLE) AS min_lon,
+       CAST((c_custkey % 40) - 20 AS DOUBLE) AS min_lat,
+       CAST((c_custkey % 60) - 30 + 1 + (c_custkey % 5) AS DOUBLE)
+         AS max_lon,
+       CAST((c_custkey % 40) - 20 + 1 + (c_custkey % 3) AS DOUBLE)
+         AS max_lat
+FROM customer
+"""
+
+
+def _q_geo_shape_envelope(spark, sf_dir):
+    """ES geo_shape query, envelope shape, relation=within: indexed
+    boxes entirely inside ((10, -25), (-10, 20)) — pure sargable
+    interval algebra on the four box columns."""
+    from auctus_spark.operators.geo import geo_shape_envelope_filter
+    return geo_shape_envelope_filter(
+        _cust_boxes(spark, sf_dir), ((10.0, -25.0), (-10.0, 20.0)),
+        "within")
+
+
+_GEO_SHAPE_SQL = f"""
+WITH b AS ({_CUST_BOXES_SQL})
+SELECT * FROM b
+WHERE min_lat >= -10.0 AND max_lat <= 10.0
+  AND min_lon >= -25.0 AND max_lon <= 20.0
+"""
+
+
+def _q_terms_lookup(spark, sf_dir):
+    """ES terms lookup: the filter's value list is READ FROM another
+    document (here: the per-lang source list, looked up for 'fr'),
+    then applied as an ordinary pushed terms filter."""
+    from auctus_spark.query.search import terms_lookup_filter
+    docs = _docs(spark, sf_dir)
+    lookup = docs.groupBy("lang").agg(
+        F.collect_set("source").alias("sources"))
+    out = terms_lookup_filter(docs, "source", lookup, "lang", "fr",
+                              "sources")
+    return out.select("doc_id", "source")
+
+
+_TERMS_LOOKUP_SQL = """
+SELECT doc_id, source FROM documents
+WHERE source IN (SELECT DISTINCT source FROM documents
+                 WHERE lang = 'fr')
+"""
+
+
+def _q_search_template(spark, sf_dir):
+    """ES search template: mustache-subset render ({{var}} +
+    conditional section) driver-side, then the rendered query runs
+    the normal conjunctive BM25 compiler."""
+    from auctus_spark.query.querystring import render_search_template
+    q = render_search_template(
+        "{{a}}{{#b}} {{b}}{{/b}}", {"a": "data", "b": "join"})
+    return pipeline.bm25_topk(_docs(spark, sf_dir), q, k=50,
+                              round_to=6)
+
+
+def _q_collapse_inner_hits(spark, sf_dir):
+    """ES field collapsing with inner_hits: top-5 source groups by
+    their best 'join' hit, each carrying its own top-2 hits."""
+    return pipeline.collapse_inner_hits_topk(
+        _docs(spark, sf_dir), "join", "source", k=5, inner_size=2)
+
+
+def _collapse_inner_sql(terms: list[str], k: int, inner: int) -> str:
+    base = _bm25_sql(terms, k=10 ** 9)
+    # keep the scored CTE, replace the final SELECT with windows
+    head = base[:base.rindex("SELECT doc_id")]
+    return f"""{head},
+conj AS (
+  SELECT doc_id, round(raw_score, 6) AS score FROM scored
+  WHERE nt = {len(terms)}
+),
+ranked AS (
+  SELECT d.source, c.doc_id, c.score,
+         row_number() OVER (PARTITION BY d.source
+                            ORDER BY c.score DESC, c.doc_id ASC)
+           AS inner_rank
+  FROM conj c JOIN documents d USING (doc_id)
+),
+leads AS (
+  SELECT source FROM ranked WHERE inner_rank = 1
+  ORDER BY score DESC, doc_id ASC LIMIT {k}
+)
+SELECT r.source, r.doc_id, r.score, r.inner_rank
+FROM ranked r JOIN leads USING (source)
+WHERE r.inner_rank <= {inner}
+"""
+
+
+_EVENT_IP = ("concat('10.', CAST(user_id % 256 AS STRING), '.', "
+             "CAST((user_id * 7) % 256 AS STRING), '.', "
+             "CAST((user_id * 13) % 256 AS STRING))")
+_EVENT_IP_DUCK = ("'10.' || CAST(user_id % 256 AS VARCHAR) || '.' || "
+                  "CAST((user_id * 7) % 256 AS VARCHAR) || '.' || "
+                  "CAST((user_id * 13) % 256 AS VARCHAR)")
+
+
+def _q_ip_range(spark, sf_dir):
+    """ES ip_range agg (IPv4, from inclusive / to exclusive, empty
+    buckets emitted): one conditional-agg scan, stack-unpivoted."""
+    from auctus_spark.operators.profiling import ip_range_agg
+    ev = _t(spark, sf_dir, "events").withColumn("ip",
+                                                F.expr(_EVENT_IP))
+    return ip_range_agg(ev, "ip", [("10.0.0.0", "10.64.0.0"),
+                                   ("10.64.0.0", "10.192.0.0"),
+                                   ("10.192.0.0", None)])
+
+
+_IP_RANGE_SQL = f"""
+WITH e AS (SELECT {_EVENT_IP_DUCK} AS ip FROM events),
+p AS (SELECT CAST(string_split(ip, '.')[1] AS BIGINT) * 16777216
+           + CAST(string_split(ip, '.')[2] AS BIGINT) * 65536
+           + CAST(string_split(ip, '.')[3] AS BIGINT) * 256
+           + CAST(string_split(ip, '.')[4] AS BIGINT) AS ipl FROM e)
+SELECT '10.0.0.0-10.64.0.0' AS key,
+       count(*) FILTER (ipl >= 167772160 AND ipl < 171966464)
+         AS doc_count FROM p
+UNION ALL
+SELECT '10.64.0.0-10.192.0.0',
+       count(*) FILTER (ipl >= 171966464 AND ipl < 180355072) FROM p
+UNION ALL
+SELECT '10.192.0.0-*',
+       count(*) FILTER (ipl >= 180355072) FROM p
+"""
+
+
+def _q_ip_prefix(spark, sf_dir):
+    """ES ip_prefix agg: /16 network buckets in CIDR form, one
+    partial-aggregated shuffle on the masked key."""
+    from auctus_spark.operators.profiling import ip_prefix_agg
+    ev = _t(spark, sf_dir, "events").withColumn("ip",
+                                                F.expr(_EVENT_IP))
+    return ip_prefix_agg(ev, "ip", 16)
+
+
+_IP_PREFIX_SQL = f"""
+WITH e AS (SELECT {_EVENT_IP_DUCK} AS ip FROM events)
+SELECT '10.' || string_split(ip, '.')[2] || '.0.0/16' AS prefix,
+       count(*) AS doc_count
+FROM e GROUP BY 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk_hot": _q_bm25_hot,
@@ -5603,6 +5763,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "moving_percentiles": _q_moving_percentiles,
         "bucket_correlation": _q_bucket_correlation,
         "bucket_ks_test": _q_bucket_ks_test,
+        "geo_shape_envelope": _q_geo_shape_envelope,
+        "terms_lookup": _q_terms_lookup,
+        "search_template": _q_search_template,
+        "collapse_inner_hits": _q_collapse_inner_hits,
+        "ip_range": _q_ip_range,
+        "ip_prefix": _q_ip_prefix,
     }
 
 
@@ -6717,4 +6883,10 @@ def _oracle_sql_static() -> dict[str, str]:
         "moving_percentiles": _MOVING_PERCENTILES_SQL,
         "bucket_correlation": _BUCKET_CORRELATION_SQL,
         "bucket_ks_test": _BUCKET_KS_SQL,
+        "geo_shape_envelope": _GEO_SHAPE_SQL,
+        "terms_lookup": _TERMS_LOOKUP_SQL,
+        "search_template": _bm25_sql(["data", "join"], 50),
+        "collapse_inner_hits": _collapse_inner_sql(["join"], 5, 2),
+        "ip_range": _IP_RANGE_SQL,
+        "ip_prefix": _IP_PREFIX_SQL,
     }

@@ -659,3 +659,51 @@ def geo_line_agg(df: DataFrame, group_col: str, lat_col: str,
                  F.max("_n").alias("point_count"),
                  (F.max("_n") <= size).alias("complete"))
             .orderBy(group_col))
+
+
+_SHAPE_RELATIONS = ("intersects", "within", "contains", "disjoint")
+
+
+def geo_shape_envelope_filter(df: DataFrame, envelope,
+                              relation: str = "intersects",
+                              min_lat: str = "min_lat",
+                              min_lon: str = "min_lon",
+                              max_lat: str = "max_lat",
+                              max_lon: str = "max_lon") -> DataFrame:
+    """ES ``geo_shape`` query with an ``envelope`` shape: rows whose
+    indexed bounding box stands in ``relation`` to the query envelope
+    ``((top_left_lat, top_left_lon), (bottom_right_lat,
+    bottom_right_lon))`` — ES envelope corner convention.
+
+    Relations (ES spatial_relation):
+
+    - ``intersects`` (default): boxes share any point;
+    - ``within``: the document box lies entirely inside the envelope;
+    - ``contains``: the document box contains the whole envelope;
+    - ``disjoint``: no shared point.
+
+    All four are pure interval algebra on the four box columns —
+    sargable conjunctions pushed to the scan (``disjoint`` is the
+    negation of intersects, still a scan predicate; like ES it must
+    examine non-matching docs, so it is the one relation that cannot
+    prune).  Antimeridian-crossing envelopes are not supported here
+    (documented; split the envelope like geo_bounding_box_filter)."""
+    if relation not in _SHAPE_RELATIONS:
+        raise ValueError(f"relation must be one of {_SHAPE_RELATIONS}")
+    (q_top, q_left), (q_bot, q_right) = envelope
+    if q_left > q_right:
+        raise ValueError("antimeridian-crossing envelope unsupported; "
+                         "split into two queries")
+    lo_lat, lo_lon = F.col(min_lat), F.col(min_lon)
+    hi_lat, hi_lon = F.col(max_lat), F.col(max_lon)
+    intersects = ((lo_lat <= F.lit(q_top)) & (hi_lat >= F.lit(q_bot))
+                  & (lo_lon <= F.lit(q_right))
+                  & (hi_lon >= F.lit(q_left)))
+    within = ((lo_lat >= F.lit(q_bot)) & (hi_lat <= F.lit(q_top))
+              & (lo_lon >= F.lit(q_left)) & (hi_lon <= F.lit(q_right)))
+    contains = ((lo_lat <= F.lit(q_bot)) & (hi_lat >= F.lit(q_top))
+                & (lo_lon <= F.lit(q_left))
+                & (hi_lon >= F.lit(q_right)))
+    pred = {"intersects": intersects, "within": within,
+            "contains": contains, "disjoint": ~intersects}[relation]
+    return df.filter(pred)

@@ -1702,3 +1702,64 @@ def change_point(df: DataFrame, key_col: str, value_col: str,
         .filter(F.col("score") > threshold)
         .orderBy(F.desc("score"), F.asc("key"))
         .limit(1))
+
+
+def _ipv4_to_long(col):
+    """Dotted-quad IPv4 → 32-bit integer, pure JVM expressions (the
+    same arithmetic the SQL oracles rerun)."""
+    p = F.split(col, r"\.")
+    return (p[0].cast("long") * 16777216 + p[1].cast("long") * 65536
+            + p[2].cast("long") * 256 + p[3].cast("long"))
+
+
+def ip_range_agg(df: DataFrame, ip_col: str,
+                 ranges: list[tuple[str | None, str | None]]
+                 ) -> DataFrame:
+    """ES ``ip_range`` aggregation (IPv4): one bucket per (from, to)
+    range — ``from`` inclusive, ``to`` exclusive, ES's convention;
+    an open end is unbounded.  Buckets with zero docs are still
+    emitted (ES keyed-response behavior).
+
+    ONE scan: every range folds to a conditional partial-agg column,
+    then the single agg row unpivots to (key, doc_count) rows via
+    stack — no per-range rescan, no shuffle beyond the one reduce."""
+    ip = _ipv4_to_long(F.col(ip_col))
+
+    def _long(s):
+        a, b, c, d = (int(x) for x in s.split("."))
+        return a * 16777216 + b * 65536 + c * 256 + d
+
+    aggs, keys = [], []
+    for i, (frm, to) in enumerate(ranges):
+        cond = F.lit(True)
+        if frm is not None:
+            cond = cond & (ip >= F.lit(_long(frm)))
+        if to is not None:
+            cond = cond & (ip < F.lit(_long(to)))
+        aggs.append(F.sum(F.when(cond, 1).otherwise(0))
+                    .alias(f"_c{i}"))
+        keys.append(f"{frm or '*'}-{to or '*'}")
+    one = df.agg(*aggs)
+    pairs = ", ".join(f"'{k}', _c{i}" for i, k in enumerate(keys))
+    return one.selectExpr(
+        f"stack({len(keys)}, {pairs}) AS (key, doc_count)")
+
+
+def ip_prefix_agg(df: DataFrame, ip_col: str,
+                  prefix_length: int = 16) -> DataFrame:
+    """ES ``ip_prefix`` aggregation (IPv4): bucket by the network
+    prefix of ``prefix_length`` bits; key is the masked address in
+    CIDR form.  One scan + one partial-aggregated shuffle on the
+    (≤2^prefix_length-cardinality) prefix key."""
+    if not 0 < prefix_length <= 32:
+        raise ValueError("prefix_length must be in 1..32")
+    ip = _ipv4_to_long(F.col(ip_col))
+    mask = (0xFFFFFFFF << (32 - prefix_length)) & 0xFFFFFFFF
+    m = ip.bitwiseAND(F.lit(mask))
+    key = F.concat_ws(
+        ".",
+        F.shiftright(m, 24) % 256, F.shiftright(m, 16) % 256,
+        F.shiftright(m, 8) % 256, m % 256)
+    return (df.groupBy(F.concat(key, F.lit(f"/{prefix_length}"))
+                       .alias("prefix"))
+            .agg(F.count(F.lit(1)).alias("doc_count")))

@@ -1473,3 +1473,61 @@ def pinned_topk(docs: DataFrame, ids: list[int], query: str,
                         F.row_number().over(w).alias("rank"))
             .filter(F.col("rank") <= k)
             .select("rank", "doc_id", "pinned"))
+
+
+def collapse_inner_hits_topk(docs: DataFrame, query: str,
+                             collapse_col: str, k: int = TOP_K_SIZE,
+                             inner_size: int = 3,
+                             id_col: str = "doc_id",
+                             text_col: str = "text",
+                             round_to: int = 6) -> DataFrame:
+    """ES field collapsing with ``inner_hits``: the global top-k is
+    one group (collapse value) per slot, chosen by its best hit, and
+    each selected group carries its own top-``inner_size`` hits
+    (score desc, doc_id asc — Lucene's collapse tie-break).
+
+    Returns (collapse value, doc_id, score, inner_rank) — the lead
+    hit is inner_rank 1.  Scale shape: ONE conjunctive-scorer scan,
+    ONE window partitioned by the collapse key (distributed — no
+    global window), a TakeOrdered(k) over the ≤|groups| lead rows,
+    and the ≤k selected group keys broadcast back onto the ranked
+    rows.  Scores round to ``round_to`` BEFORE ranking (the
+    cross-engine ordering contract)."""
+    from pyspark.sql import Window
+    spark = docs.sparkSession
+    terms = analyze_query(query)
+    empty = spark.createDataFrame(
+        [], f"{collapse_col} string, {id_col} long, score double, "
+            f"inner_rank int")
+    if not terms:
+        return empty
+    n_docs, avgdl, dfs = _query_stats(docs, terms, text_col)
+    if n_docs == 0 or any(d == 0 for d in dfs):
+        return empty
+    idfs = [bm25_idf(n_docs, d) for d in dfs]
+    qarr = F.array(*[F.lit(t) for t in terms])
+    cond = (F.size(F.array_intersect(_toks(F.col(text_col)), qarr))
+            == len(terms))
+    per_doc = (docs.filter(cond)
+               .select(F.col(id_col).alias("doc_id"),
+                       F.col(collapse_col),
+                       _toks(F.col(text_col)).alias("_toks"))
+               .select("doc_id", collapse_col,
+                       F.size("_toks").alias("_dl"),
+                       *[_tf(i, t) for i, t in enumerate(terms)]))
+    scored = per_doc.select(
+        "doc_id", collapse_col,
+        F.round(_score_expr(terms, idfs, avgdl), round_to)
+        .alias("score"))
+    w = Window.partitionBy(collapse_col).orderBy(
+        F.desc("score"), F.asc("doc_id"))
+    ranked = scored.withColumn("inner_rank",
+                               F.row_number().over(w)) \
+        .filter(F.col("inner_rank") <= inner_size)
+    leads = (ranked.filter(F.col("inner_rank") == 1)
+             .orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+             .select(collapse_col))
+    out = ranked.join(F.broadcast(leads), collapse_col, "inner")
+    return out.select(collapse_col,
+                      F.col("doc_id").alias(id_col), "score",
+                      "inner_rank")

@@ -569,3 +569,30 @@ def percolate(docs: DataFrame, queries: list[tuple[int, str]],
                        F.explode(matches).alias("query_id"))
             .select(F.col("query_id").cast("long"),
                     F.col("doc_id").alias(id_col)))
+
+
+def render_search_template(template: str, params: dict) -> str:
+    """ES *search template* rendering (the mustache subset search
+    templates actually use): ``{{var}}`` substitution, ``{{#var}}…
+    {{/var}}`` conditional sections (kept when the param is truthy,
+    with inner ``{{var}}`` expansion) and ``{{^var}}…{{/var}}``
+    inverted sections (kept when the param is falsy/absent).  Missing
+    plain variables render empty, like mustache.
+
+    Rendering is driver-side string work on a ~1 KB template — the
+    rendered query then runs through the normal compilers
+    (query_string_topk, bm25_topk, …), so templates add zero cost to
+    the distributed plan."""
+    import re as _re
+
+    def _section(m):
+        neg, name, body = m.group(1) == "^", m.group(2), m.group(3)
+        val = params.get(name)
+        keep = (not val) if neg else bool(val)
+        return body if keep else ""
+
+    out = _re.sub(r"\{\{([#^])(\w+)\}\}(.*?)\{\{/\2\}\}",
+                  _section, template, flags=_re.DOTALL)
+    out = _re.sub(r"\{\{(\w+)\}\}",
+                  lambda m: str(params.get(m.group(1), "")), out)
+    return out

@@ -243,3 +243,22 @@ def keyword_filter_boost(docs: DataFrame, query: str, weight: float = 10.0,
             .filter(F.col("nt") == len(terms)))
     return hits.select(F.col("doc_id").alias(id_col),
                        F.lit(float(weight)).alias("score"))
+
+
+def terms_lookup_filter(df: DataFrame, col: str, lookup_df: DataFrame,
+                        lookup_id_col: str, lookup_id,
+                        path_col: str) -> DataFrame:
+    """ES ``terms`` query with *terms lookup*: the value list comes
+    from another document's array field ({index, id, path}) instead
+    of the request body.  ES executes this as a single GET on the
+    lookup doc followed by an ordinary terms filter — mirrored here:
+    ONE driver-side fetch of one row (bounded by contract: lookup ids
+    are unique keys), then a pushed ``isin`` on the fact scan.  An
+    absent lookup doc or empty list matches nothing (ES contract)."""
+    row = (lookup_df.where(F.col(lookup_id_col) == F.lit(lookup_id))
+           .select(path_col).first())
+    vals = list(row[0]) if row is not None and row[0] is not None \
+        else []
+    if not vals:
+        return df.where(F.lit(False))
+    return df.where(F.col(col).isin(vals))
