@@ -5575,6 +5575,34 @@ FROM e GROUP BY 1
 """
 
 
+def _q_index_sorted_topk(spark, sf_dir):
+    """ES index sorting + early termination (index.sort.field):
+    documents laid out range-partitioned + sorted by n_chars desc;
+    the top-50 reads only the exact file prefix the manifest proves
+    sufficient (boundary ties included) instead of sorting the
+    corpus."""
+    import hashlib as _h
+    import os as _os
+
+    from auctus_spark.index.static_sort import (MANIFEST, topk_sorted,
+                                                write_sorted_table)
+    tag = _h.md5(sf_dir.encode()).hexdigest()[:10]
+    path = f"/tmp/auctus_sorted_{tag}"
+    if not _os.path.exists(_os.path.join(path, MANIFEST)):
+        write_sorted_table(
+            _docs(spark, sf_dir).select("doc_id", "n_chars"),
+            path, "n_chars", n_files=8)
+    return topk_sorted(spark, path, 50, tie_col="doc_id")
+
+
+_INDEX_SORTED_SQL = """
+SELECT doc_id, n_chars FROM documents
+WHERE n_chars IS NOT NULL
+ORDER BY n_chars DESC, doc_id ASC
+LIMIT 50
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk_hot": _q_bm25_hot,
@@ -5769,6 +5797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collapse_inner_hits": _q_collapse_inner_hits,
         "ip_range": _q_ip_range,
         "ip_prefix": _q_ip_prefix,
+        "index_sorted_topk": _q_index_sorted_topk,
     }
 
 
@@ -6889,4 +6918,5 @@ def _oracle_sql_static() -> dict[str, str]:
         "collapse_inner_hits": _collapse_inner_sql(["join"], 5, 2),
         "ip_range": _IP_RANGE_SQL,
         "ip_prefix": _IP_PREFIX_SQL,
+        "index_sorted_topk": _INDEX_SORTED_SQL,
     }
