@@ -5603,6 +5603,46 @@ LIMIT 50
 """
 
 
+def _q_alias_search(spark, sf_dir):
+    """ES filtered alias: 'western' = documents(lang=en) ∪
+    documents(lang=fr); BM25 over the alias resolution — the filters
+    push into each target scan, and the corpus stats are the
+    alias-scoped stats (ES scores within the alias view)."""
+    from auctus_spark.query.search import AliasRegistry
+    docs = _docs(spark, sf_dir)
+    reg = AliasRegistry()
+    reg.add("western", docs, "lang = 'en'", is_write_index=True)
+    reg.add("western", docs, "lang = 'fr'")
+    return pipeline.bm25_topk(reg.resolve("western"), "join", k=50,
+                              round_to=6)
+
+
+_ALIAS_SEARCH_SQL = _bm25_sql(["join"], 50).replace(
+    "FROM documents",
+    "FROM (SELECT * FROM documents WHERE lang IN ('en', 'fr'))")
+
+
+_MGET_IDS = [17, 3, 999_999_999, 42]
+
+
+def _q_mget(spark, sf_dir):
+    """ES _mget: one pushed isin fetch, request order preserved via
+    _requested_order (missing ids absent, ES found:false)."""
+    from auctus_spark.query.search import mget
+    return mget(_docs(spark, sf_dir), _MGET_IDS, "doc_id") \
+        .select("doc_id", "lang", "_requested_order")
+
+
+_MGET_SQL = f"""
+WITH req(doc_id, _requested_order) AS (
+  VALUES {", ".join(f"({d}, {i + 1})" for i, d in enumerate(_MGET_IDS))}
+)
+SELECT d.doc_id, d.lang, CAST(r._requested_order AS INT)
+         AS _requested_order
+FROM documents d JOIN req r USING (doc_id)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk_hot": _q_bm25_hot,
@@ -5798,6 +5838,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ip_range": _q_ip_range,
         "ip_prefix": _q_ip_prefix,
         "index_sorted_topk": _q_index_sorted_topk,
+        "alias_search": _q_alias_search,
+        "mget": _q_mget,
     }
 
 
@@ -6919,4 +6961,6 @@ def _oracle_sql_static() -> dict[str, str]:
         "ip_range": _IP_RANGE_SQL,
         "ip_prefix": _IP_PREFIX_SQL,
         "index_sorted_topk": _INDEX_SORTED_SQL,
+        "alias_search": _ALIAS_SEARCH_SQL,
+        "mget": _MGET_SQL,
     }

@@ -262,3 +262,62 @@ def terms_lookup_filter(df: DataFrame, col: str, lookup_df: DataFrame,
     if not vals:
         return df.where(F.lit(False))
     return df.where(F.col(col).isin(vals))
+
+
+class AliasRegistry:
+    """ES index aliases: named indirections over document tables,
+    optionally carrying a filter (filtered alias) and a write flag
+    (``is_write_index`` — exactly one writable target per alias, the
+    rollover contract).
+
+    An alias resolves to the UNION of its targets with each target's
+    filter applied — reads fan out like ES alias resolution; the
+    filter is a plain predicate Catalyst pushes into each scan, so a
+    filtered alias costs the same as querying the filtered table
+    directly."""
+
+    def __init__(self):
+        self._targets: dict[str, list[dict]] = {}
+
+    def add(self, alias: str, df: DataFrame, filter_expr: str = "",
+            is_write_index: bool = False) -> None:
+        entries = self._targets.setdefault(alias, [])
+        if is_write_index and any(e["write"] for e in entries):
+            raise ValueError(
+                f"alias {alias!r} already has a write index")
+        entries.append({"df": df, "filter": filter_expr,
+                        "write": is_write_index})
+
+    def remove(self, alias: str) -> None:
+        self._targets.pop(alias, None)
+
+    def resolve(self, alias: str) -> DataFrame:
+        entries = self._targets.get(alias)
+        if not entries:
+            raise KeyError(f"unknown alias {alias!r}")
+        dfs = [e["df"].where(F.expr(e["filter"])) if e["filter"]
+               else e["df"] for e in entries]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
+
+    def write_target(self, alias: str) -> DataFrame:
+        entries = self._targets.get(alias, [])
+        for e in entries:
+            if e["write"]:
+                return e["df"]
+        raise ValueError(f"alias {alias!r} has no write index")
+
+
+def mget(df: DataFrame, ids: list, id_col: str = "doc_id"
+         ) -> DataFrame:
+    """ES ``_mget``: fetch documents by id list in ONE request — a
+    pushed ``isin`` (or a broadcast semi-join for very large lists);
+    missing ids are simply absent (ES found:false).  Results carry a
+    ``_requested_order`` column so callers can restore request
+    order (ES returns docs in request order)."""
+    order = F.array_position(
+        F.array(*[F.lit(i) for i in ids]), F.col(id_col))
+    return (df.where(F.col(id_col).isin(ids))
+            .withColumn("_requested_order", order.cast("int")))

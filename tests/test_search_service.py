@@ -152,3 +152,35 @@ def test_global_facets_escape_query_scope(spark, sf_dir):
     assert g == {x.lang: x[1] for x in
                  docs.groupBy("lang").count().collect()}
     assert set(x.lang for x in r["facets"]["lang"].collect()) == {"fr"}
+
+
+def test_alias_registry(spark, sf_dir):
+    from auctus_spark.query.search import AliasRegistry
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    reg = AliasRegistry()
+    reg.add("west", docs, "lang = 'en'", is_write_index=True)
+    reg.add("west", docs, "lang = 'fr'")
+    got = reg.resolve("west")
+    assert got.count() == docs.filter("lang in ('en','fr')").count()
+    assert reg.write_target("west") is docs
+    with pytest.raises(ValueError):
+        reg.add("west", docs, is_write_index=True)  # second writer
+    with pytest.raises(KeyError):
+        reg.resolve("nope")
+    reg.add("all", docs)
+    assert reg.resolve("all").count() == docs.count()
+    with pytest.raises(ValueError):
+        reg.write_target("all")
+    reg.remove("west")
+    with pytest.raises(KeyError):
+        reg.resolve("west")
+
+
+def test_mget_request_order(spark, sf_dir):
+    from auctus_spark.query.search import mget
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rows = mget(docs, [17, 3, 999_999_999], "doc_id") \
+        .orderBy("_requested_order").collect()
+    # missing id absent; present ids carry request positions
+    assert [(r.doc_id, r._requested_order) for r in rows] == \
+        [(17, 1), (3, 2)]
