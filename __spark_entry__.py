@@ -5643,6 +5643,41 @@ FROM documents d JOIN req r USING (doc_id)
 """
 
 
+_MIXTURE = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+
+
+def _q_domain_mixture(spark, sf_dir):
+    """Training-data domain mixing: downsample-only resampling to a
+    target 50/30/20 source mixture; T = min(n_d/p_d) total rows,
+    rate_d = T*p_d/n_d, rows chosen by the deterministic md5
+    discipline (same rows on any cluster size / engine)."""
+    from auctus_spark.operators.sampling import domain_mixture_sample
+    out = domain_mixture_sample(_docs(spark, sf_dir), _MIXTURE,
+                                "source", "doc_id")
+    return out.select("doc_id", "source")
+
+
+def _domain_mixture_sql(target: dict[str, float]) -> str:
+    vals = ", ".join(f"('{d}', {p})" for d, p in target.items())
+    return f"""
+WITH w(d, p) AS (VALUES {vals}),
+n AS (SELECT source AS d, count(*) AS n FROM documents
+      WHERE source IN (SELECT d FROM w) GROUP BY 1),
+t AS (SELECT min(n / p) AS T FROM w JOIN n USING (d) WHERE p > 0),
+r AS (SELECT d, T * p / n AS rate
+      FROM w JOIN n USING (d) CROSS JOIN t),
+thr AS (SELECT d,
+        CASE WHEN floor(rate * 4294967296) >= 4294967296 THEN 'g'
+             WHEN rate <= 0 THEN ''
+             ELSE printf('%08x',
+                         CAST(floor(rate * 4294967296) AS BIGINT))
+        END AS thr FROM r)
+SELECT doc_id, source FROM documents
+JOIN thr ON source = thr.d
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < thr
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk_hot": _q_bm25_hot,
@@ -5840,6 +5875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_sorted_topk": _q_index_sorted_topk,
         "alias_search": _q_alias_search,
         "mget": _q_mget,
+        "domain_mixture": _q_domain_mixture,
     }
 
 
@@ -6963,4 +6999,5 @@ def _oracle_sql_static() -> dict[str, str]:
         "index_sorted_topk": _INDEX_SORTED_SQL,
         "alias_search": _ALIAS_SEARCH_SQL,
         "mget": _MGET_SQL,
+        "domain_mixture": _domain_mixture_sql(_MIXTURE),
     }

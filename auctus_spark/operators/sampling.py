@@ -95,3 +95,41 @@ def deterministic_split(df: DataFrame, fractions: dict[str, float],
     last = F.lit(names[-1])
     expr = last if expr is None else expr.otherwise(last)
     return df.withColumn(split_col, expr)
+
+
+def domain_mixture_sample(df: DataFrame, target: dict[str, float],
+                          domain_col: str = "source",
+                          key_col: str = "doc_id") -> DataFrame:
+    """Resample a corpus to a TARGET domain mixture by downsampling
+    only (the data-mixing step of LLM training pipelines: "make the
+    corpus 50% wiki / 30% code / 20% web").
+
+    The largest feasible corpus honoring the mixture keeps
+    ``T = min_d(n_d / p_d)`` total rows, so domain ``d`` keeps
+    ``rate_d = T * p_d / n_d`` of its rows — the binding domain keeps
+    everything, the rest downsample.  Row selection reuses the
+    deterministic md5 discipline of :func:`weighted_sample`
+    (re-runs / repartitions / engines all pick the same rows).
+
+    The per-domain count table is collected driver-side — bounded by
+    the domain cardinality (a handful to thousands), never by rows.
+    Domains outside ``target`` are dropped; a target domain with no
+    rows raises (the mixture is unsatisfiable)."""
+    if not target:
+        raise ValueError("target mixture must be non-empty")
+    tot = sum(target.values())
+    if not 0.999 <= tot <= 1.001:
+        raise ValueError(f"target mixture sums to {tot}, expected ~1")
+    counts = {r[0]: r[1] for r in
+              (df.where(F.col(domain_col).isin(list(target)))
+               .groupBy(domain_col).count().collect())}
+    missing = [d for d, p in target.items()
+               if p > 0 and not counts.get(d)]
+    if missing:
+        raise ValueError(
+            f"target domains with no rows: {sorted(missing)}")
+    T = min(counts[d] / p for d, p in target.items() if p > 0)
+    weights = {d: (T * p / counts[d] if p > 0 else 0.0)
+               for d, p in target.items()}
+    return weighted_sample(df, weights, key_col=key_col,
+                           stratum_col=domain_col, default_weight=0.0)

@@ -54,3 +54,30 @@ def test_deterministic_split(spark):
         deterministic_split(df, {"train": 0.5, "val": 0.1})
     with pytest.raises(ValueError):
         deterministic_split(df, {})
+
+
+def test_domain_mixture_sample(spark):
+    from auctus_spark.operators.sampling import domain_mixture_sample
+    import pytest as _pt
+    rows = [(i, "a") for i in range(800)] + \
+           [(i + 1000, "b") for i in range(100)] + \
+           [(i + 2000, "c") for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = domain_mixture_sample(
+        df, {"a": 0.5, "b": 0.25, "c": 0.25}, "source", "doc_id")
+    got = {r[0]: r[1] for r in
+           out.groupBy("source").count().collect()}
+    # binding domain: b (100 rows / 0.25 -> T=400); b keeps all
+    assert got["b"] == 100
+    # a keeps ~200 of 800, c ~100 of 500 (Bernoulli, not exact)
+    assert abs(got["a"] - 200) < 60 and abs(got["c"] - 100) < 45
+    # deterministic: same rows on re-run and after repartition
+    again = domain_mixture_sample(
+        df.repartition(7), {"a": 0.5, "b": 0.25, "c": 0.25},
+        "source", "doc_id")
+    assert sorted(r.doc_id for r in out.collect()) == \
+        sorted(r.doc_id for r in again.collect())
+    with _pt.raises(ValueError):
+        domain_mixture_sample(df, {"a": 0.5, "zz": 0.5})
+    with _pt.raises(ValueError):
+        domain_mixture_sample(df, {"a": 0.9})
