@@ -10,6 +10,7 @@ value hash (cross-engine float sums differ in the last ulp).
 
 from __future__ import annotations
 
+import math
 import os
 import sys
 from collections.abc import Callable
@@ -4106,6 +4107,110 @@ GROUP BY lang ORDER BY doc_count DESC, lang ASC
 """
 
 
+_ANN_Q = [round(math.sin(i + 1), 6) for i in range(64)]
+
+
+def _q_ann_int8_rescore(spark, sf_dir):
+    """ES 8.x int8-quantized kNN with exact rescore
+    (similarity.quantized_topk_rescore): unit-normalize each vector
+    (Lucene's index-time cosine→dot step), quantize to uint8 on
+    fixed [-1,1] calibration bounds — q = floor((x+1)·127.5 + 0.5)
+    — rank the corpus by the affine-corrected integer dot
+    Δ²·qdot − Δ·(Σq_doc + Σq_query) + d, keep the top-50 window,
+    exact-cosine rescore only those, return top-10.  The query is a
+    deterministic literal (sin(i+1) rounded to 6dp, 64-dim), so the
+    oracle replays the identical quantized query and constants."""
+    from auctus_spark.operators.similarity import quantized_topk_rescore
+    emb = _t(spark, sf_dir, "embeddings")
+    return quantized_topk_rescore(emb, _ANN_Q, k=10, window=50)
+
+
+def _ann_int8_sql() -> str:
+    from auctus_spark.operators.similarity import quantize_query
+    qn, qq = quantize_query(_ANN_Q)
+    delta = 2.0 / 255.0
+    qn_lit = "[" + ", ".join(repr(v) for v in qn) + "]"
+    qq_lit = "[" + ", ".join(f"{v}.0" for v in qq) + "]"
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+n AS (SELECT vec_id, emb,
+        list_transform(emb, x -> x / sqrt(list_sum(
+          list_transform(emb, y -> y * y)))) AS nv
+      FROM e),
+dq AS (SELECT vec_id, emb,
+         list_transform(nv, x -> least(255.0, greatest(0.0,
+           floor((x - (-1.0)) * 127.5 + 0.5)))) AS qv
+       FROM n),
+cand AS (
+  SELECT vec_id, emb,
+         {delta * delta!r} * list_dot_product(qv, {qq_lit})
+           + {-1.0 * delta!r}
+             * (list_sum(qv) + {float(sum(qq))!r})
+           + {64.0!r} AS appx
+  FROM dq
+  ORDER BY appx DESC, vec_id ASC LIMIT 50)
+SELECT vec_id,
+       round(list_cosine_similarity(emb, {qn_lit}::DOUBLE[]), 6)
+         AS cos_sim
+FROM cand
+ORDER BY round(list_cosine_similarity(emb, {qn_lit}::DOUBLE[]), 6)
+           DESC, vec_id ASC
+LIMIT 10
+"""
+
+
+def _q_linear_hybrid(spark, sf_dir):
+    """ES linear retriever (8.16+, minmax normalizer): the same two
+    retriever windows as [rrf_hybrid] — BM25 should top-50 and
+    cosine kNN top-50 — each min-max normalized over its own window,
+    fused as 2.0·lex + 1.0·vec (absent → 0), final top-10 on the
+    6-dp-rounded fused score, id asc ties."""
+    from auctus_spark.operators.similarity import (cosine_topk,
+                                                   linear_fuse)
+    docs = _docs(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in
+            emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    lex = pipeline.bm25_or_topk(docs, "join data", k=50, round_to=6)
+    vec = (cosine_topk(emb, qvec, k=50, round_to=6)
+           .select(F.col("vec_id").alias("doc_id"),
+                   F.col("cos_sim").alias("score")))
+    return linear_fuse(lex, vec, weight_a=2.0, weight_b=1.0,
+                       id_col="doc_id", k=10)
+
+
+def _linear_hybrid_sql() -> str:
+    or_sql = _bm25_or_sql(["join", "data"], k=50).replace(
+        "ORDER BY raw_score DESC", "ORDER BY round(raw_score, 6) DESC")
+    return f"""
+WITH lex AS ({or_sql}),
+lexn AS (SELECT doc_id,
+           CASE WHEN max(score) OVER () = min(score) OVER ()
+                THEN 1.0
+                ELSE (score - min(score) OVER ())
+                     / (max(score) OVER () - min(score) OVER ())
+           END AS na FROM lex),
+q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings
+      WHERE vec_id = 0),
+vec AS (SELECT vec_id AS doc_id,
+               round(list_cosine_similarity(embedding::DOUBLE[], qe),
+                     6) AS cs
+        FROM embeddings, q
+        ORDER BY cs DESC, vec_id ASC LIMIT 50),
+vecn AS (SELECT doc_id,
+           CASE WHEN max(cs) OVER () = min(cs) OVER ()
+                THEN 1.0
+                ELSE (cs - min(cs) OVER ())
+                     / (max(cs) OVER () - min(cs) OVER ())
+           END AS nb FROM vec),
+j AS (SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+             coalesce(na, 0.0) * 2.0 + coalesce(nb, 0.0) * 1.0 AS s
+      FROM lexn l FULL OUTER JOIN vecn v ON l.doc_id = v.doc_id)
+SELECT doc_id, round(s, 6) AS linear_score
+FROM j ORDER BY round(s, 6) DESC, doc_id ASC LIMIT 10
+"""
+
+
 def _q_rrf_hybrid(spark, sf_dir):
     """ES RRF retriever: fuse a BM25 should top-50 over documents
     with a cosine kNN top-50 over the aligned embeddings table
@@ -5828,6 +5933,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sampler_facet": _q_sampler,
         "diversified_sampler": _q_diversified_sampler,
         "rrf_hybrid": _q_rrf_hybrid,
+        "ann_int8_rescore": _q_ann_int8_rescore,
+        "linear_hybrid": _q_linear_hybrid,
         "query_string": _q_query_string,
         "simple_query_string": _q_simple_query_string,
         "span_or": _q_span_or,
@@ -6950,6 +7057,8 @@ def _oracle_sql_static() -> dict[str, str]:
         "sampler_facet": _sampler_sql(),
         "diversified_sampler": _diversified_sampler_sql(),
         "rrf_hybrid": _rrf_hybrid_sql(),
+        "ann_int8_rescore": _ann_int8_sql(),
+        "linear_hybrid": _linear_hybrid_sql(),
         "query_string": _query_string_sql(),
         "simple_query_string": _simple_query_string_sql(),
         "span_or": _span_or_sql(["merge", "vector"]),

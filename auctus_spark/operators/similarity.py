@@ -332,3 +332,155 @@ def rrf_fuse(ranked_a: DataFrame, ranked_b: DataFrame,
     return (j.select(id_col, score.alias("rrf_score"))
             .orderBy(F.desc("rrf_score"), F.asc(id_col))
             .limit(k))
+
+
+def scalar_quantization_bounds(emb: DataFrame,
+                               vec_col: str = "embedding"
+                               ) -> tuple[float, float]:
+    """Global component min/max over an embedding column — the
+    quantization calibration statistic, ONE partial-agg scan
+    (``array_min``/``array_max`` per row JVM-side, then a min/max
+    reduce; no shuffle of vectors).  Lucene's int8 scalar quantizer
+    calibrates per segment with a confidence interval; a global
+    exact [min, max] is the deterministic analog (documented
+    divergence — no quantile clipping, so the mapping is a pure
+    function of the corpus and an external oracle can replay it)."""
+    row = emb.select(
+        F.min(F.array_min(vec_col)).alias("mn"),
+        F.max(F.array_max(vec_col)).alias("mx")).collect()[0]
+    return float(row["mn"]), float(row["mx"])
+
+
+def quantize_vec_expr(col, mn: float, mx: float):
+    """uint8 scalar quantization of an ``array<double>`` column:
+    q = floor((x − mn) · 255/(mx − mn) + 0.5) clamped to [0, 255]
+    (explicit floor(+0.5) so Spark and any external SQL engine round
+    identically — no banker's-rounding ambiguity).  JVM-side
+    ``transform``; emitted as ``array<long>`` of small ints (the
+    on-disk codec stores them as 1 byte each)."""
+    scale = 255.0 / (mx - mn)
+    return F.transform(
+        col, lambda x: F.least(
+            F.lit(255.0),
+            F.greatest(F.lit(0.0),
+                       F.floor((x - F.lit(mn)) * F.lit(scale)
+                               + F.lit(0.5)))).cast("long"))
+
+
+def quantize_query(query_vec: list[float],
+                   bounds: tuple[float, float] = (-1.0, 1.0)
+                   ) -> tuple[list[float], list[int]]:
+    """Normalize a query vector to unit length (plain left-to-right
+    double accumulation — the same fold order as the JVM side) and
+    quantize it with :func:`quantize_vec_expr`'s exact mapping.
+    Returns ``(normalized_floats, quantized_ints)``."""
+    mn, mx = bounds
+    scale = 255.0 / (mx - mn)
+    s = 0.0
+    for x in query_vec:
+        s += float(x) * float(x)
+    nrm = float(np.sqrt(s))
+    qn = [float(x) / nrm for x in query_vec]
+    qq = [int(min(255.0, max(0.0, float(np.floor((v - mn) * scale
+                                                 + 0.5)))))
+          for v in qn]
+    return qn, qq
+
+
+def quantized_topk_rescore(emb: DataFrame, query_vec: list[float],
+                           k: int = 10, window: int = 50,
+                           bounds: tuple[float, float] = (-1.0, 1.0),
+                           vec_col: str = "embedding",
+                           id_col: str = "vec_id") -> DataFrame:
+    """ES 8.x int8-quantized kNN with exact rescore (the
+    ``int8_flat`` / ``rescore_vector.oversample`` contract): unit-
+    normalize each vector (Lucene's index-time step for cosine
+    similarity — cosine of originals == dot of normalized), quantize
+    the normalized components to uint8 on fixed [-1, 1] calibration
+    bounds, rank ALL vectors by the affine-corrected integer dot
+
+        appx = Δ²·qdot + mn·Δ·(Σq_doc + Σq_query) + d·mn²
+        (Δ = (mx−mn)/255 — the exact reconstruction of the unit dot
+         up to per-component rounding error; Lucene stores the same
+         correction constants beside its int8 vectors)
+
+    keep a ``window`` (= k · oversample) candidate set, then
+    re-score ONLY those candidates with the exact float cosine and
+    return the top-``k``.
+
+    Scale story: the quantized phase reads 1 byte/component instead
+    of 4 (4× less scan I/O at 100 TB), its dot is exact integer
+    whole-stage-codegen arithmetic, and the float math — the
+    expensive part — runs on ``window`` rows, not the corpus.  Both
+    phases are one scan + TakeOrdered (no shuffle of vectors).
+
+    Determinism contract: fixed calibration bounds make quantization
+    a PURE function (no corpus-stat scan, no data-dependent
+    calibration — documented divergence from Lucene's confidence-
+    interval calibration), floor(+0.5) avoids banker's-rounding
+    ambiguity, both phases tie-break by id asc, and the final order
+    is on the 6-dp-rounded cosine — so an external SQL oracle can
+    replay the whole pipeline."""
+    mn, mx = bounds
+    delta = (mx - mn) / 255.0
+    qn, qq = quantize_query(query_vec, bounds)
+    d = len(query_vec)
+    sum_qq = sum(qq)
+    qq_int = F.array(*[F.lit(v) for v in qq])
+    e = emb.select(id_col, F.col(vec_col).cast("array<double>")
+                   .alias(vec_col))
+    e = e.withColumn("_nrm", _norm(F.col(vec_col)))
+    e = e.withColumn("_nv", F.transform(
+        F.col(vec_col), lambda x: x / F.col("_nrm")))
+    dq = e.withColumn("_qv", quantize_vec_expr(F.col("_nv"), mn, mx))
+    qdot = F.aggregate(F.zip_with("_qv", qq_int, lambda a, b: a * b),
+                       F.lit(0).cast("long"), lambda acc, x: acc + x)
+    sum_qd = F.aggregate("_qv", F.lit(0).cast("long"),
+                         lambda acc, x: acc + x)
+    appx = (F.lit(delta * delta) * qdot.cast("double")
+            + F.lit(mn * delta)
+            * (sum_qd.cast("double") + F.lit(float(sum_qq)))
+            + F.lit(float(d) * mn * mn))
+    cand = (dq.select(id_col, vec_col, appx.alias("_appx"))
+            .orderBy(F.desc("_appx"), F.asc(id_col)).limit(window))
+    qv = F.array(*[F.lit(float(x)) for x in qn])
+    cos = _dot(F.col(vec_col), qv) / (_norm(F.col(vec_col))
+                                      * _norm(qv))
+    return (cand.select(id_col, F.round(cos, 6).alias("cos_sim"))
+            .orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k))
+
+
+def linear_fuse(ranked_a: DataFrame, ranked_b: DataFrame,
+                weight_a: float = 1.0, weight_b: float = 1.0,
+                id_col: str = "doc_id", score_col: str = "score",
+                k: int = 10) -> DataFrame:
+    """ES linear retriever (8.16+) with the ``minmax`` normalizer:
+    each retriever's window is min-max normalized —
+    norm(s) = (s − min)/(max − min) over the rows THAT retriever
+    returned (1.0 for every row when max == min, so a constant-score
+    window contributes its full weight; documented choice) — and the
+    fused score is Σᵢ wᵢ · normᵢ(d), a document absent from a
+    retriever contributing 0 from it.  Top-``k`` by (score desc,
+    id asc), deterministic.
+
+    Like :func:`rrf_fuse`, the inputs are already-cut retriever
+    windows, so the normalization (a tiny unkeyed min/max) and the
+    full-outer join touch only window-sized frames."""
+    from pyspark.sql import Window
+    wall = Window.partitionBy()
+
+    def norm(df: DataFrame, out: str) -> DataFrame:
+        mn = F.min(score_col).over(wall)
+        mx = F.max(score_col).over(wall)
+        n = F.when(mx == mn, F.lit(1.0)).otherwise(
+            (F.col(score_col) - mn) / (mx - mn))
+        return df.select(F.col(id_col), n.alias(out))
+
+    j = norm(ranked_a, "_na").join(norm(ranked_b, "_nb"),
+                                   id_col, "full_outer")
+    score = (F.coalesce(F.col("_na"), F.lit(0.0)) * F.lit(float(weight_a))
+             + F.coalesce(F.col("_nb"), F.lit(0.0))
+             * F.lit(float(weight_b)))
+    return (j.select(id_col, F.round(score, 6).alias("linear_score"))
+            .orderBy(F.desc("linear_score"), F.asc(id_col))
+            .limit(k))

@@ -213,3 +213,67 @@ def test_rrf_fuse_formula_and_absence(spark):
     b1 = spark.createDataFrame([(5, 1.0)], "doc_id long, score double")
     tie = [r["doc_id"] for r in rrf_fuse(a1, b1, k=2).collect()]
     assert tie == [5, 7]
+
+
+def test_quantized_rescore_matches_exact(spark, vectors):
+    """int8-quantized candidate phase + exact rescore: with a window
+    comfortably above k on a clustered corpus the result equals the
+    exact brute-force top-k (normalization makes quantized dot track
+    cosine, the affine correction removes the offset bias, and the
+    rescore is exact float cosine)."""
+    from auctus_spark.operators.similarity import quantized_topk_rescore
+    rows, mat = vectors
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>")
+    q = mat[7]
+    got = quantized_topk_rescore(
+        emb.filter("vec_id <> 7"), q.tolist(), k=10, window=120)
+    ids = [r["vec_id"] for r in got.collect()]
+    mask = np.arange(len(mat)) != 7
+    sims = (mat[mask] @ q) / (np.linalg.norm(mat[mask], axis=1)
+                              * np.linalg.norm(q))
+    keep = np.arange(len(mat))[mask]
+    order = np.lexsort((keep, -np.round(sims, 6)))
+    assert ids == [int(keep[i]) for i in order[:10]]
+
+
+def test_quantization_mapping_clamped_and_integer(spark, vectors):
+    """The quantized components are integers in [0, 255] and the
+    corpus min/max map to the endpoints exactly."""
+    from auctus_spark.operators.similarity import (
+        quantize_vec_expr, scalar_quantization_bounds)
+    from pyspark.sql import functions as F
+    rows, mat = vectors
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>")
+    mn, mx = scalar_quantization_bounds(emb)
+    assert mn == pytest.approx(float(mat.min()))
+    assert mx == pytest.approx(float(mat.max()))
+    qcol = emb.select(quantize_vec_expr(F.col("embedding"),
+                                        mn, mx).alias("q"))
+    agg = qcol.select(
+        F.min(F.array_min("q")).alias("lo"),
+        F.max(F.array_max("q")).alias("hi")).collect()[0]
+    assert agg["lo"] == 0 and agg["hi"] == 255
+
+
+def test_linear_fuse_minmax_weights_and_absence(spark):
+    """linear retriever: minmax-normalized windows, weighted sum,
+    absence -> 0, constant window -> 1.0, id-asc ties."""
+    from auctus_spark.operators.similarity import linear_fuse
+    a = spark.createDataFrame(
+        [(1, 10.0), (2, 5.0), (3, 0.0)], "doc_id long, score double")
+    b = spark.createDataFrame(
+        [(2, 0.5), (4, 0.5)], "doc_id long, score double")
+    got = {r["doc_id"]: r["linear_score"]
+           for r in linear_fuse(a, b, weight_a=2.0, weight_b=1.0,
+                                k=10).collect()}
+    # a-norms: 1 -> 1.0, 2 -> 0.5, 3 -> 0.0; b is constant -> 1.0 each
+    assert got[1] == pytest.approx(2.0)
+    assert got[2] == pytest.approx(2.0 * 0.5 + 1.0)
+    assert got[3] == pytest.approx(0.0)
+    assert got[4] == pytest.approx(1.0)
+    order = [r["doc_id"]
+             for r in linear_fuse(a, b, weight_a=2.0, weight_b=1.0,
+                                  k=10).collect()]
+    assert order == [1, 2, 4, 3]   # 2.0-tie between 1 and 2 -> id asc
