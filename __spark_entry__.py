@@ -2175,6 +2175,71 @@ FROM axis LEFT JOIN c USING (bucket) ORDER BY bucket
 """
 
 
+def _q_downsample_rollup(spark, sf_dir):
+    """ES TSDB downsampling / hypertable rollup
+    (profiling.downsample_agg): hourly buckets per event_type with
+    the gauge summary min/max/sum/value_count and last_value (latest
+    ts, event_id tiebreak) — one partial-aggregated shuffle, no
+    window."""
+    from auctus_spark.operators.profiling import downsample_agg
+    e = _t(spark, sf_dir, "events") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    return downsample_agg(e, "ts", dim_cols=("event_type",),
+                          value_col="value", id_col="event_id",
+                          unit="hour")
+
+
+_DOWNSAMPLE_SQL = """
+WITH r AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket, value,
+         row_number() OVER (
+           PARTITION BY event_type, date_trunc('hour', ts)
+           ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events),
+l AS (SELECT event_type, bucket, value AS v_last FROM r WHERE rn = 1),
+g AS (SELECT event_type, date_trunc('hour', ts) AS bucket,
+        min(value) AS v_min, max(value) AS v_max,
+        round(sum(value), 6) AS v_sum, count(value) AS v_count
+      FROM events GROUP BY 1, 2)
+SELECT g.event_type, g.bucket, v_min, v_max, v_sum, v_count, v_last
+FROM g JOIN l USING (event_type, bucket)
+"""
+
+
+def _q_terms_shard_merge(spark, sf_dir):
+    """The ES terms aggregation's distributed contract
+    (profiling.terms_agg_sharded): 4 deterministic shards
+    (o_orderkey % 4), per-shard top-20 customers by order count,
+    coordinator merge with doc_count_error_upper_bound = Σ last
+    (smallest) returned count of the shards that cut the term,
+    final top-10."""
+    from auctus_spark.operators.profiling import terms_agg_sharded
+    o = _t(spark, sf_dir, "orders")
+    return terms_agg_sharded(o, "o_custkey", shard_col="o_orderkey",
+                             n_shards=4, shard_size=20, size=10)
+
+
+_TERMS_SHARD_SQL = """
+WITH counts AS (
+  SELECT o_orderkey % 4 AS shard, o_custkey AS k, count(*) AS cnt
+  FROM orders GROUP BY 1, 2),
+coll AS (
+  SELECT shard, k, cnt FROM (
+    SELECT shard, k, cnt,
+           row_number() OVER (PARTITION BY shard
+                              ORDER BY cnt DESC, k ASC) AS r
+    FROM counts) WHERE r <= 20),
+sl AS (SELECT shard, min(cnt) AS last_cnt FROM coll GROUP BY shard),
+tl AS (SELECT sum(last_cnt) AS t FROM sl),
+m AS (SELECT k, sum(cnt) AS doc_count, sum(last_cnt) AS pl
+      FROM coll JOIN sl USING (shard) GROUP BY k)
+SELECT k AS o_custkey, doc_count::BIGINT AS doc_count,
+       ((SELECT t FROM tl) - pl)::BIGINT
+         AS doc_count_error_upper_bound
+FROM m ORDER BY doc_count DESC, o_custkey ASC LIMIT 10
+"""
+
+
 def _q_highlight(spark, sf_dir):
     """ES highlighter (number_of_fragments=0): top-k conjunctive hits
     with every whole-word query-term occurrence wrapped in <em>."""
@@ -5849,6 +5914,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_rules": _q_c4_rules,
         "pii_redact": _q_pii_redact,
         "date_histogram": _q_date_histogram,
+        "downsample_rollup": _q_downsample_rollup,
+        "terms_shard_merge": _q_terms_shard_merge,
         "highlight": _q_highlight,
         "highlight_fragments": _q_highlight_fragments,
         "dedup_paragraphs": _q_dedup_paragraphs,
@@ -6902,6 +6969,8 @@ def _oracle_sql_static() -> dict[str, str]:
         "ann_ivf": _ANN_IVF_SQL,
         "pii_redact": _pii_redact_sql(),
         "date_histogram": _DATE_HISTOGRAM_SQL,
+        "downsample_rollup": _DOWNSAMPLE_SQL,
+        "terms_shard_merge": _TERMS_SHARD_SQL,
         "highlight": _highlight_sql(["data", "join"]),
         "highlight_fragments": _highlight_fragments_sql(
             ["data", "join"]),

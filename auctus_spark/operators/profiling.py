@@ -1763,3 +1763,76 @@ def ip_prefix_agg(df: DataFrame, ip_col: str,
     return (df.groupBy(F.concat(key, F.lit(f"/{prefix_length}"))
                        .alias("prefix"))
             .agg(F.count(F.lit(1)).alias("doc_count")))
+
+
+def downsample_agg(df: DataFrame, ts_col: str = "ts",
+                   dim_cols: tuple[str, ...] = ("event_type",),
+                   value_col: str = "value",
+                   id_col: str = "event_id",
+                   unit: str = "hour") -> DataFrame:
+    """ES TSDB downsampling (the hypertable-rollup analog): roll raw
+    metric rows into fixed ``unit`` time buckets per dimension tuple,
+    keeping the gauge summary min/max/sum/value_count plus
+    ``last_value`` — the value at the latest timestamp in the bucket
+    (ES keeps last-value for counter metrics), tie-broken by
+    ``id_col`` desc so the rollup is a pure function of the table.
+
+    One scan + ONE partial-aggregated shuffle on the (dims, bucket)
+    key: min/max/sum/count combine map-side, and last_value is a
+    ``max_by(value, struct(ts, id))`` — also partial-aggregatable, so
+    no per-group sort and no window.  At 100 TB the rollup output is
+    smaller than the input by the bucket width × dimension
+    cardinality factor, exactly like an ES downsampled index.
+    Reference: ES downsampling (rollup v2) semantics."""
+    b = F.date_trunc(unit, F.col(ts_col)).alias("bucket")
+    last = F.expr(
+        f"max_by({value_col}, struct({ts_col}, {id_col}))")
+    return (df.groupBy(*[F.col(c) for c in dim_cols], b)
+            .agg(F.min(value_col).alias("v_min"),
+                 F.max(value_col).alias("v_max"),
+                 F.round(F.sum(value_col), 6).alias("v_sum"),
+                 F.count(value_col).alias("v_count"),
+                 last.alias("v_last")))
+
+
+def terms_agg_sharded(df: DataFrame, key_col: str,
+                      shard_col: str, n_shards: int = 4,
+                      shard_size: int = 20, size: int = 10
+                      ) -> DataFrame:
+    """The ES terms aggregation's DISTRIBUTED contract, surfaced: each
+    shard (deterministic ``shard_col % n_shards``) returns its local
+    top ``shard_size`` terms by (count desc, term asc); the
+    coordinator sums the collected counts per term and reports
+    ``doc_count_error_upper_bound`` = Σ over shards that did NOT
+    return the term of that shard's LAST (smallest) returned count —
+    the maximum count the term could have had on a shard that cut it.
+    Final top ``size`` by (merged count desc, term asc).
+
+    This is the agg most users never realize is approximate; shipping
+    the error bound as a first-class column is the honest version.
+    Plan: one partial-agg shuffle to (shard, term) counts (the only
+    corpus-scale exchange), then window cuts over the tiny per-shard
+    top lists; the per-shard last-count table (``n_shards`` rows)
+    broadcasts.  Reference: ES search-aggregations-bucket-terms
+    doc_count_error_upper_bound."""
+    from pyspark.sql import Window
+    shard = (F.col(shard_col) % n_shards).alias("_shard")
+    counts = (df.groupBy(shard, F.col(key_col))
+              .agg(F.count(F.lit(1)).alias("cnt")))
+    w = Window.partitionBy("_shard").orderBy(
+        F.desc("cnt"), F.asc(key_col))
+    collected = (counts.withColumn("_r", F.row_number().over(w))
+                 .filter(F.col("_r") <= shard_size).drop("_r"))
+    shard_last = (collected.groupBy("_shard")
+                  .agg(F.min("cnt").alias("last_cnt")))
+    total_last = (shard_last.agg(F.sum("last_cnt").alias("tl"))
+                  .collect()[0]["tl"])
+    j = collected.join(F.broadcast(shard_last), "_shard")
+    merged = (j.groupBy(key_col)
+              .agg(F.sum("cnt").alias("doc_count"),
+                   F.sum("last_cnt").alias("_present_last")))
+    err = (F.lit(int(total_last)) - F.col("_present_last"))
+    return (merged.select(
+        key_col, "doc_count",
+        err.alias("doc_count_error_upper_bound"))
+        .orderBy(F.desc("doc_count"), F.asc(key_col)).limit(size))

@@ -869,3 +869,59 @@ def test_bucket_count_ks_test(spark):
                               "bucket_start int, n int")
     assert s.count() == 4
     assert bucket_count_ks_test(s, "n").first().d_statistic == 0.75
+
+
+def test_downsample_rollup_gauge_and_last(spark):
+    """Downsample: hourly gauge summary + last_value (latest ts,
+    id-desc tiebreak) — closed-form fixture with a ts tie."""
+    from auctus_spark.operators.profiling import downsample_agg
+    rows = [
+        (1, "2024-01-01 10:05:00", "cpu", 1.0),
+        (2, "2024-01-01 10:20:00", "cpu", 5.0),
+        (3, "2024-01-01 10:20:00", "cpu", 3.0),   # ts tie: id 3 wins
+        (4, "2024-01-01 11:00:00", "cpu", 7.0),
+        (5, "2024-01-01 10:30:00", "mem", 2.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, event_type string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {(r["event_type"], str(r["bucket"])): r
+           for r in downsample_agg(df, "ts").collect()}
+    cpu10 = out[("cpu", "2024-01-01 10:00:00")]
+    assert (cpu10["v_min"], cpu10["v_max"], cpu10["v_sum"],
+            cpu10["v_count"], cpu10["v_last"]) == (1.0, 5.0, 9.0, 3, 3.0)
+    assert out[("cpu", "2024-01-01 11:00:00")]["v_last"] == 7.0
+    assert out[("mem", "2024-01-01 10:30:00".replace("30", "00"))][
+        "v_count"] == 1
+
+
+def test_terms_sharded_error_bound(spark):
+    """ES doc_count_error_upper_bound: a term cut by a shard gets
+    that shard's smallest returned count added to its bound; a term
+    returned by every shard has bound 0."""
+    from auctus_spark.operators.profiling import terms_agg_sharded
+    # 2 shards via id % 2. shard 0 rows: a,a,a,b,b,c ; shard 1: a,c,c,b
+    rows = []
+    rid = 0
+
+    def add(shard, key, n):
+        nonlocal rid
+        for _ in range(n):
+            while rid % 2 != shard:
+                rid += 1
+            rows.append((rid, key))
+            rid += 1
+    add(0, "a", 3); add(0, "b", 2); add(0, "c", 1)
+    add(1, "a", 1); add(1, "c", 2); add(1, "b", 1)
+    df = spark.createDataFrame(rows, "rid long, k string")
+    out = {r["k"]: (r["doc_count"], r["doc_count_error_upper_bound"])
+           for r in terms_agg_sharded(df, "k", shard_col="rid",
+                                      n_shards=2, shard_size=2,
+                                      size=10).collect()}
+    # shard 0 returns top2 (a:3, b:2), last=2; shard 1 top2 (c:2, a:1), last=1
+    # a: returned by both -> bound 0, count 4
+    # b: cut by shard 1 -> bound 1 (shard 1's last), count 2
+    # c: cut by shard 0 -> bound 2 (shard 0's last), count 2
+    assert out["a"] == (4, 0)
+    assert out["b"] == (2, 1)
+    assert out["c"] == (2, 2)
