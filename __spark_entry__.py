@@ -3032,6 +3032,35 @@ def _q_span_near(spark, sf_dir):
         ["data", "join"], slop=3, in_order=True, k=200)
 
 
+def _q_span_multi(spark, sf_dir):
+    """Lucene span_multi (SpanMultiTermQueryWrapper around
+    PrefixQuery) inside span_near: 'data' followed by any 'jo*' term
+    within edit budget 3 — the prefix clause matches at the UNION of
+    its dictionary expansions' positions."""
+    return _phrase_engine(spark, sf_dir).search_span_multi_near(
+        ["data", "jo*"], slop=3, in_order=True, k=200)
+
+
+_SPAN_MULTI_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text),
+                     '{{SPLIT}}'), x -> x <> '') AS l
+  FROM documents),
+tok AS (
+  SELECT doc_id, l[i] AS term, i AS pos
+  FROM toks, LATERAL (SELECT unnest(range(1, len(l) + 1)) AS i)),
+m AS (
+  SELECT DISTINCT p0.doc_id
+  FROM (SELECT doc_id, pos FROM tok WHERE term = 'data') p0
+  JOIN (SELECT doc_id, pos FROM tok WHERE term LIKE 'jo%') p1
+    USING (doc_id)
+  WHERE p1.pos > p0.pos AND p1.pos - p0.pos - 1 <= 3)
+SELECT doc_id, CAST(1.0 AS DOUBLE) AS score
+FROM m ORDER BY doc_id LIMIT 200
+"""
+
+
 def _q_span_near_unordered(spark, sf_dir):
     """span_near, in_order=false: 'table'/'value'/'scan' anywhere
     within a covering span of edit budget 6."""
@@ -5939,6 +5968,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_suggest": _q_phrase_suggest,
         "span_first": _q_span_first,
         "span_near": _q_span_near,
+        "span_multi": _q_span_multi,
         "span_near_unordered": _q_span_near_unordered,
         "span_not": _q_span_not,
         "percentile_ranks": _q_percentile_ranks,
@@ -7037,6 +7067,7 @@ def _oracle_sql_static() -> dict[str, str]:
         "phrase_suggest": _phrase_suggest_sql(["dta", "joinn"]),
         "span_first": _span_first_sql("data", 5),
         "span_near": _span_near2_sql("data", "join", 3),
+        "span_multi": _SPAN_MULTI_SQL.replace("{SPLIT}", SPLIT_PATTERN),
         "span_near_unordered": _span_near3u_sql("table", "value",
                                                 "scan", 6),
         "span_not": _span_not_sql("data", "join", 0, 3),

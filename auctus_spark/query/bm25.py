@@ -2752,6 +2752,116 @@ class PhraseEngine(SearchEngine):
                                 schema="doc_id long, score double"))
         return local.orderBy(F.asc("doc_id")).limit(kk)
 
+    def search_span_multi_near(self, clauses: list[str],
+                               slop: int = 0, in_order: bool = True,
+                               k: int = TOP_K_SIZE,
+                               boost: float = 1.0) -> DataFrame:
+        """Lucene/ES ``span_multi`` inside ``span_near``: each clause
+        is either a literal term or a prefix pattern ``'pre*'``
+        (SpanMultiTermQueryWrapper around PrefixQuery).  A multi-term
+        clause matches at the UNION of its expanded terms' positions;
+        the near semantics are then exactly :meth:`search_span_near`
+        (covering-span edit budget ≤ slop, strictly increasing
+        positions when in_order).  Constant_score rewrite, doc_id
+        order, score == boost.
+
+        Prefixes expand on the sorted term dictionary (range scan);
+        candidates are the intersection ACROSS clauses of the union
+        WITHIN each clause of the terms' postings (tombstone-masked),
+        so positions decode only for docs holding at least one term
+        of every clause — one bucket-parallel job, no shuffle beyond
+        the final TakeOrdered."""
+        if len(clauses) < 2:
+            raise ValueError("span_near needs at least 2 clauses")
+        clause_terms: list[list[str]] = []
+        for c in clauses:
+            if c.endswith("*"):
+                p = c[:-1].lower().strip()
+                if not p:
+                    raise ValueError("span_multi prefix must be "
+                                     "non-empty")
+                exp = [r["term"] for r in
+                       (self.term_dict
+                        .filter(F.col("term").startswith(p))
+                        .select("term").collect())]
+                if len(exp) > self._MAX_TERM_ISIN:
+                    raise ValueError(
+                        f"span_multi prefix {c!r} expands to "
+                        f"{len(exp)} terms (> {self._MAX_TERM_ISIN})")
+                clause_terms.append(sorted(exp))
+            else:
+                a = analyze_query(c, stem=self.stem)
+                if len(a) != 1:
+                    raise ValueError(
+                        f"span clauses take exactly one analyzed "
+                        f"term; {c!r} analyzed to {a!r}")
+                clause_terms.append(a)
+        if not in_order:
+            for i in range(len(clause_terms)):
+                for j in range(i + 1, len(clause_terms)):
+                    if set(clause_terms[i]) & set(clause_terms[j]):
+                        raise ValueError(
+                            "unordered span_multi_near with "
+                            "overlapping clause expansions is not "
+                            "supported (distinct-position rule)")
+        uniq_terms = sorted({t for ct in clause_terms for t in ct})
+        stats = self.term_stats(uniq_terms)
+        clause_terms = [[t for t in ct if stats.get(t, 0) > 0]
+                        for ct in clause_terms]
+        if any(not ct for ct in clause_terms):
+            return self._empty()
+        live = sorted({t for ct in clause_terms for t in ct})
+        segs = self._segments_for(live).select(*self._POS_COLS)
+        tomb = self.tombstones
+        s, order, kk, b = int(slop), bool(in_order), k, float(boost)
+        cts = [list(ct) for ct in clause_terms]
+
+        def find_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+            per_term = _group_partials_pos(pdf)
+            cand = None
+            for ct in cts:
+                parts = [_decode_full_term(per_term[t])
+                         for t in ct if t in per_term]
+                if not parts:
+                    return _empty_pdf()
+                ids = _mask_tombstones(
+                    np.unique(np.concatenate(parts)), tomb)
+                cand = ids if cand is None else np.intersect1d(
+                    cand, ids, assume_unique=True)
+                if cand.size == 0:
+                    return _empty_pdf()
+            slot_maps: list[dict[int, np.ndarray]] = []
+            for ct in cts:
+                cs, ps = [], []
+                for t in ct:
+                    if t not in per_term:
+                        continue
+                    for seg in per_term[t]:
+                        c_, p_ = _phrase_occurrences(seg, cand, 0)
+                        cs.append(c_)
+                        ps.append(p_)
+                c = np.concatenate(cs)
+                p = np.concatenate(ps)
+                o = np.lexsort((p, c))
+                c, p = c[o], p[o]
+                uq, starts = np.unique(c, return_index=True)
+                slot_maps.append(
+                    dict(zip(uq.tolist(), np.split(p, starts[1:]))))
+            hits = [int(cand[ci]) for ci in range(cand.size)
+                    if all(ci in m for m in slot_maps)
+                    and _span_near_match([m[ci] for m in slot_maps],
+                                         s, order)]
+            if not hits:
+                return _empty_pdf()
+            return pd.DataFrame({
+                "doc_id": np.array(hits, dtype=np.int64),
+                "score": np.full(len(hits), b)})
+
+        local = (segs.groupBy("bucket")
+                 .applyInPandas(find_bucket,
+                                schema="doc_id long, score double"))
+        return local.orderBy(F.asc("doc_id")).limit(kk)
+
     def search_phrase_prefix(self, query: str, k: int = TOP_K_SIZE,
                              max_expansions: int = 50) -> DataFrame:
         """ES ``match_phrase_prefix`` (autocomplete): the last query

@@ -1906,3 +1906,37 @@ def test_pinned_query_ordering(spark):
     only = [(r["rank"], r["doc_id"])
             for r in pipeline.pinned_topk(docs, [3], "zzz").collect()]
     assert only == [(1, 3)]
+
+
+def test_span_multi_near_prefix_clause(spark, built_positional):
+    """span_multi(prefix) inside span_near: engine result equals a
+    brute-force recomputation over the corpus — for each doc, ordered
+    pair (p0, p1) with tokens[p0] == 'def', tokens[p1] startswith
+    'im', p1 > p0, p1 - p0 - 1 <= slop."""
+    from auctus_spark.analysis import tokenize
+    from auctus_spark.query.bm25 import PhraseEngine
+    out, _, corpus = built_positional
+    eng = PhraseEngine(spark, out, term_buckets=8)
+    slop = 4
+    got = [int(r.doc_id) for r in eng.search_span_multi_near(
+        ["def", "im*"], slop=slop, in_order=True, k=10000).collect()]
+    want = []
+    for r in corpus.select("doc_id", "content").collect():
+        toks = tokenize(r["content"])
+        p0s = [i for i, t in enumerate(toks) if t == "def"]
+        p1s = [i for i, t in enumerate(toks) if t.startswith("im")]
+        if any(p1 > p0 and p1 - p0 - 1 <= slop
+               for p0 in p0s for p1 in p1s):
+            want.append(int(r["doc_id"]))
+    assert got == sorted(want)
+    assert len(got) > 0
+
+
+def test_span_multi_near_unordered_overlap_rejected(spark,
+                                                    built_positional):
+    from auctus_spark.query.bm25 import PhraseEngine
+    out, _, _ = built_positional
+    eng = PhraseEngine(spark, out, term_buckets=8)
+    with pytest.raises(ValueError, match="overlapping"):
+        eng.search_span_multi_near(["import", "im*"], slop=2,
+                                   in_order=False, k=10)
