@@ -2175,6 +2175,34 @@ FROM axis LEFT JOIN c USING (bucket) ORDER BY bucket
 """
 
 
+def _q_tfidf_keywords(spark, sf_dir):
+    """Per-document top-3 tf·idf keywords (textstats.tfidf_keywords)
+    — the more_like_this interesting-terms selection as a standalone
+    training-data op; BM25-idf weighting, rank ties by term asc."""
+    from auctus_spark.operators.textstats import tfidf_keywords
+    return tfidf_keywords(_docs(spark, sf_dir), k=3)
+
+
+_TFIDF_KEYWORDS_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text),
+         '{{SPLIT}}')) AS term FROM documents),
+t2 AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM t2 GROUP BY 1, 2),
+dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+s AS (SELECT doc_id, term,
+        round(tf * ln(1 + (n.n - df + 0.5) / (df + 0.5)), 6) AS score
+      FROM tf JOIN dfq USING (term), n),
+r AS (SELECT doc_id, term, score,
+        row_number() OVER (PARTITION BY doc_id
+                           ORDER BY score DESC, term ASC) AS rank
+      FROM s)
+SELECT doc_id, term, score, rank::BIGINT AS rank
+FROM r WHERE rank <= 3
+"""
+
+
 def _q_downsample_rollup(spark, sf_dir):
     """ES TSDB downsampling / hypertable rollup
     (profiling.downsample_agg): hourly buckets per event_type with
@@ -5944,6 +5972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": _q_pii_redact,
         "date_histogram": _q_date_histogram,
         "downsample_rollup": _q_downsample_rollup,
+        "tfidf_keywords": _q_tfidf_keywords,
         "terms_shard_merge": _q_terms_shard_merge,
         "highlight": _q_highlight,
         "highlight_fragments": _q_highlight_fragments,
@@ -7000,6 +7029,8 @@ def _oracle_sql_static() -> dict[str, str]:
         "pii_redact": _pii_redact_sql(),
         "date_histogram": _DATE_HISTOGRAM_SQL,
         "downsample_rollup": _DOWNSAMPLE_SQL,
+        "tfidf_keywords": _TFIDF_KEYWORDS_SQL.replace(
+            "{SPLIT}", SPLIT_PATTERN),
         "terms_shard_merge": _TERMS_SHARD_SQL,
         "highlight": _highlight_sql(["data", "join"]),
         "highlight_fragments": _highlight_fragments_sql(

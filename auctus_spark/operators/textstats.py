@@ -675,3 +675,42 @@ def bigram_logprob(df: DataFrame, text_col: str = "text",
                                                 F.lit(0)))
             .select(F.col("_id").alias(id_col), "n_bigrams",
                     "mean_neg_logprob"))
+
+
+def tfidf_keywords(docs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", k: int = 3,
+                   broadcast_df_below: int = 2_000_000) -> DataFrame:
+    """Per-document top-``k`` keyword extraction by tf·idf — the term
+    selection ES ``more_like_this`` runs over "interesting terms",
+    surfaced as a standalone training-data op (doc tagging, dataset
+    search keywords).  Weight = tf · ln(1 + (N − df + 0.5)/(df + 0.5))
+    — the same Lucene BM25 idf discipline as the rest of the engine —
+    ranked per doc by (round(weight, 6) desc, term asc).
+
+    Plan: one tokenize scan → (doc, term, tf) partial-agg shuffle;
+    the term→df table (dictionary-sized, tiny next to the corpus)
+    broadcasts below ``broadcast_df_below`` terms, else shuffle-joins
+    on term; the per-doc top-k is one window shuffle on the doc key.
+    No driver-side loops — N is the only collected scalar."""
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.filter(F.split(F.lower(F.col(text_col)),
+                                   SPLIT_PATTERN),
+                           lambda x: x != "")).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_terms = dfreq.count()
+    if n_terms <= broadcast_df_below:
+        dfreq = F.broadcast(dfreq)
+    n = docs.count()
+    idf = F.log(1.0 + (F.lit(float(n)) - F.col("df") + 0.5)
+                / (F.col("df") + 0.5))
+    scored = tf.join(dfreq, "term").withColumn(
+        "score", F.round(F.col("tf") * idf, 6))
+    from pyspark.sql import Window
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"),
+                                           F.asc("term"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(id_col, "term", "score", "rank"))

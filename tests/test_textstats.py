@@ -349,3 +349,28 @@ def test_unigram_logprob_broadcast_and_salt_paths(spark):
     b = {r.doc_id: (r.n_tokens, round(r.mean_neg_logprob, 12))
          for r in salted.collect()}
     assert a == b and len(a) == 40
+
+
+def test_tfidf_keywords_closed_form(spark):
+    """tf·idf keyword ranking on a 3-doc fixture: a term in every doc
+    gets near-zero idf and never beats a rare term; rank ties break
+    term asc; exactly k rows per doc."""
+    import math
+    from auctus_spark.operators.textstats import tfidf_keywords
+    docs = spark.createDataFrame(
+        [(0, "common rare_a common common"),
+         (1, "common rare_b rare_b"),
+         (2, "common zeta alpha")],
+        "doc_id long, text string")
+    out = tfidf_keywords(docs, k=2).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r["doc_id"], []).append(
+            (r["rank"], r["term"], r["score"]))
+    assert [t for _, t, _ in sorted(per[0])] == ["rare_a", "common"]
+    assert [t for _, t, _ in sorted(per[1])] == ["rare_b", "common"]
+    # doc 2: alpha and zeta tie on score (df=1, tf=1) -> term asc
+    assert [t for _, t, _ in sorted(per[2])] == ["alpha", "zeta"]
+    idf1 = math.log(1 + (3 - 1 + 0.5) / 1.5)
+    assert sorted(per[1])[0][2] == round(2 * idf1, 6)
+    assert all(len(v) == 2 for v in per.values())
