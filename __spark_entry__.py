@@ -3789,9 +3789,45 @@ def _q_multi_index_search(spark, sf_dir):
     return out.select("doc_id", F.round("score", 6).alias("score"))
 
 
-def _multi_index_search_sql(terms: list[str], k: int = 50) -> str:
+def _q_indices_boost(spark, sf_dir):
+    """ES indices_boost on the same two parity indexes as
+    [multi_index_search]: index of odd doc_ids boosted 2x before the
+    query_then_fetch merge (boost is monotone per index, so local
+    top-k lists stay sufficient)."""
+    import hashlib as _h
+    import os as _os
+
+    from auctus_spark.index.build import (FORMAT_VERSION, IndexBuilder,
+                                          read_format, wipe)
+    from auctus_spark.query.bm25 import (SearchEngine,
+                                         search_multi_index)
+
+    _ensure_workers_can_import(spark)
+    tag = _h.md5(sf_dir.encode()).hexdigest()[:10]
+    engines = []
+    for par in (0, 1):
+        idx_dir = f"/tmp/auctus_entry_index_half{par}_{tag}"
+        corpus = (_docs(spark, sf_dir)
+                  .filter(F.col("doc_id") % 2 == par)
+                  .select("doc_id", F.col("text").alias("content")))
+        b = IndexBuilder(spark, idx_dir, doc_bucket=1 << 10,
+                         chunk_docs=1 << 12, term_buckets=16)
+        if (not _os.path.exists(_os.path.join(idx_dir, "stats"))
+                or read_format(idx_dir) != FORMAT_VERSION):
+            wipe(idx_dir)
+            b.build(corpus)
+        engines.append(SearchEngine(spark, idx_dir, term_buckets=16))
+    out = search_multi_index(engines, "data join", k=50,
+                             boosts=[1.0, 2.0])
+    return out.select("doc_id", F.round("score", 6).alias("score"))
+
+
+def _multi_index_search_sql(terms: list[str], k: int = 50,
+                            boosts: tuple[float, float] = (1.0, 1.0)
+                            ) -> str:
     """Per-index BM25 (each parity half has its own N/avgdl/df — the
-    ES query_then_fetch contract), unioned, global top-k."""
+    ES query_then_fetch contract), optionally indices_boost-ed,
+    unioned, global top-k."""
     tlist = ", ".join(f"'{t}'" for t in terms)
     halves = []
     for par in (0, 1):
@@ -3822,7 +3858,8 @@ SELECT doc_id, raw_score FROM (
            count(*) AS nt
     FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
     CROSS JOIN stats s GROUP BY tf.doc_id)
-  SELECT doc_id, raw_score FROM scored WHERE nt = {len(terms)})""")
+  SELECT doc_id, raw_score * {boosts[par]!r} AS raw_score
+  FROM scored WHERE nt = {len(terms)})""")
     u = "\nUNION ALL\n".join(halves)
     return f"""
 SELECT doc_id, round(raw_score, 6) AS score
@@ -6017,6 +6054,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_distance_rings": _q_geo_distance_rings,
         "terms_agg_ordered": _q_terms_agg_ordered,
         "multi_index_search": _q_multi_index_search,
+        "indices_boost": _q_indices_boost,
         "date_math_range": _q_date_math_range,
         "histogram_agg": _q_histogram_agg,
         "extended_stats": _q_extended_stats,
@@ -7120,6 +7158,8 @@ def _oracle_sql_static() -> dict[str, str]:
         "terms_agg_ordered": _TERMS_AGG_ORDERED_SQL,
         "multi_index_search": _multi_index_search_sql(
             ["data", "join"]),
+        "indices_boost": _multi_index_search_sql(
+            ["data", "join"], boosts=(1.0, 2.0)),
         "date_math_range": _DATE_MATH_RANGE_SQL,
         "histogram_agg": _histogram_agg_sql(_HISTOGRAM_INTERVAL),
         "extended_stats": _EXTENDED_STATS_SQL,

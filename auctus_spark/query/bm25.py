@@ -3246,7 +3246,8 @@ def search_many_phrase(engine: "PhraseEngine", queries: dict[str, str],
 
 
 def search_multi_index(engines: list["SearchEngine"], query: str,
-                       k: int = TOP_K_SIZE) -> DataFrame:
+                       k: int = TOP_K_SIZE,
+                       boosts: list[float] | None = None) -> DataFrame:
     """ES multi-index search (``index1,index2/_search``), default
     ``query_then_fetch``: every index scores with ITS OWN statistics
     (N, df, avgdl) — exactly ES without ``dfs_query_then_fetch`` —
@@ -3262,13 +3263,28 @@ def search_multi_index(engines: list["SearchEngine"], query: str,
     the pruned engine list).  Doc ids must be globally unique across
     the indexes (the builders' contract).
 
+    ``boosts`` is ES ``indices_boost``: a positive per-index score
+    multiplier applied before the merge.  A positive boost is
+    monotone within an index, so each local top-k is STILL sufficient
+    for the exact global top-k — the boost changes only how the
+    k-sized local lists interleave.
+
     Reference behavior: ES multi-index search / cross-cluster
     search; reference repo queries exactly one index
     (apiserver search) — beyond-ref surface."""
     if not engines:
         raise ValueError("search_multi_index needs at least one "
                          "engine")
+    if boosts is not None:
+        if len(boosts) != len(engines):
+            raise ValueError("boosts must match engines 1:1")
+        if any(b <= 0 for b in boosts):
+            raise ValueError("indices_boost factors must be positive")
     parts = [e.search(query, k=k) for e in engines]
+    if boosts is not None:
+        parts = [p.withColumn(
+            "score", F.col("score") * F.lit(float(b)))
+            for p, b in zip(parts, boosts)]
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

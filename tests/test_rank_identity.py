@@ -1940,3 +1940,24 @@ def test_span_multi_near_unordered_overlap_rejected(spark,
     with pytest.raises(ValueError, match="overlapping"):
         eng.search_span_multi_near(["import", "im*"], slop=2,
                                    in_order=False, k=10)
+
+
+def test_indices_boost_monotone_merge(spark, built_positional):
+    """indices_boost: per-index positive multiplier before the merge
+    — boosted scores are exactly boost * unboosted, invalid boosts
+    rejected."""
+    from auctus_spark.query.bm25 import SearchEngine, search_multi_index
+    out, _, _ = built_positional
+    eng = SearchEngine(spark, out, term_buckets=8)
+    plain = {r.doc_id: r.score for r in
+             search_multi_index([eng, eng], "import", k=10).collect()}
+    boosted = {r.doc_id: r.score for r in
+               search_multi_index([eng, eng], "import", k=10,
+                                  boosts=[3.0, 3.0]).collect()}
+    assert set(plain) == set(boosted)
+    for d in plain:
+        assert boosted[d] == pytest.approx(3.0 * plain[d], rel=1e-12)
+    with pytest.raises(ValueError, match="1:1"):
+        search_multi_index([eng], "import", boosts=[1.0, 2.0])
+    with pytest.raises(ValueError, match="positive"):
+        search_multi_index([eng], "import", boosts=[-1.0])
