@@ -5077,6 +5077,39 @@ def _q_streaming_dedup(spark, sf_dir):
     return spark.sql(f"SELECT _text_hash AS text_hash FROM {name}")
 
 
+def _q_streaming_window_agg(spark, sf_dir):
+    """Watermarked windowed aggregation (streaming_event_counts, the
+    Structured Streaming rollup surface): hourly tumbling windows per
+    event_type, run to completion with availableNow in complete mode
+    — end-state equals the batch GROUP BY, so the gate is FULL
+    oracle (hourly Spark windows are epoch-aligned ==
+    date_trunc('hour'))."""
+    import os
+    import tempfile
+    import uuid
+    from auctus_spark.streaming.incremental import streaming_event_counts
+    src = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(src).schema
+    d = tempfile.mkdtemp(prefix="strm_win_src_")
+    os.symlink(os.path.abspath(src), os.path.join(d, "part-0.parquet"))
+    agg = streaming_event_counts(spark, d, schema, window="1 hour",
+                                 watermark="2 hours")
+    name = "strm_win_" + uuid.uuid4().hex[:8]
+    q = (agg.writeStream.outputMode("complete").format("memory")
+         .queryName(name).trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return spark.sql(
+        f"SELECT window.start AS window_start, event_type, n, "
+        f"round(value_sum, 6) AS value_sum FROM {name}")
+
+
+_STREAMING_WINDOW_SQL = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n, round(sum(value), 6) AS value_sum
+FROM events GROUP BY 1, 2
+"""
+
+
 def _q_variable_width_histogram(spark, sf_dir):
     """ES variable_width_histogram: k-means-adaptive bucket widths
     over o_totalprice.  Rows-only driver check (seeded iterative
@@ -6117,6 +6150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "significant_text": _q_significant_text,
         "bigram_logprob": _q_bigram_logprob,
         "streaming_dedup": _q_streaming_dedup,
+        "streaming_window_agg": _q_streaming_window_agg,
         "variable_width_histogram": _q_variable_width_histogram,
         "bpe_encode": _q_bpe_encode,
         "wordpiece_encode": _q_wordpiece_encode,
@@ -7249,6 +7283,7 @@ def _oracle_sql_static() -> dict[str, str]:
         "bigram_logprob": _BIGRAM_LOGPROB_SQL,
         "streaming_dedup":
             "SELECT DISTINCT md5(text) AS text_hash FROM documents",
+        "streaming_window_agg": _STREAMING_WINDOW_SQL,
         "bpe_encode": _BPE_ENCODE_SQL,
         "wordpiece_encode":
             _BPE_ENCODE_SQL,  # same round-trip property
