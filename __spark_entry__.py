@@ -4318,6 +4318,41 @@ LIMIT 10
 """
 
 
+_MAXSIM_QS = [[round(math.cos(i + 1 + 7 * j), 6) for i in range(64)]
+              for j in range(3)]
+
+
+def _q_maxsim_rank_vectors(spark, sf_dir):
+    """ES 8.x rank_vectors / ColBERT late interaction
+    (similarity.maxsim_topk): docs are bags of 5 vectors (vec_id DIV
+    5), score = Σ over 3 literal query vectors of the max dot product
+    against the doc's bag — one scan, one partial-aggregated shuffle
+    on the doc key (max and sum combine map-side), top-10 on the
+    6-dp-rounded score."""
+    from auctus_spark.operators.similarity import maxsim_topk
+    e = (_t(spark, sf_dir, "embeddings")
+         .select(F.expr("vec_id DIV 5").alias("doc_id"),
+                 F.col("embedding").cast("array<double>")
+                 .alias("embedding")))
+    return maxsim_topk(e, _MAXSIM_QS, k=10)
+
+
+def _maxsim_sql() -> str:
+    qs = ["[" + ", ".join(repr(float(x)) for x in q) + "]"
+          for q in _MAXSIM_QS]
+    return f"""
+WITH e AS (SELECT vec_id // 5 AS doc_id,
+                  embedding::DOUBLE[] AS emb FROM embeddings),
+m AS (SELECT doc_id,
+        max(list_dot_product(emb, {qs[0]}::DOUBLE[])) AS m0,
+        max(list_dot_product(emb, {qs[1]}::DOUBLE[])) AS m1,
+        max(list_dot_product(emb, {qs[2]}::DOUBLE[])) AS m2
+      FROM e GROUP BY doc_id)
+SELECT doc_id, round(m0 + m1 + m2, 6) AS maxsim
+FROM m ORDER BY round(m0 + m1 + m2, 6) DESC, doc_id ASC LIMIT 10
+"""
+
+
 def _q_linear_hybrid(spark, sf_dir):
     """ES linear retriever (8.16+, minmax normalizer): the same two
     retriever windows as [rrf_hybrid] — BM25 should top-50 and
@@ -6131,6 +6166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diversified_sampler": _q_diversified_sampler,
         "rrf_hybrid": _q_rrf_hybrid,
         "ann_int8_rescore": _q_ann_int8_rescore,
+        "maxsim_rank_vectors": _q_maxsim_rank_vectors,
         "linear_hybrid": _q_linear_hybrid,
         "query_string": _q_query_string,
         "simple_query_string": _q_simple_query_string,
@@ -7263,6 +7299,7 @@ def _oracle_sql_static() -> dict[str, str]:
         "diversified_sampler": _diversified_sampler_sql(),
         "rrf_hybrid": _rrf_hybrid_sql(),
         "ann_int8_rescore": _ann_int8_sql(),
+        "maxsim_rank_vectors": _maxsim_sql(),
         "linear_hybrid": _linear_hybrid_sql(),
         "query_string": _query_string_sql(),
         "simple_query_string": _simple_query_string_sql(),

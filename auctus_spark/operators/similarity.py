@@ -484,3 +484,35 @@ def linear_fuse(ranked_a: DataFrame, ranked_b: DataFrame,
     return (j.select(id_col, F.round(score, 6).alias("linear_score"))
             .orderBy(F.desc("linear_score"), F.asc(id_col))
             .limit(k))
+
+
+def maxsim_topk(vecs: DataFrame, query_vecs: list[list[float]],
+                k: int = 10, doc_col: str = "doc_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """Late-interaction maxSim scoring over multi-vector documents
+    (ES 8.x ``rank_vectors`` / the ColBERT retrieval pattern): a doc
+    is a BAG of vectors (one row per vector in ``vecs``), and
+
+        score(doc) = Σ_{q ∈ query_vecs} max_{d ∈ doc} (q · d)
+
+    Top-``k`` by (round(score, 6) desc, doc id asc).
+
+    Plan: per (row, query-vector) dots are JVM ``zip_with`` /
+    ``aggregate`` expressions evaluated in ONE scan — the per-query
+    max and the final sum are a single partial-aggregated shuffle on
+    the doc key (max and sum both combine map-side), so the corpus-
+    scale exchange carries one row per doc, not per vector.  No
+    cross join, no window."""
+    if not query_vecs:
+        raise ValueError("maxsim_topk needs at least one query vector")
+    maxes = []
+    for i, q in enumerate(query_vecs):
+        qv = F.array(*[F.lit(float(x)) for x in q])
+        dot = _dot(F.col(vec_col), qv)
+        maxes.append(F.max(dot).alias(f"_m{i}"))
+    agg = vecs.groupBy(doc_col).agg(*maxes)
+    score = F.col("_m0")
+    for i in range(1, len(query_vecs)):
+        score = score + F.col(f"_m{i}")
+    return (agg.select(doc_col, F.round(score, 6).alias("maxsim"))
+            .orderBy(F.desc("maxsim"), F.asc(doc_col)).limit(k))

@@ -277,3 +277,35 @@ def test_linear_fuse_minmax_weights_and_absence(spark):
              for r in linear_fuse(a, b, weight_a=2.0, weight_b=1.0,
                                   k=10).collect()]
     assert order == [1, 2, 4, 3]   # 2.0-tie between 1 and 2 -> id asc
+
+
+def test_maxsim_closed_form(spark):
+    """maxSim on a handmade bag: score = sum over query vectors of the
+    max dot against the doc's vectors; single-vector docs reduce to
+    plain dot sums."""
+    from auctus_spark.operators.similarity import maxsim_topk
+    rows = [
+        (0, [1.0, 0.0]), (0, [0.0, 1.0]),       # doc 0: e1, e2
+        (1, [0.5, 0.5]),                        # doc 1: one vector
+    ]
+    vecs = spark.createDataFrame(rows, "doc_id long, embedding array<double>")
+    qs = [[2.0, 0.0], [0.0, 4.0]]
+    got = {r["doc_id"]: r["maxsim"]
+           for r in maxsim_topk(vecs, qs, k=10).collect()}
+    # doc 0: max(2,0) + max(0,4) = 6 ; doc 1: max(1) + max(2) = 3
+    assert got == {0: 6.0, 1: 3.0}
+    with pytest.raises(ValueError):
+        maxsim_topk(vecs, [], k=5)
+
+
+def test_maxsim_one_shuffle_plan(spark):
+    """The maxSim plan is one partial-aggregated exchange on the doc
+    key — no join, no window."""
+    from auctus_spark.operators.similarity import maxsim_topk
+    vecs = spark.createDataFrame(
+        [(i % 7, [float(i), 1.0]) for i in range(50)],
+        "doc_id long, embedding array<double>")
+    plan = maxsim_topk(vecs, [[1.0, 0.0], [0.0, 1.0]], k=5) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan and "Window" not in plan
