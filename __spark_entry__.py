@@ -2175,6 +2175,79 @@ FROM axis LEFT JOIN c USING (bucket) ORDER BY bucket
 """
 
 
+def _q_rank_eval(spark, sf_dir):
+    """ES Ranking Evaluation API (operators/rankeval.rank_eval):
+    three term queries, results = top-10 docs by raw tf (tf desc,
+    doc_id asc), judgments = graded rating least(tf, 3) for docs with
+    tf >= 2 — emits precision@10 / recall@10 / reciprocal rank /
+    nDCG@10 per query, every metric recomputed by the SQL oracle."""
+    from pyspark.sql import Window
+    from auctus_spark.operators.rankeval import rank_eval
+    d = _docs(spark, sf_dir)
+    terms = ["join", "data", "hash"]
+    tok = d.select(
+        "doc_id",
+        F.explode(F.filter(F.split(F.lower("text"), SPLIT_PATTERN),
+                           lambda x: x != "")).alias("term"))
+    tf = (tok.filter(F.col("term").isin(terms))
+          .groupBy("term", "doc_id")
+          .agg(F.count(F.lit(1)).alias("tf")))
+    w = Window.partitionBy("term").orderBy(F.desc("tf"),
+                                           F.asc("doc_id"))
+    results = (tf.withColumn("rank", F.row_number().over(w))
+               .filter(F.col("rank") <= 10)
+               .select(F.col("term").alias("query_id"), "doc_id",
+                       "rank"))
+    ratings = (tf.filter(F.col("tf") >= 2)
+               .select(F.col("term").alias("query_id"), "doc_id",
+                       F.least(F.col("tf"), F.lit(3)).cast("int")
+                       .alias("rating")))
+    return rank_eval(results, ratings, k=10).withColumnsRenamed(
+        {"precision": "precision_k", "recall": "recall_k"})
+
+
+_RANK_EVAL_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text),
+         '{{SPLIT}}')) AS term FROM documents),
+tf AS (SELECT term, doc_id, count(*) AS tf FROM tok
+       WHERE term IN ('join', 'data', 'hash') GROUP BY 1, 2),
+res AS (SELECT term AS query_id, doc_id, rank FROM (
+    SELECT term, doc_id,
+           row_number() OVER (PARTITION BY term
+                              ORDER BY tf DESC, doc_id ASC) AS rank
+    FROM tf) WHERE rank <= 10),
+rat AS (SELECT term AS query_id, doc_id, least(tf, 3)::INT AS rating
+        FROM tf WHERE tf >= 2),
+j AS (SELECT r.query_id, r.rank, coalesce(rat.rating, 0) AS rating
+      FROM res r LEFT JOIN rat USING (query_id, doc_id)),
+per AS (SELECT query_id, count(*) AS retrieved,
+          sum(CASE WHEN rating >= 1 THEN 1 ELSE 0 END) AS rel_ret,
+          min(CASE WHEN rating >= 1 THEN rank END) AS first_rel,
+          sum((pow(2.0, rating) - 1.0) / log2(rank + 1.0)) AS dcg
+        FROM j GROUP BY query_id),
+ideal AS (SELECT query_id,
+            sum((pow(2.0, rating) - 1.0) / log2(ir + 1.0)) AS idcg
+          FROM (SELECT query_id, rating,
+                  row_number() OVER (PARTITION BY query_id
+                     ORDER BY rating DESC, doc_id ASC) AS ir
+                FROM rat) WHERE ir <= 10 GROUP BY query_id),
+tot AS (SELECT query_id,
+          sum(CASE WHEN rating >= 1 THEN 1 ELSE 0 END) AS total_rel
+        FROM rat GROUP BY query_id)
+SELECT p.query_id,
+  round(rel_ret * 1.0 / retrieved, 6) AS precision_k,
+  round(CASE WHEN coalesce(total_rel, 0) > 0
+             THEN rel_ret * 1.0 / total_rel ELSE 0.0 END, 6)
+    AS recall_k,
+  round(coalesce(1.0 / first_rel, 0.0), 6) AS reciprocal_rank,
+  round(CASE WHEN coalesce(idcg, 0.0) > 0
+             THEN dcg / idcg ELSE 0.0 END, 6) AS ndcg
+FROM per p LEFT JOIN ideal USING (query_id)
+LEFT JOIN tot USING (query_id)
+"""
+
+
 def _q_tfidf_keywords(spark, sf_dir):
     """Per-document top-3 tf·idf keywords (textstats.tfidf_keywords)
     — the more_like_this interesting-terms selection as a standalone
@@ -6078,6 +6151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_histogram": _q_date_histogram,
         "downsample_rollup": _q_downsample_rollup,
         "tfidf_keywords": _q_tfidf_keywords,
+        "rank_eval": _q_rank_eval,
         "terms_shard_merge": _q_terms_shard_merge,
         "highlight": _q_highlight,
         "highlight_fragments": _q_highlight_fragments,
@@ -7139,6 +7213,7 @@ def _oracle_sql_static() -> dict[str, str]:
         "downsample_rollup": _DOWNSAMPLE_SQL,
         "tfidf_keywords": _TFIDF_KEYWORDS_SQL.replace(
             "{SPLIT}", SPLIT_PATTERN),
+        "rank_eval": _RANK_EVAL_SQL.replace("{SPLIT}", SPLIT_PATTERN),
         "terms_shard_merge": _TERMS_SHARD_SQL,
         "highlight": _highlight_sql(["data", "join"]),
         "highlight_fragments": _highlight_fragments_sql(
