@@ -2175,6 +2175,45 @@ FROM axis LEFT JOIN c USING (bucket) ORDER BY bucket
 """
 
 
+def _q_ingest_pipeline(spark, sf_dir):
+    """ES ingest pipeline (operators/ingest.ingest_pipeline): grok
+    the k field out of the props JSON, convert+rename, enrich with a
+    broadcast lookup (event_type -> type_code), set a constant,
+    uppercase — the whole pipeline compiles to ONE projection over
+    one scan plus the broadcast enrich join."""
+    from auctus_spark.operators.ingest import ingest_pipeline
+    e = _t(spark, sf_dir, "events")
+    lookup = (e.select("event_type").distinct()
+              .withColumn("type_code",
+                          F.upper(F.substring("event_type", 1, 1))))
+    procs = [
+        {"grok": {"field": "props", "pattern": '"k": ([0-9]+)',
+                  "captures": {"k_str": 1}}},
+        {"convert": {"field": "k_str", "type": "int"}},
+        {"rename": {"field": "k_str", "target_field": "k"}},
+        {"enrich": {"lookup": "types", "on": "event_type",
+                    "fields": ["type_code"]}},
+        {"set": {"field": "source", "value": "events"}},
+        {"uppercase": {"field": "event_type"}},
+    ]
+    out = ingest_pipeline(e, procs, lookups={"types": lookup})
+    return out.select("event_id", "k", "type_code", "source",
+                      "event_type")
+
+
+_INGEST_SQL = """
+WITH lk AS (SELECT DISTINCT event_type,
+                   upper(substr(event_type, 1, 1)) AS type_code
+            FROM events)
+SELECT e.event_id,
+       regexp_extract(e.props, '"k": ([0-9]+)', 1)::INT AS k,
+       lk.type_code,
+       'events' AS source,
+       upper(e.event_type) AS event_type
+FROM events e LEFT JOIN lk USING (event_type)
+"""
+
+
 def _q_rank_eval(spark, sf_dir):
     """ES Ranking Evaluation API (operators/rankeval.rank_eval):
     three term queries, results = top-10 docs by raw tf (tf desc,
@@ -6152,6 +6191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "downsample_rollup": _q_downsample_rollup,
         "tfidf_keywords": _q_tfidf_keywords,
         "rank_eval": _q_rank_eval,
+        "ingest_pipeline": _q_ingest_pipeline,
         "terms_shard_merge": _q_terms_shard_merge,
         "highlight": _q_highlight,
         "highlight_fragments": _q_highlight_fragments,
@@ -7214,6 +7254,7 @@ def _oracle_sql_static() -> dict[str, str]:
         "tfidf_keywords": _TFIDF_KEYWORDS_SQL.replace(
             "{SPLIT}", SPLIT_PATTERN),
         "rank_eval": _RANK_EVAL_SQL.replace("{SPLIT}", SPLIT_PATTERN),
+        "ingest_pipeline": _INGEST_SQL,
         "terms_shard_merge": _TERMS_SHARD_SQL,
         "highlight": _highlight_sql(["data", "join"]),
         "highlight_fragments": _highlight_fragments_sql(
