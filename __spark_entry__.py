@@ -4430,6 +4430,42 @@ LIMIT 10
 """
 
 
+def _q_ann_bit_rescore(spark, sf_dir):
+    """ES bit dense_vector / BBQ-style 1-bit quantization with exact
+    rescore (similarity.binary_topk_rescore): sign-bit quantization
+    (parameter-free), hamming-distance candidate ranking (asc, id asc
+    ties), top-50 window, exact-cosine rescore to top-10 — the 1-bit
+    tier below [ann_int8_rescore], same literal query."""
+    from auctus_spark.operators.similarity import binary_topk_rescore
+    emb = _t(spark, sf_dir, "embeddings")
+    return binary_topk_rescore(emb, _ANN_Q, k=10, window=50)
+
+
+def _ann_bit_sql() -> str:
+    from auctus_spark.operators.similarity import quantize_query
+    qn, _ = quantize_query(_ANN_Q)
+    qb = "[" + ", ".join("1" if float(x) >= 0.0 else "0"
+                         for x in _ANN_Q) + "]"
+    qn_lit = "[" + ", ".join(repr(v) for v in qn) + "]"
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+h AS (SELECT vec_id, emb,
+        list_sum(list_transform(range(1, len(emb) + 1),
+          i -> abs(CASE WHEN emb[i] >= 0.0 THEN 1 ELSE 0 END
+                   - ({qb})[i]))) AS hd
+      FROM e),
+cand AS (SELECT vec_id, emb FROM h
+         ORDER BY hd ASC, vec_id ASC LIMIT 50)
+SELECT vec_id,
+       round(list_cosine_similarity(emb, {qn_lit}::DOUBLE[]), 6)
+         AS cos_sim
+FROM cand
+ORDER BY round(list_cosine_similarity(emb, {qn_lit}::DOUBLE[]), 6)
+           DESC, vec_id ASC
+LIMIT 10
+"""
+
+
 _MAXSIM_QS = [[round(math.cos(i + 1 + 7 * j), 6) for i in range(64)]
               for j in range(3)]
 
@@ -6281,6 +6317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rrf_hybrid": _q_rrf_hybrid,
         "ann_int8_rescore": _q_ann_int8_rescore,
         "maxsim_rank_vectors": _q_maxsim_rank_vectors,
+        "ann_bit_rescore": _q_ann_bit_rescore,
         "linear_hybrid": _q_linear_hybrid,
         "query_string": _q_query_string,
         "simple_query_string": _q_simple_query_string,
@@ -7416,6 +7453,7 @@ def _oracle_sql_static() -> dict[str, str]:
         "rrf_hybrid": _rrf_hybrid_sql(),
         "ann_int8_rescore": _ann_int8_sql(),
         "maxsim_rank_vectors": _maxsim_sql(),
+        "ann_bit_rescore": _ann_bit_sql(),
         "linear_hybrid": _linear_hybrid_sql(),
         "query_string": _query_string_sql(),
         "simple_query_string": _simple_query_string_sql(),

@@ -516,3 +516,41 @@ def maxsim_topk(vecs: DataFrame, query_vecs: list[list[float]],
         score = score + F.col(f"_m{i}")
     return (agg.select(doc_col, F.round(score, 6).alias("maxsim"))
             .orderBy(F.desc("maxsim"), F.asc(doc_col)).limit(k))
+
+
+def binary_topk_rescore(emb: DataFrame, query_vec: list[float],
+                        k: int = 10, window: int = 50,
+                        vec_col: str = "embedding",
+                        id_col: str = "vec_id") -> DataFrame:
+    """ES 8.x ``bit`` dense_vector / BBQ-style binary quantization
+    with exact rescore — the 1-bit tier below
+    :func:`quantized_topk_rescore`'s int8: each component quantizes
+    to its SIGN bit (sign is norm-invariant, so no normalization pass
+    is even needed), candidates rank by hamming distance to the
+    query's bit pattern (asc, id asc ties), and the ``window``
+    survivors rescore with the exact float cosine.
+
+    Scale story: 1 bit/component = 32× less scan I/O than float32,
+    and hamming is pure integer whole-stage-codegen arithmetic (the
+    on-disk codec packs 64 components per long and the distance is
+    popcount(xor) — the expression here is the unpacked equivalent).
+    Quantization is parameter-free (sign), so the whole pipeline is a
+    pure function an external SQL oracle replays exactly."""
+    qb = [1 if float(x) >= 0.0 else 0 for x in query_vec]
+    qb_lit = F.array(*[F.lit(v) for v in qb])
+    e = emb.select(id_col, F.col(vec_col).cast("array<double>")
+                   .alias(vec_col))
+    bits = F.transform(F.col(vec_col),
+                       lambda x: F.when(x >= 0.0, F.lit(1))
+                       .otherwise(F.lit(0)))
+    hamming = F.aggregate(
+        F.zip_with(bits, qb_lit, lambda a, b: F.abs(a - b)),
+        F.lit(0), lambda acc, x: acc + x)
+    cand = (e.select(id_col, vec_col, hamming.alias("_hd"))
+            .orderBy(F.asc("_hd"), F.asc(id_col)).limit(window))
+    qn, _ = quantize_query(query_vec)
+    qv = F.array(*[F.lit(float(x)) for x in qn])
+    cos = _dot(F.col(vec_col), qv) / (_norm(F.col(vec_col))
+                                      * _norm(qv))
+    return (cand.select(id_col, F.round(cos, 6).alias("cos_sim"))
+            .orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k))

@@ -309,3 +309,24 @@ def test_maxsim_one_shuffle_plan(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1, plan
     assert "Join" not in plan and "Window" not in plan
+
+
+def test_binary_rescore_matches_exact(spark, vectors):
+    """1-bit sign quantization + exact rescore: on the clustered
+    corpus with a generous window the result equals the exact
+    brute-force top-k (sign patterns separate the gaussian clusters,
+    the rescore is exact float cosine)."""
+    from auctus_spark.operators.similarity import binary_topk_rescore
+    rows, mat = vectors
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>")
+    q = mat[7]
+    got = binary_topk_rescore(
+        emb.filter("vec_id <> 7"), q.tolist(), k=10, window=150)
+    ids = [r["vec_id"] for r in got.collect()]
+    mask = np.arange(len(mat)) != 7
+    qn = q / np.linalg.norm(q)
+    sims = (mat[mask] @ qn) / np.linalg.norm(mat[mask], axis=1)
+    keep = np.arange(len(mat))[mask]
+    order = np.lexsort((keep, -np.round(sims, 6)))
+    assert ids == [int(keep[i]) for i in order[:10]]
