@@ -2315,6 +2315,24 @@ FROM r WHERE rank <= 3
 """
 
 
+def _q_random_sampler(spark, sf_dir):
+    """ES random_sampler agg (profiling.random_sampler_agg): terms
+    counts by lang over a deterministic p=0.25 Knuth-hash sample of
+    documents, with the 1/p-scaled doc_count estimate."""
+    from auctus_spark.operators.profiling import random_sampler_agg
+    return random_sampler_agg(_docs(spark, sf_dir), "doc_id", "lang",
+                              probability=0.25)
+
+
+_RANDOM_SAMPLER_SQL = """
+SELECT lang, count(*) AS sampled_count,
+       round(count(*) / 0.25, 6) AS est_doc_count
+FROM documents
+WHERE ((doc_id * 2654435761) % 4294967296) / 4294967296.0 < 0.25
+GROUP BY lang
+"""
+
+
 def _q_downsample_rollup(spark, sf_dir):
     """ES TSDB downsampling / hypertable rollup
     (profiling.downsample_agg): hourly buckets per event_type with
@@ -6228,6 +6246,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_keywords": _q_tfidf_keywords,
         "rank_eval": _q_rank_eval,
         "ingest_pipeline": _q_ingest_pipeline,
+        "random_sampler": _q_random_sampler,
         "terms_shard_merge": _q_terms_shard_merge,
         "highlight": _q_highlight,
         "highlight_fragments": _q_highlight_fragments,
@@ -7292,6 +7311,7 @@ def _oracle_sql_static() -> dict[str, str]:
             "{SPLIT}", SPLIT_PATTERN),
         "rank_eval": _RANK_EVAL_SQL.replace("{SPLIT}", SPLIT_PATTERN),
         "ingest_pipeline": _INGEST_SQL,
+        "random_sampler": _RANDOM_SAMPLER_SQL,
         "terms_shard_merge": _TERMS_SHARD_SQL,
         "highlight": _highlight_sql(["data", "join"]),
         "highlight_fragments": _highlight_fragments_sql(

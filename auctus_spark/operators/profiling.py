@@ -1836,3 +1836,28 @@ def terms_agg_sharded(df: DataFrame, key_col: str,
         key_col, "doc_count",
         err.alias("doc_count_error_upper_bound"))
         .orderBy(F.desc("doc_count"), F.asc(key_col)).limit(size))
+
+
+def random_sampler_agg(df: DataFrame, id_col: str, key_col: str,
+                       probability: float = 0.25) -> DataFrame:
+    """ES ``random_sampler`` aggregation (8.2+): run sub-aggregations
+    on a probabilistic sample and scale counts by 1/p.  ES samples
+    per shard with a seeded RNG; here the sample is a DETERMINISTIC
+    Knuth multiplicative hash of the doc id mapped to [0, 1) —
+    partition-invariant, so the estimate is a pure function of the
+    table (documented divergence, same estimator).
+
+    At 100 TB this is the cheap-profiling primitive: the filter
+    evaluates at the scan (no shuffle grows), and everything
+    downstream touches p of the corpus.  Sub-agg here: terms counts
+    by ``key_col`` with the 1/p-scaled estimate beside the raw
+    sampled count."""
+    if not 0.0 < probability <= 1.0:
+        raise ValueError("probability must be in (0, 1]")
+    h = F.pmod(F.col(id_col) * F.lit(2654435761), F.lit(1 << 32))
+    keep = (h / F.lit(float(1 << 32))) < probability
+    samp = df.filter(keep)
+    return (samp.groupBy(key_col)
+            .agg(F.count(F.lit(1)).alias("sampled_count"),
+                 F.round(F.count(F.lit(1)) / F.lit(probability), 6)
+                 .alias("est_doc_count")))

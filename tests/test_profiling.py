@@ -925,3 +925,25 @@ def test_terms_sharded_error_bound(spark):
     assert out["a"] == (4, 0)
     assert out["b"] == (2, 1)
     assert out["c"] == (2, 2)
+
+
+def test_random_sampler_deterministic_estimator(spark):
+    """random_sampler: the Knuth-hash sample is partition-invariant
+    and the estimate is sampled/p; p=1.0 degenerates to exact."""
+    from auctus_spark.operators.profiling import random_sampler_agg
+    df = spark.createDataFrame(
+        [(i, "k") for i in range(1000)], "doc_id long, lang string")
+    full = random_sampler_agg(df, "doc_id", "lang",
+                              probability=1.0).collect()[0]
+    assert full["sampled_count"] == 1000
+    assert full["est_doc_count"] == 1000.0
+    s1 = random_sampler_agg(df.repartition(1), "doc_id", "lang",
+                            probability=0.25).collect()[0]
+    s8 = random_sampler_agg(df.repartition(8), "doc_id", "lang",
+                            probability=0.25).collect()[0]
+    assert s1 == s8                      # partition-invariant
+    assert s1["est_doc_count"] == round(s1["sampled_count"] / 0.25, 6)
+    # a 25% sample of 1000 uniform ids lands well inside [150, 350]
+    assert 150 <= s1["sampled_count"] <= 350
+    with pytest.raises(ValueError):
+        random_sampler_agg(df, "doc_id", "lang", probability=0.0)
