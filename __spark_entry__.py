@@ -2287,6 +2287,70 @@ LEFT JOIN tot USING (query_id)
 """
 
 
+def _q_bm25_explain(spark, sf_dir):
+    """ES _explain flattened (SearchEngine.explain): one row per
+    (top-10 conjunctive doc, query term) with tf, dl, df, idf, the
+    BM25 tf-norm and the term contribution — every factor recomputed
+    independently by the SQL oracle."""
+    import hashlib as _h
+    import os as _os
+
+    from auctus_spark.index.build import (FORMAT_VERSION, IndexBuilder,
+                                          read_format, wipe)
+    from auctus_spark.query.bm25 import SearchEngine
+
+    _ensure_workers_can_import(spark)
+    tag = _h.md5(sf_dir.encode()).hexdigest()[:10]
+    idx_dir = f"/tmp/auctus_entry_index_{tag}"
+    corpus = _docs(spark, sf_dir).select(
+        "doc_id", F.col("text").alias("content"))
+    b = IndexBuilder(spark, idx_dir, doc_bucket=1 << 10,
+                     chunk_docs=1 << 12, term_buckets=16)
+    if (not _os.path.exists(_os.path.join(idx_dir, "stats"))
+            or read_format(idx_dir) != FORMAT_VERSION):
+        wipe(idx_dir)
+        b.build(corpus)
+    eng = SearchEngine(spark, idx_dir, term_buckets=16)
+    out = eng.explain("data join", k=10)
+    return out.select(
+        "doc_id", F.round("score", 6).alias("score"), "term", "tf",
+        "dl", "df", F.round("idf", 6).alias("idf"),
+        F.round("tf_norm", 6).alias("tf_norm"),
+        F.round("contribution", 6).alias("contribution"))
+
+
+_BM25_EXPLAIN_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text),
+         '{{SPLIT}}')) AS term FROM documents),
+tok2 AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok2 GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT count(*) FROM tok2) * 1.0
+           / (SELECT count(*) FROM documents) AS avgdl),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok2
+       WHERE term IN ('data', 'join') GROUP BY doc_id, term),
+dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+fac AS (SELECT tf.doc_id, tf.term, tf.tf, dl.dl, dfq.df,
+          ln(1 + (s.n_docs - dfq.df + 0.5) / (dfq.df + 0.5)) AS idf,
+          (tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)))
+            AS tfn
+        FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id)
+        CROSS JOIN stats s),
+scored AS (SELECT doc_id, sum(idf * tfn) AS raw_score,
+                  count(*) AS nt
+           FROM fac GROUP BY doc_id),
+hits AS (SELECT doc_id, raw_score FROM scored WHERE nt = 2
+         ORDER BY raw_score DESC, doc_id ASC LIMIT 10)
+SELECT f.doc_id, round(h.raw_score, 6) AS score, f.term,
+       f.tf::BIGINT AS tf, f.dl::BIGINT AS dl, f.df::BIGINT AS df,
+       round(f.idf, 6) AS idf, round(f.tfn, 6) AS tf_norm,
+       round(f.idf * f.tfn, 6) AS contribution
+FROM fac f JOIN hits h USING (doc_id)
+"""
+
+
 def _q_tfidf_keywords(spark, sf_dir):
     """Per-document top-3 tf·idf keywords (textstats.tfidf_keywords)
     — the more_like_this interesting-terms selection as a standalone
@@ -6247,6 +6311,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_eval": _q_rank_eval,
         "ingest_pipeline": _q_ingest_pipeline,
         "random_sampler": _q_random_sampler,
+        "bm25_explain": _q_bm25_explain,
         "terms_shard_merge": _q_terms_shard_merge,
         "highlight": _q_highlight,
         "highlight_fragments": _q_highlight_fragments,
@@ -7312,6 +7377,8 @@ def _oracle_sql_static() -> dict[str, str]:
         "rank_eval": _RANK_EVAL_SQL.replace("{SPLIT}", SPLIT_PATTERN),
         "ingest_pipeline": _INGEST_SQL,
         "random_sampler": _RANDOM_SAMPLER_SQL,
+        "bm25_explain": _BM25_EXPLAIN_SQL.replace("{SPLIT}",
+                                                  SPLIT_PATTERN),
         "terms_shard_merge": _TERMS_SHARD_SQL,
         "highlight": _highlight_sql(["data", "join"]),
         "highlight_fragments": _highlight_fragments_sql(
