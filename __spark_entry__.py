@@ -2287,6 +2287,44 @@ LEFT JOIN tot USING (query_id)
 """
 
 
+def _q_shingle_phrase(spark, sf_dir):
+    """Lucene ShingleFilter / ES search_as_you_type _2gram
+    (pipeline.shingle_phrase_topk): 'hash join' matched as ONE
+    2-shingle term, BM25 over the shingle field's own stats — the
+    fast-phrase trade with zero positions machinery."""
+    return pipeline.shingle_phrase_topk(
+        _docs(spark, sf_dir), "hash join", k=50, round_to=6)
+
+
+_SHINGLE_PHRASE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text),
+                     '{{SPLIT}}'), x -> x <> '') AS l
+  FROM documents),
+sh AS (SELECT doc_id, len(l) AS ln,
+         list_transform(range(1, greatest(len(l), 1)),
+                        i -> l[i] || ' ' || l[i + 1]) AS s
+       FROM toks),
+st AS (SELECT count(*) AS n,
+         sum(greatest(ln - 1, 0)) AS tot,
+         sum(CASE WHEN list_contains(s, 'hash join')
+                  THEN 1 ELSE 0 END) AS df
+       FROM sh),
+sc AS (SELECT doc_id,
+         len(list_filter(s, x -> x = 'hash join')) AS tf,
+         greatest(ln - 1, 0) AS dl
+       FROM sh WHERE list_contains(s, 'hash join'))
+SELECT doc_id,
+       round(ln(1 + (n - df + 0.5) / (df + 0.5))
+             * (tf / (tf + 1.2
+                * (0.25 + 0.75 * dl / (tot * 1.0 / n)))), 6)
+         AS score
+FROM sc, st
+ORDER BY score DESC, doc_id ASC LIMIT 50
+"""
+
+
 def _q_bm25_explain(spark, sf_dir):
     """ES _explain flattened (SearchEngine.explain): one row per
     (top-10 conjunctive doc, query term) with tf, dl, df, idf, the
@@ -6312,6 +6350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ingest_pipeline": _q_ingest_pipeline,
         "random_sampler": _q_random_sampler,
         "bm25_explain": _q_bm25_explain,
+        "shingle_phrase": _q_shingle_phrase,
         "terms_shard_merge": _q_terms_shard_merge,
         "highlight": _q_highlight,
         "highlight_fragments": _q_highlight_fragments,
@@ -7379,6 +7418,8 @@ def _oracle_sql_static() -> dict[str, str]:
         "random_sampler": _RANDOM_SAMPLER_SQL,
         "bm25_explain": _BM25_EXPLAIN_SQL.replace("{SPLIT}",
                                                   SPLIT_PATTERN),
+        "shingle_phrase": _SHINGLE_PHRASE_SQL.replace("{SPLIT}",
+                                                      SPLIT_PATTERN),
         "terms_shard_merge": _TERMS_SHARD_SQL,
         "highlight": _highlight_sql(["data", "join"]),
         "highlight_fragments": _highlight_fragments_sql(

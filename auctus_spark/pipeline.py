@@ -1531,3 +1531,61 @@ def collapse_inner_hits_topk(docs: DataFrame, query: str,
     return out.select(collapse_col,
                       F.col("doc_id").alias(id_col), "score",
                       "inner_rank")
+
+
+def _shingles(col):
+    """2-shingle array of a tokens array: ["a","b","c"] -> ["a b",
+    "b c"] (Lucene ShingleFilter(2,2) without unigram output)."""
+    n = F.greatest(F.size(col) - 1, F.lit(0))
+    return F.zip_with(F.slice(col, 1, n),
+                      F.slice(col, 2, n),
+                      lambda a, b: F.concat_ws(" ", a, b))
+
+
+def shingle_phrase_topk(docs: DataFrame, phrase: str,
+                        k: int = TOP_K_SIZE, id_col: str = "doc_id",
+                        text_col: str = "text",
+                        round_to: int | None = None) -> DataFrame:
+    """Lucene ShingleFilter / ES ``search_as_you_type`` ``_2gram``:
+    a TWO-word phrase matched as ONE exact term over the index-time
+    2-shingle stream, scored BM25 with the shingle field's own
+    statistics — tf = shingle occurrences, dl = shingles per doc
+    (len−1), df = docs containing the shingle, N = all docs.  This is
+    the fast-phrase trade: no positions machinery at query time at
+    all (documented divergence from match_phrase's main-field
+    statistics — ES's _2gram subfield scores exactly this way).
+
+    Plan shape == the unigram DataFrame engine: one stats scan (sum/
+    count/df partial-agg, no shuffle of docs), one scoring scan with
+    the shingle tf as an array expression, TakeOrdered(k)."""
+    terms = analyze_query(phrase)
+    spark = docs.sparkSession
+    empty = spark.createDataFrame([], f"{id_col} long, score double")
+    if len(terms) != 2:
+        raise ValueError("shingle_phrase_topk takes exactly a "
+                         f"two-token phrase; got {terms!r}")
+    sh = " ".join(terms)
+    sh_arr = _shingles(_toks(F.col(text_col)))
+    stats = docs.select(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.greatest(F.size(_toks(F.col(text_col))) - 1,
+                         F.lit(0))).alias("tot"),
+        F.sum(F.array_contains(sh_arr, sh).cast("long"))
+        .alias("df")).collect()[0]
+    n, df = int(stats["n"]), int(stats["df"])
+    if n == 0 or df == 0:
+        return empty
+    avgdl = float(stats["tot"]) / float(n)
+    idf = bm25_idf(n, df)
+    tf = F.size(F.filter(sh_arr, lambda x: x == F.lit(sh)))
+    dl = F.greatest(F.size(_toks(F.col(text_col))) - 1, F.lit(0))
+    score = (F.lit(idf)
+             * (tf / (tf + F.lit(K1)
+                      * (F.lit(1.0 - B)
+                         + F.lit(B) * dl / F.lit(avgdl)))))
+    if round_to is not None:
+        score = F.round(score, round_to)
+    return (docs.filter(F.array_contains(sh_arr, sh))
+            .select(F.col(id_col).alias("doc_id"),
+                    score.alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
