@@ -5471,6 +5471,22 @@ def _q_wordpiece_encode(spark, sf_dir):
         .alias("text_rt"))
 
 
+def _q_unigram_encode(spark, sf_dir):
+    """SentencePiece-style unigram LM tokenizer (Viterbi-EM trainer
+    over the word-frequency table, distributed Viterbi encode).
+    Oracle = the same lossless round-trip property as [bpe_encode]:
+    word-initial pieces carry the ▁ marker, so ▁→space rebuilds the
+    analyzed word stream."""
+    from auctus_spark.operators.bpe import train_unigram, unigram_encode
+    docs = _docs(spark, sf_dir)
+    logp = train_unigram(docs, vocab_size=200, n_iters=2)
+    enc = unigram_encode(docs, logp)
+    return enc.select(
+        "doc_id",
+        F.trim(F.regexp_replace(F.concat_ws("", "sp_tokens"),
+                                "▁", " ")).alias("text_rt"))
+
+
 def _q_rank_feature(spark, sf_dir):
     """ES rank_feature query (saturation pivot=1000) over the
     documents' n_chars feature — static-feature ranking, no text
@@ -6464,6 +6480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "variable_width_histogram": _q_variable_width_histogram,
         "bpe_encode": _q_bpe_encode,
         "wordpiece_encode": _q_wordpiece_encode,
+        "unigram_encode": _q_unigram_encode,
         "rank_feature": _q_rank_feature,
         "pinned": _q_pinned,
         "frequent_item_sets": _q_frequent_item_sets,
@@ -7605,6 +7622,8 @@ def _oracle_sql_static() -> dict[str, str]:
         "streaming_window_agg": _STREAMING_WINDOW_SQL,
         "bpe_encode": _BPE_ENCODE_SQL,
         "wordpiece_encode":
+            _BPE_ENCODE_SQL,  # same round-trip property
+        "unigram_encode":
             _BPE_ENCODE_SQL,  # same round-trip property
         "rank_feature": _RANK_FEATURE_SQL,
         "pinned": _pinned_sql(_PINNED_IDS,

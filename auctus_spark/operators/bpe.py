@@ -255,3 +255,134 @@ def wordpiece_encode(df: DataFrame, vocab: list[str],
 
     return df.select(F.col(id_col),
                      enc(_toks(F.col(text_col))).alias("wp_tokens"))
+
+
+# ---------------------------------------------------------------------
+# Unigram LM (Kudo 2018, "Subword Regularization"; the SentencePiece
+# unigram trainer) — the third tokenizer family, same distributed
+# shape: the word-frequency table is the sufficient statistic (ONE
+# partial-agg scan), training is a driver loop over the capped
+# vocabulary, encoding is the distributed part.  Divergences from the
+# reference trainer, documented: hard (Viterbi) EM instead of
+# forward-backward soft EM, and count-rank pruning instead of
+# likelihood-loss pruning — both keep the pipeline a pure function of
+# the corpus with exact tie-breaks.
+# ---------------------------------------------------------------------
+
+WORD_START = "▁"  # SentencePiece's ▁ word-boundary marker
+_UNK_LOGP = -100.0     # unseen single char at encode time
+
+
+def _seed_pieces(words: list[tuple[str, int]], max_piece_len: int = 8,
+                 seed_size: int = 2000) -> dict[str, int]:
+    """Seed vocabulary: every substring up to ``max_piece_len`` scored
+    by total corpus occurrences; ALL single characters survive (full
+    coverage), plus the top ``seed_size`` multi-char pieces by
+    (count desc, piece asc)."""
+    counts: dict[str, int] = {}
+    for w, c in words:
+        n = len(w)
+        for i in range(n):
+            for j in range(i + 1, min(i + max_piece_len, n) + 1):
+                p = w[i:j]
+                counts[p] = counts.get(p, 0) + c
+    multi = sorted((p for p in counts if len(p) > 1),
+                   key=lambda p: (-counts[p], p))[:seed_size]
+    keep = {p for p in counts if len(p) == 1} | set(multi)
+    return {p: counts[p] for p in keep}
+
+
+def _viterbi_pieces(word: str, logp: dict[str, float],
+                    max_piece_len: int = 8) -> list[str]:
+    """Best segmentation by (Σ log p desc, n_pieces asc, pieces asc)
+    — exact deterministic tie-breaks; unseen single chars fall back
+    to ``_UNK_LOGP`` (the byte-fallback analog)."""
+    n = len(word)
+    # best[i] = (score, ntok, pieces tuple) for word[:i]
+    best: list[tuple | None] = [None] * (n + 1)
+    best[0] = (0.0, 0, ())
+    for i in range(1, n + 1):
+        cand = None
+        for j in range(max(0, i - max_piece_len), i):
+            b = best[j]
+            if b is None:
+                continue
+            piece = word[j:i]
+            lp = logp.get(piece)
+            if lp is None:
+                if len(piece) > 1:
+                    continue
+                lp = _UNK_LOGP
+            c = (b[0] + lp, b[1] + 1, b[2] + (piece,))
+            if (cand is None or c[0] > cand[0]
+                    or (c[0] == cand[0]
+                        and (c[1], c[2]) < (cand[1], cand[2]))):
+                cand = c
+        best[i] = cand
+    assert best[n] is not None
+    return list(best[n][2])
+
+
+def train_unigram(df: DataFrame, text_col: str = "text",
+                  vocab_size: int = 300, n_iters: int = 2,
+                  max_piece_len: int = 8, seed_size: int = 2000,
+                  max_words: int = 50_000) -> dict[str, float]:
+    """Learn a unigram-LM piece vocabulary: seed with frequent
+    substrings, run ``n_iters`` Viterbi-EM rounds (E: best
+    segmentation per word from the word-frequency table; M: piece
+    log-probs from the expected counts), pruning after each M-step to
+    all single chars + the top multi-char pieces by (count desc,
+    piece asc) within ``vocab_size``.  Returns piece → log prob."""
+    import math
+    rows = (word_counts(df, text_col)
+            .orderBy(F.desc("count"), F.asc("word"))
+            .limit(max_words).collect())
+    words = [(r["word"], int(r["count"])) for r in rows]
+    seed = _seed_pieces(words, max_piece_len, seed_size)
+    total = float(sum(seed.values()))
+    logp = {p: math.log(c / total) for p, c in seed.items()}
+    chars = {p for p in seed if len(p) == 1}
+    for _ in range(n_iters):
+        cnt: dict[str, int] = {}
+        for w, c in words:
+            for p in _viterbi_pieces(w, logp, max_piece_len):
+                cnt[p] = cnt.get(p, 0) + c
+        n_multi = max(0, vocab_size - len(chars))
+        multi = sorted((p for p in cnt if len(p) > 1),
+                       key=lambda p: (-cnt[p], p))[:n_multi]
+        kept = chars | set(multi)
+        sm = {p: max(cnt.get(p, 0), 1) for p in kept}  # char floor
+        total = float(sum(sm.values()))
+        logp = {p: math.log(c / total) for p, c in sm.items()}
+    return logp
+
+
+def unigram_encode(df: DataFrame, logp: dict[str, float],
+                   text_col: str = "text", id_col: str = "doc_id",
+                   max_piece_len: int = 8) -> DataFrame:
+    """Encode every document with the unigram model: (id,
+    sp_tokens array), word-initial pieces carrying the ▁ marker
+    (SentencePiece surface form — ``▁→space`` rebuilds the word
+    stream, the round-trip oracle).  Arrow-batched pandas UDF with a
+    per-batch word memo, model broadcast in the closure."""
+    lp = dict(logp)
+    ml = int(max_piece_len)
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def enc(words: pd.Series) -> pd.Series:
+        memo: dict[str, list[str]] = {}
+
+        def one(ws):
+            out = []
+            for w in ws:
+                e = memo.get(w)
+                if e is None:
+                    ps = _viterbi_pieces(w, lp, ml)
+                    e = [WORD_START + ps[0]] + ps[1:]
+                    memo[w] = e
+                out.extend(e)
+            return out
+        return words.apply(one)
+
+    return df.select(F.col(id_col),
+                     enc(_toks(F.col(text_col))).alias("sp_tokens"))

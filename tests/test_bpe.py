@@ -154,3 +154,40 @@ def test_wordpiece_encode_roundtrip(spark):
                           for t in got[doc_id])
         assert rebuilt == text.replace(" ", "")
         assert "[UNK]" not in got[doc_id]
+
+
+def test_unigram_seed_and_viterbi():
+    """Seed keeps all chars + top substrings; Viterbi prefers the
+    high-probability long piece and tie-breaks deterministically."""
+    import math
+    from auctus_spark.operators.bpe import (_seed_pieces,
+                                            _viterbi_pieces)
+    seed = _seed_pieces([("abab", 10), ("ab", 5)], max_piece_len=3,
+                        seed_size=4)
+    assert {"a", "b"} <= set(seed)
+    assert seed["ab"] == 25          # 2 in abab x10 + 1 in ab x5
+    logp = {"a": math.log(.1), "b": math.log(.1), "ab": math.log(.4)}
+    assert _viterbi_pieces("abab", logp) == ["ab", "ab"]
+    # unseen char falls back to the UNK floor, never fails
+    assert _viterbi_pieces("azb", logp) == ["a", "z", "b"]
+
+
+def test_unigram_train_and_roundtrip(spark):
+    """Trained model segments with learned pieces; encode round-trips
+    (▁ -> space rebuilds the word stream) and is deterministic."""
+    from auctus_spark.operators.bpe import (WORD_START, train_unigram,
+                                            unigram_encode)
+    docs = spark.createDataFrame(
+        [(i, "internationalization nation inter nation alization")
+         for i in range(8)] + [(100, "xyz")],
+        "doc_id long, text string")
+    logp = train_unigram(docs, vocab_size=40, n_iters=2)
+    assert "nation" in logp           # frequent substring survives
+    enc = unigram_encode(docs, logp)
+    rows = {r["doc_id"]: r["sp_tokens"] for r in enc.collect()}
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for did, toks in rows.items():
+        text = texts[did]
+        rebuilt = "".join(toks).replace(WORD_START, " ").strip()
+        assert rebuilt == " ".join(text.lower().split())
+    assert rows[0] == rows[7]         # same text -> same encoding
