@@ -2757,9 +2757,11 @@ class PhraseEngine(SearchEngine):
                                k: int = TOP_K_SIZE,
                                boost: float = 1.0) -> DataFrame:
         """Lucene/ES ``span_multi`` inside ``span_near``: each clause
-        is either a literal term or a prefix pattern ``'pre*'``
-        (SpanMultiTermQueryWrapper around PrefixQuery).  A multi-term
-        clause matches at the UNION of its expanded terms' positions;
+        is either a literal term or a wildcard pattern with a leading
+        literal — ``'pre*'``, ``'pre?x'``, ``'pre*fix'``
+        (SpanMultiTermQueryWrapper around Prefix/WildcardQuery).  A
+        multi-term clause matches at the UNION of its expanded terms'
+        positions;
         the near semantics are then exactly :meth:`search_span_near`
         (covering-span edit budget ≤ slop, strictly increasing
         positions when in_order).  Constant_score rewrite, doc_id
@@ -2773,20 +2775,29 @@ class PhraseEngine(SearchEngine):
         the final TakeOrdered."""
         if len(clauses) < 2:
             raise ValueError("span_near needs at least 2 clauses")
+        import re as _re
         clause_terms: list[list[str]] = []
         for c in clauses:
-            if c.endswith("*"):
-                p = c[:-1].lower().strip()
-                if not p:
-                    raise ValueError("span_multi prefix must be "
-                                     "non-empty")
-                exp = [r["term"] for r in
-                       (self.term_dict
-                        .filter(F.col("term").startswith(p))
-                        .select("term").collect())]
+            if "*" in c or "?" in c:
+                p = c.lower().strip()
+                lead = _re.split(r"[*?]", p, maxsplit=1)[0]
+                if not lead:
+                    raise ValueError(
+                        "span_multi patterns need a leading literal "
+                        f"(got {c!r}) — an unanchored wildcard "
+                        "expands the whole dictionary")
+                cand = self.term_dict.filter(
+                    F.col("term").startswith(lead))
+                if p != lead + "*":    # beyond plain prefix: confirm
+                    rx = "^" + "".join(
+                        ".*" if ch == "*" else "." if ch == "?"
+                        else _re.escape(ch) for ch in p) + "$"
+                    cand = cand.filter(F.col("term").rlike(rx))
+                exp = [r["term"]
+                       for r in cand.select("term").collect()]
                 if len(exp) > self._MAX_TERM_ISIN:
                     raise ValueError(
-                        f"span_multi prefix {c!r} expands to "
+                        f"span_multi pattern {c!r} expands to "
                         f"{len(exp)} terms (> {self._MAX_TERM_ISIN})")
                 clause_terms.append(sorted(exp))
             else:

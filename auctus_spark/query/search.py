@@ -309,6 +309,39 @@ class AliasRegistry:
                 return e["df"]
         raise ValueError(f"alias {alias!r} has no write index")
 
+    def rollover(self, alias: str, new_df: DataFrame,
+                 max_docs: int | None = None,
+                 dry_run: bool = False) -> dict:
+        """ES ``_rollover`` (the ILM hot-phase action): evaluate the
+        conditions against the alias's CURRENT write index and, when
+        every condition is met, demote it to a read-only target and
+        install ``new_df`` as the new write index — reads keep
+        fanning out over all generations, writes land only in the
+        newest (the time-sliced index pattern that keeps per-index
+        builds bounded at 100 TB; ``search_multi_index`` is the
+        query-side twin).  Supported condition: ``max_docs`` (age/
+        size need ingest metadata a plain table doesn't carry —
+        documented).  Returns the ES-shaped response
+        ``{rolled_over, dry_run, conditions, doc_count}``."""
+        entries = self._targets.get(alias)
+        if not entries:
+            raise KeyError(f"unknown alias {alias!r}")
+        w = next((e for e in entries if e["write"]), None)
+        if w is None:
+            raise ValueError(f"alias {alias!r} has no write index")
+        n = w["df"].count()
+        conditions: dict[str, bool] = {}
+        if max_docs is not None:
+            conditions[f"[max_docs: {max_docs}]"] = n >= max_docs
+        met = bool(conditions) and all(conditions.values())
+        if met and not dry_run:
+            w["write"] = False
+            entries.append({"df": new_df, "filter": "",
+                            "write": True})
+        return {"rolled_over": met and not dry_run,
+                "dry_run": dry_run, "conditions": conditions,
+                "doc_count": int(n)}
+
 
 def mget(df: DataFrame, ids: list, id_col: str = "doc_id"
          ) -> DataFrame:

@@ -1961,3 +1961,28 @@ def test_indices_boost_monotone_merge(spark, built_positional):
         search_multi_index([eng], "import", boosts=[1.0, 2.0])
     with pytest.raises(ValueError, match="positive"):
         search_multi_index([eng], "import", boosts=[-1.0])
+
+
+def test_span_multi_near_wildcard_clause(spark, built_positional):
+    """span_multi with an infix wildcard clause ('i?port' / 'im*t'):
+    expansion = dictionary terms matching the anchored pattern;
+    brute-force parity like the prefix case."""
+    from auctus_spark.analysis import tokenize
+    from auctus_spark.query.bm25 import PhraseEngine
+    import re
+    out, _, corpus = built_positional
+    eng = PhraseEngine(spark, out, term_buckets=8)
+    got = [int(r.doc_id) for r in eng.search_span_multi_near(
+        ["def", "i?port"], slop=5, in_order=True, k=10000).collect()]
+    rx = re.compile(r"^i.port$")
+    want = []
+    for r in corpus.select("doc_id", "content").collect():
+        toks = tokenize(r["content"])
+        p0s = [i for i, t in enumerate(toks) if t == "def"]
+        p1s = [i for i, t in enumerate(toks) if rx.match(t)]
+        if any(p1 > p0 and p1 - p0 - 1 <= 5
+               for p0 in p0s for p1 in p1s):
+            want.append(int(r["doc_id"]))
+    assert got == sorted(want) and got
+    with pytest.raises(ValueError, match="leading literal"):
+        eng.search_span_multi_near(["def", "*port"], slop=2, k=5)

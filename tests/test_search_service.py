@@ -184,3 +184,29 @@ def test_mget_request_order(spark, sf_dir):
     # missing id absent; present ids carry request positions
     assert [(r.doc_id, r._requested_order) for r in rows] == \
         [(17, 1), (3, 2)]
+
+
+def test_alias_rollover_ilm(spark):
+    """ES _rollover: condition on the write index's doc count; on
+    rollover the old write index stays readable, writes move to the
+    new generation; dry_run evaluates without flipping."""
+    from auctus_spark.query.search import AliasRegistry
+    g1 = spark.createDataFrame([(i,) for i in range(5)], "doc_id long")
+    g2 = spark.createDataFrame([(i,) for i in range(100, 103)],
+                               "doc_id long")
+    reg = AliasRegistry()
+    reg.add("logs", g1, is_write_index=True)
+    not_met = reg.rollover("logs", g2, max_docs=10)
+    assert not_met == {"rolled_over": False, "dry_run": False,
+                       "conditions": {"[max_docs: 10]": False},
+                       "doc_count": 5}
+    assert reg.write_target("logs") is g1
+    dry = reg.rollover("logs", g2, max_docs=5, dry_run=True)
+    assert dry["rolled_over"] is False and dry["conditions"][
+        "[max_docs: 5]"] is True
+    assert reg.write_target("logs") is g1          # unchanged
+    res = reg.rollover("logs", g2, max_docs=5)
+    assert res["rolled_over"] is True
+    assert reg.write_target("logs") is g2
+    # reads fan out over BOTH generations
+    assert reg.resolve("logs").count() == 8
