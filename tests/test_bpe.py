@@ -191,3 +191,20 @@ def test_unigram_train_and_roundtrip(spark):
         rebuilt = "".join(toks).replace(WORD_START, " ").strip()
         assert rebuilt == " ".join(text.lower().split())
     assert rows[0] == rows[7]         # same text -> same encoding
+
+
+@pytest.mark.parametrize("seed", [7, 41, 113])
+def test_unigram_viterbi_always_roundtrips(seed):
+    """Property: _viterbi_pieces reconstructs ANY word exactly (the
+    UNK char floor guarantees a path) under a random piece model."""
+    import math
+    import random
+    from auctus_spark.operators.bpe import _viterbi_pieces
+    rnd = random.Random(seed)
+    pieces = {"".join(rnd.choice("ab") for _ in range(rnd.randint(1, 4)))
+              for _ in range(12)}
+    logp = {p: math.log(rnd.uniform(0.01, 0.5)) for p in pieces}
+    for _ in range(50):
+        w = "".join(rnd.choice("abc") for _ in range(rnd.randint(1, 14)))
+        ps = _viterbi_pieces(w, logp)
+        assert "".join(ps) == w

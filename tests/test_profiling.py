@@ -947,3 +947,23 @@ def test_random_sampler_deterministic_estimator(spark):
     assert 150 <= s1["sampled_count"] <= 350
     with pytest.raises(ValueError):
         random_sampler_agg(df, "doc_id", "lang", probability=0.0)
+
+
+@pytest.mark.parametrize("seed", [5, 23])
+def test_terms_sharded_degenerate_is_exact(spark, seed):
+    """Property: with shard_size >= per-shard cardinality nothing is
+    cut — every error bound is 0 and merged counts equal the exact
+    global groupBy."""
+    import random
+    from auctus_spark.operators.profiling import terms_agg_sharded
+    rnd = random.Random(seed)
+    rows = [(i, f"k{rnd.randrange(6)}") for i in range(300)]
+    df = spark.createDataFrame(rows, "rid long, k string")
+    got = {r["k"]: (r["doc_count"], r["doc_count_error_upper_bound"])
+           for r in terms_agg_sharded(df, "k", shard_col="rid",
+                                      n_shards=4, shard_size=100,
+                                      size=100).collect()}
+    exact = {}
+    for _, k in rows:
+        exact[k] = exact.get(k, 0) + 1
+    assert got == {k: (c, 0) for k, c in exact.items()}

@@ -330,3 +330,27 @@ def test_binary_rescore_matches_exact(spark, vectors):
     keep = np.arange(len(mat))[mask]
     order = np.lexsort((keep, -np.round(sims, 6)))
     assert ids == [int(keep[i]) for i in order[:10]]
+
+
+@pytest.mark.parametrize("seed", [3, 17, 91])
+def test_quantized_rescore_exhaustive_window_equivalence(spark, seed):
+    """Property: with window >= corpus size BOTH quantized tiers are
+    EXACTLY the brute-force rounded cosine top-k on any corpus — the
+    candidate phase can only reorder, never drop, when nothing is
+    cut."""
+    from auctus_spark.operators.similarity import (
+        binary_topk_rescore, quantized_topk_rescore)
+    rng = np.random.Generator(np.random.PCG64(seed))
+    mat = rng.normal(size=(60, 12))
+    emb = spark.createDataFrame(
+        [(i, mat[i].tolist()) for i in range(60)],
+        "vec_id long, embedding array<double>")
+    q = rng.normal(size=12)
+    qn = q / np.linalg.norm(q)
+    sims = (mat @ qn) / np.linalg.norm(mat, axis=1)
+    order = np.lexsort((np.arange(60), -np.round(sims, 6)))
+    want = [int(i) for i in order[:8]]
+    for fn in (quantized_topk_rescore, binary_topk_rescore):
+        got = [r["vec_id"] for r in
+               fn(emb, q.tolist(), k=8, window=60).collect()]
+        assert got == want, fn.__name__
