@@ -2417,6 +2417,48 @@ FROM r WHERE rank <= 3
 """
 
 
+def _q_hex_grid(spark, sf_dir):
+    """Hexagonal grid aggregation (geo.hex_grid_agg, the ES
+    geohex_grid analog with the documented planar-axial divergence
+    from H3): customers' derived coordinates binned into 5-degree
+    pointy-top hexes, count per cell."""
+    from auctus_spark.operators.geo import hex_grid_agg
+    c = _t(spark, sf_dir, "customer").select(
+        ((F.col("c_custkey") % 80) - 40).cast("double").alias("lat"),
+        (((F.col("c_custkey") * 7) % 160) - 80).cast("double")
+        .alias("lon"))
+    return hex_grid_agg(c, "lat", "lon", size_deg=5.0)
+
+
+_HEX_GRID_SQL = """
+WITH c AS (SELECT ((c_custkey % 80) - 40)::DOUBLE AS lat,
+                  (((c_custkey * 7) % 160) - 80)::DOUBLE AS lon
+           FROM customer),
+a AS (SELECT (0.5773502691896257 * lon - (1.0 / 3.0) * lat) / 5.0
+               AS cx,
+             ((2.0 / 3.0) * lat) / 5.0 AS cz
+      FROM c),
+b AS (SELECT cx, cz, -cx - cz AS cy,
+             floor(cx + 0.5) AS rx,
+             floor(-cx - cz + 0.5) AS ry,
+             floor(cz + 0.5) AS rz
+      FROM a),
+d AS (SELECT cx, cy, cz, rx, ry, rz,
+             abs(rx - cx) AS dx, abs(ry - cy) AS dy,
+             abs(rz - cz) AS dz
+      FROM b),
+h AS (SELECT CASE WHEN dx > dy AND dx > dz THEN -ry - rz
+                  ELSE rx END AS hq,
+             CASE WHEN dx > dy AND dx > dz THEN rz
+                  WHEN dy > dz THEN rz
+                  ELSE -rx - ry END AS hr
+      FROM d)
+SELECT hq::BIGINT AS hex_q, hr::BIGINT AS hex_r,
+       count(*) AS doc_count
+FROM h GROUP BY 1, 2
+"""
+
+
 def _q_random_sampler(spark, sf_dir):
     """ES random_sampler agg (profiling.random_sampler_agg): terms
     counts by lang over a deterministic p=0.25 Knuth-hash sample of
@@ -6365,6 +6407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_eval": _q_rank_eval,
         "ingest_pipeline": _q_ingest_pipeline,
         "random_sampler": _q_random_sampler,
+        "hex_grid": _q_hex_grid,
         "bm25_explain": _q_bm25_explain,
         "shingle_phrase": _q_shingle_phrase,
         "terms_shard_merge": _q_terms_shard_merge,
@@ -7433,6 +7476,7 @@ def _oracle_sql_static() -> dict[str, str]:
         "rank_eval": _RANK_EVAL_SQL.replace("{SPLIT}", SPLIT_PATTERN),
         "ingest_pipeline": _INGEST_SQL,
         "random_sampler": _RANDOM_SAMPLER_SQL,
+        "hex_grid": _HEX_GRID_SQL,
         "bm25_explain": _BM25_EXPLAIN_SQL.replace("{SPLIT}",
                                                   SPLIT_PATTERN),
         "shingle_phrase": _SHINGLE_PHRASE_SQL.replace("{SPLIT}",

@@ -707,3 +707,46 @@ def geo_shape_envelope_filter(df: DataFrame, envelope,
     pred = {"intersects": intersects, "within": within,
             "contains": contains, "disjoint": ~intersects}[relation]
     return df.filter(pred)
+
+
+def hex_grid_agg(df: DataFrame, lat_col: str, lon_col: str,
+                 size_deg: float = 5.0) -> DataFrame:
+    """Hexagonal grid bucket aggregation — the ES ``geohex_grid``
+    analog with a documented divergence: ES bins into Uber H3 cells
+    (icosahedral spherical hexagons); this bins into a PLANAR
+    pointy-top axial hex lattice over (lon, lat) degrees with cell
+    size ``size_deg`` — the standard hex-binning construction, a pure
+    closed-form function of the coordinates, so an external SQL
+    oracle replays it exactly (H3's tables cannot be re-derived in
+    SQL).
+
+    Axial coords q = (√3/3·x − 1/3·y)/s, r = (2/3·y)/s, then cube
+    rounding (round each of x=q, z=r, y=−x−z to the nearest integer
+    and re-derive the component with the largest rounding error) —
+    the exact nearest-hex-center rule.  Rounding is floor(v+0.5) so
+    every engine agrees on ties.  One scan + one partial-aggregated
+    shuffle on the (hex_q, hex_r) key, like the geotile/geohash
+    grids."""
+    s = float(size_deg)
+    x = F.col(lon_col).cast("double")
+    y = F.col(lat_col).cast("double")
+    sqrt3_3 = 0.5773502691896257  # sqrt(3)/3
+    q = (F.lit(sqrt3_3) * x - F.lit(1.0 / 3.0) * y) / F.lit(s)
+    r = (F.lit(2.0 / 3.0) * y) / F.lit(s)
+
+    def _round(c):
+        return F.floor(c + F.lit(0.5))
+
+    cx, cz = q, r
+    cy = -cx - cz
+    rx, ry, rz = _round(cx), _round(cy), _round(cz)
+    dx = F.abs(rx - cx)
+    dy = F.abs(ry - cy)
+    dz = F.abs(rz - cz)
+    hq = F.when((dx > dy) & (dx > dz), -ry - rz).otherwise(rx)
+    hr = F.when((dx > dy) & (dx > dz), rz) \
+        .when(dy > dz, rz).otherwise(-rx - ry)
+    # hy would be -hq-hr; only (q, r) identify the cell
+    return (df.groupBy(hq.cast("long").alias("hex_q"),
+                       hr.cast("long").alias("hex_r"))
+            .agg(F.count(F.lit(1)).alias("doc_count")))

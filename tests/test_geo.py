@@ -355,3 +355,38 @@ def test_geo_line_agg_order_truncation_ties(spark):
                                  size=2).collect()}
     # smallest-sort points kept, count reports all 3
     assert cut["a"] == ("1.0 10.0,2.0 20.0", 3, False)
+
+
+def test_hex_grid_nearest_center_and_coverage(spark):
+    """Cube rounding assigns each point to its NEAREST hex center
+    (verified against a brute-force center search), and cell ids
+    partition the plane (every point lands in exactly one cell)."""
+    import itertools
+    import numpy as np
+    from auctus_spark.operators.geo import hex_grid_agg
+    s = 5.0
+    rng = np.random.Generator(np.random.PCG64(9))
+    pts = [(float(la), float(lo))
+           for la, lo in rng.uniform(-35, 35, size=(150, 2))]
+    df = spark.createDataFrame(pts, "lat double, lon double")
+    cells = hex_grid_agg(df, "lat", "lon", size_deg=s).collect()
+    assert sum(r["doc_count"] for r in cells) == len(pts)
+
+    # brute force: nearest center over a generous candidate lattice
+    sq33 = 0.5773502691896257
+    def center(q, r):
+        # inverse axial transform: x = s*sqrt(3)*(q + r/2), y = s*3/2*r
+        return (s * (3 ** 0.5) * (q + r / 2.0), s * 1.5 * r)
+    got = {}
+    for la, lo in pts:
+        q0 = (sq33 * lo - la / 3.0) / s
+        r0 = (2.0 / 3.0 * la) / s
+        best = min(
+            ((qq, rr) for qq, rr in itertools.product(
+                range(int(q0) - 2, int(q0) + 3),
+                range(int(r0) - 2, int(r0) + 3))),
+            key=lambda c: (lo - center(*c)[0]) ** 2
+            + (la - center(*c)[1]) ** 2)
+        got[best] = got.get(best, 0) + 1
+    want = {(r["hex_q"], r["hex_r"]): r["doc_count"] for r in cells}
+    assert want == got
