@@ -3966,6 +3966,43 @@ FROM d ORDER BY weight DESC, term ASC LIMIT {size}
 """
 
 
+def _q_completion_fuzzy(spark, sf_dir):
+    """ES fuzzy completion: dictionary terms whose prefix of the
+    query's length is within 1 Damerau edit of 'sca' (first char
+    exact), ranked (dist asc, weight desc, term asc) — the
+    FST-automaton walk rendered as an anchored dictionary range scan
+    + Arrow-batched distance predicate."""
+    from auctus_spark.query.bm25 import SearchEngine
+    _q_bm25_index_path(spark, sf_dir)
+    import hashlib as _h
+    tag = _h.md5(sf_dir.encode()).hexdigest()[:10]
+    eng = SearchEngine(spark, f"/tmp/auctus_entry_index_{tag}",
+                       term_buckets=16)
+    _ensure_workers_can_import(spark)
+    return eng.suggest_completions("sca", size=8, fuzziness=1,
+                                   prefix_length=1)
+
+
+def _completion_fuzzy_sql(prefix: str, size: int = 8,
+                          fuzziness: int = 1) -> str:
+    plen = len(prefix)
+    anchor = prefix[0]
+    return f"""
+WITH tok2 AS (SELECT * FROM ({_TOK2}) WHERE term <> ''),
+d AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS weight
+      FROM tok2 WHERE term LIKE '{anchor}%' GROUP BY term),
+f AS (SELECT term, weight,
+        CAST(damerau_levenshtein(substr(term, 1, {plen}),
+                                 '{prefix}') AS INT) AS dist
+      FROM d)
+SELECT term, weight, dist,
+       CAST(row_number() OVER (ORDER BY dist ASC, weight DESC,
+                               term ASC) AS INT) AS rank
+FROM f WHERE dist <= {fuzziness}
+ORDER BY dist ASC, weight DESC, term ASC LIMIT {size}
+"""
+
+
 _GEO_RINGS = [(None, 1500.0), (1500.0, 4000.0), (4000.0, None)]
 
 
@@ -6451,6 +6488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_aggs2": _q_pipeline_aggs2,
         "bucket_sort": _q_bucket_sort,
         "completion_suggest": _q_completion_suggest,
+        "completion_fuzzy": _q_completion_fuzzy,
         "geo_distance_rings": _q_geo_distance_rings,
         "terms_agg_ordered": _q_terms_agg_ordered,
         "multi_index_search": _q_multi_index_search,
@@ -7566,6 +7604,7 @@ def _oracle_sql_static() -> dict[str, str]:
         "pipeline_aggs2": _PIPELINE_AGGS2_SQL,
         "bucket_sort": _BUCKET_SORT_SQL,
         "completion_suggest": _completion_suggest_sql("s"),
+        "completion_fuzzy": _completion_fuzzy_sql("sca"),
         "geo_distance_rings": _geo_distance_rings_sql(_GEO_RINGS),
         "terms_agg_ordered": _TERMS_AGG_ORDERED_SQL,
         "multi_index_search": _multi_index_search_sql(

@@ -1038,8 +1038,9 @@ class SearchEngine:
                 out.append((t, term, d, -negdf, i))
         return self.spark.createDataFrame(out, schema)
 
-    def suggest_completions(self, prefix: str, size: int = 5
-                            ) -> DataFrame:
+    def suggest_completions(self, prefix: str, size: int = 5,
+                            fuzziness: int = 0,
+                            prefix_length: int = 1) -> DataFrame:
         """ES completion suggester analog (search-as-you-type): index
         terms starting with the analyzed ``prefix``, ranked weight
         desc then term asc — weight = document frequency (ES
@@ -1050,20 +1051,54 @@ class SearchEngine:
         (:attr:`term_dict` — the Lucene FST/completion-index analog):
         only row groups whose [min,max] term range intersects the
         prefix are read, then a size-capped TakeOrdered.  Returns
-        (term, weight, rank)."""
+        (term, weight, rank).
+
+        ``fuzziness`` > 0 is ES's fuzzy completion: a term matches
+        when the Damerau-Levenshtein distance between ITS prefix of
+        the query's length and the query is ≤ ``fuzziness``, with the
+        first ``prefix_length`` chars required exact (ES's default 1
+        — the knob that keeps the dictionary cut a range scan on the
+        anchor).  Ranking (dist asc, weight desc, term asc) — closer
+        completions first, ES's share-the-longest-prefix-scores-
+        higher contract.  The distance predicate evaluates in an
+        Arrow-batched pandas UDF over the anchored dictionary slice —
+        distributed, no driver collect (the FST-automaton-walk
+        analog)."""
         toks = analyze_query(prefix, stem=self.stem)
-        schema = "term string, weight long, rank int"
         if len(toks) != 1:
             raise ValueError(
                 f"completion prefix must analyze to one token; "
                 f"{prefix!r} analyzed to {toks!r}")
         from pyspark.sql import Window
-        w = Window.orderBy(F.desc("weight"), F.asc("term"))
-        return (self.term_dict
-                .filter(F.col("term").startswith(toks[0]))
+        p = toks[0]
+        if fuzziness <= 0:
+            w = Window.orderBy(F.desc("weight"), F.asc("term"))
+            return (self.term_dict
+                    .filter(F.col("term").startswith(p))
+                    .select("term", F.col("df").cast("long")
+                            .alias("weight"))
+                    .orderBy(F.desc("weight"), F.asc("term"))
+                    .limit(size)
+                    .withColumn("rank", F.row_number().over(w)))
+        anchor = p[:max(0, int(prefix_length))]
+        cand = self.term_dict
+        if anchor:
+            cand = cand.filter(F.col("term").startswith(anchor))
+        plen, fz = len(p), int(fuzziness)
+
+        @F.pandas_udf("int")
+        def pdist(terms: pd.Series) -> pd.Series:
+            return terms.map(
+                lambda t: damerau_levenshtein(t[:plen], p))
+
+        w = Window.orderBy(F.asc("dist"), F.desc("weight"),
+                           F.asc("term"))
+        return (cand.withColumn("dist", pdist(F.col("term")))
+                .filter(F.col("dist") <= fz)
                 .select("term", F.col("df").cast("long")
-                        .alias("weight"))
-                .orderBy(F.desc("weight"), F.asc("term"))
+                        .alias("weight"), "dist")
+                .orderBy(F.asc("dist"), F.desc("weight"),
+                         F.asc("term"))
                 .limit(size)
                 .withColumn("rank", F.row_number().over(w)))
 

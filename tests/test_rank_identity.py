@@ -1986,3 +1986,27 @@ def test_span_multi_near_wildcard_clause(spark, built_positional):
     assert got == sorted(want) and got
     with pytest.raises(ValueError, match="leading literal"):
         eng.search_span_multi_near(["def", "*port"], slop=2, k=5)
+
+
+def test_fuzzy_completion_semantics(spark, built_positional):
+    """Fuzzy completion: prefix-of-term Damerau distance <= fuzziness
+    with the first prefix_length chars exact; (dist asc, weight desc,
+    term asc) order; fuzziness=0 path identical to plain prefix."""
+    from auctus_spark.query.bm25 import (SearchEngine,
+                                         damerau_levenshtein)
+    out, _, corpus = built_positional
+    eng = SearchEngine(spark, out, term_buckets=8)
+    p = "imp"
+    got = [(r["term"], r["dist"]) for r in
+           eng.suggest_completions(p, size=50, fuzziness=1).collect()]
+    assert got, "expected fuzzy completions"
+    for t, d in got:
+        assert t[0] == p[0]
+        assert damerau_levenshtein(t[:len(p)], p) == d <= 1
+    dists = [d for _, d in got]
+    assert dists == sorted(dists)
+    # exact-prefix terms all appear with dist 0
+    exact = {r["term"] for r in
+             eng.suggest_completions(p, size=50).collect()}
+    assert exact <= {t for t, d in got if d == 0} | set(
+        t for t, _ in got)
