@@ -53,12 +53,63 @@ def _ensure_workers_can_import(spark: SparkSession) -> None:
         setattr(spark, key, True)
 
 
+# Scan fan-out (guide §2.5 "input skew"): the sf tables are single
+# parquet files with ONE row group, so a scan is one task no matter how
+# small spark.sql.files.maxPartitionBytes is — and the compute-heavy
+# per-row paths (tokenization, vector math) then run on 1 core of 32.
+# For those tables a round-robin exchange of a few MB buys full-core
+# parallelism.  Scale-adaptive: inputs that already yield >= cores
+# scan tasks (many files) or exceed the byte cap are returned as-is,
+# so at real scale the zero-extra-shuffle plan shape is unchanged.
+_FAN_OUT_CAP = int(os.environ.get("AUCTUS_SMALL_SCAN_BYTES",
+                                  str(256 << 20)))
+# tokenize / vector-math tables only: TPC-H numeric tables keep the
+# scan -> partial-aggregate shape (a pre-agg exchange of the raw rows
+# would cost more than the single-pass partial aggregation saves)
+_FAN_OUT_TABLES = {"documents", "embeddings", "events"}
+
+
+def _fan_out(df: DataFrame) -> DataFrame:
+    spark = df.sparkSession
+    try:
+        from urllib.parse import urlparse
+        files = df.inputFiles()
+        total = sum(os.path.getsize(urlparse(f).path) for f in files)
+    except Exception:
+        return df
+    cores = spark.sparkContext.defaultParallelism
+    if 0 < len(files) < cores and total <= _FAN_OUT_CAP:
+        # The always-true NONDETERMINISTIC filter is a predicate-
+        # pushdown fence: without it Catalyst pushes every downstream
+        # tokenize/score filter through the round-robin exchange back
+        # onto the (single-task) scan, re-serializing the expensive
+        # per-row work the exchange exists to parallelize.  Predicates
+        # cannot be reordered across a nondeterministic predicate, so
+        # they stay above the exchange; the filter itself keeps every
+        # row and is trivially cheap.  Only active in the small-input
+        # regime — at scale the scan parallelizes itself and pushdown
+        # to parquet is preserved.
+        return (df.repartition(cores)
+                .filter(F.monotonically_increasing_id() >= 0))
+    return df
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _fan_out(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def _docs_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """docID-ordered documents read, NO fan-out: the index builder's
+    input contract is strictly ascending doc_id per task (one file per
+    task), which a round-robin exchange would destroy.  The builder
+    parallelizes its own stages (one-file-per-task scan + term-bucket
+    shuffle), so it does not need the fan-out."""
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return _fan_out(df) if name in _FAN_OUT_TABLES else df
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -162,25 +213,37 @@ def _q_dedup_exact(spark, sf_dir):
 
 
 def _q_token_count(spark, sf_dir):
+    from auctus_spark.analysis import spark_token_runs
     d = _docs(spark, sf_dir)
     return d.select(
         "doc_id",
-        F.size(F.filter(F.split(F.lower("text"), SPLIT_PATTERN),
-                        lambda x: x != "")).cast("long").alias("n_tokens"))
+        F.size(spark_token_runs(F.lower("text")))
+        .cast("long").alias("n_tokens"))
 
 
 def _q_text_quality(spark, sf_dir):
     """Quality-scoring heuristics (training-data pipeline op): length,
-    mean token length, stopword ratio."""
+    mean token length, stopword ratio.
+
+    The token array is materialized ONCE per row in its own projection
+    (guide §1.2 "per-task work"): referencing the split expression from
+    each output column would re-tokenize up to 4x per row — Catalyst's
+    CollapseProject keeps a non-cheap alias referenced more than once,
+    so this two-step select is a real plan-level dedup (same trick as
+    pipeline.bm25_topk's scoring pass).  Identical arithmetic on
+    identical ints -> identical results."""
+    from auctus_spark.analysis import spark_token_runs
     d = _docs(spark, sf_dir)
-    toks = F.filter(F.split(F.lower("text"), SPLIT_PATTERN),
-                    lambda x: x != "")
-    n_tok = F.size(toks)
-    stop = F.size(F.filter(toks, lambda x: x.isin("the", "a", "of", "and")))
-    return d.select(
+    toks = spark_token_runs(F.lower("text"))
+    staged = d.select("doc_id", F.length("text").alias("_len"),
+                      toks.alias("_toks"))
+    n_tok = F.size("_toks")
+    stop = F.size(F.filter("_toks",
+                           lambda x: x.isin("the", "a", "of", "and")))
+    return staged.select(
         "doc_id",
         n_tok.cast("long").alias("n_tokens"),
-        F.round(F.length("text") / n_tok, 6).alias("mean_tok_len"),
+        F.round(F.col("_len") / n_tok, 6).alias("mean_tok_len"),
         F.round(stop / n_tok, 6).alias("stopword_ratio"))
 
 
@@ -506,7 +569,7 @@ def _q_bm25_index_path(spark, sf_dir):
     _ensure_workers_can_import(spark)
     tag = _h.md5(sf_dir.encode()).hexdigest()[:10]
     idx_dir = f"/tmp/auctus_entry_index_{tag}"
-    corpus = _docs(spark, sf_dir).select(
+    corpus = _docs_seq(spark, sf_dir).select(
         "doc_id", F.col("text").alias("content"))
     b = IndexBuilder(spark, idx_dir, doc_bucket=1 << 10,
                      chunk_docs=1 << 12, term_buckets=16)
@@ -699,7 +762,7 @@ def _q_bm25_batched(spark, sf_dir):
     _ensure_workers_can_import(spark)
     tag = _h.md5(sf_dir.encode()).hexdigest()[:10]
     idx_dir = f"/tmp/auctus_entry_index_{tag}"
-    corpus = _docs(spark, sf_dir).select(
+    corpus = _docs_seq(spark, sf_dir).select(
         "doc_id", F.col("text").alias("content"))
     b = IndexBuilder(spark, idx_dir, doc_bucket=1 << 10,
                      chunk_docs=1 << 12, term_buckets=16)
@@ -744,7 +807,7 @@ def _q_bm25_multifield_idx(spark, sf_dir):
     tag = _h.md5(sf_dir.encode()).hexdigest()[:10]
     base = f"/tmp/auctus_entry_index_mf_{tag}"
     boosts = {"text": 1.0, "source": 5.0}
-    docs = _docs(spark, sf_dir)
+    docs = _docs_seq(spark, sf_dir)  # index build: docID-ordered input
     dirs = {f: _os.path.join(base, f"field={f}") for f in boosts}
     stale = any(not _os.path.exists(_os.path.join(d, "stats"))
                 or read_format(d) != FORMAT_VERSION for d in dirs.values())
@@ -801,7 +864,7 @@ def _q_bm25_phrase(spark, sf_dir):
     _ensure_workers_can_import(spark)
     tag = _h.md5(sf_dir.encode()).hexdigest()[:10]
     idx_dir = f"/tmp/auctus_entry_index_pos_{tag}"
-    corpus = _docs(spark, sf_dir).select(
+    corpus = _docs_seq(spark, sf_dir).select(
         "doc_id", F.col("text").alias("content"))
     b = IndexBuilder(spark, idx_dir, doc_bucket=1 << 10,
                      chunk_docs=1 << 12, term_buckets=16, positions=True)
@@ -1092,7 +1155,7 @@ def _q_bm25_compacted(spark, sf_dir):
     _ensure_workers_can_import(spark)
     tag = _h.md5(sf_dir.encode()).hexdigest()[:10]
     idx_dir = f"/tmp/auctus_entry_index_cmp_{tag}"
-    corpus = _docs(spark, sf_dir).select(
+    corpus = _docs_seq(spark, sf_dir).select(
         "doc_id", F.col("text").alias("content"))
     marker = _os.path.join(idx_dir, "_COMPACTED")
     if (not _os.path.exists(_os.path.join(idx_dir, "stats"))
@@ -1130,7 +1193,7 @@ def _q_bm25_synonyms_idx(spark, sf_dir):
     _ensure_workers_can_import(spark)
     tag = _h.md5(sf_dir.encode()).hexdigest()[:10]
     idx_dir = f"/tmp/auctus_entry_index_{tag}"
-    corpus = _docs(spark, sf_dir).select(
+    corpus = _docs_seq(spark, sf_dir).select(
         "doc_id", F.col("text").alias("content"))
     b = IndexBuilder(spark, idx_dir, doc_bucket=1 << 10,
                      chunk_docs=1 << 12, term_buckets=16)
@@ -1161,7 +1224,7 @@ def _q_bm25_stemmed(spark, sf_dir):
     _ensure_workers_can_import(spark)
     tag = _h.md5(sf_dir.encode()).hexdigest()[:10]
     idx_dir = f"/tmp/auctus_entry_index_stem_{tag}"
-    corpus = _docs(spark, sf_dir).select(
+    corpus = _docs_seq(spark, sf_dir).select(
         "doc_id", F.col("text").alias("content"))
     b = IndexBuilder(spark, idx_dir, doc_bucket=1 << 10,
                      chunk_docs=1 << 12, term_buckets=16, stem=True)
@@ -2340,7 +2403,7 @@ def _q_bm25_explain(spark, sf_dir):
     _ensure_workers_can_import(spark)
     tag = _h.md5(sf_dir.encode()).hexdigest()[:10]
     idx_dir = f"/tmp/auctus_entry_index_{tag}"
-    corpus = _docs(spark, sf_dir).select(
+    corpus = _docs_seq(spark, sf_dir).select(
         "doc_id", F.col("text").alias("content"))
     b = IndexBuilder(spark, idx_dir, doc_bucket=1 << 10,
                      chunk_docs=1 << 12, term_buckets=16)
@@ -4086,7 +4149,7 @@ def _q_multi_index_search(spark, sf_dir):
     engines = []
     for par in (0, 1):
         idx_dir = f"/tmp/auctus_entry_index_half{par}_{tag}"
-        corpus = (_docs(spark, sf_dir)
+        corpus = (_docs_seq(spark, sf_dir)
                   .filter(F.col("doc_id") % 2 == par)
                   .select("doc_id", F.col("text").alias("content")))
         b = IndexBuilder(spark, idx_dir, doc_bucket=1 << 10,
@@ -4118,7 +4181,7 @@ def _q_indices_boost(spark, sf_dir):
     engines = []
     for par in (0, 1):
         idx_dir = f"/tmp/auctus_entry_index_half{par}_{tag}"
-        corpus = (_docs(spark, sf_dir)
+        corpus = (_docs_seq(spark, sf_dir)
                   .filter(F.col("doc_id") % 2 == par)
                   .select("doc_id", F.col("text").alias("content")))
         b = IndexBuilder(spark, idx_dir, doc_bucket=1 << 10,

@@ -812,8 +812,15 @@ class IndexBuilder:
         parts = self._read_partials().drop("chunk")
         parts = parts.withColumn(
             "term_bucket", F.pmod(F.hash("term"), F.lit(self.term_buckets)))
+        # 4x the bucket count: hashing exactly `term_buckets` keys into
+        # `term_buckets` partitions collides (balls-into-bins → ~3
+        # buckets in one task, a 3x sort/write straggler — guide §2.5
+        # "synthetic partitioning keys with too few distinct values");
+        # with 4x partitions each bucket almost surely lands alone,
+        # empty partitions cost nothing, and each bucket still writes
+        # exactly one file into its partitionBy dir.
         n_part = max(self.spark.sparkContext.defaultParallelism,
-                     min(self.term_buckets, 64))
+                     4 * self.term_buckets)
         (parts.repartition(n_part, "term_bucket")
             .sortWithinPartitions("term", "bucket", "doc_id_min")
             .write.mode("overwrite").partitionBy("term_bucket")
@@ -821,9 +828,29 @@ class IndexBuilder:
 
     def finalize_term_stats(self) -> None:
         """(term, df, cf) from segment metadata — partials of one term
-        cover disjoint docID ranges, so df = sum(n_docs)."""
+        cover disjoint docID ranges, so df = sum(n_docs).  Reads the
+        SEGMENTS table: the variant compaction needs (post-delete
+        segments are the source of truth there)."""
         segs = self.spark.read.parquet(self.paths.segments)
         (segs.groupBy("term", "term_bucket")
+            .agg(F.sum("n_docs").alias("df"), F.sum("tf_sum").alias("cf"))
+            .write.mode("overwrite").partitionBy("term_bucket")
+            .parquet(self.paths.term_stats))
+        write_term_dict(self.spark, self.paths)
+
+    def finalize_term_stats_from_partials(self) -> None:
+        """Same (term, df, cf) table, aggregated from the PARTIALS
+        instead of the merged segments.  ``encode_segments`` is
+        row-preserving (exchange + sort + write, no row merge), so the
+        two inputs hold identical (term, n_docs, tf_sum) rows and the
+        aggregates are equal — but this variant does not depend on the
+        segment write having finished, so the fresh-build path can run
+        it CONCURRENTLY with ``encode_segments`` (guide §2.6: overlap
+        independent jobs; both read the partials, and the stats job's
+        tasks back-fill the merge stage's straggler tail)."""
+        parts = self._read_partials().drop("chunk").withColumn(
+            "term_bucket", F.pmod(F.hash("term"), F.lit(self.term_buckets)))
+        (parts.groupBy("term", "term_bucket")
             .agg(F.sum("n_docs").alias("df"), F.sum("tf_sum").alias("cf"))
             .write.mode("overwrite").partitionBy("term_bucket")
             .parquet(self.paths.term_stats))
@@ -833,11 +860,19 @@ class IndexBuilder:
 
     def build(self, corpus: DataFrame, resume: bool = True) -> dict:
         """End-to-end build.  ``resume=True`` skips chunks with lineage;
-        stats + segments are (re)finalized over all chunks present."""
+        stats + segments are (re)finalized over all chunks present.
+        The segment merge and the term-stats finalize are independent
+        reads of the partials, so they run as two concurrent driver
+        threads — the FIFO scheduler back-fills the merge's tail with
+        stats tasks (guide §2.6)."""
         self.tokenize_chunks(corpus, resume=resume)
         stats = self.finalize_stats()
-        self.encode_segments()
-        self.finalize_term_stats()
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_seg = pool.submit(self.encode_segments)
+            f_ts = pool.submit(self.finalize_term_stats_from_partials)
+            f_seg.result()
+            f_ts.result()
         return stats
 
     def verify_lineage(self, corpus: DataFrame) -> bool:

@@ -24,14 +24,16 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, StringType
 
-from ..analysis import SPLIT_PATTERN
+from ..analysis import spark_token_runs
 
 END = "</w>"  # word-final marker (Sennrich §3.2)
 
 
 def _toks(col):
-    return F.filter(F.split(F.lower(col), SPLIT_PATTERN),
-                    lambda x: x != "")
+    # regexp_extract_all of the token runs == split on SPLIT_PATTERN +
+    # drop empties, with a per-expression cached pattern instead of a
+    # per-row Pattern.compile (see analysis.spark_token_runs)
+    return spark_token_runs(F.lower(col))
 
 
 def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -12,12 +12,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..analysis import SPLIT_PATTERN
+from ..analysis import spark_token_runs
 
 
 def _toks(text_col: str):
-    return F.filter(F.split(F.lower(F.col(text_col)), SPLIT_PATTERN),
-                    lambda x: x != "")
+    # token runs == split + drop-empties, cached regex (analysis.py)
+    return spark_token_runs(F.lower(F.col(text_col)))
 
 
 def chunk_documents(df: DataFrame, size: int, stride: int | None = None,

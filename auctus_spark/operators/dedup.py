@@ -25,7 +25,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..analysis import SPLIT_PATTERN
+from ..analysis import spark_token_runs
 
 logger = logging.getLogger(__name__)
 
@@ -69,8 +69,7 @@ def duplicate_groups(df: DataFrame, text_col: str = "text",
 def token_shingles(df: DataFrame, text_col: str = "text",
                    id_col: str = "doc_id", n: int = 3) -> DataFrame:
     """Distinct word n-gram shingles per doc: (doc_id, shingle)."""
-    toks = F.filter(F.split(F.lower(F.col(text_col)), SPLIT_PATTERN),
-                    lambda x: x != "")
+    toks = spark_token_runs(F.lower(F.col(text_col)))
     sh = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
         lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
@@ -339,8 +338,8 @@ def simhash(df: DataFrame, text_col: str = "text",
     assert bits <= 60
     toks = (df.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(F.filter(F.split(F.lower(F.col(text_col)), SPLIT_PATTERN),
-                           lambda x: x != "")).alias("term")))
+        F.explode(spark_token_runs(F.lower(F.col(text_col))))
+        .alias("term")))
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     h = F.conv(F.substring(F.md5(F.col("term")), 1, 15), 16, 10) \
         .cast("long")
@@ -484,8 +483,7 @@ def _word_ngram_occurrences(df: DataFrame, n: int,
     filtered token stream.  Docs shorter than ``n`` tokens emit no
     rows.  Pure JVM expressions — the explode fans out L-n+1 rows per
     doc (linear in corpus tokens, never quadratic)."""
-    toks = F.filter(F.split(F.lower(F.col(text_col)), SPLIT_PATTERN),
-                    lambda x: x != "")
+    toks = spark_token_runs(F.lower(F.col(text_col)))
     d = df.select(F.col(id_col).alias("doc_id"), toks.alias("_toks"))
     spans = F.when(
         F.size("_toks") >= n,

@@ -18,7 +18,11 @@ Supported processors (the common core of ES's set):
 - ``{"gsub": {"field", "pattern", "replacement"}}``
 - ``{"lowercase"/"uppercase": {"field"}}``
 - ``{"trim": {"field"}}``
-- ``{"split": {"field", "separator"}}``          — to array<string>
+- ``{"split": {"field", "separator"}}``          — to array<string>.
+  Divergence: the separator is treated as a LITERAL string (ES's
+  split processor separator is a Java regex) — a pipeline ported
+  from ES with ``separator: "\\s+"`` must pre-escape or use gsub;
+  same simplification class as the json/date processors below
 - ``{"date": {"field", "target_field"}}``        — to timestamp
 - ``{"grok": {"field", "pattern", "captures"}}`` — regexp named
   captures: ``captures`` maps new column -> 1-based group index

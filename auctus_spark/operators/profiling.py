@@ -22,7 +22,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..analysis import SPLIT_PATTERN
+from ..analysis import spark_token_runs
 
 MAX_UNCLEAN = 0.02          # profile_types.py:82
 CATEGORICAL_RATIO = 0.10    # profile_types.py:92
@@ -80,9 +80,9 @@ def categorical_histogram(df: DataFrame, col: str, k: int = 5) -> DataFrame:
 
 def text_word_histogram(df: DataFrame, col: str, k: int = 5) -> DataFrame:
     """top-5 lowercase words (reference core.py:422-444, \\W+ split)."""
-    words = (df.select(F.explode(F.split(F.lower(F.col(col)), r"\W+"))
-                       .alias("word"))
-             .filter(F.col("word") != ""))
+    words = (df.select(F.explode(
+        F.regexp_extract_all(F.lower(F.col(col)), F.lit(r"\w+"), F.lit(0)))
+        .alias("word")))
     return (words.groupBy("word").agg(F.count("*").alias("count"))
             .orderBy(F.desc("count"), F.asc("word")).limit(k))
 
@@ -458,8 +458,7 @@ def significant_terms(df: DataFrame, fg_filter,
     the background_is_superset=true ES default — bg counts include
     the foreground.
     """
-    toks = F.filter(F.split(F.lower(F.col(text_col)), SPLIT_PATTERN),
-                    lambda x: x != "")
+    toks = spark_token_runs(F.lower(F.col(text_col)))
     d = df.select(F.col(id_col).alias("doc_id"),
                   fg_filter.cast("int").alias("_fg"),
                   F.array_distinct(toks).alias("_terms"))
@@ -642,8 +641,7 @@ def rare_terms(df: DataFrame, text_col: str = "text",
     ``max_doc_count`` documents (the long tail a ``terms`` agg's
     size-cap hides), ordered (df asc, term asc).  One scan: per-doc
     distinct terms explode into one groupBy."""
-    toks = F.filter(F.split(F.lower(F.col(text_col)), SPLIT_PATTERN),
-                    lambda x: x != "")
+    toks = spark_token_runs(F.lower(F.col(text_col)))
     per_doc = df.select(F.col(id_col).alias("_id"),
                         F.explode(F.array_distinct(toks)).alias("term"))
     return (per_doc.groupBy("term")
@@ -775,8 +773,7 @@ def filters_agg(docs: DataFrame, filters: dict[str, list[str]],
     repo's faceted search uses the single-filter form
     (lib_core search).
     """
-    toks = F.filter(F.split(F.lower(F.col(text_col)), SPLIT_PATTERN),
-                    lambda x: x != "")
+    toks = spark_token_runs(F.lower(F.col(text_col)))
     row = docs.select(toks.alias("_t"))
     names = sorted(filters)
     aggs = []
@@ -844,8 +841,7 @@ def adjacency_matrix_agg(docs: DataFrame,
     if len(names) > 100:
         raise ValueError("adjacency_matrix caps at 100 filters (ES "
                          "max_adjacency_matrix_filters)")
-    toks = F.filter(F.split(F.lower(F.col(text_col)), SPLIT_PATTERN),
-                    lambda x: x != "")
+    toks = spark_token_runs(F.lower(F.col(text_col)))
     flags = []
     for name in names:
         qarr = F.array(*[F.lit(t) for t in sorted(set(filters[name]))])
@@ -1653,8 +1649,7 @@ def categorize_text(df: DataFrame, text_col: str = "text",
     category asc), top-k if given.  Plan: ONE scan — the mask is a
     ``transform`` over the token array inside whole-stage codegen,
     then a partial-agg groupBy on the template string."""
-    toks = F.filter(F.split(F.lower(F.col(text_col)), SPLIT_PATTERN),
-                    lambda x: x != "")
+    toks = spark_token_runs(F.lower(F.col(text_col)))
     masked = F.transform(
         toks, lambda t: F.when(t.rlike("[0-9]"),
                                F.lit("<num>")).otherwise(t))
@@ -1825,8 +1820,10 @@ def terms_agg_sharded(df: DataFrame, key_col: str,
                  .filter(F.col("_r") <= shard_size).drop("_r"))
     shard_last = (collected.groupBy("_shard")
                   .agg(F.min("cnt").alias("last_cnt")))
+    # sum over an empty shard table is NULL — guard, or the empty-
+    # input case dies with int(None)
     total_last = (shard_last.agg(F.sum("last_cnt").alias("tl"))
-                  .collect()[0]["tl"])
+                  .collect()[0]["tl"]) or 0
     j = collected.join(F.broadcast(shard_last), "_shard")
     merged = (j.groupBy(key_col)
               .agg(F.sum("cnt").alias("doc_count"),
@@ -1854,7 +1851,20 @@ def random_sampler_agg(df: DataFrame, id_col: str, key_col: str,
     sampled count."""
     if not 0.0 < probability <= 1.0:
         raise ValueError("probability must be in (0, 1]")
-    h = F.pmod(F.col(id_col) * F.lit(2654435761), F.lit(1 << 32))
+    # overflow-safe Knuth hash: id * 2654435761 overflows int64 for
+    # ids above ~3.47e9 (silent wrap, or an error under ANSI mode /
+    # in a replaying SQL oracle).  Split the 32-bit modular multiply
+    # so every intermediate stays below 2^49: for a = id mod 2^32 =
+    # a1*2^16 + a0,  a*K mod 2^32 =
+    # (a0*K + ((a1*K mod 2^16) << 16)) mod 2^32.  Identical values to
+    # the plain product for all ids < 2^32 (every gate/test id).
+    _k = F.lit(2654435761)
+    _a = F.pmod(F.col(id_col), F.lit(1 << 32))
+    _a0 = F.pmod(_a, F.lit(1 << 16))
+    _a1 = F.expr(f"pmod({id_col}, {1 << 32}) div {1 << 16}")
+    h = F.pmod(_a0 * _k
+               + F.pmod(_a1 * _k, F.lit(1 << 16)) * F.lit(1 << 16),
+               F.lit(1 << 32))
     keep = (h / F.lit(float(1 << 32))) < probability
     samp = df.filter(keep)
     return (samp.groupBy(key_col)

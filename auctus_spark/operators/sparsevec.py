@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from auctus_spark.analysis import SPLIT_PATTERN
+from auctus_spark.analysis import spark_token_runs
 
 
 def sparse_features(docs: DataFrame, id_col: str = "doc_id",
@@ -45,9 +45,8 @@ def sparse_features(docs: DataFrame, id_col: str = "doc_id",
     impact weight; plug-point for a real expansion model's output)."""
     toks = docs.select(
         id_col,
-        F.explode(F.split(F.lower(F.col(text_col)),
-                          SPLIT_PATTERN)).alias("term")) \
-        .where(F.col("term") != "")
+        F.explode(spark_token_runs(F.lower(F.col(text_col))))
+        .alias("term"))
     tf = toks.groupBy(id_col, "term").agg(
         F.count(F.lit(1)).alias("tf"))
     w = tf.select(

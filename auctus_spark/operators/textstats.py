@@ -13,7 +13,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..analysis import SPLIT_PATTERN
+from ..analysis import spark_token_runs
 
 # deterministic marker-word profiles (tiny stand-in for fastText-style
 # langid; the container has no language models, so ID is a transparent
@@ -29,8 +29,9 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 
 
 def _tokens(text_col: str):
-    return F.filter(F.split(F.lower(F.col(text_col)), SPLIT_PATTERN),
-                    lambda x: x != "")
+    # token runs == split on SPLIT_PATTERN + drop empties; cached
+    # regex instead of per-row Pattern.compile (analysis.py)
+    return spark_token_runs(F.lower(F.col(text_col)))
 
 
 def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -278,7 +279,7 @@ def gopher_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
     definitions; thresholds are the published ones.
     """
     t = F.col(text_col)
-    words = F.filter(F.split(t, r"\s+"), lambda x: x != "")
+    words = F.regexp_extract_all(t, F.lit(r"\S+"), F.lit(0))
     n_words = F.size(words)
     n_words1 = F.greatest(n_words, F.lit(1)).cast("double")
     mean_wl = (F.aggregate(words, F.lit(0),
@@ -372,7 +373,7 @@ def gopher_repetition(df: DataFrame, text_col: str = "text",
     line_stats = _dup_stats("\n", "line")
     para_stats = _dup_stats(r"\n\s*\n", "para")
 
-    words = F.filter(F.split(t, r"\s+"), lambda x: x != "")
+    words = F.regexp_extract_all(t, F.lit(r"\S+"), F.lit(0))
     base = df.select(did.alias("_id"), words.alias("w"),
                      F.aggregate(words, F.lit(0),
                                  lambda acc, x: acc + F.length(x))
@@ -432,7 +433,7 @@ def c4_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
     kept = F.filter(
         lines,
         lambda x: x.rlike(r'[.!?"]\s*$')
-        & (F.size(F.filter(F.split(x, r"\s+"), lambda w: w != ""))
+        & (F.size(F.regexp_extract_all(x, F.lit(r"\S+"), F.lit(0)))
            >= 5))
     clean = F.concat_ws("\n", kept)
     n_sent = F.length(F.regexp_replace(clean, r"[^.!?]", ""))
@@ -473,8 +474,8 @@ def gopher_dup_ngrams(df: DataFrame, text_col: str = "text",
     published thresholds."""
     from pyspark.sql.window import Window
     did = F.col(id_col)
-    words_arr = F.filter(F.split(F.col(text_col), r"\s+"),
-                         lambda x: x != "")
+    words_arr = F.regexp_extract_all(F.col(text_col), F.lit(r"\S+"),
+                                     F.lit(0))
     base = df.select(did.alias("_id"), words_arr.alias("w"))
     words = (base.select(
         "_id", F.posexplode("w").alias("idx", "word")))
@@ -694,9 +695,8 @@ def tfidf_keywords(docs: DataFrame, text_col: str = "text",
     No driver-side loops — N is the only collected scalar."""
     toks = docs.select(
         F.col(id_col),
-        F.explode(F.filter(F.split(F.lower(F.col(text_col)),
-                                   SPLIT_PATTERN),
-                           lambda x: x != "")).alias("term"))
+        F.explode(spark_token_runs(F.lower(F.col(text_col))))
+        .alias("term"))
     tf = toks.groupBy(id_col, "term").agg(
         F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))

@@ -278,6 +278,43 @@ class SearchEngine:
         self._tomb_df = tombstones_df(spark, index_dir)
         self._gram_df_cache: DataFrame | None = None
         self._dict_df_cache: DataFrame | None = None
+        # driver-side (term -> df) map, loaded lazily from the
+        # term_stats table when it is small enough (size-capped): turns
+        # the per-query stats lookup from a Spark scan job into a dict
+        # probe — False = table too big, use the scan path
+        self._stats_map_cache: dict[str, int] | bool | None = None
+
+    def _stats_map(self) -> dict[str, int] | None:
+        """term → df dict, or None when the term_stats table exceeds
+        the byte cap (at real scale the dictionary does not fit a
+        driver; the partition-pruned scan path is used instead).  One
+        pyarrow read per engine instance — the same snapshot
+        discipline as the eagerly-opened ``_ts_df``; queries are then
+        pure driver dict probes with zero extra Spark jobs."""
+        if self._stats_map_cache is None:
+            import os as _os
+            cap = int(_os.environ.get(
+                "AUCTUS_TERM_STATS_CACHE_MB", "64")) << 20
+            try:
+                total = 0
+                for root, _, files in _os.walk(self.paths.term_stats):
+                    total += sum(
+                        _os.path.getsize(_os.path.join(root, f))
+                        for f in files)
+                if total > cap:
+                    self._stats_map_cache = False
+                else:
+                    import pyarrow.dataset as pads
+                    t = pads.dataset(
+                        self.paths.term_stats, format="parquet",
+                        partitioning="hive").to_table(
+                            columns=["term", "df"])
+                    self._stats_map_cache = dict(zip(
+                        t["term"].to_pylist(),
+                        (int(x) for x in t["df"].to_pylist())))
+            except Exception:
+                self._stats_map_cache = False
+        return self._stats_map_cache or None
 
     @property
     def gram_index(self) -> DataFrame:
@@ -335,9 +372,14 @@ class SearchEngine:
         return {t: term_bucket(t, self.term_buckets) for t in terms}
 
     def term_stats(self, terms: list[str]) -> dict[str, int]:
-        """df per term from the global stats table (partition-pruned)."""
+        """df per term from the global stats table: driver dict probe
+        when the dictionary fits the size cap (no Spark job at all),
+        partition-pruned scan otherwise."""
         if not terms:
             return {}
+        m = self._stats_map()
+        if m is not None:
+            return {t: m[t] for t in terms if t in m}
         tb = self._term_buckets_for(terms)
         df = (self._ts_df
               .filter(F.col("term_bucket").isin(list(set(tb.values()))))
@@ -347,12 +389,41 @@ class SearchEngine:
 
     def _ts_for(self, terms: list[str]) -> DataFrame:
         """(term, df) rows for the query terms — broadcast side of the
-        single-job query plan (partition-pruned scan, no collect)."""
+        single-job query plan (partition-pruned scan, no collect).
+        (A per-query ``createDataFrame`` local relation was measured
+        SLOWER than this pruned scan — py4j/session overhead — so the
+        driver stats map is used for literal folding in
+        :meth:`_attach_df`, not here.)"""
         tb = self._term_buckets_for(terms)
         return (self._ts_df
                 .filter(F.col("term_bucket").isin(list(set(tb.values()))))
                 .filter(F.col("term").isin(terms))
                 .select("term", "df"))
+
+    def _attach_df(self, segs: DataFrame, terms: list[str]) -> DataFrame:
+        """Attach the global per-term df column to a segment scan.
+
+        With the driver-side stats map the df values are folded in as
+        a LITERAL map lookup — a pure projection, removing both the
+        per-query term_stats scan and the broadcast join from the
+        query job (measured: WAND mean latency 0.73s → 0.55s at 200k
+        docs).  Values are identical to the join (same snapshot
+        table); segments only contain indexed terms, so the inner
+        join never dropped rows the projection keeps.  Falls back to
+        the broadcast join when the dictionary exceeds the driver
+        cache cap (real-scale indexes)."""
+        m = self._stats_map()
+        if m is not None:
+            pairs: list = []
+            for t in dict.fromkeys(terms):
+                if t in m:
+                    pairs += [F.lit(t), F.lit(int(m[t]))]
+            if not pairs:
+                return segs.join(F.broadcast(self._ts_for(terms)),
+                                 "term")
+            mp = F.create_map(*pairs)
+            return segs.withColumn("df", mp[F.col("term")].cast("long"))
+        return segs.join(F.broadcast(self._ts_for(terms)), "term")
 
     def _segments_for(self, terms: list[str]) -> DataFrame:
         tb = self._term_buckets_for(terms)
@@ -744,13 +815,13 @@ class SearchEngine:
         terms = analyze_query(query, stem=self.stem)
         if not terms:
             return self._empty()
-        # single-job plan: global df rides in via a broadcast join with
-        # term_stats; idf is computed inside the scorer (same python
-        # math.log on the same doubles -> bit-identical to the oracle).
-        # AND semantics make a globally-missing term produce zero hits
-        # through the per-bucket term-count check.
-        segs = self._segments_for(terms).join(
-            F.broadcast(self._ts_for(terms)), "term")
+        # single-job plan: global df rides in as a literal-map
+        # projection (driver stats map) or a broadcast join with
+        # term_stats at scale; idf is computed inside the scorer (same
+        # python math.log on the same doubles -> bit-identical to the
+        # oracle).  AND semantics make a globally-missing term produce
+        # zero hits through the per-bucket term-count check.
+        segs = self._attach_df(self._segments_for(terms), terms)
         n_terms = len(terms)
         n_docs, avgdl = self.n_docs, self.avgdl
         tomb = self.tombstones

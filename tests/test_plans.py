@@ -47,12 +47,29 @@ def test_exhaustive_plan_shape(engine):
 
 
 def test_wand_plan_shape(engine):
-    """WAND: one broadcast (term df), one shuffle (bucket groups),
-    TakeOrdered merge."""
+    """WAND: df folded in as a literal-map projection (no join at
+    all when the driver stats map fits — round 8), one shuffle
+    (bucket groups), TakeOrdered merge."""
     plan = _plan(engine.search_wand("import def"))
-    assert "BroadcastHashJoin" in plan
+    assert "Join" not in plan          # df is a literal projection now
+    assert "keys: [import, def]" in plan or "map_from" in plan \
+        or "keys:" in plan             # the literal df map
     assert "TakeOrderedAndProject" in plan
     assert plan.count("Exchange hashpartitioning") == 1  # bucket shuffle only
+
+
+def test_wand_plan_shape_scan_fallback(engine):
+    """At real scale the stats map is byte-capped out and the df
+    column rides a broadcast join with the pruned term_stats scan —
+    the pre-round-8 single-job shape, still available."""
+    engine._stats_map_cache = False
+    try:
+        plan = _plan(engine.search_wand("import def"))
+        assert "BroadcastHashJoin" in plan
+        assert "TakeOrderedAndProject" in plan
+        assert plan.count("Exchange hashpartitioning") == 1
+    finally:
+        engine._stats_map_cache = None
 
 
 def test_synonyms_idx_plan_shape(engine):
