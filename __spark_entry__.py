@@ -94,6 +94,40 @@ def _fan_out(df: DataFrame) -> DataFrame:
     return df
 
 
+def _fan_out_by(df: DataFrame, *keys: str) -> DataFrame:
+    """Key-hash variant of :func:`_fan_out` for window/top-k paths.
+
+    A window partitioned by ``keys`` over a small single-row-group
+    scan is bottlenecked BELOW its exchange: Spark 3.5+ inserts the
+    partial Sort + WindowGroupLimit on the map side, i.e. onto the one
+    scan task (measured sfx10: a 1.6 s single-task sort of 1.5 M
+    rows dominating a 1.8 s query).  Hash-repartitioning by the
+    window key first is the SAME exchange the window needs — no
+    second shuffle appears (EnsureRequirements recognises the
+    partitioning) — but it moves the exchange below the sort, so the
+    sort/limit run on all cores.  Keyed repartition also avoids the
+    local sort a round-robin ``repartition(n)`` pays
+    (spark.sql.execution.sortBeforeRepartition, guide §2.5).  The
+    nondeterministic fence keeps the partial WindowGroupLimit from
+    being planned below the exchange (guide §4.4 reordering rules).
+    Scale-adaptive exactly like ``_fan_out``: many-file or large
+    inputs return unchanged, keeping the map-side WindowGroupLimit
+    shuffle pruning where it is profitable (measured sfx10
+    topk_orders_per_cust: 1.81 s -> 0.68 s noop-sink)."""
+    spark = df.sparkSession
+    try:
+        from urllib.parse import urlparse
+        files = df.inputFiles()
+        total = sum(os.path.getsize(urlparse(f).path) for f in files)
+    except Exception:
+        return df
+    cores = spark.sparkContext.defaultParallelism
+    if 0 < len(files) < cores and total <= _FAN_OUT_CAP:
+        return (df.repartition(*[F.col(k) for k in keys])
+                .filter(F.monotonically_increasing_id() >= 0))
+    return df
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _fan_out(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
@@ -262,7 +296,12 @@ def _q_tpch_q1(spark, sf_dir):
 
 def _q_topk_orders_per_cust(spark, sf_dir):
     from pyspark.sql import Window as W
-    o = _t(spark, sf_dir, "orders")
+    # exchange-by-key BEFORE the window sort (see _fan_out_by): rows,
+    # ranks and output are identical — row_number's order
+    # (o_totalprice desc, o_orderkey asc) is a total order per custkey
+    # (o_orderkey is unique), so physical row placement cannot change
+    # the result
+    o = _fan_out_by(_t(spark, sf_dir, "orders"), "o_custkey")
     w = W.partitionBy("o_custkey").orderBy(
         F.desc("o_totalprice"), F.asc("o_orderkey"))
     return (o.withColumn("rk", F.row_number().over(w))

@@ -101,9 +101,14 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     where exact recall is audited).  Set sizes are computed after the
     cap, so the Jaccard is exact over the capped shingle universe.
     """
-    sh = token_shingles(df, text_col, id_col, n).cache()
+    # localCheckpoint, not cache(): same one-compute sharing across
+    # the 3 consuming branches, but blocks are ContextCleaner-managed
+    # (a cache() with no unpersist leaks CacheManager entries across a
+    # long multi-query session); the post-cap checkpoint additionally
+    # saves re-running the cap's anti-join once per branch
+    sh = token_shingles(df, text_col, id_col, n).localCheckpoint()
     if max_shingle_df is not None:
-        sh = frequent_shingle_cap(sh, max_shingle_df)
+        sh = frequent_shingle_cap(sh, max_shingle_df).localCheckpoint()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
@@ -206,6 +211,15 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 16,
     (doc_id, sig) → distinct (id_a, id_b).  ``max_bucket`` (default
     ``DEFAULT_MAX_BUCKET``) drops degenerate buckets before the
     self-join; ``None`` opts out (cap_hot_buckets)."""
+    # The signature subtree feeds FOUR plan branches (hot-bucket
+    # count, its anti-join probe, and both sides of the self-join);
+    # Spark does not share common subtrees across join branches, so
+    # without materialization the whole minhash aggregation runs 4x
+    # (measured: the dominant cost of the sweep's minhash rows).
+    # localCheckpoint = compute once, O(docs x num_perm x 8B) storage,
+    # lineage-truncated, blocks GC-cleaned (guide §5 caching /
+    # §3.3 materialise reused intermediates).
+    signatures = signatures.localCheckpoint()
     banded = signatures.select(
         "doc_id",
         F.explode(F.array(*[
@@ -236,7 +250,9 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
     sigs = minhash_signatures(df, text_col, id_col,
                               num_perm=num_perm, seed=seed)
     cand = lsh_candidate_pairs(sigs, bands, rows_per_band)
-    sh = token_shingles(df, text_col, id_col)
+    # shingles feed 3 branches (sizes + both join sides): tokenize
+    # once, not three times (same rationale as lsh_candidate_pairs)
+    sh = token_shingles(df, text_col, id_col).localCheckpoint()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.select(F.col("doc_id").alias("id_a"),
                   F.col("shingle").alias("sh_a"))
@@ -284,9 +300,10 @@ def containment_pairs(df: DataFrame, text_col: str = "text",
     symmetric-Jaccard band curve — like Lazo itself, a sketch with
     false negatives for very asymmetric pairs).
     """
-    sh = token_shingles(df, text_col, id_col).cache()
+    # see ngram_jaccard_pairs: one-compute sharing, leak-free
+    sh = token_shingles(df, text_col, id_col).localCheckpoint()
     if max_shingle_df is not None:
-        sh = frequent_shingle_cap(sh, max_shingle_df)
+        sh = frequent_shingle_cap(sh, max_shingle_df).localCheckpoint()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.select(F.col("doc_id").alias("id_a"),
                   F.col("shingle").alias("sh_a"))
@@ -311,7 +328,9 @@ def containment_pairs(df: DataFrame, text_col: str = "text",
             .join(sizes.withColumnRenamed("doc_id", "id_a")
                   .withColumnRenamed("sz", "sz_a"), "id_a")
             .join(sizes.withColumnRenamed("doc_id", "id_b")
-                  .withColumnRenamed("sz", "sz_b"), "id_b"))
+                  .withColumnRenamed("sz", "sz_b"), "id_b")
+            # both directions project from this join: compute it once
+            .localCheckpoint())
     d1 = both.select(F.col("id_a").alias("id_q"),
                      F.col("id_b").alias("id_c"),
                      (F.col("inter") / F.col("sz_a")).alias("containment"))
@@ -446,25 +465,93 @@ def embedding_near_pairs(emb: DataFrame, vec_col: str = "embedding",
         keys = bits.reshape(len(m), bands, rows_per_band) @ pack
         return pd.Series(list(keys.astype(np.int64)))
 
+    # the band_keys pandas UDF projection feeds SIX plan branches
+    # (hot-bucket count + anti-join probe, both self-join sides, va,
+    # vb): materialize it once or the python matmul runs 6x (guide
+    # §4 python boundary + §5 caching; measured 9.7 s -> ~3 s on the
+    # embedding_near_pairs sweep row)
+    # Per-vector NORM precomputed in the checkpoint: ONE
+    # interpreted-HOF pass over n vectors instead of one per CANDIDATE
+    # PAIR side (the banding false-positive rate makes pairs >>
+    # vectors; measured 208k pairs from 2k vectors at sf0.1).
+    # cos = dot/(nrm_a*nrm_b) multiplies the identical per-vector
+    # doubles in the identical order, so scores are bit-unchanged.
+    nrm_of = (lambda c: F.sqrt(F.aggregate(
+        F.transform(c, lambda x: x * x),
+        F.lit(0.0), lambda acc, x: acc + x)))
     e = emb.select(F.col(id_col).alias("vid"),
                    F.col(vec_col).cast("array<double>").alias("v")) \
-        .withColumn("bk", band_keys("v"))
+        .withColumn("bk", band_keys("v")) \
+        .withColumn("nrm", nrm_of(F.col("v"))).localCheckpoint()
     banded = e.select(
         "vid", F.posexplode("bk").alias("band", "key"))
-    banded = cap_hot_buckets(banded, ["band", "key"], max_bucket)
+    banded = cap_hot_buckets(banded, ["band", "key"],
+                             max_bucket).localCheckpoint()
     cand = (banded.alias("a").join(banded.alias("b"), ["band", "key"])
             .filter(F.col("a.vid") < F.col("b.vid"))
             .select(F.col("a.vid").alias("id_a"),
                     F.col("b.vid").alias("id_b"))
             .distinct())
-    va = e.select(F.col("vid").alias("id_a"), F.col("v").alias("va"))
-    vb = e.select(F.col("vid").alias("id_b"), F.col("v").alias("vb"))
-    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y),
-                      F.lit(0.0), lambda acc, x: acc + x)
-    nrm = (lambda c: F.sqrt(F.aggregate(F.transform(c, lambda x: x * x),
-                                        F.lit(0.0), lambda acc, x: acc + x)))
+    # Verify stage.  Candidate pairs >> vectors (banding FP rate:
+    # 208k pairs from 2k vectors measured at sf0.1), so the verify
+    # must not ship 2 x dim doubles PER PAIR through joins (guide §8:
+    # move decisions onto lightweight proxies, attach heavy payloads
+    # once).  When the whole vector table fits a broadcast cap
+    # (n x dim x 8B <= AUCTUS_VEC_BCAST_MB, default 64 MB), the pair
+    # table — 16 B/pair — flows alone into ONE mapInPandas that looks
+    # both sides up in the broadcast matrix; above the cap it falls
+    # back to the two joins (at that scale the pair list per band is
+    # also partition-local, so the join shape is the scalable one).
+    #
+    # Bit-identical floats either way: the historical HOF evaluated
+    # ((0.0 + p0) + p1) + ... strictly left-associatively, and
+    # np.cumsum is the same sequential left-assoc accumulation
+    # (pinned against the JVM HOF in tests/test_opt_r08.py); the
+    # elementwise product is IEEE-identical, and nrm_a*nrm_b uses the
+    # same precomputed per-vector doubles in the same order.
+    cap_b = int(__import__("os").environ.get(
+        "AUCTUS_VEC_BCAST_MB", "64")) << 20
+    n_vecs = e.count()  # checkpointed: a cheap count
+    if n_vecs * dim * 8 <= cap_b:
+        rows_v = e.select("vid", "v", "nrm").collect()
+        idx = {r["vid"]: i for i, r in enumerate(rows_v)}
+        mat = np.array([r["v"] for r in rows_v], dtype=np.float64)
+        nrm = np.array([r["nrm"] for r in rows_v], dtype=np.float64)
+        bc = emb.sparkSession.sparkContext.broadcast((idx, mat, nrm))
+
+        def verify(batches):
+            bidx, bmat, bnrm = bc.value
+            for pdf in batches:
+                ia = pdf["id_a"].map(bidx).to_numpy()
+                ib = pdf["id_b"].map(bidx).to_numpy()
+                dots = np.cumsum(bmat[ia] * bmat[ib], axis=1)[:, -1]
+                cos = dots / (bnrm[ia] * bnrm[ib])
+                keep = cos >= threshold
+                yield pd.DataFrame({
+                    "id_a": pdf["id_a"].to_numpy()[keep],
+                    "id_b": pdf["id_b"].to_numpy()[keep],
+                    "cosine": cos[keep]})
+
+        return cand.mapInPandas(
+            verify, schema="id_a long, id_b long, cosine double")
+
+    va = e.select(F.col("vid").alias("id_a"), F.col("v").alias("va"),
+                  F.col("nrm").alias("nrm_a"))
+    vb = e.select(F.col("vid").alias("id_b"), F.col("v").alias("vb"),
+                  F.col("nrm").alias("nrm_b"))
+
+    @F.pandas_udf("double")
+    def _pair_dot(a: pd.Series, b: pd.Series) -> pd.Series:
+        if not len(a):
+            return pd.Series([], dtype="float64")
+        ma = np.stack(a.to_numpy())
+        mb = np.stack(b.to_numpy())
+        return pd.Series(np.cumsum(ma * mb, axis=1)[:, -1])
+
     return (cand.join(va, "id_a").join(vb, "id_b")
-            .withColumn("cos", dot / (nrm(F.col("va")) * nrm(F.col("vb"))))
+            .withColumn("cos",
+                        _pair_dot("va", "vb")
+                        / (F.col("nrm_a") * F.col("nrm_b")))
             .filter(F.col("cos") >= threshold)
             .select("id_a", "id_b", F.col("cos").alias("cosine")))
 
@@ -660,11 +747,17 @@ def dedup_clusters(pairs: DataFrame, left: str = "id_a",
     Returns (node, cluster_id) with ``node`` named after ``left``'s
     element type — column names (doc_id, cluster_id).
     """
+    # ``pairs`` is typically an expensive near-dup pipeline
+    # (minhash/LSH/verify); it feeds BOTH union branches, so without
+    # materialization the whole pipeline runs twice before the loop
+    # even starts.  localCheckpoint also replaces the old e.persist()
+    # (leak-free; e is then two cheap projections of the checkpoint).
+    pairs = pairs.localCheckpoint()
     e = (pairs.select(F.col(left).alias("src"),
                       F.col(right).alias("dst"))
          .union(pairs.select(F.col(right).alias("src"),
                              F.col(left).alias("dst"))))
-    e = e.persist()
+    e = e.localCheckpoint()
     labels = (e.select(F.col("src").alias("doc_id")).distinct()
               .withColumn("cluster_id", F.col("doc_id"))
               .localCheckpoint())
@@ -680,10 +773,8 @@ def dedup_clusters(pairs: DataFrame, left: str = "id_a",
                   .localCheckpoint())
         new_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
         if new_sum == prev_sum:
-            e.unpersist()
             return labels
         prev_sum = new_sum
-    e.unpersist()
     raise RuntimeError(
         f"dedup_clusters did not converge in {max_iterations} "
         "iterations — pathological chain graph; raise max_iterations")

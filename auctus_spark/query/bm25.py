@@ -44,6 +44,30 @@ from ..oracle import bm25_idf
 _GRAM_N = 2
 
 
+def _spread_buckets(df: DataFrame) -> DataFrame:
+    """Numbered hash-repartition by doc ``bucket`` ahead of every
+    ``groupBy("bucket").applyInPandas`` scorer.
+
+    Without it the scorer's ENSURE_REQUIREMENTS exchange is subject to
+    AQE partition coalescing: a query's pruned segment scan is a few
+    MB, far below the advisory partition size, so AQE folds the
+    post-shuffle partitions down to 1-3 and the python scoring — the
+    expensive part of the job, whose cost is proportional to decoded
+    postings, not shuffled bytes — runs on 1-3 cores (measured: hot
+    3-term WAND query 1.09 s -> 0.63 s at 200k docs, identical rows).
+    A repartition WITH an explicit partition count is not coalesced
+    (user-specified), and hash(bucket, 4x parallelism) spreads B
+    buckets nearly alone into partitions (guide §2.5 "synthetic keys
+    with too few distinct values": 4x over-partitioning de-collides
+    the balls-into-bins assignment).  The scorer's ClusteredDistribution
+    requirement is satisfied by ANY hash partitioning on bucket, so no
+    second exchange appears; at real scale (buckets >> partitions)
+    each task simply owns several groups, the same plan shape as
+    before."""
+    p = 4 * df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(p, "bucket")
+
+
 def _term_bigrams(s: str) -> set[str]:
     """Distinct character bigrams of a term (no padding)."""
     return {s[i:i + _GRAM_N] for i in range(len(s) - _GRAM_N + 1)}
@@ -859,7 +883,7 @@ class SearchEngine:
                                  "score": score})
 
         local = (segs.select(*self._SEG_COLS, "df")
-                 .groupBy("bucket")
+                 .transform(_spread_buckets).groupBy("bucket")
                  .applyInPandas(score_bucket,
                                 schema="doc_id long, score double"))
         return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
@@ -1316,7 +1340,7 @@ class SearchEngine:
                                  "score": score2})
 
         local = (segs.select(*self._SEG_COLS, "slot_id", "slot_df")
-                 .groupBy("bucket")
+                 .transform(_spread_buckets).groupBy("bucket")
                  .applyInPandas(score_bucket,
                                 schema="doc_id long, score double"))
         return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
@@ -1402,7 +1426,7 @@ class SearchEngine:
                                  "score": score})
 
         local = (segs.select(*self._SEG_COLS, "df")
-                 .groupBy("bucket")
+                 .transform(_spread_buckets).groupBy("bucket")
                  .applyInPandas(score_bucket,
                                 schema="doc_id long, score double"))
         return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
@@ -1496,7 +1520,7 @@ class SearchEngine:
                                  "score": score})
 
         local = (segs.select(*self._SEG_COLS, "df")
-                 .groupBy("bucket")
+                 .transform(_spread_buckets).groupBy("bucket")
                  .applyInPandas(score_bucket,
                                 schema="doc_id long, score double"))
         return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
@@ -1762,7 +1786,7 @@ def search_many(engine: SearchEngine, queries: dict[str, str],
             "score": np.concatenate(out_s)})
 
     local = (segs.select(*SearchEngine._SEG_COLS, "df")
-             .groupBy("bucket")
+             .transform(_spread_buckets).groupBy("bucket")
              .applyInPandas(score_bucket,
                             schema="query_id string, doc_id long, "
                                    "score double"))
@@ -1864,7 +1888,7 @@ class MultiFieldEngine:
             return pd.DataFrame({"doc_id": cand2.astype(np.int64),
                                  "score": score2})
 
-        local = (segs.groupBy("bucket")
+        local = (segs.transform(_spread_buckets).groupBy("bucket")
                  .applyInPandas(score_bucket,
                                 schema="doc_id long, score double"))
         return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
@@ -1937,7 +1961,7 @@ class MultiFieldEngine:
             return pd.DataFrame({"doc_id": cand2.astype(np.int64),
                                  "score": score2})
 
-        local = (segs.groupBy("bucket")
+        local = (segs.transform(_spread_buckets).groupBy("bucket")
                  .applyInPandas(score_bucket,
                                 schema="doc_id long, score double"))
         return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
@@ -2365,7 +2389,7 @@ class PhraseEngine(SearchEngine):
             return pd.DataFrame({"doc_id": d2.astype(np.int64),
                                  "score": s2})
 
-        local = (segs.groupBy("bucket")
+        local = (segs.transform(_spread_buckets).groupBy("bucket")
                  .applyInPandas(score_bucket,
                                 schema="doc_id long, score double"))
         return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
@@ -2403,7 +2427,7 @@ class PhraseEngine(SearchEngine):
             return pd.DataFrame({"doc_id": d2.astype(np.int64),
                                  "score": s2})
 
-        local = (segs.groupBy("bucket")
+        local = (segs.transform(_spread_buckets).groupBy("bucket")
                  .applyInPandas(score_bucket,
                                 schema="doc_id long, score double"))
         return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
@@ -2458,7 +2482,7 @@ class PhraseEngine(SearchEngine):
                 "doc_id": cand[hit].astype(np.int64),
                 "score": np.full(hit.size, float(boost))})
 
-        local = (segs.groupBy("bucket")
+        local = (segs.transform(_spread_buckets).groupBy("bucket")
                  .applyInPandas(find_bucket,
                                 schema="doc_id long, score double"))
         return local.orderBy(F.asc("doc_id")).limit(k)
@@ -2533,7 +2557,7 @@ class PhraseEngine(SearchEngine):
                 "doc_id": np.array(hits, dtype=np.int64),
                 "score": np.full(len(hits), b)})
 
-        local = (segs.groupBy("bucket")
+        local = (segs.transform(_spread_buckets).groupBy("bucket")
                  .applyInPandas(find_bucket,
                                 schema="doc_id long, score double"))
         return local.orderBy(F.asc("doc_id")).limit(kk)
@@ -2582,7 +2606,7 @@ class PhraseEngine(SearchEngine):
                 "doc_id": np.array(hits, dtype=np.int64),
                 "score": np.full(len(hits), b)})
 
-        local = (segs.groupBy("bucket")
+        local = (segs.transform(_spread_buckets).groupBy("bucket")
                  .applyInPandas(find_bucket,
                                 schema="doc_id long, score double"))
         return local.orderBy(F.asc("doc_id")).limit(kk)
@@ -2662,7 +2686,7 @@ class PhraseEngine(SearchEngine):
                 "doc_id": np.array(hits, dtype=np.int64),
                 "score": np.full(len(hits), b)})
 
-        local = (segs.groupBy("bucket")
+        local = (segs.transform(_spread_buckets).groupBy("bucket")
                  .applyInPandas(find_bucket,
                                 schema="doc_id long, score double"))
         return local.orderBy(F.asc("doc_id")).limit(kk)
@@ -2770,7 +2794,7 @@ class PhraseEngine(SearchEngine):
                 "doc_id": np.array(hits, dtype=np.int64),
                 "score": np.full(len(hits), b)})
 
-        local = (segs.groupBy("bucket")
+        local = (segs.transform(_spread_buckets).groupBy("bucket")
                  .applyInPandas(find_bucket,
                                 schema="doc_id long, score double"))
         return local.orderBy(F.asc("doc_id")).limit(kk)
@@ -2853,7 +2877,7 @@ class PhraseEngine(SearchEngine):
                 "doc_id": np.array(hits, dtype=np.int64),
                 "score": np.full(len(hits), b)})
 
-        local = (segs.groupBy("bucket")
+        local = (segs.transform(_spread_buckets).groupBy("bucket")
                  .applyInPandas(find_bucket,
                                 schema="doc_id long, score double"))
         return local.orderBy(F.asc("doc_id")).limit(kk)
@@ -2974,7 +2998,7 @@ class PhraseEngine(SearchEngine):
                 "doc_id": np.array(hits, dtype=np.int64),
                 "score": np.full(len(hits), b)})
 
-        local = (segs.groupBy("bucket")
+        local = (segs.transform(_spread_buckets).groupBy("bucket")
                  .applyInPandas(find_bucket,
                                 schema="doc_id long, score double"))
         return local.orderBy(F.asc("doc_id")).limit(kk)
@@ -3067,7 +3091,7 @@ class PhraseEngine(SearchEngine):
             return pd.DataFrame({"doc_id": d2.astype(np.int64),
                                  "score": s2})
 
-        local = (segs.groupBy("bucket")
+        local = (segs.transform(_spread_buckets).groupBy("bucket")
                  .applyInPandas(score_bucket,
                                 schema="doc_id long, score double"))
         return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
@@ -3205,7 +3229,7 @@ def search_many_synonyms(engine: SearchEngine,
             "score": np.concatenate(out_s)})
 
     local = (segs.select(*SearchEngine._SEG_COLS, "slot_dfs")
-             .groupBy("bucket")
+             .transform(_spread_buckets).groupBy("bucket")
              .applyInPandas(score_bucket,
                             schema="query_id string, doc_id long, "
                                    "score double"))
@@ -3266,7 +3290,7 @@ def search_many_or(engine: SearchEngine, queries: dict[str, str],
             "score": np.concatenate(out_s)})
 
     local = (segs.select(*SearchEngine._SEG_COLS, "df")
-             .groupBy("bucket")
+             .transform(_spread_buckets).groupBy("bucket")
              .applyInPandas(score_bucket,
                             schema="query_id string, doc_id long, "
                                    "score double"))
@@ -3352,7 +3376,7 @@ def search_many_phrase(engine: "PhraseEngine", queries: dict[str, str],
             "doc_id": np.concatenate(out_d).astype(np.int64),
             "score": np.concatenate(out_s)})
 
-    local = (segs.groupBy("bucket")
+    local = (segs.transform(_spread_buckets).groupBy("bucket")
              .applyInPandas(score_bucket,
                             schema="query_id string, doc_id long, "
                                    "score double"))

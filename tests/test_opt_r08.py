@@ -161,3 +161,90 @@ def test_terms_agg_sharded_empty_input(spark):
     df = spark.createDataFrame([], "doc_id long, lang string")
     out = terms_agg_sharded(df, "lang", "doc_id").collect()
     assert out == []
+
+
+# ---------------------------------------------------------------------
+# second-session round-8 optimizations
+# ---------------------------------------------------------------------
+
+def test_cumsum_dot_matches_hof_sequential_sum(spark):
+    """embedding_near_pairs' vectorized pair dot (np.cumsum last
+    element) must be bit-identical to the historical JVM
+    zip_with/aggregate HOF, which accumulates strictly
+    left-associatively."""
+    import numpy as np
+    rng = np.random.Generator(np.random.PCG64(7))
+    vecs = [[float(x) for x in rng.normal(size=16)] for _ in range(12)]
+    rows = [(i, vecs[i], j, vecs[j])
+            for i in range(12) for j in range(12)]
+    df = spark.createDataFrame(
+        rows, "id_a long, va array<double>, id_b long, vb array<double>")
+    hof = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    got = {(r["id_a"], r["id_b"]): r["d"]
+           for r in df.select("id_a", "id_b", hof.alias("d")).collect()}
+    for i in range(12):
+        for j in range(12):
+            prod = np.array(vecs[i]) * np.array(vecs[j])
+            assert np.cumsum(prod)[-1] == got[(i, j)]
+
+
+def test_embedding_near_pairs_broadcast_matches_join_path(spark,
+                                                          monkeypatch):
+    """The size-capped broadcast verify and the join fallback must
+    return identical pairs AND identical cosines."""
+    import numpy as np
+    from auctus_spark.operators.dedup import embedding_near_pairs
+    rng = np.random.Generator(np.random.PCG64(11))
+    base = rng.normal(size=(6, 8))
+    vecs = []
+    for i in range(60):
+        v = base[i % 6] + 0.01 * rng.normal(size=8)
+        vecs.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    a = sorted(tuple(r) for r in embedding_near_pairs(
+        df, threshold=0.9, bands=8, rows_per_band=4).collect())
+    monkeypatch.setenv("AUCTUS_VEC_BCAST_MB", "0")  # force join path
+    b = sorted(tuple(r) for r in embedding_near_pairs(
+        df, threshold=0.9, bands=8, rows_per_band=4).collect())
+    assert a == b
+    assert len(a) > 0
+
+
+def test_fan_out_by_window_rows_identical(spark, tmp_path):
+    """_fan_out_by (exchange-by-key below the window sort) must not
+    change window top-k results."""
+    from pyspark.sql import Window as W
+    import __spark_entry__ as entry
+    rows = [(i % 37, i, float((i * 7919) % 1000)) for i in range(2000)]
+    df = spark.createDataFrame(rows, "k long, oid long, price double")
+    p = str(tmp_path / "orders_one_file")
+    df.coalesce(1).write.mode("overwrite").parquet(p)
+    base = spark.read.parquet(p)
+    w = W.partitionBy("k").orderBy(F.desc("price"), F.asc("oid"))
+    def topk(d):
+        return (d.withColumn("rk", F.row_number().over(w))
+                .filter(F.col("rk") <= 2)
+                .select("k", "oid", "price", "rk"))
+    plain = sorted(tuple(r) for r in topk(base).collect())
+    fanned = sorted(tuple(r) for r in
+                    topk(entry._fan_out_by(base, "k")).collect())
+    assert plain == fanned
+
+
+def test_spread_buckets_no_extra_exchange(spark):
+    """_spread_buckets' numbered repartition must SATISFY the
+    downstream groupBy-applyInPandas distribution requirement: exactly
+    one Exchange in the plan, and it is the user-specified one (not an
+    AQE-coalescible ENSURE_REQUIREMENTS exchange)."""
+    import pandas as pd
+    from auctus_spark.query.bm25 import _spread_buckets
+    df = spark.createDataFrame(
+        [(i % 8, i) for i in range(100)], "bucket long, x long")
+    def f(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pdf[["bucket"]].head(1)
+    out = (_spread_buckets(df).groupBy("bucket")
+           .applyInPandas(f, schema="bucket long"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert "REPARTITION_BY_NUM" in plan
