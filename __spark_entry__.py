@@ -3030,8 +3030,11 @@ def _q_column_types(spark, sf_dir):
     from auctus_spark.operators.profiling import (
         classify_column, infer_structural_types_multi, semantic_flags)
     cols = ["c_custkey", "c_name", "c_mktsegment", "c_acctbal"]
-    c = _t(spark, sf_dir, "customer").select(
-        *[F.col(col).cast("string").alias(col) for col in cols])
+    # the regex-voting battery is compute-heavy per row — fan the
+    # small single-row-group scan out over the cores (same gate as
+    # _fan_out; counts are partition-order-independent)
+    c = _fan_out(_t(spark, sf_dir, "customer").select(
+        *[F.col(col).cast("string").alias(col) for col in cols]))
     ratios = infer_structural_types_multi(c, cols)   # ONE scan/job
     rows = [(col, classify_column(r),
              "CATEGORICAL" in semantic_flags(r))

@@ -864,7 +864,12 @@ class IndexBuilder:
         The segment merge and the term-stats finalize are independent
         reads of the partials, so they run as two concurrent driver
         threads — the FIFO scheduler back-fills the merge's tail with
-        stats tasks (guide §2.6)."""
+        stats tasks (guide §2.6).
+
+        (Round-8 audit note: a python-worker prewarm job overlapped
+        with the chunk-count prep was measured and REJECTED — worker
+        fork+imports are <1 s here and the cold-session gap is JVM
+        JIT/codegen, which a warm-up job merely moves, not hides.)"""
         self.tokenize_chunks(corpus, resume=resume)
         stats = self.finalize_stats()
         from concurrent.futures import ThreadPoolExecutor

@@ -113,7 +113,10 @@ def profile_dataset(df: DataFrame, sample_rows: int = 20,
             meta["mean"] = float(row[f"{c}__mean"])
             meta["stddev"] = float(row[f"{c}__std"] or 0.0)
             meta["coverage"] = profiling.range_sketch(
-                df, c, sample_cap=max_range_rows)
+                df, c, sample_cap=max_range_rows,
+                # nb_rows already counted this df: same n, same sample
+                # fraction, identical sketch, one job saved per column
+                n_rows=nb_rows)
         columns_meta.append(meta)
 
     # temporal coverage + resolution per datetime column

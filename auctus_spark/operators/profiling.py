@@ -99,6 +99,13 @@ def temporal_resolution(df: DataFrame, col: str,
     probe coarse→fine; the first resolution where avg DISTINCT values
     per bin < 1.05 wins; 'second' if none; single-value special case by
     finest nonzero component."""
+    # Plan note (round-8 audit): the 8 distinct-aggregates compile to
+    # an Expand(x9) + partial distinct-aggregation before ONE shuffle.
+    # A pre-``distinct()`` pass was measured and REJECTED: it only
+    # helps when the column's values repeat heavily (dates), and adds
+    # a full extra shuffle when they are near-unique (event
+    # timestamps) — the Expand's partial aggregation already collapses
+    # each truncation to its distinct values before the exchange.
     counts = df.agg(
         F.count_distinct(col).alias("n"),
         F.min(col).alias("only"),
@@ -388,11 +395,14 @@ def range_sketch_pdf(values: np.ndarray, n_ranges: int = N_RANGES,
 
 
 def range_sketch(df: DataFrame, col: str, sample_cap: int = 100_000,
-                 seed: int = 89) -> list[dict]:
+                 seed: int = 89, n_rows: int | None = None) -> list[dict]:
     """Distributed wrapper: sample-bounded collect (the reference also
     profiles a 5 MB random sample, core.py:33-36) then the
-    deterministic 1-D sketch."""
-    n = df.count()
+    deterministic 1-D sketch.  ``n_rows`` lets a caller that already
+    counted ``df`` (profile_dataset counts once for nb_rows) skip the
+    per-column count job — same n, same sample fraction, identical
+    sketch."""
+    n = df.count() if n_rows is None else n_rows
     frac = min(1.0, sample_cap / max(n, 1))
     vals = (df.select(F.col(col).cast("double").alias("v"))
             .filter(F.col("v").isNotNull()))

@@ -477,8 +477,15 @@ def gopher_dup_ngrams(df: DataFrame, text_col: str = "text",
     words_arr = F.regexp_extract_all(F.col(text_col), F.lit(r"\S+"),
                                      F.lit(0))
     base = df.select(did.alias("_id"), words_arr.alias("w"))
+    # the exploded word table feeds THREE branches (per-doc char
+    # totals, the lead() window, and the coverage join).  Exchange
+    # reuse already shares the two same-keyed branches; the
+    # checkpoint guarantees ONE tokenize+explode for the third
+    # (differently-keyed coverage join) independent of reuse firing
+    # (measured neutral at sf0.1, one full scan saved at scale)
     words = (base.select(
-        "_id", F.posexplode("w").alias("idx", "word")))
+        "_id", F.posexplode("w").alias("idx", "word"))
+        .localCheckpoint())
     wchars = words.groupBy("_id").agg(
         F.sum(F.length("word")).cast("double").alias("wchars"))
     max_n = max(ns)
