@@ -1731,8 +1731,10 @@ def search_many(engine: SearchEngine, queries: dict[str, str],
     all_terms = sorted({t for ts in qterms.values() for t in ts})
     if not all_terms:
         return engine._empty().withColumn("query_id", F.lit(""))
-    segs = engine._segments_for(all_terms).join(
-        F.broadcast(engine._ts_for(all_terms)), "term")
+    # driver stats-map literal fold when it fits (same values as the
+    # broadcast join; see SearchEngine._attach_df) — one less scan+join
+    # per batched query job
+    segs = engine._attach_df(engine._segments_for(all_terms), all_terms)
     n_docs, avgdl = engine.n_docs, engine.avgdl
     qt_b = dict(qterms)
     tomb = engine.tombstones
@@ -3253,8 +3255,10 @@ def search_many_or(engine: SearchEngine, queries: dict[str, str],
     all_terms = sorted({t for ts in qterms.values() for t in ts})
     if not all_terms:
         return engine._empty().withColumn("query_id", F.lit(""))
-    segs = engine._segments_for(all_terms).join(
-        F.broadcast(engine._ts_for(all_terms)), "term")
+    # driver stats-map literal fold when it fits (same values as the
+    # broadcast join; see SearchEngine._attach_df) — one less scan+join
+    # per batched query job
+    segs = engine._attach_df(engine._segments_for(all_terms), all_terms)
     n_docs, avgdl = engine.n_docs, engine.avgdl
     qt_b = dict(qterms)
     tomb = engine.tombstones

@@ -42,8 +42,18 @@ def incremental_update(builder: IndexBuilder, new_docs: DataFrame) -> dict:
     segments.  Already-indexed chunks are skipped via lineage."""
     builder.tokenize_chunks(new_docs, resume=True)
     stats = builder.finalize_stats()
-    builder.encode_segments(stats["avgdl"])
-    builder.finalize_term_stats()
+    # same concurrent finalize as IndexBuilder.build (guide §2.6):
+    # segment merge and term-stats aggregate are independent reads of
+    # the partials (the merge is row-preserving, so the from-partials
+    # stats are identical to the post-merge ones; compaction keeps the
+    # invariant because it rewrites partials with the same tombstone
+    # mask it applies to segments)
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_seg = pool.submit(builder.encode_segments, stats["avgdl"])
+        f_ts = pool.submit(builder.finalize_term_stats_from_partials)
+        f_seg.result()
+        f_ts.result()
     return stats
 
 
@@ -225,8 +235,15 @@ class StreamingIndexer:
 
     def finalize(self) -> dict:
         stats = self.builder.finalize_stats()
-        self.builder.encode_segments(stats["avgdl"])
-        self.builder.finalize_term_stats()
+        # concurrent finalize, same as incremental_update / build()
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_seg = pool.submit(self.builder.encode_segments,
+                                stats["avgdl"])
+            f_ts = pool.submit(
+                self.builder.finalize_term_stats_from_partials)
+            f_seg.result()
+            f_ts.result()
         return stats
 
 
