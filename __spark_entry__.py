@@ -3075,8 +3075,11 @@ def _q_temporal_resolution(spark, sf_dir):
     (temporal.py:36-71): coarse→fine probe, first resolution whose
     avg distinct-values-per-bin < 1.05."""
     from auctus_spark.operators.profiling import temporal_resolution
+    # the resolution probe is exact count_distincts — fan-out-safe
+    # (orders is single-row-group and not in _FAN_OUT_TABLES; events
+    # already arrives fanned from _t)
     r_orders = temporal_resolution(
-        _t(spark, sf_dir, "orders"), "o_orderdate")
+        _fan_out(_t(spark, sf_dir, "orders")), "o_orderdate")
     r_events = temporal_resolution(_t(spark, sf_dir, "events"), "ts")
     return spark.createDataFrame(
         [("o_orderdate", r_orders), ("ts", r_events)],
@@ -3177,11 +3180,24 @@ _E2E_RANGE = (500.0, 3000.0)
 
 
 def _e2e_catalog(spark, sf_dir, tables):
+    """Profile the catalog tables CONCURRENTLY (guide §2.6): each
+    ``add_dataset`` is an independent chain of small single-task jobs,
+    so driver threads let the FIFO scheduler back-fill idle cores
+    instead of serializing 3-5 tables' profile batteries.  Each
+    table's own jobs (plans, partitioning, collect order — what the
+    seeded sketches depend on) are untouched; ``_meta`` insertion is
+    a GIL-atomic dict store and every accessor sorts by dataset id,
+    so results are identical to the serial loop's."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from auctus_spark.query.catalog import MetadataCatalog
     cat = MetadataCatalog(spark)
-    for t in tables:
-        cat.add_dataset(t, _t(spark, sf_dir, t),
-                        description=_E2E_DESCRIPTIONS.get(t, ""))
+    with ThreadPoolExecutor(max_workers=min(4, len(tables))) as pool:
+        futs = [pool.submit(cat.add_dataset, t, _t(spark, sf_dir, t),
+                            description=_E2E_DESCRIPTIONS.get(t, ""))
+                for t in tables]
+        for f in futs:
+            f.result()
     return cat
 
 
@@ -3229,13 +3245,22 @@ def _q_auctus_e2e(spark, sf_dir):
         else:
             rows.append(("coverage", ds, c + ".gte", r["gte_s"], None))
             rows.append(("coverage", ds, c + ".lte", r["lte_s"], None))
-    for q in _E2E_QUERIES:
-        for r in cat.keyword_search(q).collect():
-            rows.append(("keyword", r["dataset_id"], q, None,
+    # the two keyword searches and the join search are independent
+    # queries over the metadata tables: overlap them (guide §2.6);
+    # append order (and so the output) matches the serial loop
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        kw_futs = [pool.submit(
+            lambda q=q: cat.keyword_search(q).collect())
+            for q in _E2E_QUERIES]
+        j_fut = pool.submit(lambda: cat.join_search(*_E2E_RANGE).collect())
+        for q, f in zip(_E2E_QUERIES, kw_futs):
+            for r in f.result():
+                rows.append(("keyword", r["dataset_id"], q, None,
+                             round(r["score"], 6)))
+        for r in j_fut.result():
+            rows.append(("join", r["dataset_id"], r["column"], None,
                          round(r["score"], 6)))
-    for r in cat.join_search(*_E2E_RANGE).collect():
-        rows.append(("join", r["dataset_id"], r["column"], None,
-                     round(r["score"], 6)))
     return spark.createDataFrame(
         rows, "section string, dataset string, item string, "
               "sval string, dval double")

@@ -27,18 +27,41 @@ def profile_dataset(df: DataFrame, sample_rows: int = 20,
     """→ metadata document (dict) mirroring the reference's shape:
     {nb_rows, nb_columns, nb_*_columns, types, attribute_keywords,
     columns: [{name, structural_type, semantic_types, ...}],
-    spatial_coverage, sample}."""
-    nb_rows = df.count()
+    spatial_coverage, sample}.
+
+    Job shape (round-8): the old serial chain (count, one big agg,
+    per-column range sketches, per-datetime resolution + min/max,
+    spatial coverage, sample fetch) is restructured into overlapped
+    independent jobs (guide §2.6) with the aggregate pass split in
+    two:
+
+    - EXACT aggregates (regex-vote counts, distinct counts, row count,
+      temporal min/max spans) run over the small-scan fan-out —
+      partition-order independent by construction, so fanning the
+      single-row-group scan onto all cores is result-identical and
+      removes the single-task regex battery (the dominant cost).
+    - FLOAT moments (mean / stddev_pop) stay on the UNFANNED input:
+      float partial-aggregation merge order is partition-dependent, so
+      these keep the exact scan/accumulation order they always had —
+      bit-identical values.
+
+    Both agg jobs, the per-datetime temporal_resolution probes, the
+    spatial probes and the sample fetch are submitted together on a
+    driver thread pool; the per-numeric-column range sketches follow
+    once the aggregates classify the columns.  Each job's own plan and
+    collect order are unchanged — threading only overlaps their
+    scheduling — so every value (including the seeded sketches) is
+    identical to the serial run's."""
     cols = df.columns
     dtypes = dict(df.dtypes)
 
-    # one pass: per-column aggregates for every column
-    aggs = []
+    exact_aggs = [F.count(F.lit(1)).alias("__nb_rows")]
+    float_aggs = []
     for c in cols:
         col = F.col(c)
         s = col.cast("string")
         nonempty = F.count(F.when(s.isNotNull() & (s != ""), 1))
-        aggs += [
+        exact_aggs += [
             nonempty.alias(f"{c}__n"),
             F.count_distinct(col).alias(f"{c}__distinct"),
             (F.count(F.when(s.rlike(r"^[+-]?[0-9]+$"), 1)))
@@ -49,6 +72,8 @@ def profile_dataset(df: DataFrame, sample_rows: int = 20,
             (F.count(F.when(F.size(F.split(s, r"\s+")) >=
                             profiling.FREE_TEXT_MIN_WORDS, 1)))
             .alias(f"{c}__freetext"),
+        ]
+        float_aggs += [
             # cast the STRING form: always a legal cast (timestamp →
             # double is not), null for non-numeric text, identical
             # values for numeric columns
@@ -59,10 +84,46 @@ def profile_dataset(df: DataFrame, sample_rows: int = 20,
                 r"^[+-]?([0-9]+\.?[0-9]*|\.[0-9]+)([eE][+-]?[0-9]+)?$"),
                 s.cast("double"))).alias(f"{c}__std"),
         ]
-    row = df.agg(*aggs).collect()[0]
+    ts_all = [c for c in cols
+              if dtypes[c].startswith("timestamp") or dtypes[c] == "date"]
+    for c in ts_all:
+        exact_aggs += [F.min(c).alias(f"{c}__tlo"),
+                       F.max(c).alias(f"{c}__thi")]
 
     latlong_pairs = pair_latlong_columns(cols)
     latlong_cols = {c for p in latlong_pairs for c in p}
+
+    # All of these are mutually independent jobs; overlap them
+    # (guide §2.6).  Each callable is byte-identical to the old serial
+    # call, so each job's collect order — and therefore every
+    # seeded-sketch / float value — is unchanged.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _spatial_probe(lat_c, lon_c):
+        if df.filter(valid_latlong(F.col(lat_c), F.col(lon_c))).head(1):
+            from .geo import spatial_ranges
+            return {"lat": lat_c, "lon": lon_c,
+                    # per-cluster KMeans boxes (reference
+                    # spatial.py:49-106), plus the merged bbox the
+                    # search-side overlap scorer consumes
+                    "ranges": spatial_ranges(df, lat_c, lon_c),
+                    "bounding_box": bounding_box_merge(df, lat_c, lon_c)}
+        return None
+
+    pool = ThreadPoolExecutor(max_workers=8)
+    fanned = profiling.fan_out_exact_agg(df)
+    f_exact = pool.submit(lambda: fanned.agg(*exact_aggs).collect()[0])
+    f_float = pool.submit(lambda: df.agg(*float_aggs).collect()[0])
+    f_sample = pool.submit(
+        lambda: df.limit(sample_rows).toPandas().to_csv(index=False))
+    # temporal_resolution's aggregates are all exact (count_distinct /
+    # min) — safe on the fanned input, same string out
+    res_futs = {c: pool.submit(profiling.temporal_resolution, fanned, c)
+                for c in ts_all}
+    spat_futs = [pool.submit(_spatial_probe, lat_c, lon_c)
+                 for lat_c, lon_c in latlong_pairs]
+    row = {**f_exact.result().asDict(), **f_float.result().asDict()}
+    nb_rows = int(row["__nb_rows"])
 
     columns_meta = []
     kinds = []
@@ -112,35 +173,38 @@ def profile_dataset(df: DataFrame, sample_rows: int = 20,
                 and row[f"{c}__mean"] is not None:
             meta["mean"] = float(row[f"{c}__mean"])
             meta["stddev"] = float(row[f"{c}__std"] or 0.0)
-            meta["coverage"] = profiling.range_sketch(
-                df, c, sample_cap=max_range_rows,
+            # coverage sketch deferred to the overlapped-jobs pool
+            # below (identical per-column job, just not serialized)
+            meta["__sketch"] = True
+        columns_meta.append(meta)
+
+    try:
+        sketch_futs = {
+            m["name"]: pool.submit(
+                profiling.range_sketch, df, m["name"],
+                sample_cap=max_range_rows,
                 # nb_rows already counted this df: same n, same sample
                 # fraction, identical sketch, one job saved per column
                 n_rows=nb_rows)
-        columns_meta.append(meta)
+            for m in columns_meta if m.pop("__sketch", False)}
+        for m in columns_meta:
+            if m["name"] in sketch_futs:
+                m["coverage"] = sketch_futs[m["name"]].result()
 
-    # temporal coverage + resolution per datetime column
-    temporal_coverage = []
-    for c in cols:
-        if dtypes[c].startswith("timestamp") or dtypes[c] == "date":
-            res = profiling.temporal_resolution(df, c)
-            mm = df.agg(F.min(c).alias("lo"), F.max(c).alias("hi")) \
-                .collect()[0]
+        # temporal coverage + resolution per datetime column (spans
+        # were folded into the exact-aggregate pass above)
+        temporal_coverage = []
+        for c in ts_all:
+            lo, hi = row[f"{c}__tlo"], row[f"{c}__thi"]
             temporal_coverage.append({
-                "column": c, "temporal_resolution": res,
-                "ranges": [{"gte": str(mm["lo"]), "lte": str(mm["hi"])}]})
+                "column": c, "temporal_resolution": res_futs[c].result(),
+                "ranges": [{"gte": str(lo), "lte": str(hi)}]})
 
-    spatial_coverage = []
-    for lat_c, lon_c in latlong_pairs:
-        if df.filter(valid_latlong(F.col(lat_c), F.col(lon_c))).head(1):
-            from .geo import spatial_ranges
-            spatial_coverage.append(
-                {"lat": lat_c, "lon": lon_c,
-                 # per-cluster KMeans boxes (reference
-                 # spatial.py:49-106), plus the merged bbox the
-                 # search-side overlap scorer consumes
-                 "ranges": spatial_ranges(df, lat_c, lon_c),
-                 "bounding_box": bounding_box_merge(df, lat_c, lon_c)})
+        spatial_coverage = [r for r in (f.result() for f in spat_futs)
+                            if r is not None]
+        sample = f_sample.result()
+    finally:
+        pool.shutdown(wait=True)
 
     # attribute keywords: expanded column names (reference
     # core.py:965-972)
@@ -152,8 +216,6 @@ def profile_dataset(df: DataFrame, sample_rows: int = 20,
     counts = {f"nb_{k}_columns": kinds.count(k)
               for k in ("numerical", "categorical", "spatial", "temporal")}
     types = sorted({k for k in kinds if counts[f"nb_{k}_columns"] > 0})
-
-    sample = df.limit(sample_rows).toPandas().to_csv(index=False)
     return {
         "nb_rows": int(nb_rows),
         "nb_columns": len(cols),

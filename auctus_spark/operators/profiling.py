@@ -17,6 +17,8 @@ n_init=10, k-means++ with n_local_trials; ≥10%% mass per cluster,
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -36,6 +38,33 @@ FLOAT32_MAX = 3.4028235e38  # ES float clamp, core.py:327-336
 # is Monday-start, same as the reference's dt.weekday() mapping
 RESOLUTIONS = ["year", "quarter", "month", "week", "day",
                "hour", "minute", "second"]
+
+
+def fan_out_exact_agg(df: DataFrame) -> DataFrame:
+    """Round-robin fan-out for EXACT-aggregate inputs (guide §2.5
+    "input skew": a single-row-group parquet file scans as ONE task no
+    matter the split size, serializing per-row work on 1 of N cores).
+
+    Only safe when every downstream aggregate is partition-order
+    independent — counts, count_distinct, min/max — NOT float sums/
+    moments, whose partial-merge order is partition-dependent.  The
+    always-true nondeterministic filter is a predicate-pushdown fence
+    (predicates cannot reorder across it), keeping downstream per-row
+    work above the exchange.  Scale-adaptive: many-file or large
+    inputs (or non-file inputs) are returned unchanged, so at real
+    scale the plan shape is untouched."""
+    spark = df.sparkSession
+    try:
+        from urllib.parse import urlparse
+        files = df.inputFiles()
+        total = sum(os.path.getsize(urlparse(f).path) for f in files)
+    except Exception:
+        return df
+    cores = spark.sparkContext.defaultParallelism
+    if 0 < len(files) < cores and total <= (256 << 20):
+        return (df.repartition(cores)
+                .filter(F.monotonically_increasing_id() >= 0))
+    return df
 
 
 def numeric_profile(df: DataFrame, col: str) -> DataFrame:
@@ -106,6 +135,13 @@ def temporal_resolution(df: DataFrame, col: str,
     # a full extra shuffle when they are near-unique (event
     # timestamps) — the Expand's partial aggregation already collapses
     # each truncation to its distinct values before the exchange.
+    # Every aggregate here is exact (count_distinct / min), so callers
+    # with single-row-group inputs may pre-apply fan_out_exact_agg —
+    # result-identical, and it moves the Expand(x9) + partial
+    # distinct-agg off the single scan task (measured sf0.1 orders:
+    # 1.44 s -> 0.67 s median).  Not applied here: already-fanned
+    # inputs would be exchanged twice (inputFiles() sees through a
+    # repartition, so the helper cannot tell).
     counts = df.agg(
         F.count_distinct(col).alias("n"),
         F.min(col).alias("only"),
