@@ -65,8 +65,15 @@ _FAN_OUT_CAP = int(os.environ.get("AUCTUS_SMALL_SCAN_BYTES",
                                   str(256 << 20)))
 # tokenize / vector-math tables only: TPC-H numeric tables keep the
 # scan -> partial-aggregate shape (a pre-agg exchange of the raw rows
-# would cost more than the single-pass partial aggregation saves)
-_FAN_OUT_TABLES = {"documents", "embeddings", "events"}
+# would cost more than the single-pass partial aggregation saves).
+# "events" was REMOVED from the set this round: its ~30 consumers are
+# windows/date-aggs with cheap per-row work, and the interleaved A/B
+# (13 queries, 5 reps each) showed the round-robin exchange costing
+# ~2x on nearly every one (e.g. window_agg_events 1.38 s fanned vs
+# 0.54 s raw, asof_join 1.60 vs 0.73, terms_agg_ordered 0.48 vs 0.24)
+# — same pattern as dedup_exact: the exchange ships the rows to
+# parallelize work cheaper than the shuffle itself.
+_FAN_OUT_TABLES = {"documents", "embeddings"}
 
 
 def _fan_out(df: DataFrame) -> DataFrame:
@@ -238,7 +245,12 @@ def _q_facet_lang(spark, sf_dir):
 
 
 def _q_dedup_exact(spark, sf_dir):
-    d = _docs(spark, sf_dir)
+    # NO fan-out here: the per-row work is one md5 — a round-robin
+    # exchange of the full text rows costs ~2x the single-pass
+    # scan+partial-agg it would parallelize (measured sf0.1 interleaved
+    # A/B: raw 0.58 s vs fanned 1.13 s median of 7).  The groupBy's own
+    # exchange ships only (hash, count, min) partials either way.
+    d = _docs_seq(spark, sf_dir)
     return (d.groupBy(F.md5("text").alias("text_hash"))
             .agg(F.count("*").alias("n_dups"),
                  F.min("doc_id").alias("first_doc"))
