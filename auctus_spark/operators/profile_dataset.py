@@ -111,18 +111,24 @@ def profile_dataset(df: DataFrame, sample_rows: int = 20,
         return None
 
     pool = ThreadPoolExecutor(max_workers=8)
-    fanned = profiling.fan_out_exact_agg(df)
-    f_exact = pool.submit(lambda: fanned.agg(*exact_aggs).collect()[0])
-    f_float = pool.submit(lambda: df.agg(*float_aggs).collect()[0])
-    f_sample = pool.submit(
-        lambda: df.limit(sample_rows).toPandas().to_csv(index=False))
-    # temporal_resolution's aggregates are all exact (count_distinct /
-    # min) — safe on the fanned input, same string out
-    res_futs = {c: pool.submit(profiling.temporal_resolution, fanned, c)
-                for c in ts_all}
-    spat_futs = [pool.submit(_spatial_probe, lat_c, lon_c)
-                 for lat_c, lon_c in latlong_pairs]
-    row = {**f_exact.result().asDict(), **f_float.result().asDict()}
+    try:
+        fanned = profiling.fan_out_exact_agg(df)
+        f_exact = pool.submit(
+            lambda: fanned.agg(*exact_aggs).collect()[0])
+        f_float = pool.submit(lambda: df.agg(*float_aggs).collect()[0])
+        f_sample = pool.submit(
+            lambda: df.limit(sample_rows).toPandas().to_csv(index=False))
+        # temporal_resolution's aggregates are all exact
+        # (count_distinct / min) — safe on the fanned input
+        res_futs = {c: pool.submit(profiling.temporal_resolution,
+                                   fanned, c)
+                    for c in ts_all}
+        spat_futs = [pool.submit(_spatial_probe, lat_c, lon_c)
+                     for lat_c, lon_c in latlong_pairs]
+        row = {**f_exact.result().asDict(), **f_float.result().asDict()}
+    except BaseException:
+        pool.shutdown(wait=False, cancel_futures=True)
+        raise
     nb_rows = int(row["__nb_rows"])
 
     columns_meta = []
