@@ -449,7 +449,35 @@ def embedding_near_pairs(emb: DataFrame, vec_col: str = "embedding",
     matmul) and packs r sign bits per band; explode to (band, key) →
     per-band bucket join (one shuffle) → distinct candidates → exact
     verify.  ``max_bucket`` caps degenerate buckets (see
-    ``cap_hot_buckets``)."""
+    ``cap_hot_buckets``).
+
+    EXACT-DUPLICATE COLLAPSE (round 8): identical vectors have
+    identical band keys, so k copies of one vector turn every
+    candidate involving it into k candidates — a corpus where docs
+    average k exact copies (the common web-dedup regime; exact dedup
+    exists precisely because of it) inflates the candidate set by k²
+    while adding zero information to the verify.  Measured on a
+    10x-replicated 20k-vector table at the [embedding_near_pairs]
+    gate's parameters (threshold 0.45, 32x2 banding): 199.9M
+    candidates — the verify was O(n²) in copies.  The operator now
+    groups by the EXACT vector value first (one shuffle of the
+    vectors), runs banding + verify on group representatives, and
+    expands surviving group pairs back to member pairs.  Equivalence:
+    members of a group share every (band, key) row, so (i, j) is a
+    candidate iff their groups share a surviving bucket; the bucket
+    cap counts MEMBERS (weighted by group size), so bucket survival
+    is unchanged; within-group pairs (identical vectors) are
+    candidates iff the group keeps >= 1 surviving bucket, scored by
+    routing the group's SELF-pair through the same verify; cosine
+    depends only on vector values, so every expanded pair carries the
+    value the per-member verify would have produced, computed by the
+    identical arithmetic.  (Caveat: Spark grouping normalizes
+    -0.0 == 0.0 and NaN == NaN inside the group key; vectors
+    differing only in zero sign share a representative — their
+    cosines agree except in adversarial signed-zero accumulations
+    that real embeddings do not produce.)  A duplicate-free input
+    (n_groups == n) BYPASSES to the exact historical plan, so the
+    collapse costs one vector-keyed window + two tiny jobs there."""
     from pyspark.sql.types import ArrayType, LongType
 
     if dim is None:
@@ -483,41 +511,114 @@ def embedding_near_pairs(emb: DataFrame, vec_col: str = "embedding",
                    F.col(vec_col).cast("array<double>").alias("v")) \
         .withColumn("bk", band_keys("v")) \
         .withColumn("nrm", nrm_of(F.col("v"))).localCheckpoint()
-    banded = e.select(
+
+    from pyspark.sql import Window
+    mem = e.select("vid", "v").withColumn(
+        "gid", F.min("vid").over(Window.partitionBy("v"))) \
+        .select("vid", "gid").localCheckpoint()
+    n_vecs = e.count()          # checkpointed: cheap counts
+    n_groups = mem.select("gid").distinct().count()
+    if n_groups == n_vecs:
+        # duplicate-free: the exact historical plan, nothing expanded
+        banded = e.select(
+            "vid", F.posexplode("bk").alias("band", "key"))
+        banded = cap_hot_buckets(banded, ["band", "key"],
+                                 max_bucket).localCheckpoint()
+        cand = (banded.alias("a")
+                .join(banded.alias("b"), ["band", "key"])
+                .filter(F.col("a.vid") < F.col("b.vid"))
+                .select(F.col("a.vid").alias("id_a"),
+                        F.col("b.vid").alias("id_b"))
+                .distinct())
+        return _verify_cosine_pairs(e, cand, n_vecs, dim, threshold)
+
+    # ---- duplicate-collapse path: everything at GROUP level --------
+    reps = (e.join(mem.filter(F.col("vid") == F.col("gid"))
+                   .select("vid"), "vid")
+            .localCheckpoint())
+    gsz = mem.groupBy("gid").agg(F.count(F.lit(1)).alias("gsz"))
+    banded_g = reps.select(
         "vid", F.posexplode("bk").alias("band", "key"))
-    banded = cap_hot_buckets(banded, ["band", "key"],
-                             max_bucket).localCheckpoint()
-    cand = (banded.alias("a").join(banded.alias("b"), ["band", "key"])
-            .filter(F.col("a.vid") < F.col("b.vid"))
-            .select(F.col("a.vid").alias("id_a"),
-                    F.col("b.vid").alias("id_b"))
-            .distinct())
-    # Verify stage.  Candidate pairs >> vectors (banding FP rate:
-    # 208k pairs from 2k vectors measured at sf0.1), so the verify
-    # must not ship 2 x dim doubles PER PAIR through joins (guide §8:
-    # move decisions onto lightweight proxies, attach heavy payloads
-    # once).  When the whole vector table fits a broadcast cap
-    # (n x dim x 8B <= AUCTUS_VEC_BCAST_MB, default 64 MB), the pair
-    # table — 16 B/pair — flows alone into ONE mapInPandas that looks
-    # both sides up in the broadcast matrix; above the cap it falls
-    # back to the two joins (at that scale the pair list per band is
-    # also partition-local, so the join shape is the scalable one).
-    #
-    # Bit-identical floats either way: the historical HOF evaluated
-    # ((0.0 + p0) + p1) + ... strictly left-associatively, and
-    # np.cumsum is the same sequential left-assoc accumulation
-    # (pinned against the JVM HOF in tests/test_opt_r08.py); the
-    # elementwise product is IEEE-identical, and nrm_a*nrm_b uses the
-    # same precomputed per-vector doubles in the same order.
+    if max_bucket is not None:
+        # cap on MEMBER count (sum of group sizes), matching the
+        # per-member cap_hot_buckets decision exactly
+        hot = (banded_g.join(gsz, banded_g["vid"] == gsz["gid"])
+               .groupBy("band", "key").agg(F.sum("gsz").alias("_n"))
+               .filter(F.col("_n") > max_bucket)
+               .select("band", "key"))
+        banded_g = banded_g.join(hot, ["band", "key"], "left_anti")
+    banded_g = banded_g.localCheckpoint()
+    cand_g = (banded_g.alias("a")
+              .join(banded_g.alias("b"), ["band", "key"])
+              .filter(F.col("a.vid") < F.col("b.vid"))
+              .select(F.col("a.vid").alias("id_a"),
+                      F.col("b.vid").alias("id_b"))
+              .distinct())
+    # within-group pairs are candidates iff the group keeps >= 1
+    # surviving bucket; score them as the group's SELF-pair through
+    # the same verify (identical arithmetic: cos(v, v) with the same
+    # cumsum-dot / nrm*nrm)
+    self_g = (banded_g.select(F.col("vid").alias("gid")).distinct()
+              .join(gsz.filter(F.col("gsz") >= 2).select("gid"), "gid")
+              .select(F.col("gid").alias("id_a"),
+                      F.col("gid").alias("id_b")))
+    scored = _verify_cosine_pairs(
+        reps, cand_g.unionByName(self_g), n_groups, dim, threshold) \
+        .localCheckpoint()
+    ma = mem.select(F.col("gid").alias("id_a"),
+                    F.col("vid").alias("vid_a"))
+    mb = mem.select(F.col("gid").alias("id_b"),
+                    F.col("vid").alias("vid_b"))
+    cross = (scored.filter(F.col("id_a") != F.col("id_b"))
+             .join(ma, "id_a").join(mb, "id_b")
+             .select(F.least("vid_a", "vid_b").alias("id_a"),
+                     F.greatest("vid_a", "vid_b").alias("id_b"),
+                     "cosine"))
+    within = (scored.filter(F.col("id_a") == F.col("id_b"))
+              .select(F.col("id_a").alias("gid"), "cosine")
+              .join(mem.select("gid", F.col("vid").alias("vid_a")),
+                    "gid")
+              .join(mem.select("gid", F.col("vid").alias("vid_b")),
+                    "gid")
+              .filter(F.col("vid_a") < F.col("vid_b"))
+              .select(F.col("vid_a").alias("id_a"),
+                      F.col("vid_b").alias("id_b"), "cosine"))
+    return cross.unionByName(within)
+
+
+def _verify_cosine_pairs(e: DataFrame, cand: DataFrame, n_vecs: int,
+                         dim: int, threshold: float) -> DataFrame:
+    """Exact-cosine verify of candidate pairs against the vector table
+    ``e`` (vid, v, nrm).  Shared by the member-level and group-level
+    paths of :func:`embedding_near_pairs`; accepts SELF-pairs
+    (id_a == id_b), which score cos(v, v) with the same arithmetic.
+
+    Candidate pairs >> vectors (banding FP rate:
+    208k pairs from 2k vectors measured at sf0.1), so the verify
+    must not ship 2 x dim doubles PER PAIR through joins (guide §8:
+    move decisions onto lightweight proxies, attach heavy payloads
+    once).  When the whole vector table fits a broadcast cap
+    (n x dim x 8B <= AUCTUS_VEC_BCAST_MB, default 64 MB), the pair
+    table — 16 B/pair — flows alone into ONE mapInPandas that looks
+    both sides up in the broadcast matrix; above the cap it falls
+    back to the two joins (at that scale the pair list per band is
+    also partition-local, so the join shape is the scalable one).
+
+    Bit-identical floats either way: the historical HOF evaluated
+    ((0.0 + p0) + p1) + ... strictly left-associatively, and
+    np.cumsum is the same sequential left-assoc accumulation
+    (pinned against the JVM HOF in tests/test_opt_r08.py); the
+    elementwise product is IEEE-identical, and nrm_a*nrm_b uses the
+    same precomputed per-vector doubles in the same order."""
+    threshold = float(threshold)
     cap_b = int(__import__("os").environ.get(
         "AUCTUS_VEC_BCAST_MB", "64")) << 20
-    n_vecs = e.count()  # checkpointed: a cheap count
     if n_vecs * dim * 8 <= cap_b:
         rows_v = e.select("vid", "v", "nrm").collect()
         idx = {r["vid"]: i for i, r in enumerate(rows_v)}
         mat = np.array([r["v"] for r in rows_v], dtype=np.float64)
         nrm = np.array([r["nrm"] for r in rows_v], dtype=np.float64)
-        bc = emb.sparkSession.sparkContext.broadcast((idx, mat, nrm))
+        bc = e.sparkSession.sparkContext.broadcast((idx, mat, nrm))
 
         def verify(batches):
             bidx, bmat, bnrm = bc.value

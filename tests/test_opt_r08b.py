@@ -190,3 +190,69 @@ def test_catalog_concurrent_add_matches_serial(spark, sf_dir):
             == conc.coverage_table().collect())
     assert (serial.datasets_table().collect()
             == conc.datasets_table().collect())
+
+
+def test_embedding_near_pairs_duplicate_collapse_matches_bruteforce(
+        spark, sf_dir):
+    """The round-8 exact-duplicate collapse must reproduce the
+    member-level algorithm bit-exactly.  Reference: an independent
+    numpy reimplementation of the banding + member-count bucket cap +
+    left-associative cosine on a fixture where every vector has 4
+    exact copies (the regime the collapse exists for)."""
+    import numpy as np
+
+    from auctus_spark.operators.dedup import embedding_near_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dup = emb
+    for k in range(1, 4):
+        dup = dup.unionByName(
+            emb.withColumn("vec_id", F.col("vec_id") + F.lit(k * 10**6)))
+    dup = dup.localCheckpoint()
+
+    rows = dup.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    vecs = np.array([[float(x) for x in r["embedding"]] for r in rows],
+                    dtype=np.float64)
+    n, dim = vecs.shape
+
+    for threshold, bands, rpb, max_bucket in [
+            (0.45, 32, 2, 10_000),
+            (0.45, 32, 2, max(10, n // 3)),   # cap actually fires
+            (0.95, 24, 8, 10_000)]:
+        got = sorted(
+            (r["id_a"], r["id_b"], r["cosine"])
+            for r in embedding_near_pairs(
+                dup, "embedding", "vec_id", threshold=threshold,
+                bands=bands, rows_per_band=rpb,
+                max_bucket=max_bucket).collect())
+
+        # ---- numpy reference (independent reimplementation) --------
+        rng = np.random.Generator(np.random.PCG64(89))
+        planes = rng.normal(size=(dim, bands * rpb))
+        pack = 1 << np.arange(rpb, dtype=np.int64)
+        bits = (vecs @ planes) > 0
+        keys = bits.reshape(n, bands, rpb) @ pack
+        buckets = {}
+        for i in range(n):
+            for b in range(bands):
+                buckets.setdefault((b, int(keys[i, b])), []).append(i)
+        cand = set()
+        for members in buckets.values():
+            if len(members) > max_bucket:
+                continue                      # member-count bucket cap
+            for x in range(len(members)):
+                for y in range(x + 1, len(members)):
+                    i, j = members[x], members[y]
+                    if ids[i] != ids[j]:
+                        cand.add((min(i, j, key=lambda t: ids[t]),
+                                  max(i, j, key=lambda t: ids[t])))
+        # left-associative dot / norm, matching the engine arithmetic
+        nrm = np.sqrt(np.cumsum(vecs * vecs, axis=1)[:, -1])
+        want = []
+        for i, j in cand:
+            cos = (np.cumsum(vecs[i] * vecs[j])[-1]) / (nrm[i] * nrm[j])
+            if cos >= threshold:
+                a, b = int(ids[i]), int(ids[j])
+                want.append((min(a, b), max(a, b), float(cos)))
+        assert got == sorted(want), (threshold, bands, rpb, max_bucket)
